@@ -1,0 +1,111 @@
+"""PSI / KS drift statistics and the reference's classification bands.
+
+Reference semantics reproduced exactly (citations into /root/reference):
+  - PSI formula with 1e-8 zero-replacement and bins taken from the
+    *expected* distribution: tanml/analysis/drift.py:34-84
+  - KS two-sample statistic + asymptotic p-value:
+    tanml/analysis/drift.py:87-113 (scipy.stats.ks_2samp semantics)
+  - drift bands: psi >= 0.2 severe / >= 0.1 moderate / else none,
+    summary fail/warning/pass: tanml/analysis/drift.py:159-206
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+PSI_SEVERE = 0.2
+PSI_MODERATE = 0.1
+
+
+def psi_from_counts(expected_counts: np.ndarray, actual_counts: np.ndarray,
+                    eps: float = 1e-8) -> float:
+    """PSI = Σ (a% − e%) · ln(a% / e%), zero proportions → eps.
+
+    Exact reproduction of drift.py:71-84 given identical bin counts.
+    """
+    e = np.asarray(expected_counts, dtype=np.float64)
+    a = np.asarray(actual_counts, dtype=np.float64)
+    if e.sum() == 0 or a.sum() == 0:
+        return float("nan")
+    ep = e / e.sum()
+    ap = a / a.sum()
+    ep = np.where(ep == 0, eps, ep)
+    ap = np.where(ap == 0, eps, ap)
+    return float(np.sum((ap - ep) * np.log(ap / ep)))
+
+
+def psi_level(psi: float) -> str:
+    """drift.py:159-171 bands."""
+    if psi != psi:  # NaN
+        return "unknown"
+    if psi >= PSI_SEVERE:
+        return "severe"
+    if psi >= PSI_MODERATE:
+        return "moderate"
+    return "none"
+
+
+def drift_summary_status(levels: list[str]) -> str:
+    """fail if any severe, warning if any moderate, else pass
+    (drift.py:184-206)."""
+    if any(l == "severe" for l in levels):
+        return "fail"
+    if any(l == "moderate" for l in levels):
+        return "warning"
+    return "pass"
+
+
+def ks_asymp_pvalue(d: float, n1: float, n2: float) -> float:
+    """Two-sided asymptotic KS p-value (Kolmogorov distribution),
+    matching scipy.stats.ks_2samp(mode='asymp')."""
+    if n1 <= 0 or n2 <= 0 or d != d:
+        return float("nan")
+    en = math.sqrt(n1 * n2 / (n1 + n2))
+    t = (en + 0.12 + 0.11 / en) * d
+    # Kolmogorov survival function: 2 Σ (−1)^{k−1} exp(−2 k² t²)
+    s = 0.0
+    for k in range(1, 101):
+        term = (-1.0) ** (k - 1) * math.exp(-2.0 * (k * t) ** 2)
+        s += term
+        if abs(term) < 1e-10:
+            break
+    return float(min(max(2.0 * s, 0.0), 1.0))
+
+
+def ks_2samp_exact(x: np.ndarray, y: np.ndarray) -> tuple[float, float]:
+    """Exact two-sample KS statistic (sup |ECDF_x − ECDF_y|) + asymptotic
+    p-value. Used for small/bounded samples; the at-scale path uses
+    ks_from_histograms below."""
+    x = np.sort(np.asarray(x, dtype=np.float64))
+    y = np.sort(np.asarray(y, dtype=np.float64))
+    n1, n2 = x.size, y.size
+    if n1 == 0 or n2 == 0:
+        return float("nan"), float("nan")
+    both = np.concatenate([x, y])
+    cdf_x = np.searchsorted(x, both, side="right") / n1
+    cdf_y = np.searchsorted(y, both, side="right") / n2
+    d = float(np.abs(cdf_x - cdf_y).max())
+    return d, ks_asymp_pvalue(d, n1, n2)
+
+
+def ks_from_histograms(expected_counts: np.ndarray, actual_counts: np.ndarray,
+                       expected_below: int = 0, actual_below: int = 0,
+                       expected_above: int = 0, actual_above: int = 0) -> tuple[float, float]:
+    """Approximate KS statistic from shared-edge histogram counts:
+    sup-norm of the difference of the binned ECDFs evaluated at bin
+    edges. Error ≤ max bin mass; with fine equi-depth bins from the
+    baseline t-digest the error is ≤ 1/n_bins (SURVEY.md §7.5 item 1).
+    """
+    e = np.asarray(expected_counts, dtype=np.float64)
+    a = np.asarray(actual_counts, dtype=np.float64)
+    ne = e.sum() + expected_below + expected_above
+    na = a.sum() + actual_below + actual_above
+    if ne == 0 or na == 0:
+        return float("nan"), float("nan")
+    ce = (np.cumsum(e) + expected_below) / ne
+    ca = (np.cumsum(a) + actual_below) / na
+    # include the below-range mass point as well
+    d = float(np.abs(np.concatenate([[expected_below / ne - actual_below / na], ce - ca])).max())
+    return d, ks_asymp_pvalue(d, ne, na)
