@@ -20,8 +20,21 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship validation pipeline on /root/testdata/sf0.001.
+
+    Synthesizes the deterministic Common-Crawl-style pages table from
+    the sf0.001 documents table (FIXTURES.md F1), runs the full
+    constraint + profile + uniqueness suite, and returns the
+    per-(partition, constraint) status table (stable schema:
+    partition_id, constraint_id, rows, violations, elapsed_us, status).
+    """
+    from tanml_ray.pipelines.validate import run_pages_validation
+    from tanml_ray.sources.pages import synthesize_pages_parquet
+
+    pages_dir = synthesize_pages_parquet(
+        "/root/testdata/sf0.001", "/tmp/tanml_pages_sf0.001_baseline")
+    report = run_pages_validation(pages_dir)
+    return report.status.to_pandas()
 
 
 def queries() -> dict[str, Callable[[str], Any]]:

@@ -1,0 +1,248 @@
+"""The flagship validation pipeline (SURVEY.md §3.2 new-engine trace).
+
+    read_parquet(pages/, include_paths=True)
+      → stage 1  map_batches(ValidateBatch): row constraints + profile
+                 partials + per-partition status partials, emitted as one
+                 tagged mixed table (html/text projected away immediately —
+                 the wide binary column never moves past stage 1)
+      → materialize the (tiny) mixed table once
+      → violations sink          (filter kind=violation → write_parquet)
+      → per-partition status     (groupby partition_id+constraint_id, sum)
+      → profile artifact         (merge pickled partials driver-side)
+      → uniqueness(url)          (the one shuffle: groupby url over a
+                                  pre-deduped projection — SURVEY.md §7.5
+                                  item 7: per-batch local dedup first)
+      → executive roll-up        (reference thresholds, §2.5 A24)
+
+One streaming read of the input; everything downstream operates on
+small derived tables. Partition = input parquet file, which is what
+makes runs resumable per-partition (state/checkpoint.py).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Any
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from tanml_ray.stages.constraints import (
+    RowConstraint,
+    default_pages_constraints,
+    evaluate_constraints,
+)
+from tanml_ray.stages.profile import make_profile_partials, merge_profile_partials
+
+MIXED_SCHEMA = pa.schema([
+    ("kind", pa.string()),            # violation | status | partial
+    ("partition_id", pa.string()),
+    ("constraint_id", pa.string()),
+    ("url", pa.string()),
+    ("offending_value", pa.string()),
+    ("rows", pa.int64()),
+    ("violations", pa.int64()),
+    ("elapsed_us", pa.int64()),
+    ("column", pa.string()),
+    ("state", pa.binary()),
+])
+
+
+def _mixed(kind: str, n: int, **cols) -> pa.Table:
+    arrays = []
+    for f in MIXED_SCHEMA:
+        if f.name == "kind":
+            arrays.append(pa.array([kind] * n, type=pa.string()))
+        elif f.name in cols:
+            v = cols[f.name]
+            arrays.append(v if isinstance(v, pa.Array) else pa.array(v, type=f.type))
+        else:
+            arrays.append(pa.nulls(n, type=f.type))
+    return pa.Table.from_arrays(arrays, schema=MIXED_SCHEMA)
+
+
+class ValidateBatch:
+    """Stage-1 batch worker. Plain callable class → usable both as
+    stateless task fn and as an actor pool via map_batches(cls)."""
+
+    def __init__(self, constraints: list[RowConstraint] | None = None,
+                 profile_columns: list[str] | None = None,
+                 text_len_col: str | None = "text"):
+        self.constraints = constraints if constraints is not None else default_pages_constraints()
+        self.profile_columns = profile_columns or ["url", "warc_ts", "text", "lang"]
+        self.text_len_col = text_len_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        t0 = time.perf_counter()
+        if "path" in batch.column_names:
+            paths = np.asarray([os.path.basename(p) for p in
+                                batch.column("path").to_pylist()], dtype=object)
+            batch = batch.drop_columns(["path"])
+        else:
+            paths = np.full(batch.num_rows, "all", dtype=object)
+
+        out: list[pa.Table] = []
+
+        violations, counts = evaluate_constraints(batch, self.constraints)
+
+        # attribute violations + row counts to partitions (usually one
+        # path per block; handle the general case)
+        uniq_paths = np.unique(paths)
+        if len(uniq_paths) == 1:
+            pid = uniq_paths[0]
+            if violations.num_rows:
+                out.append(_mixed("violation", violations.num_rows,
+                                  partition_id=[pid] * violations.num_rows,
+                                  constraint_id=violations.column("constraint_id").combine_chunks(),
+                                  url=violations.column("url").combine_chunks(),
+                                  offending_value=violations.column("offending_value").combine_chunks()))
+            elapsed = int((time.perf_counter() - t0) * 1e6)
+            out.append(_mixed("status", len(counts),
+                              partition_id=[pid] * len(counts),
+                              constraint_id=list(counts.keys()),
+                              rows=[batch.num_rows] * len(counts),
+                              violations=list(counts.values()),
+                              elapsed_us=[elapsed] * len(counts)))
+        else:
+            for pid in uniq_paths:
+                sel = pa.array(paths == pid)
+                sub = batch.filter(sel)
+                v_sub, c_sub = evaluate_constraints(sub, self.constraints)
+                if v_sub.num_rows:
+                    out.append(_mixed("violation", v_sub.num_rows,
+                                      partition_id=[pid] * v_sub.num_rows,
+                                      constraint_id=v_sub.column("constraint_id").combine_chunks(),
+                                      url=v_sub.column("url").combine_chunks(),
+                                      offending_value=v_sub.column("offending_value").combine_chunks()))
+                elapsed = int((time.perf_counter() - t0) * 1e6)
+                out.append(_mixed("status", len(c_sub),
+                                  partition_id=[pid] * len(c_sub),
+                                  constraint_id=list(c_sub.keys()),
+                                  rows=[sub.num_rows] * len(c_sub),
+                                  violations=list(c_sub.values()),
+                                  elapsed_us=[elapsed] * len(c_sub)))
+
+        partials = make_profile_partials(batch, self.profile_columns,
+                                         derived_text_len=self.text_len_col)
+        if partials.num_rows:
+            out.append(_mixed("partial", partials.num_rows,
+                              partition_id=[str(uniq_paths[0])] * partials.num_rows,
+                              column=partials.column("column").combine_chunks(),
+                              state=partials.column("state").combine_chunks()))
+        return pa.concat_tables(out) if out else _mixed("status", 0)
+
+
+@dataclass
+class ValidationReport:
+    status: "pa.Table"                 # partition_id, constraint_id, rows, violations, status
+    partition_status: "pa.Table"       # partition_id, rows, violations, status, p95 source
+    profile: dict[str, dict[str, Any]]
+    violations: Any                    # ray.data.Dataset
+    duplicate_urls: Any                # ray.data.Dataset (url, n)
+    summary: dict[str, Any] = field(default_factory=dict)
+
+
+def run_pages_validation(source, out_dir: str | None = None,
+                         constraints: list[RowConstraint] | None = None,
+                         check_uniqueness: bool = True) -> ValidationReport:
+    """source: parquet path/dir (preferred — gives real partitions) or an
+    existing ray.data.Dataset of pages."""
+    import ray.data as rd
+
+    if isinstance(source, str):
+        ds = rd.read_parquet(source, include_paths=True)
+    else:
+        ds = source
+
+    mixed = ds.map_batches(ValidateBatch(constraints=constraints),
+                           batch_format="pyarrow").materialize()
+
+    def _only(kind):
+        return mixed.map_batches(
+            lambda t, k=kind: t.filter(pc.equal(t.column("kind"), k)),
+            batch_format="pyarrow")
+
+    violations = _only("violation").select_columns(
+        ["partition_id", "constraint_id", "url", "offending_value"])
+
+    # -- per-partition × constraint status (small: partitions × constraints)
+    from ray.data.aggregate import Max, Sum
+
+    status_ds = (_only("status")
+                 .select_columns(["partition_id", "constraint_id", "rows",
+                                  "violations", "elapsed_us"])
+                 .groupby(["partition_id", "constraint_id"])
+                 .aggregate(Sum("rows", alias_name="rows"),
+                            Sum("violations", alias_name="violations"),
+                            Max("elapsed_us", alias_name="elapsed_us")))
+    status = pa.Table.from_pylist(
+        status_ds.take_all(),
+        schema=pa.schema([("partition_id", pa.string()),
+                          ("constraint_id", pa.string()),
+                          ("rows", pa.int64()), ("violations", pa.int64()),
+                          ("elapsed_us", pa.int64())]))
+    status = status.append_column(
+        "status", pc.if_else(pc.greater(status.column("violations"), 0),
+                             pa.scalar("fail"), pa.scalar("pass")))
+
+    # -- profile artifact
+    merged = merge_profile_partials(
+        _only("partial").select_columns(["column", "state"])
+        .iter_batches(batch_size=4096, batch_format="pyarrow"))
+    profile = {name: acc.finalize() for name, acc in merged.items()}
+
+    # -- uniqueness(url): the one shuffle. Pre-dedup per batch first so
+    # only (url, local_count) partials move (SURVEY.md §7.5 item 7).
+    dup_urls = None
+    dup_count = 0
+    if check_uniqueness:
+        def local_counts(t: pa.Table) -> pa.Table:
+            vc = t.column("url").combine_chunks().value_counts()
+            return pa.Table.from_arrays(
+                [vc.field("values"), pc.cast(vc.field("counts"), pa.int64())],
+                names=["url", "n"])
+
+        url_partials = ds.select_columns(["url"]).map_batches(
+            local_counts, batch_format="pyarrow")
+        dup_urls = (url_partials.groupby("url")
+                    .aggregate(Sum("n", alias_name="n"))
+                    .map_batches(lambda t: t.filter(pc.greater(t.column("n"), 1)),
+                                 batch_format="pyarrow"))
+        dup_urls = dup_urls.materialize()
+        dup_count = dup_urls.count()
+
+    # -- per-partition roll-up
+    pstat = (status.group_by("partition_id")
+             .aggregate([("rows", "max"), ("violations", "sum"), ("elapsed_us", "max")]))
+    pstat = pstat.rename_columns(["partition_id", "rows", "violations", "elapsed_us"])
+    pstat = pstat.append_column(
+        "status", pc.if_else(pc.greater(pstat.column("violations"), 0),
+                             pa.scalar("fail"), pa.scalar("pass")))
+
+    elapsed = np.asarray(pstat.column("elapsed_us").to_pylist(), dtype=np.float64)
+    total_rows = int(pc.sum(pstat.column("rows")).as_py() or 0)
+    summary = {
+        "partitions": pstat.num_rows,
+        "rows": total_rows,
+        "total_violations": int(pc.sum(status.column("violations")).as_py() or 0),
+        "duplicate_urls": dup_count,
+        "failed_partitions": int(pc.sum(
+            pc.cast(pc.equal(pstat.column("status"), "fail"), pa.int64())).as_py() or 0),
+        "p95_partition_latency_ms": float(np.percentile(elapsed, 95) / 1000) if elapsed.size else 0.0,
+        "overall": "fail" if dup_count or
+                   int(pc.sum(status.column("violations")).as_py() or 0) else "pass",
+    }
+
+    if out_dir:
+        os.makedirs(out_dir, exist_ok=True)
+        violations.write_parquet(os.path.join(out_dir, "violations"))
+        import json
+        with open(os.path.join(out_dir, "summary.json"), "w") as f:
+            json.dump(summary, f, indent=2, default=str)
+
+    return ValidationReport(status=status, partition_status=pstat,
+                            profile=profile, violations=violations,
+                            duplicate_urls=dup_urls, summary=summary)

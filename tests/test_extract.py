@@ -1,0 +1,55 @@
+"""Extractor determinism + byte-identical invariant (BASELINE input_hint)."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from tanml_ray.functions.html_text import (
+    escape_text,
+    extract_text,
+    extract_text_array,
+    render_html,
+)
+
+
+class TestExtractText:
+    def test_roundtrip_byte_identical(self):
+        cases = [
+            ("Doc 1", "hello world"),
+            ("T & T", 'with <angle> & "quotes" and \'apostrophes\''),
+            ("Üñíçødé", "日本語テキスト ≤≥ émojis 🎉"),
+            ("", ""),
+            ("multi", "line one\nline two\ttabbed"),
+        ]
+        for title, body in cases:
+            html = render_html(title, body)
+            assert extract_text(html) == f"{title}\n{body}"
+
+    def test_none_in_none_out(self):
+        assert extract_text(None) is None
+
+    def test_deterministic(self):
+        html = render_html("t", "b" * 1000)
+        assert extract_text(html) == extract_text(html)
+
+    def test_multiple_paragraphs(self):
+        html = b"<html><head><title>T</title></head><body><p>a</p><p>b</p></body></html>"
+        assert extract_text(html) == "T\na\nb"
+
+    def test_no_title(self):
+        assert extract_text(b"<html><body><p>only</p></body></html>") == "only"
+
+    def test_nested_tags_stripped(self):
+        html = b"<html><head><title>T</title></head><body><p>a <b>bold</b> c</p></body></html>"
+        assert extract_text(html) == "T\na bold c"
+
+    def test_escape_unescape_inverse(self):
+        s = "a&b<c>d\"e'f&amp;g"
+        html = render_html("t", s)
+        assert extract_text(html) == f"t\n{s}"
+
+    def test_array_matches_scalar(self):
+        htmls = [render_html(f"t{i}", f"body {i}") for i in range(10)] + [None]
+        arr = pa.array(htmls, type=pa.binary())
+        out = extract_text_array(arr).to_pylist()
+        assert out == [extract_text(h) for h in htmls]

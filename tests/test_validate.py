@@ -1,0 +1,174 @@
+"""Fixture determinism, constraint semantics, and the end-to-end
+flagship validation pipeline on sf0.001 (SURVEY.md §7.1 minimum slice)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import pytest
+
+from tanml_ray.functions.html_text import extract_text
+from tanml_ray.sources.pages import make_pages_batch
+from tanml_ray.stages.constraints import (
+    ExtractionMatch,
+    NotNull,
+    ReferentialSet,
+    RegexMatch,
+    TimestampRange,
+    default_pages_constraints,
+    evaluate_constraints,
+)
+
+
+def _docs_batch(n=600, start=0):
+    return pa.table({
+        "doc_id": pa.array(range(start, start + n), type=pa.int64()),
+        "text": [f"body text number {i} with words" for i in range(start, start + n)],
+        "lang": ["en" if i % 3 else "de" for i in range(start, start + n)],
+    })
+
+
+class TestPagesFixture:
+    def test_deterministic_and_split_invariant(self):
+        whole = make_pages_batch(_docs_batch(600))
+        again = make_pages_batch(_docs_batch(600))
+        assert whole.equals(again)
+        # generating in two halves yields identical rows (pure per-row fn)
+        a = make_pages_batch(_docs_batch(300, 0))
+        b = make_pages_batch(_docs_batch(300, 300))
+        assert pa.concat_tables([a, b]).equals(whole)
+
+    def test_injected_defects(self):
+        t = make_pages_batch(_docs_batch(1000))
+        ids = t.column("page_id").to_numpy()
+        html = t.column("html")
+        text = t.column("text")
+        lang = t.column("lang").to_pylist()
+        assert html.null_count == sum(1 for i in ids if i % 500 == 3)
+        assert text.null_count == sum(1 for i in ids if i % 500 == 11)
+        assert sum(1 for l, i in zip(lang, ids) if l == "xx") == sum(
+            1 for i in ids if i % 300 == 5)
+        urls = t.column("url").to_pylist()
+        assert len(set(urls)) == len(urls) - sum(1 for i in ids if i % 200 == 7)
+
+    def test_extraction_invariant_holds_except_tampered(self):
+        t = make_pages_batch(_docs_batch(1000))
+        mismatches = []
+        for pid, h, txt in zip(t.column("page_id").to_pylist(),
+                               t.column("html").to_pylist(),
+                               t.column("text").to_pylist()):
+            if h is None or txt is None:
+                continue
+            if extract_text(h) != txt:
+                mismatches.append(pid)
+        assert mismatches == [i for i in range(1000)
+                              if i % 700 == 17 and i % 500 not in (3, 11)]
+
+    def test_current_variant_shifts(self):
+        base = make_pages_batch(_docs_batch(3000))
+        cur = make_pages_batch(_docs_batch(3000), variant="current")
+        base_len = np.mean([len(x) for x in base.column("text").to_pylist() if x])
+        cur_len = np.mean([len(x) for x in cur.column("text").to_pylist() if x])
+        assert cur_len > base_len  # padding shift applied
+        # extraction invariant must still hold on the shifted variant
+        for h, txt in zip(cur.column("html").to_pylist()[:200],
+                          cur.column("text").to_pylist()[:200]):
+            if h is not None and txt is not None and not txt.endswith(" "):
+                assert extract_text(h) == txt
+
+
+class TestConstraints:
+    def _pages(self, n=1000):
+        return make_pages_batch(_docs_batch(n))
+
+    def test_not_null(self):
+        t = self._pages()
+        mask = NotNull("html").violation_mask(t)
+        assert pc.sum(mask).as_py() == t.column("html").null_count
+
+    def test_range(self):
+        import pandas as pd
+        t = self._pages()
+        c = TimestampRange("warc_ts", pd.Timestamp("2025-01-01"), pd.Timestamp("2025-04-01"))
+        ids = t.column("page_id").to_numpy()
+        assert pc.sum(c.violation_mask(t)).as_py() == sum(1 for i in ids if i % 1000 == 13)
+
+    def test_referential(self):
+        t = self._pages()
+        c = ReferentialSet("lang", {"en", "de"}, name="ref")
+        ids = t.column("page_id").to_numpy()
+        assert pc.sum(c.violation_mask(t)).as_py() == sum(1 for i in ids if i % 300 == 5)
+
+    def test_regex(self):
+        t = pa.table({"url": ["https://a", "http://b", "ftp://c", None],
+                      "x": [1, 2, 3, 4]})
+        c = RegexMatch("url", r"^https?://")
+        assert pc.sum(c.violation_mask(t)).as_py() == 1  # ftp only; null passes
+
+    def test_extraction_match(self):
+        t = self._pages()
+        ids = t.column("page_id").to_numpy()
+        expect = sum(1 for i in ids if i % 700 == 17 and i % 500 not in (3, 11))
+        assert pc.sum(ExtractionMatch().violation_mask(t)).as_py() == expect
+
+    def test_evaluate_constraints_counts_match_masks(self):
+        t = self._pages()
+        cs = default_pages_constraints()
+        table, counts = evaluate_constraints(t, cs)
+        assert table.num_rows == sum(counts.values())
+        assert set(table.column_names) == {"constraint_id", "url", "offending_value"}
+        for c in cs:
+            assert counts[c.constraint_id] == pc.sum(c.violation_mask(t)).as_py()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestPipelineE2E:
+    def test_flagship_on_sf0001(self, sf_dir, tmp_path):
+        from tanml_ray.pipelines.validate import run_pages_validation
+        from tanml_ray.sources.pages import synthesize_pages_parquet
+
+        pages_dir = synthesize_pages_parquet(sf_dir, str(tmp_path / "pages"))
+        rep = run_pages_validation(pages_dir, out_dir=str(tmp_path / "out"))
+
+        assert rep.summary["rows"] == 500
+        assert rep.summary["partitions"] == 8
+        # exact injected defect counts for ids 0..499
+        counts = {}
+        for cid, v in zip(rep.status.column("constraint_id").to_pylist(),
+                          rep.status.column("violations").to_pylist()):
+            counts[cid] = counts.get(cid, 0) + v
+        assert counts["not_null_html"] == 1           # id 3
+        assert counts["not_null_text"] == 1           # id 11
+        assert counts["range_warc_ts"] == 1           # id 13
+        assert counts["referential_lang"] == 2        # ids 5, 305
+        assert counts["text_extraction_match"] == 1   # id 17
+        assert counts["format_url"] == 0
+        assert rep.summary["duplicate_urls"] == 3     # ids 7,207,407 dup of prev
+        assert rep.summary["overall"] == "fail"
+
+        # violations parquet written and readable
+        v = pq.read_table(str(tmp_path / "out" / "violations"))
+        assert v.num_rows == sum(counts.values())
+
+        # profile sanity
+        assert rep.profile["lang"]["count"] == 500
+        assert rep.profile["text_len"]["null_count"] == 1
+        assert rep.profile["url"]["approx_distinct"] == pytest.approx(497, rel=0.05)
+
+    def test_partition_invariance(self, sf_dir, tmp_path):
+        """Same input at different block counts → identical exact results
+        (SURVEY.md §5 item 3)."""
+        from tanml_ray.pipelines.validate import run_pages_validation
+        from tanml_ray.sources.pages import pages_dataset
+
+        reports = []
+        for blocks in (1, 8):
+            ds = pages_dataset(sf_dir, override_num_blocks=blocks)
+            reports.append(run_pages_validation(ds, check_uniqueness=True))
+        r1, r8 = reports
+        for key in ("rows", "total_violations", "duplicate_urls"):
+            assert r1.summary[key] == r8.summary[key]
+        assert r1.profile["text_len"]["mean"] == pytest.approx(
+            r8.profile["text_len"]["mean"], rel=1e-12)
