@@ -44,7 +44,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
     returns a Dataset / pandas DataFrame / pyarrow Table. Name every
     computed/aggregate column so names match ``oracle_sql``.
     """
-    return {}
+    from tanml_ray.pipelines import queries as q
+
+    return {
+        "profile_lineitem": q.profile_lineitem,
+        "q1_pricing_summary": q.q1_pricing_summary,
+        "lang_distribution_documents": q.lang_distribution_documents,
+        "distinct_orderpriority": q.distinct_orderpriority,
+        "histogram_quantity": q.histogram_quantity,
+        "top10_orders": q.top10_orders,
+        "events_daily": q.events_daily,
+        "referential_lang_violations": q.referential_lang_violations,
+        "duplicate_user_event_pairs": q.duplicate_user_event_pairs,
+        "pearson_corr_lineitem": q.pearson_corr_lineitem,
+        "psi_documents_even_odd": q.psi_documents_even_odd,
+        "label_encode_mktsegment": q.label_encode_mktsegment,
+        "onehot_orderpriority": q.onehot_orderpriority,
+        "token_counts_documents": q.token_counts_documents,
+        "dedup_first_per_group": q.dedup_first_per_group,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
@@ -54,4 +72,22 @@ def oracle_sql() -> dict[str, str]:
     embeddings). Omit for non-SQL-expressible ops → driver records a
     weaker rows-only check.
     """
-    return {}
+    from tanml_ray.pipelines import queries as q
+
+    return {
+        "profile_lineitem": q.PROFILE_LINEITEM_SQL,
+        "q1_pricing_summary": q.Q1_SQL,
+        "lang_distribution_documents": q.LANG_DIST_SQL,
+        "distinct_orderpriority": q.DISTINCT_SQL,
+        "histogram_quantity": q.HISTOGRAM_SQL,
+        "top10_orders": q.TOP10_SQL,
+        "events_daily": q.EVENTS_DAILY_SQL,
+        "referential_lang_violations": q.REF_LANG_SQL,
+        "duplicate_user_event_pairs": q.DUP_PAIRS_SQL,
+        "pearson_corr_lineitem": q.PEARSON_SQL,
+        "psi_documents_even_odd": q.PSI_SQL,
+        "label_encode_mktsegment": q.LABEL_ENCODE_SQL,
+        "onehot_orderpriority": q.onehot_sql(),
+        "token_counts_documents": q.TOKEN_COUNTS_SQL,
+        "dedup_first_per_group": q.DEDUP_FIRST_SQL,
+    }

@@ -1,0 +1,547 @@
+"""Operator-coverage queries over the driver testdata tables.
+
+Each function here is one `__ray_entry__.queries()` entry with a DuckDB
+`oracle_sql()` twin. Implementations are Ray-Data-first: vectorized
+Arrow/numpy map_batches with per-batch PARTIAL aggregation before any
+groupby shuffle (the combiner pattern, SURVEY.md §2.5 legend), and
+broadcast small sides instead of shuffle joins (§2.4 J3).
+
+Determinism contract with the SQL oracles: fractional "money" columns
+are integerized (cents / micro-units) before summation so engine and
+DuckDB produce bit-identical doubles regardless of partitioning or
+summation order; genuinely real-valued statistics (means, correlation,
+PSI) are rounded to 6 decimals on BOTH sides.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _read(sf_dir: str, table: str, columns: list[str] | None = None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _round6(x):
+    return float(np.round(x, 6)) if x is not None else None
+
+
+# ---------------------------------------------------------------------------
+# A1/A2/A4: per-column profile stats (count / nulls / min / max / mean / std)
+# Reference: profiling.py:85-102,222-224. The lineitem decimal columns are
+# fixed-point (quantities integral, money in cents), so the engine computes
+# EXACT integer unit sums (Σu, Σu² merged as Python bigints — overflow-free)
+# and derives mean/std with the same IEEE op sequence as the SQL oracle →
+# bit-identical doubles under any partitioning, no rounding races.
+# The generic float path (stages/profile.py Welford) stays for non-decimal
+# data and is tolerance-tested in pytest instead.
+# ---------------------------------------------------------------------------
+
+_PROFILE_COLS = [("l_quantity", 1), ("l_extendedprice", 100),
+                 ("l_discount", 100), ("l_tax", 100)]
+
+
+def profile_lineitem(sf_dir: str) -> pa.Table:
+    import math
+
+    cols = [c for c, _ in _PROFILE_COLS]
+    ds = _read(sf_dir, "lineitem", cols)
+
+    def exact_sum_sq(u: np.ndarray) -> int:
+        """Σu² as an exact Python bigint (chunked so int64 can't overflow)."""
+        if not len(u):
+            return 0
+        m = int(np.abs(u).max())
+        if m == 0:
+            return 0
+        chunk = max(1, (1 << 62) // (m * m))
+        return sum(int(np.dot(v, v)) for v in
+                   (u[i:i + chunk] for i in range(0, len(u), chunk)))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        rows = []
+        for c, scale in _PROFILE_COLS:
+            x = batch.column(c).to_numpy(zero_copy_only=False)
+            valid = x[~np.isnan(x)]
+            u = np.rint(valid * scale).astype(np.int64)
+            rows.append({"col": c, "n": len(x), "nulls": len(x) - len(valid),
+                         "su": int(u.sum()), "suu": str(exact_sum_sq(u)),  # str: bigint > int64
+                         "umin": int(u.min()) if len(u) else None,
+                         "umax": int(u.max()) if len(u) else None})
+        return pa.Table.from_pylist(rows)
+
+    # partials are tiny (cols × blocks rows) → exact bigint merge on driver
+    merged: dict[str, dict] = {}
+    for t in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+            batch_size=4096, batch_format="pyarrow"):
+        for r in t.to_pylist():
+            m = merged.setdefault(r["col"], {"n": 0, "nulls": 0, "su": 0, "suu": 0,
+                                             "umin": None, "umax": None})
+            m["n"] += r["n"]
+            m["nulls"] += r["nulls"]
+            m["su"] += r["su"]
+            m["suu"] += int(r["suu"])
+            for k, f in (("umin", min), ("umax", max)):
+                if r[k] is not None:
+                    m[k] = r[k] if m[k] is None else f(m[k], r[k])
+
+    rows = []
+    for c, scale in _PROFILE_COLS:
+        m = merged[c]
+        n = m["n"] - m["nulls"]
+        mean = float(m["su"]) / scale / n
+        num = n * m["suu"] - m["su"] * m["su"]          # exact bigint
+        std = math.sqrt(float(num) / (n * (n - 1))) / scale
+        rows.append({"col": c, "n": m["n"], "null_count": m["nulls"],
+                     "min_v": m["umin"] / scale, "max_v": m["umax"] / scale,
+                     "mean_v": mean, "std_v": std})
+    return pa.Table.from_pylist(rows)
+
+
+def _profile_sql_one(col: str, scale: int, first: bool) -> str:
+    u = f"CAST(round({col}*{scale}) AS BIGINT)"
+    aliases = (" AS col", " AS n", " AS null_count", " AS min_v", " AS max_v",
+               " AS mean_v", " AS std_v") if first else ("",) * 7
+    return f"""
+  SELECT '{col}'{aliases[0]}, count(*){aliases[1]},
+         CAST(sum(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END) AS BIGINT){aliases[2]},
+         CAST(min({u}) AS DOUBLE) / {scale}{aliases[3]},
+         CAST(max({u}) AS DOUBLE) / {scale}{aliases[4]},
+         CAST(sum({u}) AS DOUBLE) / {scale} / count({col}){aliases[5]},
+         sqrt(CAST(count({col}) * sum({u}*{u}) - sum({u}) * sum({u}) AS DOUBLE)
+              / (count({col}) * (count({col}) - 1))) / {scale}{aliases[6]}
+  FROM lineitem"""
+
+
+PROFILE_LINEITEM_SQL = ("SELECT * FROM (" + "\n  UNION ALL".join(
+    _profile_sql_one(c, s, i == 0) for i, (c, s) in enumerate(_PROFILE_COLS)) + "\n)")
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q1-style pricing summary: the canonical pre-aggregated groupby.
+# Partial per-batch combine (pandas groupby inside map_batches) → tiny
+# groupby-sum shuffle → finalize. Money integerized (exact).
+# ---------------------------------------------------------------------------
+
+def q1_pricing_summary(sf_dir: str) -> pa.Table:
+    from ray.data.aggregate import Sum
+
+    cols = ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+            "l_discount", "l_tax", "l_shipdate"]
+    ds = _read(sf_dir, "lineitem", cols)
+    cutoff = np.datetime64("1998-09-02T00:00:00.000000")
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        t = batch.filter(pc.less_equal(batch.column("l_shipdate"),
+                                       pa.scalar(pd.Timestamp(cutoff))))
+        if t.num_rows == 0:
+            return pd.DataFrame({"l_returnflag": pd.Series([], dtype=str),
+                                 "l_linestatus": pd.Series([], dtype=str),
+                                 "qty": pd.Series([], dtype="int64"),
+                                 "price_c": pd.Series([], dtype="int64"),
+                                 "disc_price_u": pd.Series([], dtype="int64"),
+                                 "charge_u": pd.Series([], dtype="int64"),
+                                 "disc_c": pd.Series([], dtype="int64"),
+                                 "n": pd.Series([], dtype="int64")})
+        qty = t.column("l_quantity").to_numpy(zero_copy_only=False)
+        price_c = np.rint(t.column("l_extendedprice").to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        disc_c = np.rint(t.column("l_discount").to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        tax_c = np.rint(t.column("l_tax").to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        df = pd.DataFrame({
+            "l_returnflag": t.column("l_returnflag").to_pylist(),
+            "l_linestatus": t.column("l_linestatus").to_pylist(),
+            "qty": qty.astype(np.int64),
+            "price_c": price_c,
+            "disc_price_u": price_c * (100 - disc_c),            # 1e-4 units
+            "charge_u": price_c * (100 - disc_c) * (100 + tax_c),  # 1e-6 units
+            "disc_c": disc_c,
+        })
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).sum()
+        g["n"] = df.groupby(["l_returnflag", "l_linestatus"]).size().values
+        return g
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    agg = (parts.groupby(["l_returnflag", "l_linestatus"])
+           .aggregate(Sum("qty", alias_name="qty"),
+                      Sum("price_c", alias_name="price_c"),
+                      Sum("disc_price_u", alias_name="disc_price_u"),
+                      Sum("charge_u", alias_name="charge_u"),
+                      Sum("disc_c", alias_name="disc_c"),
+                      Sum("n", alias_name="n")))
+    rows = []
+    for r in agg.take_all():
+        n = r["n"]
+        rows.append({
+            "l_returnflag": r["l_returnflag"], "l_linestatus": r["l_linestatus"],
+            "sum_qty": float(r["qty"]),
+            "sum_base_price": r["price_c"] / 100.0,
+            "sum_disc_price": r["disc_price_u"] / 10000.0,
+            "sum_charge": r["charge_u"] / 1000000.0,
+            "avg_qty": _round6(r["qty"] / n),
+            "avg_price": _round6(r["price_c"] / 100.0 / n),
+            "avg_disc": _round6(r["disc_c"] / 100.0 / n),
+            "count_order": n,
+        })
+    return pa.Table.from_pylist(sorted(rows, key=lambda r: (r["l_returnflag"], r["l_linestatus"])))
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sum_qty,
+       sum(CAST(round(l_extendedprice*100) AS BIGINT)) / 100.0 AS sum_base_price,
+       sum(CAST(round(l_extendedprice*100) AS BIGINT)
+           * (100 - CAST(round(l_discount*100) AS BIGINT))) / 10000.0 AS sum_disc_price,
+       sum(CAST(round(l_extendedprice*100) AS BIGINT)
+           * (100 - CAST(round(l_discount*100) AS BIGINT))
+           * (100 + CAST(round(l_tax*100) AS BIGINT))) / 1000000.0 AS sum_charge,
+       round(CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) / count(*), 6) AS avg_qty,
+       round(sum(CAST(round(l_extendedprice*100) AS BIGINT)) / 100.0 / count(*), 6) AS avg_price,
+       round(sum(CAST(round(l_discount*100) AS BIGINT)) / 100.0 / count(*), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# Grouped counts with skew-safe partial aggregation (lang distribution).
+# Reference analog: value_counts in profiling; at scale this is the
+# salted-key pattern's first stage (partials shrink the shuffle).
+# ---------------------------------------------------------------------------
+
+def lang_distribution_documents(sf_dir: str) -> pa.Table:
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({"lang": batch.column("lang").to_pylist(),
+                           "chars": batch.column("n_chars").to_numpy(zero_copy_only=False)})
+        g = df.groupby("lang", as_index=False).agg(n=("chars", "size"),
+                                                   chars=("chars", "sum"))
+        return g
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("lang")
+           .aggregate(Sum("n", alias_name="n"), Sum("chars", alias_name="chars")))
+    rows = [{"lang": r["lang"], "n": r["n"],
+             "avg_chars": _round6(r["chars"] / r["n"])} for r in agg.take_all()]
+    return pa.Table.from_pylist(sorted(rows, key=lambda r: r["lang"]))
+
+
+LANG_DIST_SQL = """
+SELECT lang, count(*) AS n, round(sum(n_chars) / CAST(count(*) AS DOUBLE), 6) AS avg_chars
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+# D4: distinct values (ds.unique — a shuffle, bounded output)
+def distinct_orderpriority(sf_dir: str) -> pa.Table:
+    ds = _read(sf_dir, "orders", ["o_orderpriority"])
+    vals = sorted(ds.unique("o_orderpriority"))
+    return pa.table({"o_orderpriority": pa.array(vals, type=pa.string())})
+
+
+DISTINCT_SQL = "SELECT DISTINCT o_orderpriority FROM orders ORDER BY o_orderpriority"
+
+
+# A6: fixed-bin histogram via integer bin ids + groupby-sum of partials
+def histogram_quantity(sf_dir: str) -> pa.Table:
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "lineitem", ["l_quantity"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        q = batch.column("l_quantity").to_numpy(zero_copy_only=False)
+        bins = np.floor((q - 1) / 5).astype(np.int64)
+        b, c = np.unique(bins, return_counts=True)
+        return pa.table({"bin": b, "n": c.astype(np.int64)})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("bin").aggregate(Sum("n", alias_name="n")))
+    rows = sorted(agg.take_all(), key=lambda r: r["bin"])
+    return pa.Table.from_pylist([{"bin": r["bin"], "n": r["n"]} for r in rows])
+
+
+HISTOGRAM_SQL = """
+SELECT CAST(floor((l_quantity - 1) / 5) AS BIGINT) AS bin, count(*) AS n
+FROM lineitem GROUP BY 1 ORDER BY 1
+"""
+
+
+# K2/K3: top-k via distributed sort + limit
+def top10_orders(sf_dir: str) -> pa.Table:
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    top = ds.sort("o_totalprice", descending=True).limit(10)
+    return pa.Table.from_pylist(top.take_all()).select(["o_orderkey", "o_totalprice"])
+
+
+TOP10_SQL = """
+SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC LIMIT 10
+"""
+
+
+# Time-bucketed aggregation (pc.floor_temporal as groupby key — the
+# warc_ts bucketing pattern from the north_star, on the events table)
+def events_daily(sf_dir: str) -> pa.Table:
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        day = pc.floor_temporal(batch.column("ts"), unit="day")
+        val_u = np.rint(batch.column("value").to_numpy(zero_copy_only=False) * 1e6).astype(np.int64)
+        df = pd.DataFrame({"day": day.to_numpy(zero_copy_only=False),
+                           "event_type": batch.column("event_type").to_pylist(),
+                           "value_u": val_u})
+        g = df.groupby(["day", "event_type"], as_index=False).agg(
+            n=("value_u", "size"), value_u=("value_u", "sum"))
+        return g[["day", "event_type", "n", "value_u"]]
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby(["day", "event_type"])
+           .aggregate(Sum("n", alias_name="n"), Sum("value_u", alias_name="value_u")))
+    rows = [{"day": pd.Timestamp(r["day"]), "event_type": r["event_type"],
+             "n": r["n"], "sum_value": r["value_u"] / 1e6} for r in agg.take_all()]
+    rows.sort(key=lambda r: (r["day"], r["event_type"]))
+    return pa.Table.from_pylist(rows)
+
+
+EVENTS_DAILY_SQL = """
+SELECT date_trunc('day', ts) AS day, event_type, count(*) AS n,
+       sum(CAST(round(value*1000000) AS BIGINT)) / 1000000.0 AS sum_value
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+# J3: referential constraint as broadcast anti-join (violations table).
+# Allowed set deliberately restricted so real violations exist.
+REF_ALLOWED_LANGS = ("en", "es", "zh")
+
+
+def referential_lang_violations(sf_dir: str) -> pa.Table:
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+    allowed = pa.array(REF_ALLOWED_LANGS, type=pa.string())
+
+    def anti(batch: pa.Table) -> pa.Table:
+        bad = pc.invert(pc.is_in(batch.column("lang"), value_set=allowed))
+        return batch.filter(pc.fill_null(bad, True))
+
+    out = ds.map_batches(anti, batch_format="pyarrow")
+    rows = sorted(out.take_all(), key=lambda r: r["doc_id"])
+    return pa.Table.from_pylist(rows) if rows else pa.table(
+        {"doc_id": pa.array([], type=pa.int64()), "lang": pa.array([], type=pa.string())})
+
+
+REF_LANG_SQL = """
+SELECT doc_id, lang FROM documents WHERE lang NOT IN ('en', 'es', 'zh') ORDER BY doc_id
+"""
+
+
+# A10/D1: duplicate detection via groupby count>1 (uniqueness violations)
+def duplicate_user_event_pairs(sf_dir: str) -> pa.Table:
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({"user_id": batch.column("user_id").to_numpy(zero_copy_only=False),
+                           "event_type": batch.column("event_type").to_pylist()})
+        return df.groupby(["user_id", "event_type"], as_index=False).size().rename(
+            columns={"size": "n"})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby(["user_id", "event_type"])
+           .aggregate(Sum("n", alias_name="n")))
+    dups = agg.map_batches(lambda t: t.filter(pc.greater(t.column("n"), 1)),
+                           batch_format="pyarrow")
+    rows = sorted(dups.take_all(), key=lambda r: (r["user_id"], r["event_type"]))
+    return pa.Table.from_pylist(rows) if rows else pa.table(
+        {"user_id": pa.array([], type=pa.int64()),
+         "event_type": pa.array([], type=pa.string()),
+         "n": pa.array([], type=pa.int64())})
+
+
+DUP_PAIRS_SQL = """
+SELECT user_id, event_type, count(*) AS n
+FROM events GROUP BY 1, 2 HAVING count(*) > 1 ORDER BY 1, 2
+"""
+
+
+# A11: Pearson correlation from single-pass partials (n, Σx, Σy, Σxy, Σx², Σy²)
+# Reference: analysis/correlation.py:23-42 (df.corr on full frame).
+def pearson_corr_lineitem(sf_dir: str) -> pa.Table:
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    ds = _read(sf_dir, "lineitem", cols)
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        arrs = {c: batch.column(c).to_numpy(zero_copy_only=False).astype(np.float64)
+                for c in cols}
+        rows = []
+        for a, b in pairs:
+            x, y = arrs[a], arrs[b]
+            rows.append({"pair": f"{a}|{b}", "n": float(len(x)),
+                         "sx": float(x.sum()), "sy": float(y.sum()),
+                         "sxy": float((x * y).sum()),
+                         "sxx": float((x * x).sum()), "syy": float((y * y).sum())})
+        return pa.Table.from_pylist(rows)
+
+    from ray.data.aggregate import Sum
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("pair")
+           .aggregate(*[Sum(c, alias_name=c) for c in ("n", "sx", "sy", "sxy", "sxx", "syy")]))
+    rows = []
+    for r in agg.take_all():
+        n, sx, sy, sxy, sxx, syy = (r[k] for k in ("n", "sx", "sy", "sxy", "sxx", "syy"))
+        denom = np.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+        corr = (n * sxy - sx * sy) / denom if denom > 0 else float("nan")
+        a, b = r["pair"].split("|")
+        rows.append({"col_x": a, "col_y": b, "r": _round6(corr)})
+    rows.sort(key=lambda r: (r["col_x"], r["col_y"]))
+    return pa.Table.from_pylist(rows)
+
+
+PEARSON_SQL = """
+SELECT col_x, col_y, round(r, 6) AS r FROM (
+  SELECT 'l_quantity' AS col_x, 'l_extendedprice' AS col_y,
+         corr(l_quantity, l_extendedprice) AS r FROM lineitem
+  UNION ALL SELECT 'l_quantity', 'l_discount', corr(l_quantity, l_discount) FROM lineitem
+  UNION ALL SELECT 'l_quantity', 'l_tax', corr(l_quantity, l_tax) FROM lineitem
+  UNION ALL SELECT 'l_extendedprice', 'l_discount', corr(l_extendedprice, l_discount) FROM lineitem
+  UNION ALL SELECT 'l_extendedprice', 'l_tax', corr(l_extendedprice, l_tax) FROM lineitem
+  UNION ALL SELECT 'l_discount', 'l_tax', corr(l_discount, l_tax) FROM lineitem
+) ORDER BY col_x, col_y
+"""
+
+
+# A7: PSI between two categorical distributions (even vs odd doc_id) —
+# the grouped-drift formula with a full SQL oracle.
+def psi_documents_even_odd(sf_dir: str) -> pa.Table:
+    from ray.data.aggregate import Sum
+
+    from tanml_ray.kernels.drift_math import psi_from_counts
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({"lang": batch.column("lang").to_pylist(),
+                           "side": batch.column("doc_id").to_numpy(zero_copy_only=False) % 2})
+        return df.groupby(["lang", "side"], as_index=False).size().rename(columns={"size": "n"})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby(["lang", "side"]).aggregate(Sum("n", alias_name="n")))
+    counts: dict[str, list[int]] = {}
+    for r in agg.take_all():
+        counts.setdefault(r["lang"], [0, 0])[int(r["side"])] = r["n"]
+    langs = sorted(counts)
+    even = np.array([counts[l][0] for l in langs], dtype=np.float64)
+    odd = np.array([counts[l][1] for l in langs], dtype=np.float64)
+    return pa.table({"psi": pa.array([_round6(psi_from_counts(even, odd))], type=pa.float64())})
+
+
+PSI_SQL = """
+WITH e AS (SELECT lang, count(*) AS n FROM documents WHERE doc_id % 2 = 0 GROUP BY lang),
+     o AS (SELECT lang, count(*) AS n FROM documents WHERE doc_id % 2 = 1 GROUP BY lang),
+     tot AS (SELECT (SELECT sum(n) FROM e) AS te, (SELECT sum(n) FROM o) AS tn),
+     p AS (SELECT coalesce(e.lang, o.lang) AS lang,
+                  greatest(coalesce(e.n, 0) / (SELECT te FROM tot), 1e-8) AS pe,
+                  greatest(coalesce(o.n, 0) / (SELECT tn FROM tot), 1e-8) AS po
+           FROM e FULL OUTER JOIN o ON e.lang = o.lang)
+SELECT round(sum((po - pe) * ln(po / pe)), 6) AS psi FROM p
+"""
+
+
+# M10: label encoding — distinct+sort broadcast vocab → index_in map
+# Reference: preprocessing.py:226-229 (LabelEncoder per column).
+def label_encode_mktsegment(sf_dir: str) -> pa.Table:
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    vocab = pa.array(sorted(ds.unique("c_mktsegment")), type=pa.string())
+
+    def encode(batch: pa.Table) -> pa.Table:
+        code = pc.index_in(batch.column("c_mktsegment"), value_set=vocab)
+        return pa.table({"c_custkey": batch.column("c_custkey"),
+                         "code": pc.cast(code, pa.int64())})
+
+    out = ds.map_batches(encode, batch_format="pyarrow")
+    rows = sorted(out.take_all(), key=lambda r: r["c_custkey"])
+    return pa.Table.from_pylist(rows)
+
+
+LABEL_ENCODE_SQL = """
+SELECT c_custkey, CAST(dense_rank() OVER (ORDER BY c_mktsegment) - 1 AS BIGINT) AS code
+FROM customer ORDER BY c_custkey
+"""
+
+
+# M9: one-hot encoding — bounded distinct vocab → 0/1 indicator columns
+# Reference: preprocessing.py:223-224 (pd.get_dummies).
+def onehot_orderpriority(sf_dir: str) -> pa.Table:
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    vocab = sorted(ds.unique("o_orderpriority"))
+
+    def encode(batch: pa.Table) -> pa.Table:
+        cols = {"o_orderkey": batch.column("o_orderkey")}
+        vals = batch.column("o_orderpriority")
+        for v in vocab:
+            name = "p_" + v.split("-")[0].lower()
+            cols[name] = pc.cast(pc.equal(vals, v), pa.int64())
+        return pa.table(cols)
+
+    out = ds.map_batches(encode, batch_format="pyarrow")
+    rows = sorted(out.take_all(), key=lambda r: r["o_orderkey"])
+    return pa.Table.from_pylist(rows)
+
+
+def onehot_sql() -> str:
+    # vocab is the 5 TPC-H priorities: 1-URGENT..5-LOW
+    cases = ",\n       ".join(
+        f"CAST(CASE WHEN o_orderpriority = '{i}-{name}' THEN 1 ELSE 0 END AS BIGINT) AS p_{i}"
+        for i, name in [("1", "URGENT"), ("2", "HIGH"), ("3", "MEDIUM"),
+                        ("4", "NOT SPECIFIED"), ("5", "LOW")])
+    return f"SELECT o_orderkey,\n       {cases}\nFROM orders ORDER BY o_orderkey"
+
+
+# Text analysis: token counting (whitespace regex — exact SQL parity)
+def token_counts_documents(sf_dir: str) -> pa.Table:
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def count_tokens(batch: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(batch.column("text"), r"\S+")
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "n_tokens": pc.cast(n, pa.int64())})
+
+    out = ds.map_batches(count_tokens, batch_format="pyarrow")
+    rows = sorted(out.take_all(), key=lambda r: r["doc_id"])
+    return pa.Table.from_pylist(rows)
+
+
+TOKEN_COUNTS_SQL = """
+SELECT doc_id, CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens
+FROM documents ORDER BY doc_id
+"""
+
+
+# Exact dedup representative: first (min doc_id) per (lang, source) group
+# — hash-partition groupby + per-group min, the keep="first" semantics.
+def dedup_first_per_group(sf_dir: str) -> pa.Table:
+    from ray.data.aggregate import Min
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "source"])
+    agg = ds.groupby(["lang", "source"]).aggregate(Min("doc_id", alias_name="first_doc_id"))
+    rows = sorted(agg.take_all(), key=lambda r: (r["lang"], r["source"]))
+    return pa.Table.from_pylist(rows)
+
+
+DEDUP_FIRST_SQL = """
+SELECT lang, source, min(doc_id) AS first_doc_id
+FROM documents GROUP BY lang, source ORDER BY lang, source
+"""

@@ -1,0 +1,63 @@
+"""Guard the queries()↔oracle_sql() contract: run a fast subset against
+DuckDB on sf0.001 exactly the way the driver does (row count + sorted
+columns + values)."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+FAST_QUERIES = [
+    "profile_lineitem", "q1_pricing_summary", "lang_distribution_documents",
+    "histogram_quantity", "referential_lang_violations",
+    "pearson_corr_lineitem", "psi_documents_even_odd",
+    "token_counts_documents", "dedup_first_per_group",
+]
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_float_dtype(df[c]):
+            df[c] = np.round(df[c].astype(float), 9)
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]")
+        if pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+@pytest.fixture(scope="module")
+def oracle_con(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    return con
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("name", FAST_QUERIES)
+def test_query_matches_oracle(name, sf_dir, oracle_con):
+    import __ray_entry__ as entry
+
+    fn = entry.queries()[name]
+    sql = entry.oracle_sql()[name]
+    mine = fn(sf_dir)
+    if hasattr(mine, "to_pandas"):
+        mine = mine.to_pandas()
+    mine = canon(mine)
+    ref = canon(oracle_con.sql(sql).df())
+    assert list(mine.columns) == list(ref.columns)
+    assert len(mine) == len(ref)
+    pd.testing.assert_frame_equal(mine, ref, check_dtype=False)
