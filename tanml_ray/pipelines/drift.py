@@ -1,0 +1,280 @@
+"""Distribution-drift suite: grouped PSI / KS against a baseline profile.
+
+Reference semantics reproduced (citations into /root/reference):
+  - PSI with 10 equal-width bins taken from the *expected* side's
+    min/max, zero→1e-8:             tanml/analysis/drift.py:34-84
+  - KS two-sample statistic:        tanml/analysis/drift.py:87-113
+  - bands: psi ≥0.2 severe / ≥0.1 moderate / else none; KS stat
+    bands 0.3/0.2/0.1:              drift.py:159-181, ui/views/evaluation/tabs/drift.py:39-53
+  - summary fail/warning/pass:      drift.py:184-206
+
+Scale design (north_star): drift is keyed by (lang, time_bucket(warc_ts)).
+Instead of shuffling 10^12 rows into a groupby, each map_batches task
+pre-aggregates its block into per-group partial histograms (counts are
+associative), so only O(blocks × groups) tiny partial rows leave the
+map stage — the skew from dominant languages / crawl hotspots never
+materializes as a hot shuffle partition (this per-block combine is the
+salted-key pattern taken to its limit: every block is its own salt).
+The KS statistic at scale is computed from fine equi-width histograms
+(documented approximation, error ≤ max bin mass; SURVEY.md §7.5 item 1).
+"""
+
+from __future__ import annotations
+
+import pickle
+from dataclasses import dataclass, field
+from typing import Any
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from tanml_ray.kernels.drift_math import (
+    drift_summary_status,
+    ks_asymp_pvalue,
+    ks_from_histograms,
+    psi_from_counts,
+    psi_level,
+)
+
+N_PSI_BINS = 10      # reference: np.histogram(expected, bins=10), drift.py:62
+N_FINE_BINS = 200    # KS approximation resolution
+
+
+def ks_level(d: float) -> str:
+    """KS-stat bands from the reference UI (tabs/drift.py:39-53)."""
+    if d != d:
+        return "unknown"
+    if d > 0.3:
+        return "severe"
+    if d > 0.2:
+        return "moderate"
+    if d > 0.1:
+        return "mild"
+    return "none"
+
+
+def _augment(batch: pa.Table, value_col: str, bucket_unit: str) -> pd.DataFrame:
+    """pages batch → (lang, bucket, value) frame; html never touched."""
+    if value_col == "text_len":
+        vals = pc.cast(pc.utf8_length(batch.column("text")), pa.float64())
+    else:
+        vals = pc.cast(batch.column(value_col), pa.float64())
+    bucket = pc.strftime(pc.floor_temporal(batch.column("warc_ts"), unit=bucket_unit),
+                         format="%Y-%m-%d")
+    return pd.DataFrame({
+        "lang": batch.column("lang").to_pylist(),
+        "bucket": bucket.to_pylist(),
+        "value": vals.to_numpy(zero_copy_only=False),
+    })
+
+
+@dataclass
+class DriftBaseline:
+    """Per-(lang, bucket) baseline distribution artifact. Small (KBs per
+    group) — broadcast to verify tasks via ray.put, or held by an actor
+    pool when the group count is very large (SURVEY.md §2.3 T4)."""
+
+    value_col: str
+    bucket_unit: str
+    groups: dict[tuple, dict[str, Any]] = field(default_factory=dict)
+    # each group dict: n, vmin, vmax, edges, counts, fine_edges, fine_counts
+
+    def save(self, path: str) -> None:
+        with open(path, "wb") as f:
+            pickle.dump(self, f)
+
+    @classmethod
+    def load(cls, path: str) -> "DriftBaseline":
+        with open(path, "rb") as f:
+            return pickle.load(f)
+
+
+def _minmax_partials(ds, value_col: str, bucket_unit: str):
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = _augment(batch, value_col, bucket_unit)
+        df = df.dropna(subset=["value"])
+        return (df.groupby(["lang", "bucket"], as_index=False)
+                  .agg(n=("value", "size"), vmin=("value", "min"),
+                       vmax=("value", "max")))
+
+    return ds.map_batches(partial, batch_format="pyarrow")
+
+
+def _hist_partials(ds, value_col: str, bucket_unit: str, edges_by_group: dict):
+    """Per-batch per-group histogram counts with broadcast edges."""
+    import ray
+
+    edges_ref = ray.put(edges_by_group)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        edges_map = _ray.get(edges_ref)
+        df = _augment(batch, value_col, bucket_unit).dropna(subset=["value"])
+        rows = []
+        for (lang, bucket), sub in df.groupby(["lang", "bucket"]):
+            key = (lang, bucket)
+            e = edges_map.get(key)
+            if e is None:
+                # group unseen in baseline: record count only
+                rows.append({"lang": lang, "bucket": bucket, "n": len(sub),
+                             "below": 0, "above": 0,
+                             "counts": b"", "fine_counts": b""})
+                continue
+            v = sub["value"].to_numpy()
+            c, _ = np.histogram(v[(v >= e["edges"][0]) & (v <= e["edges"][-1])],
+                                bins=e["edges"])
+            fc, _ = np.histogram(v[(v >= e["fine_edges"][0]) & (v <= e["fine_edges"][-1])],
+                                 bins=e["fine_edges"])
+            rows.append({
+                "lang": lang, "bucket": bucket, "n": len(sub),
+                "below": int((v < e["edges"][0]).sum()),
+                "above": int((v > e["edges"][-1]).sum()),
+                "counts": c.astype(np.int64).tobytes(),
+                "fine_counts": fc.astype(np.int64).tobytes(),
+            })
+        return pa.Table.from_pylist(rows) if rows else pa.table({
+            "lang": pa.array([], type=pa.string()),
+            "bucket": pa.array([], type=pa.string()),
+            "n": pa.array([], type=pa.int64()),
+            "below": pa.array([], type=pa.int64()),
+            "above": pa.array([], type=pa.int64()),
+            "counts": pa.array([], type=pa.binary()),
+            "fine_counts": pa.array([], type=pa.binary()),
+        })
+
+    return ds.map_batches(partial, batch_format="pyarrow")
+
+
+def _merge_hist_partials(partials) -> dict[tuple, dict[str, Any]]:
+    merged: dict[tuple, dict[str, Any]] = {}
+    for t in partials.iter_batches(batch_size=4096, batch_format="pyarrow"):
+        for r in t.to_pylist():
+            key = (r["lang"], r["bucket"])
+            m = merged.setdefault(key, {"n": 0, "below": 0, "above": 0,
+                                        "counts": None, "fine_counts": None})
+            m["n"] += r["n"]
+            m["below"] += r["below"]
+            m["above"] += r["above"]
+            for fld in ("counts", "fine_counts"):
+                if r[fld]:
+                    arr = np.frombuffer(r[fld], dtype=np.int64)
+                    m[fld] = arr.copy() if m[fld] is None else m[fld] + arr
+    return merged
+
+
+def build_drift_baseline(ds, value_col: str = "text_len",
+                         bucket_unit: str = "week") -> DriftBaseline:
+    """Two passes over the baseline table (done once, artifact reused):
+    pass 1 per-group n/min/max → equal-width bin edges (reference
+    parity); pass 2 per-group histogram counts."""
+    mm = _merge_minmax(_minmax_partials(ds, value_col, bucket_unit))
+    edges_by_group = {}
+    for key, m in mm.items():
+        lo, hi = m["vmin"], m["vmax"]
+        if hi <= lo:
+            hi = lo + 1.0
+        edges_by_group[key] = {
+            "edges": np.linspace(lo, hi, N_PSI_BINS + 1),
+            "fine_edges": np.linspace(lo, hi, N_FINE_BINS + 1),
+        }
+    hist = _merge_hist_partials(_hist_partials(ds, value_col, bucket_unit, edges_by_group))
+    baseline = DriftBaseline(value_col=value_col, bucket_unit=bucket_unit)
+    for key, h in hist.items():
+        e = edges_by_group.get(key)
+        baseline.groups[key] = {
+            "n": h["n"], "below": h["below"], "above": h["above"],
+            "vmin": mm[key]["vmin"], "vmax": mm[key]["vmax"],
+            "edges": e["edges"] if e else None,
+            "counts": h["counts"], "fine_edges": e["fine_edges"] if e else None,
+            "fine_counts": h["fine_counts"],
+        }
+    return baseline
+
+
+def _merge_minmax(partials) -> dict[tuple, dict[str, float]]:
+    merged: dict[tuple, dict[str, float]] = {}
+    for t in partials.iter_batches(batch_size=4096, batch_format="pyarrow"):
+        for r in t.to_pylist():
+            key = (r["lang"], r["bucket"])
+            m = merged.setdefault(key, {"n": 0, "vmin": np.inf, "vmax": -np.inf})
+            m["n"] += r["n"]
+            m["vmin"] = min(m["vmin"], r["vmin"])
+            m["vmax"] = max(m["vmax"], r["vmax"])
+    return merged
+
+
+def compute_drift(baseline: DriftBaseline, current_ds) -> tuple[pa.Table, dict[str, Any]]:
+    """Single pass over the current table → per-group drift table +
+    executive summary with reference thresholds."""
+    edges_by_group = {k: {"edges": g["edges"], "fine_edges": g["fine_edges"]}
+                      for k, g in baseline.groups.items() if g["edges"] is not None}
+    cur = _merge_hist_partials(
+        _hist_partials(current_ds, baseline.value_col, baseline.bucket_unit,
+                       edges_by_group))
+
+    rows = []
+    for key in sorted(set(baseline.groups) | set(cur)):
+        b = baseline.groups.get(key)
+        c = cur.get(key)
+        lang, bucket = key
+        if b is None or b.get("counts") is None:
+            rows.append({"lang": lang, "bucket": bucket, "column": baseline.value_col,
+                         "n_expected": 0, "n_actual": c["n"] if c else 0,
+                         "psi": float("nan"), "psi_level": "new_group",
+                         "ks_stat": float("nan"), "ks_pvalue": float("nan"),
+                         "ks_level": "unknown"})
+            continue
+        if c is None or c.get("counts") is None:
+            rows.append({"lang": lang, "bucket": bucket, "column": baseline.value_col,
+                         "n_expected": b["n"], "n_actual": 0,
+                         "psi": float("nan"), "psi_level": "unknown",
+                         "ks_stat": float("nan"), "ks_pvalue": float("nan"),
+                         "ks_level": "unknown"})
+            continue
+        psi = psi_from_counts(b["counts"], c["counts"])
+        d, p = ks_from_histograms(b["fine_counts"], c["fine_counts"],
+                                  expected_below=b["below"], actual_below=c["below"],
+                                  expected_above=b["above"], actual_above=c["above"])
+        rows.append({"lang": lang, "bucket": bucket, "column": baseline.value_col,
+                     "n_expected": b["n"], "n_actual": c["n"],
+                     "psi": psi, "psi_level": psi_level(psi),
+                     "ks_stat": d, "ks_pvalue": p, "ks_level": ks_level(d)})
+
+    table = pa.Table.from_pylist(rows)
+    levels = [r["psi_level"] for r in rows if r["psi_level"] in ("severe", "moderate", "none")]
+    summary = {
+        "groups": len(rows),
+        "severe": sum(1 for r in rows if r["psi_level"] == "severe"),
+        "moderate": sum(1 for r in rows if r["psi_level"] == "moderate"),
+        "new_groups": sum(1 for r in rows if r["psi_level"] == "new_group"),
+        "status": drift_summary_status(levels),
+    }
+    return table, summary
+
+
+def lang_mix_drift(baseline_ds, current_ds) -> dict[str, Any]:
+    """Categorical PSI over the global lang distribution (the lang-mix
+    shift check). Counts via per-batch value_counts partials."""
+    def counts_of(ds) -> dict[str, int]:
+        def partial(batch: pa.Table) -> pa.Table:
+            vc = batch.column("lang").combine_chunks().value_counts()
+            return pa.table({"lang": vc.field("values"),
+                             "n": pc.cast(vc.field("counts"), pa.int64())})
+
+        out: dict[str, int] = {}
+        for t in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+                batch_size=4096, batch_format="pyarrow"):
+            for lang, n in zip(t.column("lang").to_pylist(), t.column("n").to_pylist()):
+                out[lang] = out.get(lang, 0) + n
+        return out
+
+    b, c = counts_of(baseline_ds), counts_of(current_ds)
+    langs = sorted(set(b) | set(c))
+    eb = np.array([b.get(l, 0) for l in langs], dtype=np.float64)
+    ac = np.array([c.get(l, 0) for l in langs], dtype=np.float64)
+    psi = psi_from_counts(eb, ac)
+    return {"psi": psi, "psi_level": psi_level(psi), "langs": len(langs),
+            "n_expected": int(eb.sum()), "n_actual": int(ac.sum())}

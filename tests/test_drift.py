@@ -1,0 +1,106 @@
+"""Drift suite tests: identical → no drift; shifted current → drift in
+the shifted languages; grouped PSI matches a pandas oracle computed
+with the reference's exact formula (drift.py:34-84 semantics)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow.compute as pc
+import pytest
+
+from tanml_ray.kernels.drift_math import psi_from_counts
+from tanml_ray.pipelines.drift import (
+    DriftBaseline,
+    build_drift_baseline,
+    compute_drift,
+    ks_level,
+    lang_mix_drift,
+)
+from tanml_ray.sources.pages import pages_dataset
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDriftSuite:
+    def test_identical_no_drift(self, sf_dir):
+        base = pages_dataset(sf_dir)
+        baseline = build_drift_baseline(base, "text_len", "week")
+        table, summary = compute_drift(baseline, pages_dataset(sf_dir))
+        assert summary["status"] == "pass"
+        psis = [p for p in table.column("psi").to_pylist() if p == p]
+        assert all(abs(p) < 1e-12 for p in psis)
+        ks = [k for k in table.column("ks_stat").to_pylist() if k == k]
+        assert all(abs(k) < 1e-12 for k in ks)
+
+    def test_shifted_current_drifts(self, sf_dir):
+        baseline = build_drift_baseline(pages_dataset(sf_dir), "text_len", "week")
+        cur = pages_dataset(sf_dir, variant="current")
+        table, summary = compute_drift(baseline, cur)
+        df = table.to_pandas()
+        # padding shift hits es/de text lengths → severe PSI there
+        shifted = df[df.lang.isin(["es", "de"]) & df.psi.notna()]
+        assert (shifted.psi >= 0.2).any()
+        assert summary["status"] == "fail"
+        # en rows lose some pages to the es remap but lengths unchanged →
+        # PSI should stay far below the shifted langs' levels
+        en = df[(df.lang == "en") & df.psi.notna()]
+        assert en.psi.mean() < shifted.psi.mean()
+
+    def test_grouped_psi_matches_pandas_oracle(self, sf_dir):
+        """Engine's per-(lang, week) PSI == single-process reference
+        formula computed straight on the materialized table."""
+        baseline_ds = pages_dataset(sf_dir)
+        current_ds = pages_dataset(sf_dir, variant="current")
+        baseline = build_drift_baseline(baseline_ds, "text_len", "week")
+        table, _ = compute_drift(baseline, current_ds)
+        got = {(r["lang"], r["bucket"]): r["psi"] for r in table.to_pylist()
+               if r["psi"] == r["psi"]}
+
+        def frame(ds):
+            t = ds.materialize().to_pandas()
+            t = t[t.text.notna()]
+            week = pd.Series(t.warc_ts).dt.to_period("W-SUN").dt.start_time
+            return pd.DataFrame({"lang": t.lang,
+                                 "bucket": week.dt.strftime("%Y-%m-%d"),
+                                 "value": t.text.str.len().astype(float)})
+
+        bdf, cdf = frame(baseline_ds), frame(current_ds)
+        checked = 0
+        for key, psi_engine in got.items():
+            b = bdf[(bdf.lang == key[0]) & (bdf.bucket == key[1])]["value"]
+            c = cdf[(cdf.lang == key[0]) & (cdf.bucket == key[1])]["value"]
+            if len(b) < 2 or len(c) == 0:
+                continue
+            lo, hi = b.min(), b.max()
+            if hi <= lo:
+                continue
+            edges = np.linspace(lo, hi, 11)
+            eb, _ = np.histogram(b, bins=edges)
+            ac, _ = np.histogram(c, bins=edges)
+            expect = psi_from_counts(eb, ac)
+            assert psi_engine == pytest.approx(expect, abs=1e-12), key
+            checked += 1
+        assert checked >= 5
+
+    def test_baseline_artifact_roundtrip(self, sf_dir, tmp_path):
+        baseline = build_drift_baseline(pages_dataset(sf_dir), "text_len", "week")
+        p = str(tmp_path / "baseline.pkl")
+        baseline.save(p)
+        loaded = DriftBaseline.load(p)
+        assert loaded.value_col == "text_len"
+        assert set(loaded.groups) == set(baseline.groups)
+        table, summary = compute_drift(loaded, pages_dataset(sf_dir))
+        assert summary["status"] == "pass"
+
+    def test_lang_mix_drift(self, sf_dir):
+        same = lang_mix_drift(pages_dataset(sf_dir), pages_dataset(sf_dir))
+        assert same["psi"] == pytest.approx(0.0, abs=1e-12)
+        shifted = lang_mix_drift(pages_dataset(sf_dir),
+                                 pages_dataset(sf_dir, variant="current"))
+        assert shifted["psi"] > same["psi"]
+
+    def test_ks_level_bands(self):
+        assert ks_level(0.35) == "severe"
+        assert ks_level(0.25) == "moderate"
+        assert ks_level(0.15) == "mild"
+        assert ks_level(0.05) == "none"
