@@ -62,6 +62,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "onehot_orderpriority": q.onehot_orderpriority,
         "token_counts_documents": q.token_counts_documents,
         "dedup_first_per_group": q.dedup_first_per_group,
+        "text_quality_documents": q.text_quality_documents,
+        "fingerprint_documents": q.fingerprint_documents,
+        "langid_documents": q.langid_documents,
+        "leakage_overlap_documents": q.leakage_overlap_documents,
+        "knn_cosine_embeddings": q.knn_cosine_embeddings,
+        "knn_cosine_lsh_embeddings": q.knn_cosine_lsh_embeddings,
+        "embedding_near_dup_pairs": q.embedding_near_dup_pairs,
+        "exact_dedup_documents": q.exact_dedup_documents,
+        "minhash_near_dup_documents": q.minhash_near_dup_documents,
+        "simhash_near_dup_documents": q.simhash_near_dup_documents,
     }
 
 
@@ -90,4 +100,12 @@ def oracle_sql() -> dict[str, str]:
         "onehot_orderpriority": q.onehot_sql(),
         "token_counts_documents": q.TOKEN_COUNTS_SQL,
         "dedup_first_per_group": q.DEDUP_FIRST_SQL,
+        "text_quality_documents": q.TEXT_QUALITY_SQL,
+        "fingerprint_documents": q.FINGERPRINT_SQL,
+        "leakage_overlap_documents": q.LEAKAGE_SQL,
+        "knn_cosine_embeddings": q.KNN_SQL,
+        "embedding_near_dup_pairs": q.EMB_NEAR_DUP_SQL,
+        "exact_dedup_documents": q.EXACT_DEDUP_SQL,
+        # langid / lsh-knn / minhash / simhash: not SQL-expressible →
+        # rows-only driver check; verified in pytest instead.
     }

@@ -545,3 +545,205 @@ DEDUP_FIRST_SQL = """
 SELECT lang, source, min(doc_id) AS first_doc_id
 FROM documents GROUP BY lang, source ORDER BY lang, source
 """
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (stages/text.py) — quality features + md5 fingerprints
+# with full SQL parity; lang-ID is heuristic (rows-only check).
+# ---------------------------------------------------------------------------
+
+def text_quality_documents(sf_dir: str) -> pa.Table:
+    from tanml_ray.stages.text import quality_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(lambda b: quality_batch(b), batch_format="pyarrow")
+    rows = sorted(out.select_columns(
+        ["doc_id", "n_chars", "n_tokens", "n_punct", "punct_ratio"]).take_all(),
+        key=lambda r: r["doc_id"])
+    return pa.Table.from_pylist(rows)
+
+
+TEXT_QUALITY_SQL = """
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
+       CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS BIGINT) AS n_punct,
+       round(CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE)
+             / length(text), 6) AS punct_ratio
+FROM documents ORDER BY doc_id
+"""
+
+
+def fingerprint_documents(sf_dir: str) -> pa.Table:
+    from tanml_ray.stages.text import fingerprint_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(lambda b: fingerprint_batch(b), batch_format="pyarrow")
+    rows = sorted(out.take_all(), key=lambda r: r["doc_id"])
+    return pa.Table.from_pylist(rows)
+
+
+FINGERPRINT_SQL = """
+SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+FROM documents ORDER BY doc_id
+"""
+
+
+def langid_documents(sf_dir: str) -> pa.Table:
+    """Heuristic language-ID — no SQL oracle (rows-only check)."""
+    from tanml_ray.stages.text import langid_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(lambda b: langid_batch(b), batch_format="pyarrow")
+    rows = sorted(out.take_all(), key=lambda r: r["doc_id"])
+    return pa.Table.from_pylist(rows)
+
+
+# ---------------------------------------------------------------------------
+# J1: leakage row-hash overlap (reference ui/services/data.py:75-96) —
+# md5-of-normalized-text semi-join between two deterministic splits.
+# Broadcast the (small) baseline hash set; no shuffle.
+# ---------------------------------------------------------------------------
+
+def leakage_overlap_documents(sf_dir: str) -> pa.Table:
+    import ray
+
+    from tanml_ray.stages.text import fingerprint_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    train = ds.map_batches(
+        lambda b: fingerprint_batch(b.filter(pc.less(b.column("doc_id"), 300))),
+        batch_format="pyarrow")
+    train_hashes = {r["fingerprint"] for r in train.take_all()}
+    ref = ray.put(train_hashes)
+
+    def overlap_partial(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        hs = _ray.get(ref)
+        sub = batch.filter(pc.greater_equal(batch.column("doc_id"), 200))
+        fp = fingerprint_batch(sub)
+        hits = sum(1 for f in fp.column("fingerprint").to_pylist() if f in hs)
+        return pa.table({"n_test": pa.array([sub.num_rows], type=pa.int64()),
+                         "n_overlap": pa.array([hits], type=pa.int64())})
+
+    parts = ds.map_batches(overlap_partial, batch_format="pyarrow").take_all()
+    n_test = sum(r["n_test"] for r in parts)
+    n_overlap = sum(r["n_overlap"] for r in parts)
+    return pa.table({"n_test": pa.array([n_test], type=pa.int64()),
+                     "n_overlap": pa.array([n_overlap], type=pa.int64()),
+                     "overlap_pct": pa.array([_round6(100.0 * n_overlap / n_test)],
+                                             type=pa.float64())})
+
+
+LEAKAGE_SQL = """
+WITH train AS (SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS h
+               FROM documents WHERE doc_id < 300),
+     test AS (SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS h
+              FROM documents WHERE doc_id >= 200)
+SELECT (SELECT count(*) FROM test) AS n_test,
+       (SELECT count(*) FROM test WHERE h IN (SELECT h FROM train)) AS n_overlap,
+       round(100.0 * (SELECT count(*) FROM test WHERE h IN (SELECT h FROM train))
+             / (SELECT count(*) FROM test), 6) AS overlap_pct
+"""
+
+
+# ---------------------------------------------------------------------------
+# Similarity search (pipelines/similarity.py)
+# ---------------------------------------------------------------------------
+
+_KNN_QUERY_IDS = (0, 1, 2)
+
+
+def _query_vectors(sf_dir: str, ids: tuple[int, ...]) -> dict[int, np.ndarray]:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    want = set(ids)
+    out = {}
+    for vid, vec in zip(t.column("vec_id").to_pylist(), t.column("embedding").to_pylist()):
+        if vid in want:
+            out[vid] = np.asarray(vec, dtype=np.float64)
+    return out
+
+
+def knn_cosine_embeddings(sf_dir: str) -> pa.Table:
+    from tanml_ray.pipelines.similarity import knn_cosine
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return knn_cosine(ds, _query_vectors(sf_dir, _KNN_QUERY_IDS), k=10)
+
+
+KNN_SQL = """
+SELECT q.vec_id AS query_id, e.vec_id, round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), 6) AS sim
+FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+WHERE q.vec_id IN (0, 1, 2)
+QUALIFY row_number() OVER (PARTITION BY q.vec_id
+                           ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) DESC,
+                                    e.vec_id) <= 10
+ORDER BY query_id, sim DESC, e.vec_id
+"""
+
+
+def knn_cosine_lsh_embeddings(sf_dir: str) -> pa.Table:
+    """Approximate LSH top-k — rows-only check (recall vs exact is the
+    pytest contract)."""
+    from tanml_ray.pipelines.similarity import knn_cosine_lsh
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return knn_cosine_lsh(ds, _query_vectors(sf_dir, _KNN_QUERY_IDS), k=10,
+                          n_bits=6, multiprobe=2)
+
+
+def embedding_near_dup_pairs(sf_dir: str) -> pa.Table:
+    from tanml_ray.pipelines.dedup import embedding_near_dups
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return embedding_near_dups(ds, threshold=0.4)
+
+
+EMB_NEAR_DUP_SQL = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4
+ORDER BY id_a, id_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# Dedup suite (pipelines/dedup.py) — rows-only checks for the LSH family
+# (not SQL-expressible); exact dedup has a full oracle.
+# ---------------------------------------------------------------------------
+
+def exact_dedup_documents(sf_dir: str) -> pa.Table:
+    """Exact dedup keep-first by content hash. Content hashes are
+    engine-internal (pd.util.hash_array), so the oracle checks the
+    RESULT semantics: one kept id per distinct text, min doc_id."""
+    from tanml_ray.pipelines.dedup import exact_dedup
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    agg = exact_dedup(ds)
+    rows = sorted(({"keep_id": r["keep_id"], "n": r["n"]} for r in agg.take_all()),
+                  key=lambda r: r["keep_id"])
+    return pa.Table.from_pylist(rows)
+
+
+EXACT_DEDUP_SQL = """
+SELECT min(doc_id) AS keep_id, count(*) AS n
+FROM documents GROUP BY text ORDER BY keep_id
+"""
+
+
+def minhash_near_dup_documents(sf_dir: str) -> pa.Table:
+    from tanml_ray.pipelines.dedup import minhash_lsh_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return minhash_lsh_pairs(ds, threshold=0.6)
+
+
+def simhash_near_dup_documents(sf_dir: str) -> pa.Table:
+    from tanml_ray.pipelines.dedup import simhash_near_dups
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return simhash_near_dups(ds, max_hamming=3)

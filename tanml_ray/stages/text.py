@@ -1,0 +1,134 @@
+"""Text-analysis stages: quality scoring, language-ID heuristic,
+token counting, document fingerprinting.
+
+Reference analogs: md5 row-hash (/root/reference/tanml/ui/services/
+data.py:80-87 — the fingerprint keeps its md5-of-normalized-string
+semantics), profiling KPIs (profiling.py:22-43). The scoring features
+(length / punctuation / stopword ratios) are the standard public
+web-text quality heuristics (e.g. C4/Gopher-style rules).
+
+All stages are stateless vectorized map_batches bodies; the lang-ID
+profile table is tiny constant state compiled once per worker at
+import (actor pools would be overkill here — no per-actor setup cost
+beyond module import).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_WS_RE = re.compile(r"\s+")
+
+STOPWORDS = {
+    "en": {"the", "and", "of", "a", "to", "in", "is", "it", "that", "for", "was", "on"},
+    "de": {"der", "die", "das", "und", "ist", "nicht", "ein", "eine", "zu", "den", "mit"},
+    "es": {"el", "la", "los", "las", "de", "que", "y", "en", "un", "una", "es", "por"},
+    "fr": {"le", "la", "les", "de", "et", "un", "une", "est", "que", "dans", "pour"},
+}
+_CJK_RE = re.compile(r"[一-鿿]")
+
+
+def normalize_text(s: str) -> str:
+    """lower + collapse whitespace + trim — the frozen normalization
+    used by fingerprinting and leakage hashing."""
+    return _WS_RE.sub(" ", s.lower()).strip()
+
+
+def fingerprint_md5(s: str) -> str:
+    """md5 hex of normalized text (reference data.py:80-87 semantics)."""
+    return hashlib.md5(normalize_text(s).encode("utf-8")).hexdigest()
+
+
+def quality_batch(batch: pa.Table, text_col: str = "text",
+                  id_col: str = "doc_id") -> pa.Table:
+    """Vectorized quality features per document."""
+    text = batch.column(text_col)
+    n_chars = pc.cast(pc.utf8_length(text), pa.int64())
+    n_tokens = pc.cast(pc.count_substring_regex(text, r"\S+"), pa.int64())
+    n_punct = pc.cast(pc.count_substring_regex(text, r"[^\w\s]"), pa.int64())
+    n_alpha = pc.cast(pc.count_substring_regex(text, r"[A-Za-z]"), pa.int64())
+
+    nc = n_chars.to_numpy(zero_copy_only=False).astype(np.float64)
+    nt = n_tokens.to_numpy(zero_copy_only=False).astype(np.float64)
+    np_ = n_punct.to_numpy(zero_copy_only=False).astype(np.float64)
+    na = n_alpha.to_numpy(zero_copy_only=False).astype(np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        punct_ratio = np.where(nc > 0, np_ / nc, 0.0)
+        alpha_ratio = np.where(nc > 0, na / nc, 0.0)
+        mean_token_len = np.where(nt > 0, (nc - (nt - 1).clip(min=0)) / np.maximum(nt, 1), 0.0)
+
+    # stopword ratio needs tokenization (python loop over the batch — the
+    # per-row cost is the tokenizer, not arrow round-trips)
+    texts = text.to_pylist()
+    all_stop = set().union(*STOPWORDS.values())
+    stop_ratio = np.zeros(len(texts))
+    for i, t in enumerate(texts):
+        if not t:
+            continue
+        toks = t.lower().split()
+        if toks:
+            stop_ratio[i] = sum(1 for w in toks if w in all_stop) / len(toks)
+
+    # composite score in [0,1]: long enough, not punctuation soup, has
+    # some stopwords (Gopher-style heuristics, simplified + frozen)
+    score = (np.clip(nt / 50.0, 0, 1) * 0.4
+             + np.clip(1.0 - punct_ratio * 5, 0, 1) * 0.3
+             + np.clip(stop_ratio * 4, 0, 1) * 0.3)
+
+    return pa.table({
+        id_col: batch.column(id_col),
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "n_punct": n_punct,
+        "punct_ratio": pa.array(np.round(punct_ratio, 6)),
+        "alpha_ratio": pa.array(np.round(alpha_ratio, 6)),
+        "stopword_ratio": pa.array(np.round(stop_ratio, 6)),
+        "quality_score": pa.array(np.round(score, 6)),
+    })
+
+
+def langid_of(text: str) -> tuple[str, float]:
+    """Deterministic n-gram/stopword language heuristic over
+    {en, de, es, fr, zh}. Returns (lang, confidence)."""
+    if not text:
+        return "und", 0.0
+    if _CJK_RE.search(text):
+        cjk = len(_CJK_RE.findall(text))
+        return "zh", min(1.0, cjk / max(len(text), 1) * 2)
+    toks = [w.strip(".,;:!?\"'()") for w in text.lower().split()]
+    toks = [w for w in toks if w]
+    if not toks:
+        return "und", 0.0
+    scores = {lang: sum(1 for w in toks if w in sw) / len(toks)
+              for lang, sw in STOPWORDS.items()}
+    best = max(scores, key=lambda k: (scores[k], k))
+    if scores[best] == 0.0:
+        return "und", 0.0
+    return best, round(min(1.0, scores[best] * 3), 6)
+
+
+def langid_batch(batch: pa.Table, text_col: str = "text",
+                 id_col: str = "doc_id") -> pa.Table:
+    texts = batch.column(text_col).to_pylist()
+    langs, confs = [], []
+    for t in texts:
+        l, c = langid_of(t)
+        langs.append(l)
+        confs.append(c)
+    return pa.table({id_col: batch.column(id_col),
+                     "pred_lang": pa.array(langs, type=pa.string()),
+                     "confidence": pa.array(confs, type=pa.float64())})
+
+
+def fingerprint_batch(batch: pa.Table, text_col: str = "text",
+                      id_col: str = "doc_id") -> pa.Table:
+    texts = batch.column(text_col).to_pylist()
+    fps = [fingerprint_md5(t) if t is not None else None for t in texts]
+    return pa.table({id_col: batch.column(id_col),
+                     "fingerprint": pa.array(fps, type=pa.string())})

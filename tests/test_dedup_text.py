@@ -1,0 +1,188 @@
+"""Dedup / similarity / text-analysis operator tests: planted
+near-duplicates must be found, LSH recall vs brute force, heuristics
+deterministic."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from tanml_ray.pipelines.dedup import (
+    hamming64,
+    jaccard,
+    minhash_signature,
+    shingle_hashes,
+    simhash64,
+)
+from tanml_ray.stages.text import (
+    fingerprint_md5,
+    langid_of,
+    normalize_text,
+    quality_batch,
+)
+
+
+class TestKernelsDedup:
+    def test_jaccard_identical(self):
+        h = shingle_hashes("the quick brown fox jumps over the lazy dog")
+        assert jaccard(h, h) == 1.0
+
+    def test_jaccard_disjoint(self):
+        a = shingle_hashes("aaaaa bbbbb ccccc")
+        b = shingle_hashes("xxxxx yyyyy zzzzz")
+        assert jaccard(a, b) < 0.1
+
+    def test_minhash_estimates_jaccard(self):
+        base = "the quick brown fox jumps over the lazy dog " * 8
+        edited = base.replace("lazy", "sleepy").replace("quick", "rapid")
+        ha, hb = shingle_hashes(base), shingle_hashes(edited)
+        true_j = jaccard(ha, hb)
+        sa = minhash_signature(ha, 128)
+        sb = minhash_signature(hb, 128)
+        est = (sa == sb).mean()
+        assert est == pytest.approx(true_j, abs=0.15)
+
+    def test_minhash_deterministic(self):
+        h = shingle_hashes("deterministic input text")
+        assert np.array_equal(minhash_signature(h, 64), minhash_signature(h, 64))
+
+    def test_simhash_near_for_near_texts(self):
+        a = "word " * 50 + "alpha beta gamma delta"
+        b = "word " * 50 + "alpha beta gamma epsilon"
+        fa = simhash64(np.unique(__import__("pandas").util.hash_array(
+            np.asarray(a.split(), dtype=object))))
+        fb = simhash64(np.unique(__import__("pandas").util.hash_array(
+            np.asarray(b.split(), dtype=object))))
+        fc = simhash64(np.unique(__import__("pandas").util.hash_array(
+            np.asarray(("totally different content nothing shared "*10).split(), dtype=object))))
+        assert hamming64(fa, fb) < hamming64(fa, fc)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDedupPipelines:
+    def _planted_ds(self):
+        import ray.data as rd
+
+        base = ("the quick brown fox jumps over the lazy dog and then "
+                "runs far away into the deep green forest tonight") * 3
+        rows = []
+        for i in range(60):
+            rows.append({"doc_id": i, "text": f"unique document {i} " +
+                         " ".join(f"tok{i}_{j}" for j in range(30))})
+        # planted: 100=101 exact dup, 102≈103 near dup, 104 unrelated
+        rows.append({"doc_id": 100, "text": base})
+        rows.append({"doc_id": 101, "text": base})
+        rows.append({"doc_id": 102, "text": base + " extra tail words here"})
+        rows.append({"doc_id": 103, "text": base + " extra tail phrase here"})
+        return rd.from_arrow(pa.Table.from_pylist(rows)).repartition(4)
+
+    def test_exact_dedup_finds_planted(self):
+        from tanml_ray.pipelines.dedup import exact_dedup
+
+        agg = exact_dedup(self._planted_ds())
+        dups = [r for r in agg.take_all() if r["n"] > 1]
+        assert len(dups) == 1
+        assert dups[0]["keep_id"] == 100 and dups[0]["n"] == 2
+
+    def test_minhash_lsh_finds_planted(self):
+        from tanml_ray.pipelines.dedup import minhash_lsh_pairs
+
+        pairs = minhash_lsh_pairs(self._planted_ds(), threshold=0.5)
+        got = {(r["id_a"], r["id_b"]) for r in pairs.take_all() if hasattr(pairs, "take_all")} \
+            if False else {(r["id_a"], r["id_b"]) for r in pairs.to_pylist()}
+        assert (100, 101) in got          # exact dup pair
+        assert any({a, b} <= {100, 101, 102, 103} for a, b in got if (a, b) != (100, 101))
+        # all reported pairs really exceed the threshold
+        for r in pairs.to_pylist():
+            assert r["jaccard"] >= 0.5
+
+    def test_simhash_finds_planted(self):
+        from tanml_ray.pipelines.dedup import simhash_near_dups
+
+        pairs = simhash_near_dups(self._planted_ds(), max_hamming=6)
+        got = {(r["id_a"], r["id_b"]) for r in pairs.to_pylist()}
+        assert (100, 101) in got
+        for r in pairs.to_pylist():
+            assert r["hamming"] <= 6
+
+    def test_partition_invariance(self):
+        from tanml_ray.pipelines.dedup import minhash_lsh_pairs
+
+        import ray.data as rd
+
+        tbl = pa.Table.from_pylist([
+            {"doc_id": i,
+             "text": ("shared prefix words for everyone " * 4 + f"suffix {i % 3}")}
+            for i in range(30)])
+        p1 = minhash_lsh_pairs(rd.from_arrow(tbl).repartition(1), threshold=0.5)
+        p8 = minhash_lsh_pairs(rd.from_arrow(tbl).repartition(8), threshold=0.5)
+        assert p1.to_pylist() == p8.to_pylist()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSimilarity:
+    def test_knn_matches_bruteforce_numpy(self, sf_dir):
+        import pyarrow.parquet as pq
+
+        import ray.data as rd
+
+        from tanml_ray.pipelines.similarity import knn_cosine
+
+        t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+        m = np.stack(t.column("embedding").to_pylist()).astype(np.float64)
+        ids = t.column("vec_id").to_numpy()
+        q = {0: m[ids == 0][0]}
+        out = knn_cosine(rd.from_arrow(t).repartition(4), q, k=5).to_pylist()
+
+        norm = m / np.linalg.norm(m, axis=1, keepdims=True)
+        sims = norm[ids == 0][0] @ norm.T
+        order = [int(ids[i]) for i in np.argsort(-sims) if ids[i] != 0][:5]
+        assert [r["vec_id"] for r in out] == order
+
+    def test_lsh_recall_on_clustered_vectors(self):
+        """LSH must recover true neighbors when structure exists: 10
+        tight clusters, query = a member → top-k are clustermates."""
+        import ray.data as rd
+
+        from tanml_ray.pipelines.similarity import knn_cosine, knn_cosine_lsh
+
+        rng = np.random.default_rng(42)
+        centers = rng.standard_normal((10, 32)) * 5
+        vecs = np.vstack([c + rng.standard_normal((40, 32)) * 0.3 for c in centers])
+        ids = np.arange(len(vecs))
+        t = pa.table({"vec_id": pa.array(ids, type=pa.int64()),
+                      "embedding": pa.array([v.astype(np.float32) for v in vecs],
+                                            type=pa.list_(pa.float32()))})
+        ds = rd.from_arrow(t).repartition(4)
+        qs = {0: vecs[0], 40: vecs[40], 80: vecs[80]}
+        exact = knn_cosine(ds, qs, k=10).to_pylist()
+        approx = knn_cosine_lsh(ds, qs, k=10, n_bits=8, multiprobe=2).to_pylist()
+        for qid in qs:
+            e = {r["vec_id"] for r in exact if r["query_id"] == qid}
+            a = {r["vec_id"] for r in approx if r["query_id"] == qid}
+            recall = len(e & a) / len(e)
+            assert recall >= 0.8, f"q{qid} recall {recall}"
+
+
+class TestTextAnalysis:
+    def test_normalize_and_fingerprint(self):
+        assert normalize_text("  Hello   WORLD \n") == "hello world"
+        assert fingerprint_md5("Hello  World") == fingerprint_md5("hello world")
+        assert fingerprint_md5("a") != fingerprint_md5("b")
+
+    def test_langid_samples(self):
+        assert langid_of("the cat sat on the mat and it was happy")[0] == "en"
+        assert langid_of("der hund ist nicht in den garten mit der katze")[0] == "de"
+        assert langid_of("el perro y la casa de los niños es una maravilla")[0] == "es"
+        assert langid_of("le chat est dans la maison pour les enfants")[0] == "fr"
+        assert langid_of("这是一个中文句子")[0] == "zh"
+        assert langid_of("")[0] == "und"
+
+    def test_quality_batch(self):
+        t = pa.table({"doc_id": [1, 2],
+                      "text": ["the quick brown fox, it jumps!", "x"]})
+        out = quality_batch(t).to_pylist()
+        assert out[0]["n_tokens"] == 6
+        assert out[0]["n_punct"] == 2
+        assert out[0]["quality_score"] > out[1]["quality_score"]
