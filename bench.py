@@ -1,0 +1,123 @@
+"""Benchmark harness — headline pipelines over $GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...per-pipeline sec...}, "sf": ..., "num_cpus": N}
+
+`--scaling` runs the same job at num_cpus=8 and 32 in fresh processes
+and reports throughput at both plus scaling efficiency (the sandbox
+substitute for the N vs 4N cluster criterion, BASELINE.md §3).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def _scaling_main() -> None:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
+                             capture_output=True, text=True, check=True,
+                             cwd=os.path.dirname(os.path.abspath(__file__))).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    warm = run(8)          # warm OS page cache + /tmp fixture
+    lo, hi = run(8), run(32)
+    eff = (lo["value"] / hi["value"]) / (32 / 8)
+    print(json.dumps({
+        "sec_8": lo["value"], "sec_32": hi["value"],
+        "queries_8": lo["queries"], "queries_32": hi["queries"],
+        "rows_per_sec_8": round(lo["rows"] / lo["value"], 1),
+        "rows_per_sec_32": round(hi["rows"] / hi["value"], 1),
+        "scaling_efficiency": round(eff, 3),
+        "warmup_sec": warm["value"],
+    }))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+    import ray
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    from tanml_ray.pipelines import queries as q
+    from tanml_ray.pipelines.drift import build_drift_baseline, compute_drift
+    from tanml_ray.pipelines.validate import run_pages_validation
+    from tanml_ray.sources.pages import pages_dataset, synthesize_pages_parquet
+
+    # pages scale: ~120 pages per document row → sf0.1 gives ~600k pages
+    repeat = int(os.environ.get("GRAFT_PAGES_REPEAT", "120"))
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    pages_dir = synthesize_pages_parquet(
+        sf_dir, f"/tmp/tanml_pages_{sf_tag}_r{repeat}_baseline",
+        repeat=repeat, num_files=32)
+
+    timings: dict[str, float] = {}
+    rows_processed = 0
+
+    def timed(name, fn):
+        nonlocal rows_processed
+        t0 = time.perf_counter()
+        out = fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        return out
+
+    # 1. flagship validation (constraints + profile + uniqueness) over pages
+    rep = timed("validate_pages", lambda: run_pages_validation(pages_dir))
+    rows_processed += rep.summary["rows"]
+
+    # 2. grouped drift: baseline build + drift vs the shifted current
+    baseline = timed("drift_baseline",
+                     lambda: build_drift_baseline(
+                         pages_dataset(sf_dir, repeat=repeat), "text_len", "week"))
+    timed("drift_compare",
+          lambda: compute_drift(baseline,
+                                pages_dataset(sf_dir, variant="current", repeat=repeat)))
+    rows_processed += 2 * rep.summary["rows"]
+
+    # 3. analytic core over lineitem (largest testdata table)
+    timed("q1_pricing_summary", lambda: q.q1_pricing_summary(sf_dir))
+    timed("profile_lineitem", lambda: q.profile_lineitem(sf_dir))
+    import pyarrow.parquet as pq
+
+    rows_processed += 2 * pq.read_metadata(f"{sf_dir}/lineitem.parquet").num_rows
+
+    # 4. dedup + similarity over documents / embeddings
+    timed("minhash_near_dup", lambda: q.minhash_near_dup_documents(sf_dir))
+    timed("knn_cosine", lambda: q.knn_cosine_embeddings(sf_dir))
+    rows_processed += pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    rows_processed += pq.read_metadata(f"{sf_dir}/embeddings.parquet").num_rows
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "end_to_end_validation_suite_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "rows": rows_processed,
+        "rows_per_sec": round(rows_processed / total, 1),
+        "p95_partition_latency_ms": rep.summary["p95_partition_latency_ms"],
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+    }))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        _scaling_main()
+    else:
+        main()

@@ -25,6 +25,8 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from tanml_ray.functions.collect import collect_pylist
+
 # fixed odd multipliers for the universal-hash family h_i(x) = a_i*x + b_i
 _MINHASH_SEED_A = 0x9E3779B97F4A7C15
 _MINHASH_SEED_B = 0xC2B2AE3D27D4EB4F
@@ -115,11 +117,22 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
 
 def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
                       num_perm: int = 64, bands: int = 16,
-                      shingle_k: int = 5, threshold: float = 0.6) -> pa.Table:
+                      shingle_k: int = 5, threshold: float = 0.6,
+                      bucket_partitions: int = 64) -> pa.Table:
     """MinHash+LSH near-dup pairs, verified with exact Jaccard ≥ threshold.
 
-    Verification recomputes shingles for candidate docs only (bounded:
-    LSH bucket sizes are small), gathered via a second targeted pass.
+    Pipeline (only signatures/buckets shuffle — never text):
+      1. one pass: per-doc minhash signature rows (id, sig 8·num_perm B)
+      2. bucketize: (bpart=bhash%P, band, bhash, id) rows
+      3. groupby COARSE bpart (P groups, not one per bucket — per-group
+         scheduling overhead would dominate with millions of tiny
+         buckets) → vectorized within-partition pair generation
+      4. signature prefilter: est-Jaccard from the signatures (exactly
+         the statistic LSH banding thresholds), keep est ≥ t − 0.15
+         (≈2.5σ of the 64-perm estimator — same probabilistic contract
+         as the banding itself)
+      5. exact Jaccard on the survivors only (targeted shingle fetch)
+
     Returns (id_a, id_b, jaccard) with id_a < id_b, sorted.
     """
     rows_per_band = num_perm // bands
@@ -128,44 +141,90 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
     def sig_batch(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
         texts = batch.column(text_col).to_pylist()
-        out_band, out_bhash, out_id = [], [], []
+        keep, blobs = [], []
         for i, t in enumerate(texts):
             if t is None:
                 continue
             sig = minhash_signature(shingle_hashes(t, k=shingle_k), num_perm, coeffs)
-            for b in range(bands):
-                band = sig[b * rows_per_band:(b + 1) * rows_per_band]
-                bh = int(pd.util.hash_array(band)[0] if rows_per_band == 1 else
-                         pd.util.hash_array(band.view(np.uint64)).sum()) & 0x7FFFFFFFFFFFFFFF
-                out_band.append(b)
-                out_bhash.append(bh)
-                out_id.append(int(ids[i]))
-        return pa.table({"band": pa.array(out_band, type=pa.int32()),
-                         "bhash": pa.array(out_bhash, type=pa.int64()),
-                         "id": pa.array(out_id, type=pa.int64())})
+            keep.append(int(ids[i]))
+            blobs.append(sig.tobytes())
+        return pa.table({"id": pa.array(keep, type=pa.int64()),
+                         "sig": pa.array(blobs, type=pa.binary())})
 
-    buckets = ds.map_batches(sig_batch, batch_format="pyarrow")
+    sigs = ds.map_batches(sig_batch, batch_format="pyarrow").materialize()
 
-    # groupby band bucket → candidate pairs (the shuffle moves only
-    # (band, bhash, id) triples, never text)
-    def pairs_of(group: pd.DataFrame) -> pd.DataFrame:
-        ids = np.unique(group["id"].to_numpy())
-        if ids.size < 2 or ids.size > 1000:   # degenerate bucket guard
-            return pd.DataFrame({"id_a": [], "id_b": []})
-        ia, ib = np.triu_indices(ids.size, k=1)
-        return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib]})
+    def bucketize(batch: pa.Table) -> pa.Table:
+        ids = batch.column("id").to_numpy(zero_copy_only=False)
+        sig_mat = np.frombuffer(b"".join(batch.column("sig").to_pylist()),
+                                dtype=np.uint64).reshape(len(ids), num_perm)
+        out = {"bpart": [], "band": [], "bhash": [], "id": []}
+        for b in range(bands):
+            band = sig_mat[:, b * rows_per_band:(b + 1) * rows_per_band]
+            # row-wise band hash: combine columns with fixed multipliers
+            bh = np.zeros(len(ids), dtype=np.uint64)
+            for c in range(rows_per_band):
+                bh = bh * np.uint64(0x100000001B3) + band[:, c]
+            bh = (bh & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
+            out["bpart"].extend((bh % bucket_partitions).tolist())
+            out["band"].extend([b] * len(ids))
+            out["bhash"].extend(bh.tolist())
+            out["id"].extend(ids.tolist())
+        return pa.table({"bpart": pa.array(out["bpart"], type=pa.int32()),
+                         "band": pa.array(out["band"], type=pa.int32()),
+                         "bhash": pa.array(out["bhash"], type=pa.int64()),
+                         "id": pa.array(out["id"], type=pa.int64())})
 
-    cand = (buckets.groupby(["band", "bhash"])
-            .map_groups(pairs_of, batch_format="pandas"))
-    cand_pairs = {(int(r["id_a"]), int(r["id_b"])) for r in cand.take_all()}
-    if not cand_pairs:
+    buckets = sigs.map_batches(bucketize, batch_format="pyarrow")
+
+    def pairs_of_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["band", "bhash", "id"])
+        key = g.groupby(["band", "bhash"], sort=False).ngroup().to_numpy()
+        ids = g["id"].to_numpy()
+        out_a, out_b = [], []
+        start = 0
+        for end in np.flatnonzero(np.diff(key)).tolist() + [len(key) - 1]:
+            size = end - start + 1
+            if 2 <= size <= 1000:
+                u = np.unique(ids[start:end + 1])
+                if u.size >= 2:
+                    ia, ib = np.triu_indices(u.size, k=1)
+                    out_a.append(u[ia])
+                    out_b.append(u[ib])
+            start = end + 1
+        if not out_a:
+            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                                 "id_b": pd.Series([], dtype="int64")})
+        return pd.DataFrame({"id_a": np.concatenate(out_a),
+                             "id_b": np.concatenate(out_b)}).drop_duplicates()
+
+    cand = (buckets.groupby("bpart")
+            .map_groups(pairs_of_partition, batch_format="pandas"))
+    cand_df = pd.DataFrame(collect_pylist(cand))
+    if cand_df.empty:
+        return pa.table({"id_a": pa.array([], type=pa.int64()),
+                         "id_b": pa.array([], type=pa.int64()),
+                         "jaccard": pa.array([], type=pa.float64())})
+    cand_df = cand_df.drop_duplicates()
+
+    # signature prefilter (vectorized): est-J = mean matching minhashes
+    sig_map: dict[int, np.ndarray] = {}
+    for t in sigs.iter_batches(batch_size=8192, batch_format="pyarrow"):
+        for i, blob in zip(t.column("id").to_pylist(), t.column("sig").to_pylist()):
+            sig_map[i] = np.frombuffer(blob, dtype=np.uint64)
+    ids_a = cand_df["id_a"].to_numpy()
+    ids_b = cand_df["id_b"].to_numpy()
+    sa = np.stack([sig_map[i] for i in ids_a])
+    sb = np.stack([sig_map[i] for i in ids_b])
+    est = (sa == sb).mean(axis=1)
+    keep = est >= max(threshold - 0.15, 0.0)
+    survivors = sorted(zip(ids_a[keep].tolist(), ids_b[keep].tolist()))
+    if not survivors:
         return pa.table({"id_a": pa.array([], type=pa.int64()),
                          "id_b": pa.array([], type=pa.int64()),
                          "jaccard": pa.array([], type=pa.float64())})
 
-    # verify: fetch shingle sets of candidate ids only
-    need = sorted({i for p in cand_pairs for i in p})
-    need_set = set(need)
+    # exact verify on survivors only
+    need_set = {i for p in survivors for i in p}
 
     def shingles_of(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
@@ -185,7 +244,7 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
             sh[i] = np.frombuffer(blob, dtype=np.uint64)
 
     rows = []
-    for a, b in sorted(cand_pairs):
+    for a, b in survivors:
         if a in sh and b in sh:
             j = jaccard(sh[a], sh[b])
             if j >= threshold:
@@ -245,7 +304,7 @@ def simhash_near_dups(ds, text_col: str = "text", id_col: str = "doc_id",
 
     cand = buckets.groupby(["blk", "bv"]).map_groups(pairs_of, batch_format="pandas")
     seen = {}
-    for r in cand.take_all():
+    for r in collect_pylist(cand):
         if r["hamming"] <= max_hamming:
             seen[(int(r["id_a"]), int(r["id_b"]))] = int(r["hamming"])
     rows = [{"id_a": a, "id_b": b, "hamming": h} for (a, b), h in sorted(seen.items())]
@@ -291,7 +350,7 @@ def embedding_near_dups(ds, threshold: float = 0.95,
                          "sim": pa.array(rows["sim"], type=pa.float64())})
 
     out = full.map_batches(sims, batch_format="pyarrow")
-    rows = sorted(out.take_all(), key=lambda r: (r["id_a"], r["id_b"]))
+    rows = sorted(collect_pylist(out), key=lambda r: (r["id_a"], r["id_b"]))
     return pa.Table.from_pylist(rows) if rows else pa.table(
         {"id_a": pa.array([], type=pa.int64()),
          "id_b": pa.array([], type=pa.int64()),

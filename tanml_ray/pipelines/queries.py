@@ -20,6 +20,8 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from tanml_ray.functions.collect import collect_pylist
+
 
 def _read(sf_dir: str, table: str, columns: list[str] | None = None):
     import ray.data as rd
@@ -174,7 +176,7 @@ def q1_pricing_summary(sf_dir: str) -> pa.Table:
                       Sum("disc_c", alias_name="disc_c"),
                       Sum("n", alias_name="n")))
     rows = []
-    for r in agg.take_all():
+    for r in collect_pylist(agg):
         n = r["n"]
         rows.append({
             "l_returnflag": r["l_returnflag"], "l_linestatus": r["l_linestatus"],
@@ -232,7 +234,7 @@ def lang_distribution_documents(sf_dir: str) -> pa.Table:
            .groupby("lang")
            .aggregate(Sum("n", alias_name="n"), Sum("chars", alias_name="chars")))
     rows = [{"lang": r["lang"], "n": r["n"],
-             "avg_chars": _round6(r["chars"] / r["n"])} for r in agg.take_all()]
+             "avg_chars": _round6(r["chars"] / r["n"])} for r in collect_pylist(agg)]
     return pa.Table.from_pylist(sorted(rows, key=lambda r: r["lang"]))
 
 
@@ -266,7 +268,7 @@ def histogram_quantity(sf_dir: str) -> pa.Table:
 
     agg = (ds.map_batches(partial, batch_format="pyarrow")
            .groupby("bin").aggregate(Sum("n", alias_name="n")))
-    rows = sorted(agg.take_all(), key=lambda r: r["bin"])
+    rows = sorted(collect_pylist(agg), key=lambda r: r["bin"])
     return pa.Table.from_pylist([{"bin": r["bin"], "n": r["n"]} for r in rows])
 
 
@@ -280,7 +282,7 @@ FROM lineitem GROUP BY 1 ORDER BY 1
 def top10_orders(sf_dir: str) -> pa.Table:
     ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
     top = ds.sort("o_totalprice", descending=True).limit(10)
-    return pa.Table.from_pylist(top.take_all()).select(["o_orderkey", "o_totalprice"])
+    return pa.Table.from_pylist(collect_pylist(top)).select(["o_orderkey", "o_totalprice"])
 
 
 TOP10_SQL = """
@@ -309,7 +311,7 @@ def events_daily(sf_dir: str) -> pa.Table:
            .groupby(["day", "event_type"])
            .aggregate(Sum("n", alias_name="n"), Sum("value_u", alias_name="value_u")))
     rows = [{"day": pd.Timestamp(r["day"]), "event_type": r["event_type"],
-             "n": r["n"], "sum_value": r["value_u"] / 1e6} for r in agg.take_all()]
+             "n": r["n"], "sum_value": r["value_u"] / 1e6} for r in collect_pylist(agg)]
     rows.sort(key=lambda r: (r["day"], r["event_type"]))
     return pa.Table.from_pylist(rows)
 
@@ -335,7 +337,7 @@ def referential_lang_violations(sf_dir: str) -> pa.Table:
         return batch.filter(pc.fill_null(bad, True))
 
     out = ds.map_batches(anti, batch_format="pyarrow")
-    rows = sorted(out.take_all(), key=lambda r: r["doc_id"])
+    rows = sorted(collect_pylist(out), key=lambda r: r["doc_id"])
     return pa.Table.from_pylist(rows) if rows else pa.table(
         {"doc_id": pa.array([], type=pa.int64()), "lang": pa.array([], type=pa.string())})
 
@@ -362,7 +364,7 @@ def duplicate_user_event_pairs(sf_dir: str) -> pa.Table:
            .aggregate(Sum("n", alias_name="n")))
     dups = agg.map_batches(lambda t: t.filter(pc.greater(t.column("n"), 1)),
                            batch_format="pyarrow")
-    rows = sorted(dups.take_all(), key=lambda r: (r["user_id"], r["event_type"]))
+    rows = sorted(collect_pylist(dups), key=lambda r: (r["user_id"], r["event_type"]))
     return pa.Table.from_pylist(rows) if rows else pa.table(
         {"user_id": pa.array([], type=pa.int64()),
          "event_type": pa.array([], type=pa.string()),
@@ -400,7 +402,7 @@ def pearson_corr_lineitem(sf_dir: str) -> pa.Table:
            .groupby("pair")
            .aggregate(*[Sum(c, alias_name=c) for c in ("n", "sx", "sy", "sxy", "sxx", "syy")]))
     rows = []
-    for r in agg.take_all():
+    for r in collect_pylist(agg):
         n, sx, sy, sxy, sxx, syy = (r[k] for k in ("n", "sx", "sy", "sxy", "sxx", "syy"))
         denom = np.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
         corr = (n * sxy - sx * sy) / denom if denom > 0 else float("nan")
@@ -440,7 +442,7 @@ def psi_documents_even_odd(sf_dir: str) -> pa.Table:
     agg = (ds.map_batches(partial, batch_format="pyarrow")
            .groupby(["lang", "side"]).aggregate(Sum("n", alias_name="n")))
     counts: dict[str, list[int]] = {}
-    for r in agg.take_all():
+    for r in collect_pylist(agg):
         counts.setdefault(r["lang"], [0, 0])[int(r["side"])] = r["n"]
     langs = sorted(counts)
     even = np.array([counts[l][0] for l in langs], dtype=np.float64)
@@ -472,7 +474,7 @@ def label_encode_mktsegment(sf_dir: str) -> pa.Table:
                          "code": pc.cast(code, pa.int64())})
 
     out = ds.map_batches(encode, batch_format="pyarrow")
-    rows = sorted(out.take_all(), key=lambda r: r["c_custkey"])
+    rows = sorted(collect_pylist(out), key=lambda r: r["c_custkey"])
     return pa.Table.from_pylist(rows)
 
 
@@ -497,7 +499,7 @@ def onehot_orderpriority(sf_dir: str) -> pa.Table:
         return pa.table(cols)
 
     out = ds.map_batches(encode, batch_format="pyarrow")
-    rows = sorted(out.take_all(), key=lambda r: r["o_orderkey"])
+    rows = sorted(collect_pylist(out), key=lambda r: r["o_orderkey"])
     return pa.Table.from_pylist(rows)
 
 
@@ -520,7 +522,7 @@ def token_counts_documents(sf_dir: str) -> pa.Table:
                          "n_tokens": pc.cast(n, pa.int64())})
 
     out = ds.map_batches(count_tokens, batch_format="pyarrow")
-    rows = sorted(out.take_all(), key=lambda r: r["doc_id"])
+    rows = sorted(collect_pylist(out), key=lambda r: r["doc_id"])
     return pa.Table.from_pylist(rows)
 
 
@@ -537,7 +539,7 @@ def dedup_first_per_group(sf_dir: str) -> pa.Table:
 
     ds = _read(sf_dir, "documents", ["doc_id", "lang", "source"])
     agg = ds.groupby(["lang", "source"]).aggregate(Min("doc_id", alias_name="first_doc_id"))
-    rows = sorted(agg.take_all(), key=lambda r: (r["lang"], r["source"]))
+    rows = sorted(collect_pylist(agg), key=lambda r: (r["lang"], r["source"]))
     return pa.Table.from_pylist(rows)
 
 
@@ -557,8 +559,8 @@ def text_quality_documents(sf_dir: str) -> pa.Table:
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     out = ds.map_batches(lambda b: quality_batch(b), batch_format="pyarrow")
-    rows = sorted(out.select_columns(
-        ["doc_id", "n_chars", "n_tokens", "n_punct", "punct_ratio"]).take_all(),
+    rows = sorted(collect_pylist(out.select_columns(
+        ["doc_id", "n_chars", "n_tokens", "n_punct", "punct_ratio"])),
         key=lambda r: r["doc_id"])
     return pa.Table.from_pylist(rows)
 
@@ -579,7 +581,7 @@ def fingerprint_documents(sf_dir: str) -> pa.Table:
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     out = ds.map_batches(lambda b: fingerprint_batch(b), batch_format="pyarrow")
-    rows = sorted(out.take_all(), key=lambda r: r["doc_id"])
+    rows = sorted(collect_pylist(out), key=lambda r: r["doc_id"])
     return pa.Table.from_pylist(rows)
 
 
@@ -595,7 +597,7 @@ def langid_documents(sf_dir: str) -> pa.Table:
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     out = ds.map_batches(lambda b: langid_batch(b), batch_format="pyarrow")
-    rows = sorted(out.take_all(), key=lambda r: r["doc_id"])
+    rows = sorted(collect_pylist(out), key=lambda r: r["doc_id"])
     return pa.Table.from_pylist(rows)
 
 
@@ -614,7 +616,7 @@ def leakage_overlap_documents(sf_dir: str) -> pa.Table:
     train = ds.map_batches(
         lambda b: fingerprint_batch(b.filter(pc.less(b.column("doc_id"), 300))),
         batch_format="pyarrow")
-    train_hashes = {r["fingerprint"] for r in train.take_all()}
+    train_hashes = {r["fingerprint"] for r in collect_pylist(train)}
     ref = ray.put(train_hashes)
 
     def overlap_partial(batch: pa.Table) -> pa.Table:
@@ -627,7 +629,7 @@ def leakage_overlap_documents(sf_dir: str) -> pa.Table:
         return pa.table({"n_test": pa.array([sub.num_rows], type=pa.int64()),
                          "n_overlap": pa.array([hits], type=pa.int64())})
 
-    parts = ds.map_batches(overlap_partial, batch_format="pyarrow").take_all()
+    parts = collect_pylist(ds.map_batches(overlap_partial, batch_format="pyarrow"))
     n_test = sum(r["n_test"] for r in parts)
     n_overlap = sum(r["n_overlap"] for r in parts)
     return pa.table({"n_test": pa.array([n_test], type=pa.int64()),
@@ -724,7 +726,7 @@ def exact_dedup_documents(sf_dir: str) -> pa.Table:
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     agg = exact_dedup(ds)
-    rows = sorted(({"keep_id": r["keep_id"], "n": r["n"]} for r in agg.take_all()),
+    rows = sorted(({"keep_id": r["keep_id"], "n": r["n"]} for r in collect_pylist(agg)),
                   key=lambda r: r["keep_id"])
     return pa.Table.from_pylist(rows)
 

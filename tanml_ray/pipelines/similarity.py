@@ -18,6 +18,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from tanml_ray.functions.collect import collect_pylist
+
 
 def _normalize(m: np.ndarray) -> np.ndarray:
     return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
@@ -63,7 +65,7 @@ def knn_cosine(ds, queries: dict[int, np.ndarray], k: int = 10,
                          "sim": pa.array(rows["sim"], type=pa.float64())})
 
     partials = ds.map_batches(local_topk, batch_format="pyarrow")
-    df = pd.DataFrame(partials.take_all())
+    df = pd.DataFrame(collect_pylist(partials))
     out_rows = []
     for qid, g in df.groupby("query_id"):
         g = g.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
@@ -142,7 +144,7 @@ def knn_cosine_lsh(ds, queries: dict[int, np.ndarray], k: int = 10,
                          "sim": pa.array(rows["sim"], type=pa.float64())})
 
     partials = ds.map_batches(local_topk, batch_format="pyarrow")
-    rows_all = partials.take_all()
+    rows_all = collect_pylist(partials)
     if not rows_all:
         return pa.table({"query_id": pa.array([], type=pa.int64()),
                          "vec_id": pa.array([], type=pa.int64()),

@@ -30,6 +30,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from tanml_ray.functions.collect import collect_pylist
+
 from tanml_ray.stages.constraints import (
     RowConstraint,
     default_pages_constraints,
@@ -179,7 +181,7 @@ def run_pages_validation(source, out_dir: str | None = None,
                             Sum("violations", alias_name="violations"),
                             Max("elapsed_us", alias_name="elapsed_us")))
     status = pa.Table.from_pylist(
-        status_ds.take_all(),
+        collect_pylist(status_ds),
         schema=pa.schema([("partition_id", pa.string()),
                           ("constraint_id", pa.string()),
                           ("rows", pa.int64()), ("violations", pa.int64()),
@@ -194,25 +196,63 @@ def run_pages_validation(source, out_dir: str | None = None,
         .iter_batches(batch_size=4096, batch_format="pyarrow"))
     profile = {name: acc.finalize() for name, acc in merged.items()}
 
-    # -- uniqueness(url): the one shuffle. Pre-dedup per batch first so
-    # only (url, local_count) partials move (SURVEY.md §7.5 item 7).
+    # -- uniqueness(url): the one shuffle (SURVEY.md §7.5 item 7).
+    # Shuffle 64-bit url HASHES, not strings: per-batch local counts on
+    # the hash (pre-dedup combiner), int groupby-sum, filter n>1, then
+    # resolve the (tiny) duplicate hash set back to url strings with a
+    # broadcast-filter pass. Sorting ints moves ~10× less data than
+    # sorting urls and the hot shuffle never carries strings.
     dup_urls = None
     dup_count = 0
     if check_uniqueness:
-        def local_counts(t: pa.Table) -> pa.Table:
-            vc = t.column("url").combine_chunks().value_counts()
-            return pa.Table.from_arrays(
-                [vc.field("values"), pc.cast(vc.field("counts"), pa.int64())],
-                names=["url", "n"])
+        import pandas as pd
 
-        url_partials = ds.select_columns(["url"]).map_batches(
-            local_counts, batch_format="pyarrow")
-        dup_urls = (url_partials.groupby("url")
-                    .aggregate(Sum("n", alias_name="n"))
-                    .map_batches(lambda t: t.filter(pc.greater(t.column("n"), 1)),
-                                 batch_format="pyarrow"))
-        dup_urls = dup_urls.materialize()
-        dup_count = dup_urls.count()
+        def local_hash_counts(t: pa.Table) -> pa.Table:
+            urls = t.column("url").to_numpy(zero_copy_only=False).astype(object)
+            h = pd.util.hash_array(urls, categorize=False).astype(np.int64)
+            uniq, counts = np.unique(h, return_counts=True)
+            return pa.table({"h": uniq, "n": counts.astype(np.int64)})
+
+        hash_partials = ds.select_columns(["url"]).map_batches(
+            local_hash_counts, batch_format="pyarrow")
+        dup_hashes_ds = (hash_partials.groupby("h")
+                         .aggregate(Sum("n", alias_name="n"))
+                         .map_batches(lambda t: t.filter(pc.greater(t.column("n"), 1)),
+                                      batch_format="pyarrow"))
+        dup_hash_rows = collect_pylist(dup_hashes_ds)
+        dup_n_by_hash = {r["h"]: r["n"] for r in dup_hash_rows}
+        dup_count = len(dup_n_by_hash)
+        if dup_count:
+            import ray as _ray
+
+            dup_ref = _ray.put(set(dup_n_by_hash))
+
+            def resolve_urls(t: pa.Table) -> pa.Table:
+                dup_set = _ray.get(dup_ref)
+                urls = t.column("url").to_numpy(zero_copy_only=False).astype(object)
+                h = pd.util.hash_array(urls, categorize=False).astype(np.int64)
+                mask = np.isin(h, np.fromiter(dup_set, dtype=np.int64))
+                return pa.table({"url": pa.array(urls[mask].tolist(), type=pa.string()),
+                                 "h": h[mask]})
+
+            resolved = collect_pylist(
+                ds.select_columns(["url"]).map_batches(resolve_urls,
+                                                       batch_format="pyarrow"))
+            by_hash: dict[int, str] = {}
+            for r in resolved:
+                by_hash.setdefault(r["h"], r["url"])
+            import ray.data as _rd
+
+            dup_urls = _rd.from_arrow(pa.Table.from_pylist(
+                sorted(({"url": by_hash[h], "n": n}
+                        for h, n in dup_n_by_hash.items() if h in by_hash),
+                       key=lambda r: r["url"])))
+        else:
+            import ray.data as _rd
+
+            dup_urls = _rd.from_arrow(pa.table(
+                {"url": pa.array([], type=pa.string()),
+                 "n": pa.array([], type=pa.int64())}))
 
     # -- per-partition roll-up
     pstat = (status.group_by("partition_id")
