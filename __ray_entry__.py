@@ -72,6 +72,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup_documents": q.exact_dedup_documents,
         "minhash_near_dup_documents": q.minhash_near_dup_documents,
         "simhash_near_dup_documents": q.simhash_near_dup_documents,
+        "classification_metrics_orders": q.classification_metrics_orders,
+        "regression_metrics_orders": q.regression_metrics_orders,
+        "cluster_coverage_lineitem": q.cluster_coverage_lineitem,
+        "stress_test_orders": q.stress_test_orders,
+        "vif_lineitem": q.vif_lineitem,
+        "hash_split_orders": q.hash_split_orders,
+        "first3_per_lang_documents": q.first3_per_lang_documents,
+        "mean_impute_quantity": q.mean_impute_quantity,
+        "mode_impute_orderpriority": q.mode_impute_orderpriority,
     }
 
 
@@ -106,6 +115,15 @@ def oracle_sql() -> dict[str, str]:
         "knn_cosine_embeddings": q.KNN_SQL,
         "embedding_near_dup_pairs": q.EMB_NEAR_DUP_SQL,
         "exact_dedup_documents": q.EXACT_DEDUP_SQL,
+        "classification_metrics_orders": q.CLASSIFICATION_METRICS_SQL,
+        "regression_metrics_orders": q.REGRESSION_METRICS_SQL,
+        "cluster_coverage_lineitem": q._coverage_sql(),
+        "stress_test_orders": q.STRESS_SQL,
+        "vif_lineitem": q.VIF_SQL,
+        "hash_split_orders": q.HASH_SPLIT_SQL,
+        "first3_per_lang_documents": q.FIRST3_SQL,
+        "mean_impute_quantity": q.MEAN_IMPUTE_SQL,
+        "mode_impute_orderpriority": q.MODE_IMPUTE_SQL,
         # langid / lsh-knn / minhash / simhash: not SQL-expressible →
         # rows-only driver check; verified in pytest instead.
     }

@@ -19,23 +19,36 @@ import time
 
 
 def _scaling_main() -> None:
+    """Two-cluster-size substitute (BASELINE.md §3): the HEADLINE
+    pipeline (flagship pages validation) at N and 4N CPUs in fresh
+    processes, same input. The sandbox host is shared/noisy, so each
+    level runs twice and the min is reported (standard noisy-host
+    protocol); one untimed warm-up run first heats the page cache."""
+    n_lo = int(os.environ.get("GRAFT_SCALE_NCPU", "4"))
+    n_hi = 4 * n_lo
+    repeat = int(os.environ.get("GRAFT_SCALE_REPEAT", "960"))
+
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   GRAFT_VALIDATE_ONLY="1",
+                   GRAFT_PAGES_REPEAT=str(repeat))
         out = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
                              capture_output=True, text=True, check=True,
                              cwd=os.path.dirname(os.path.abspath(__file__))).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    warm = run(8)          # warm OS page cache + /tmp fixture
-    lo, hi = run(8), run(32)
-    eff = (lo["value"] / hi["value"]) / (32 / 8)
+    run(n_hi)  # warm-up (also synthesizes/caches the fixture)
+    lo = min((run(n_lo) for _ in range(2)), key=lambda r: r["value"])
+    hi = min((run(n_hi) for _ in range(2)), key=lambda r: r["value"])
+    eff = (lo["value"] / hi["value"]) / (n_hi / n_lo)
     print(json.dumps({
-        "sec_8": lo["value"], "sec_32": hi["value"],
-        "queries_8": lo["queries"], "queries_32": hi["queries"],
-        "rows_per_sec_8": round(lo["rows"] / lo["value"], 1),
-        "rows_per_sec_32": round(hi["rows"] / hi["value"], 1),
+        f"sec_{n_lo}": lo["value"], f"sec_{n_hi}": hi["value"],
+        "rows": lo["rows"],
+        f"rows_per_sec_{n_lo}": round(lo["rows"] / lo["value"], 1),
+        f"rows_per_sec_{n_hi}": round(hi["rows"] / hi["value"], 1),
         "scaling_efficiency": round(eff, 3),
-        "warmup_sec": warm["value"],
+        "pipeline": "validate_pages",
+        "protocol": "min of 2 runs per level, fresh ray.init each",
     }))
 
 
@@ -75,9 +88,24 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
         return out
 
+    n_files = len([f for f in os.listdir(pages_dir) if f.endswith(".parquet")])
+
     # 1. flagship validation (constraints + profile + uniqueness) over pages
-    rep = timed("validate_pages", lambda: run_pages_validation(pages_dir))
+    rep = timed("validate_pages",
+                lambda: run_pages_validation(pages_dir,
+                                             override_num_blocks=n_files))
     rows_processed += rep.summary["rows"]
+
+    if os.environ.get("GRAFT_VALIDATE_ONLY"):
+        print(json.dumps({
+            "metric": "flagship_validation_sec", "value": timings["validate_pages"],
+            "unit": "sec", "queries": timings, "rows": rows_processed,
+            "rows_per_sec": round(rows_processed / timings["validate_pages"], 1),
+            "p95_partition_latency_ms": rep.summary["p95_partition_latency_ms"],
+            "sf": sf_dir, "num_cpus": num_cpus,
+        }))
+        ray.shutdown()
+        return
 
     # 2. grouped drift: baseline build + drift vs the shifted current
     baseline = timed("drift_baseline",

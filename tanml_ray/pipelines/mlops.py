@@ -1,0 +1,303 @@
+"""ML-ops operators: KMeans coverage, perturbation stress testing,
+VIF multicollinearity, deterministic splits, imputation.
+
+Reference semantics (citations into /root/reference):
+  - KMeans input-space coverage: fit k centers, flag rows whose
+    distance to the nearest center exceeds p95(train)·1.5
+    tanml/analysis/clustering.py:87-142
+  - stress test: perturb one numeric feature by (1±ε) on a fraction of
+    rows, re-score, report metric delta   tanml/checks/stress_test.py:107-206
+  - VIF from the feature Gram matrix, flag ≥ 5
+    tanml/analysis/correlation.py:80-160
+  - train/test split (seeded, deterministic)
+    tanml/ui/views/preprocessing.py:269-293
+  - mean / most-frequent imputation  tanml/ui/views/preprocessing.py:152-175
+
+Scale design: KMeans is distributed Lloyd — assignment + per-cluster
+partial sums in map_batches, center update on the driver (k×dim floats);
+everything else is broadcast-parameter stateless maps + exact partials.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from tanml_ray.functions.collect import collect_pylist
+
+
+def _matrix(batch: pa.Table, cols: list[str]) -> np.ndarray:
+    return np.column_stack([
+        batch.column(c).to_numpy(zero_copy_only=False).astype(np.float64)
+        for c in cols])
+
+
+# ---------------------------------------------------------------------------
+# KMeans: distributed Lloyd iterations, deterministic init
+# ---------------------------------------------------------------------------
+
+def kmeans_fit(ds, cols: list[str], k: int, max_iter: int = 20,
+               tol: float = 1e-6) -> np.ndarray:
+    """Distributed Lloyd. Init = k deterministic quantile points along
+    the first principal coordinate proxy (per-dim quantiles) — fixed,
+    no RNG, so any partitioning converges identically."""
+    from tanml_ray.kernels.tdigest import TDigest
+
+    # init: per-dim quantiles at (i+0.5)/k
+    digs = [TDigest() for _ in cols]
+
+    def q_partial(batch: pa.Table) -> pa.Table:
+        import pickle
+
+        rows = []
+        for i, c in enumerate(cols):
+            t = TDigest()
+            t.update(batch.column(c).to_numpy(zero_copy_only=False).astype(np.float64))
+            rows.append({"dim": i, "state": pickle.dumps(t.to_state())})
+        return pa.Table.from_pylist(rows)
+
+    import pickle
+
+    for r in collect_pylist(ds.map_batches(q_partial, batch_format="pyarrow")):
+        digs[r["dim"]].merge(TDigest.from_state(pickle.loads(r["state"])))
+    centers = np.array([[d.quantile((i + 0.5) / k) for d in digs]
+                        for i in range(k)])
+
+    for _ in range(max_iter):
+        import ray
+
+        cref = ray.put(centers)
+
+        def assign_partial(batch: pa.Table) -> pa.Table:
+            import ray as _ray
+
+            C = _ray.get(cref)
+            X = _matrix(batch, cols)
+            d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            lab = d.argmin(axis=1)
+            rows = []
+            for j in range(len(C)):
+                m = lab == j
+                if m.any():
+                    rows.append({"cluster": j, "n": int(m.sum()),
+                                 "sums": X[m].sum(axis=0).tolist()})
+            return pa.Table.from_pylist(rows) if rows else pa.table(
+                {"cluster": pa.array([], type=pa.int64()),
+                 "n": pa.array([], type=pa.int64()),
+                 "sums": pa.array([], type=pa.list_(pa.float64()))})
+
+        agg: dict[int, tuple[int, np.ndarray]] = {}
+        for r in collect_pylist(ds.map_batches(assign_partial, batch_format="pyarrow")):
+            n0, s0 = agg.get(r["cluster"], (0, np.zeros(len(cols))))
+            agg[r["cluster"]] = (n0 + r["n"], s0 + np.asarray(r["sums"]))
+        new_centers = centers.copy()
+        for j, (n, s) in agg.items():
+            if n:
+                new_centers[j] = s / n
+        shift = float(np.abs(new_centers - centers).max())
+        centers = new_centers
+        if shift < tol:
+            break
+    return centers
+
+
+def cluster_coverage(ds, cols: list[str], centers: np.ndarray,
+                     threshold: float) -> pa.Table:
+    """Broadcast-predict coverage (reference clustering.py:95-142):
+    per-cluster counts + out-of-distribution flags (dist > threshold)."""
+    import ray
+
+    cref = ray.put((np.asarray(centers, dtype=np.float64), float(threshold)))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        C, thr = _ray.get(cref)
+        X = _matrix(batch, cols)
+        d = np.sqrt(((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2))
+        lab = d.argmin(axis=1)
+        mind = d.min(axis=1)
+        rows = []
+        for j in range(len(C)):
+            m = lab == j
+            if m.any():
+                rows.append({"cluster": int(j), "n": int(m.sum()),
+                             "n_ood": int((mind[m] > thr).sum())})
+        return pa.Table.from_pylist(rows) if rows else pa.table(
+            {"cluster": pa.array([], type=pa.int64()),
+             "n": pa.array([], type=pa.int64()),
+             "n_ood": pa.array([], type=pa.int64())})
+
+    agg: dict[int, list[int]] = {}
+    for r in collect_pylist(ds.map_batches(partial, batch_format="pyarrow")):
+        a = agg.setdefault(r["cluster"], [0, 0])
+        a[0] += r["n"]
+        a[1] += r["n_ood"]
+    rows = [{"cluster": j, "n": a[0], "n_ood": a[1]} for j, a in sorted(agg.items())]
+    return pa.Table.from_pylist(rows)
+
+
+# ---------------------------------------------------------------------------
+# VIF from the Gram matrix (exact partials, driver-side linear algebra)
+# ---------------------------------------------------------------------------
+
+def vif(ds, cols: list[str]) -> dict[str, float]:
+    """VIF_j = 1/(1−R²_j) where R²_j regresses col j on the others —
+    all solvable from X'X partials (reference correlation.py:80-160;
+    flag ≥ 5 is the caller's threshold)."""
+    def partial(batch: pa.Table) -> pa.Table:
+        X = _matrix(batch, cols)
+        X = np.column_stack([np.ones(len(X)), X])   # intercept
+        g = X.T @ X
+        return pa.Table.from_pylist([{"gram": g.ravel().tolist(), "n": len(X)}])
+
+    p = len(cols) + 1
+    G = np.zeros((p, p))
+    for r in collect_pylist(ds.map_batches(partial, batch_format="pyarrow")):
+        G += np.asarray(r["gram"]).reshape(p, p)
+
+    out = {}
+    for j, c in enumerate(cols, start=1):
+        idx = [i for i in range(p) if i != j]
+        Gxx = G[np.ix_(idx, idx)]
+        Gxy = G[np.ix_(idx, [j])]
+        yy = G[j, j]
+        n = G[0, 0]
+        ybar = G[0, j] / n
+        try:
+            beta = np.linalg.solve(Gxx, Gxy)
+            ss_res = float(yy - (beta.T @ Gxy))
+            ss_tot = float(yy - n * ybar * ybar)
+            r2 = 1 - ss_res / ss_tot if ss_tot > 0 else 0.0
+            out[c] = float("inf") if r2 >= 1.0 else 1.0 / (1.0 - r2)
+        except np.linalg.LinAlgError:
+            out[c] = float("inf")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Perturbation stress test (deterministic row selection by key modulo)
+# ---------------------------------------------------------------------------
+
+def stress_test_regression(ds, key_col: str, y_col: str, pred_fn,
+                           epsilons: tuple[float, ...] = (0.1, -0.1),
+                           mod: int = 5) -> pa.Table:
+    """Reference stress_test.py:107-206 semantics with a deterministic
+    perturbed-row set (key % mod == 0, ≈1/mod of rows) instead of a
+    seeded RNG — retry-safe and SQL-verifiable. pred_fn(y_perturbed,
+    keys) → predictions; metric = RMSE vs the unperturbed y."""
+    from tanml_ray.pipelines.metrics import regression_metrics
+
+    rows = []
+    base = None
+    for eps in (0.0,) + tuple(epsilons):
+        def perturb(batch: pa.Table, e=eps) -> pa.Table:
+            y = batch.column(y_col).to_numpy(zero_copy_only=False).astype(np.float64)
+            k = batch.column(key_col).to_numpy(zero_copy_only=False)
+            feat = np.where(k % mod == 0, y * (1.0 + e), y)
+            return pa.table({"y": pa.array(y, type=pa.float64()),
+                             "pred": pa.array(pred_fn(feat, k), type=pa.float64())})
+
+        m = regression_metrics(ds.map_batches(perturb, batch_format="pyarrow"),
+                               "y", "pred", exact_median=False)
+        if eps == 0.0:
+            base = m["rmse"]
+        rows.append({"feature": y_col, "perturbation": eps,
+                     "rmse": m["rmse"], "delta": m["rmse"] - base})
+    return pa.Table.from_pylist(rows)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic split + per-group sampling + imputation
+# ---------------------------------------------------------------------------
+
+def hash_split_counts(ds, key_col: str, value_col: str,
+                      train_buckets: int = 8, total_buckets: int = 10) -> pa.Table:
+    """K4 train/test split, deterministic by key modulo (retry-safe:
+    the same row always lands in the same split under any partitioning)."""
+    def partial(batch: pa.Table) -> pa.Table:
+        k = batch.column(key_col).to_numpy(zero_copy_only=False)
+        v = batch.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        is_train = (k % total_buckets) < train_buckets
+        v_u = np.rint(v * 100).astype(np.int64)
+        return pa.Table.from_pylist([
+            {"split": "train", "n": int(is_train.sum()),
+             "sum_c": int(v_u[is_train].sum())},
+            {"split": "test", "n": int((~is_train).sum()),
+             "sum_c": int(v_u[~is_train].sum())},
+        ])
+
+    tot: dict[str, list[int]] = {"train": [0, 0], "test": [0, 0]}
+    for r in collect_pylist(ds.map_batches(partial, batch_format="pyarrow")):
+        tot[r["split"]][0] += r["n"]
+        tot[r["split"]][1] += r["sum_c"]
+    return pa.Table.from_pylist([
+        {"split": s, "n": v[0], "sum_value": v[1] / 100.0}
+        for s, v in sorted(tot.items())])
+
+
+def first_n_per_group(ds, group_col: str, id_col: str, n: int) -> pa.Table:
+    """Per-group head-n by id order (stratified-sample building block,
+    K4): groupby + map_groups."""
+    import pandas as pd
+
+    def head(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(id_col).head(n)
+
+    out = ds.groupby(group_col).map_groups(head, batch_format="pandas")
+    rows = sorted(collect_pylist(out), key=lambda r: (r[group_col], r[id_col]))
+    return pa.Table.from_pylist(rows)
+
+
+def mean_impute_stats(ds, key_col: str, value_col: str, mod: int = 97,
+                      scale: int = 1) -> pa.Table:
+    """M5 two-phase mean imputation with a deterministic synthetic null
+    mask (key % mod == 0): phase 1 exact global mean of kept values
+    (integer units), phase 2 fill and report. Returns one row:
+    (n_imputed, fill_value, sum_after)."""
+    def partial(batch: pa.Table) -> pa.Table:
+        k = batch.column(key_col).to_numpy(zero_copy_only=False)
+        v = batch.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        nullmask = (k % mod) == 0
+        u = np.rint(v * scale).astype(np.int64)
+        return pa.Table.from_pylist([{
+            "n_null": int(nullmask.sum()), "n_kept": int((~nullmask).sum()),
+            "sum_kept": int(u[~nullmask].sum())}])
+
+    n_null = n_kept = sum_kept = 0
+    for r in collect_pylist(ds.map_batches(partial, batch_format="pyarrow")):
+        n_null += r["n_null"]
+        n_kept += r["n_kept"]
+        sum_kept += r["sum_kept"]
+    fill = float(sum_kept) / scale / n_kept
+    sum_after = float(sum_kept) / scale + fill * n_null
+    return pa.Table.from_pylist([{
+        "n_imputed": n_null,
+        "fill_value": float(np.round(fill, 6)),
+        "sum_after": float(np.round(sum_after, 4)),
+    }])
+
+
+def mode_impute_value(ds, key_col: str, value_col: str, mod: int = 89) -> pa.Table:
+    """M7 most-frequent imputation: mode of kept values (deterministic
+    tie-break by value), count of imputed rows."""
+    import pandas as pd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        k = batch.column(key_col).to_numpy(zero_copy_only=False)
+        keep = ~((k % mod) == 0)
+        vals = np.asarray(batch.column(value_col).to_pylist(), dtype=object)[keep]
+        s = pd.Series(vals).value_counts()
+        return pa.Table.from_pylist(
+            [{"value": str(v), "n": int(c)} for v, c in s.items()]
+            + [{"value": None, "n": int((~keep).sum())}])
+
+    counts: dict[str, int] = {}
+    n_null = 0
+    for r in collect_pylist(ds.map_batches(partial, batch_format="pyarrow")):
+        if r["value"] is None:
+            n_null += r["n"]
+        else:
+            counts[r["value"]] = counts.get(r["value"], 0) + r["n"]
+    mode = max(sorted(counts), key=lambda v: counts[v])
+    return pa.Table.from_pylist([{"fill_value": mode, "n_imputed": n_null}])

@@ -749,3 +749,286 @@ def simhash_near_dup_documents(sf_dir: str) -> pa.Table:
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return simhash_near_dups(ds, max_hamming=3)
+
+
+# ---------------------------------------------------------------------------
+# A15/A16: model evaluation metrics (pipelines/metrics.py) over a
+# deterministic closed-form scorer so the SQL oracle can reproduce the
+# exact same predictions: score = sigmoid((9131 − order_day)/365),
+# label = (o_orderstatus = 'F'). AUC is the exact Mann-Whitney midrank
+# statistic on both sides.
+# ---------------------------------------------------------------------------
+
+def _scored_orders(sf_dir: str):
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus", "o_orderdate",
+                                  "o_totalprice"])
+
+    def score(batch: pa.Table) -> pa.Table:
+        days = (batch.column("o_orderdate").cast(pa.int64()).to_numpy(zero_copy_only=False)
+                // 86_400_000_000)
+        x = (9131 - days) / 365.0
+        s = 1.0 / (1.0 + np.exp(-x))
+        y = pc.cast(pc.equal(batch.column("o_orderstatus"), "F"), pa.int64())
+        return pa.table({"o_orderkey": batch.column("o_orderkey"),
+                         "label": y, "score": pa.array(s, type=pa.float64()),
+                         "o_totalprice": batch.column("o_totalprice")})
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+def classification_metrics_orders(sf_dir: str) -> pa.Table:
+    from tanml_ray.pipelines.metrics import classification_metrics
+
+    m = classification_metrics(_scored_orders(sf_dir), "label", "score")
+    row = {k: (_round6(v) if isinstance(v, float) else v) for k, v in m.items()}
+    return pa.Table.from_pylist([row])
+
+
+CLASSIFICATION_METRICS_SQL = """
+WITH scored AS (
+  SELECT CAST(o_orderstatus = 'F' AS BIGINT) AS y,
+         1.0 / (1.0 + exp(-((9131 - datediff('day', DATE '1970-01-01',
+                                             CAST(o_orderdate AS DATE))) / 365.0))) AS s
+  FROM orders
+), conf AS (
+  SELECT count(*) AS n,
+         sum(CASE WHEN s >= 0.5 AND y = 1 THEN 1 ELSE 0 END) AS tp,
+         sum(CASE WHEN s >= 0.5 AND y = 0 THEN 1 ELSE 0 END) AS fp,
+         sum(CASE WHEN s < 0.5 AND y = 0 THEN 1 ELSE 0 END) AS tn,
+         sum(CASE WHEN s < 0.5 AND y = 1 THEN 1 ELSE 0 END) AS fn,
+         avg((s - y) * (s - y)) AS brier,
+         avg(-(y * ln(greatest(least(s, 1 - 1e-15), 1e-15))
+               + (1 - y) * ln(1 - greatest(least(s, 1 - 1e-15), 1e-15)))) AS log_loss
+  FROM scored
+), ranked AS (
+  SELECT y, avg(rn) OVER (PARTITION BY s) AS midrank
+  FROM (SELECT y, s, row_number() OVER (ORDER BY s) AS rn FROM scored)
+), auc_t AS (
+  SELECT (sum(CASE WHEN y = 1 THEN midrank ELSE 0 END)
+          - (sum(y) * (sum(y) + 1)) / 2.0)
+         / (sum(y) * (count(*) - sum(y))) AS auc
+  FROM ranked
+)
+SELECT n,
+       round(CAST(tp + tn AS DOUBLE) / n, 6) AS accuracy,
+       round(CAST(tp AS DOUBLE) / (tp + fp), 6) AS precision,
+       round(CAST(tp AS DOUBLE) / (tp + fn), 6) AS recall,
+       round(2.0 * (CAST(tp AS DOUBLE) / (tp + fp)) * (CAST(tp AS DOUBLE) / (tp + fn))
+             / (CAST(tp AS DOUBLE) / (tp + fp) + CAST(tp AS DOUBLE) / (tp + fn)), 6) AS f1,
+       round((CAST(tp AS DOUBLE) / (tp + fn) + CAST(tn AS DOUBLE) / (tn + fp)) / 2, 6)
+           AS balanced_accuracy,
+       round((CAST(tp AS DOUBLE) * tn - CAST(fp AS DOUBLE) * fn)
+             / sqrt(CAST(tp + fp AS DOUBLE) * (tp + fn) * (tn + fp) * (tn + fn)), 6) AS mcc,
+       round(brier, 6) AS brier,
+       round(log_loss, 6) AS log_loss,
+       round((SELECT auc FROM auc_t), 6) AS roc_auc,
+       round(2 * (SELECT auc FROM auc_t) - 1, 6) AS gini
+FROM conf
+"""
+
+
+def regression_metrics_orders(sf_dir: str) -> pa.Table:
+    from tanml_ray.pipelines.metrics import regression_metrics
+
+    ds = _scored_orders(sf_dir)
+
+    def pred(batch: pa.Table) -> pa.Table:
+        y = batch.column("o_totalprice").to_numpy(zero_copy_only=False)
+        k = batch.column("o_orderkey").to_numpy(zero_copy_only=False)
+        p = y * 0.9 + ((k % 1000) - 500.0)
+        return pa.table({"y": pa.array(y, type=pa.float64()),
+                         "pred": pa.array(p, type=pa.float64())})
+
+    m = regression_metrics(ds.map_batches(pred, batch_format="pyarrow"), "y", "pred")
+    row = {k: (_round6(v) if isinstance(v, float) else v) for k, v in m.items()}
+    return pa.Table.from_pylist([row])
+
+
+REGRESSION_METRICS_SQL = """
+WITH p AS (
+  SELECT o_totalprice AS y,
+         o_totalprice * 0.9 + ((o_orderkey % 1000) - 500.0) AS pred
+  FROM orders
+)
+SELECT count(*) AS n,
+       round(sqrt(avg((pred - y) * (pred - y))), 6) AS rmse,
+       round(avg(abs(pred - y)), 6) AS mae,
+       round(median(abs(pred - y)), 6) AS median_ae,
+       round(1 - sum((pred - y) * (pred - y))
+                 / (sum(y * y) - sum(y) * sum(y) / count(*)), 6) AS r2
+FROM p
+"""
+
+
+# ---------------------------------------------------------------------------
+# ML-ops operators (pipelines/mlops.py): coverage, stress, VIF, split,
+# sampling, imputation — each with a full SQL oracle.
+# ---------------------------------------------------------------------------
+
+# fixed reference centers for the coverage oracle (config constants, so
+# the static SQL can reproduce the broadcast-predict map exactly)
+_COVERAGE_CENTERS = [[10.0, 0.02, 0.02], [25.0, 0.05, 0.04],
+                     [40.0, 0.08, 0.06], [50.0, 0.10, 0.08]]
+_COVERAGE_THRESHOLD = 12.0
+_COVERAGE_COLS = ["l_quantity", "l_discount", "l_tax"]
+
+
+def cluster_coverage_lineitem(sf_dir: str) -> pa.Table:
+    from tanml_ray.pipelines.mlops import cluster_coverage
+
+    ds = _read(sf_dir, "lineitem", _COVERAGE_COLS)
+    return cluster_coverage(ds, _COVERAGE_COLS, np.asarray(_COVERAGE_CENTERS),
+                            _COVERAGE_THRESHOLD)
+
+
+def _coverage_sql() -> str:
+    dists = []
+    for c in _COVERAGE_CENTERS:
+        dists.append(f"sqrt((l_quantity - {c[0]})*(l_quantity - {c[0]})"
+                     f" + (l_discount - {c[1]})*(l_discount - {c[1]})"
+                     f" + (l_tax - {c[2]})*(l_tax - {c[2]}))")
+    d_cols = ", ".join(f"{d} AS d{i}" for i, d in enumerate(dists))
+    least = "least(d0, d1, d2, d3)"
+    argmin = ("CASE " + " ".join(
+        f"WHEN d{i} = {least} THEN {i}" for i in range(4)) + " END")
+    return f"""
+WITH d AS (SELECT {d_cols} FROM lineitem),
+     a AS (SELECT {argmin} AS cluster, {least} AS mind FROM d)
+SELECT cluster, count(*) AS n,
+       CAST(sum(CASE WHEN mind > {_COVERAGE_THRESHOLD} THEN 1 ELSE 0 END) AS BIGINT) AS n_ood
+FROM a GROUP BY cluster ORDER BY cluster
+"""
+
+
+def stress_test_orders(sf_dir: str) -> pa.Table:
+    from tanml_ray.pipelines.mlops import stress_test_regression
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def pred_fn(feat, keys):
+        return feat * 0.9 + ((keys % 1000) - 500.0)
+
+    out = stress_test_regression(ds, "o_orderkey", "o_totalprice", pred_fn,
+                                 epsilons=(0.1, -0.1), mod=5)
+    rows = [{"feature": r["feature"], "perturbation": r["perturbation"],
+             "rmse": _round6(r["rmse"]), "delta": _round6(r["delta"])}
+            for r in out.to_pylist()]
+    return pa.Table.from_pylist(rows)
+
+
+STRESS_SQL = """
+WITH eps(e) AS (VALUES (0.0), (0.1), (-0.1)),
+     scored AS (
+       SELECT e.e,
+              o_totalprice AS y,
+              (CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * (1.0 + e.e)
+                    ELSE o_totalprice END) * 0.9
+              + ((o_orderkey % 1000) - 500.0) AS pred
+       FROM orders CROSS JOIN eps e
+     ),
+     m AS (SELECT e, sqrt(avg((pred - y) * (pred - y))) AS rmse
+           FROM scored GROUP BY e)
+SELECT 'o_totalprice' AS feature, e AS perturbation,
+       round(rmse, 6) AS rmse,
+       round(rmse - (SELECT rmse FROM m WHERE e = 0.0), 6) AS delta
+FROM m ORDER BY CASE WHEN e = 0.0 THEN 0 WHEN e = 0.1 THEN 1 ELSE 2 END
+"""
+
+
+def vif_lineitem(sf_dir: str) -> pa.Table:
+    from tanml_ray.pipelines.mlops import vif
+
+    cols = ["l_quantity", "l_discount", "l_tax"]
+    out = vif(_read(sf_dir, "lineitem", cols), cols)
+    return pa.Table.from_pylist(
+        [{"col": c, "vif": _round6(v)} for c, v in sorted(out.items())])
+
+
+VIF_SQL = """
+WITH c AS (
+  SELECT corr(l_quantity, l_discount) AS r_qd,
+         corr(l_quantity, l_tax) AS r_qt,
+         corr(l_discount, l_tax) AS r_dt
+  FROM lineitem
+)
+SELECT col, round(vif, 6) AS vif FROM (
+  SELECT 'l_quantity' AS col,
+         1.0 / (1.0 - (r_qd*r_qd + r_qt*r_qt - 2*r_qd*r_qt*r_dt) / (1.0 - r_dt*r_dt)) AS vif
+  FROM c
+  UNION ALL
+  SELECT 'l_discount',
+         1.0 / (1.0 - (r_qd*r_qd + r_dt*r_dt - 2*r_qd*r_dt*r_qt) / (1.0 - r_qt*r_qt))
+  FROM c
+  UNION ALL
+  SELECT 'l_tax',
+         1.0 / (1.0 - (r_qt*r_qt + r_dt*r_dt - 2*r_qt*r_dt*r_qd) / (1.0 - r_qd*r_qd))
+  FROM c
+) ORDER BY col
+"""
+
+
+def hash_split_orders(sf_dir: str) -> pa.Table:
+    from tanml_ray.pipelines.mlops import hash_split_counts
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    return hash_split_counts(ds, "o_orderkey", "o_totalprice")
+
+
+HASH_SPLIT_SQL = """
+SELECT CASE WHEN o_orderkey % 10 < 8 THEN 'train' ELSE 'test' END AS split,
+       count(*) AS n,
+       sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS sum_value
+FROM orders GROUP BY 1 ORDER BY 1
+"""
+
+
+def first3_per_lang_documents(sf_dir: str) -> pa.Table:
+    from tanml_ray.pipelines.mlops import first_n_per_group
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+    return first_n_per_group(ds, "lang", "doc_id", 3)
+
+
+FIRST3_SQL = """
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+  FROM documents
+) WHERE rn <= 3 ORDER BY lang, doc_id
+"""
+
+
+def mean_impute_quantity(sf_dir: str) -> pa.Table:
+    from tanml_ray.pipelines.mlops import mean_impute_stats
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+    return mean_impute_stats(ds, "l_orderkey", "l_quantity", mod=97, scale=1)
+
+
+MEAN_IMPUTE_SQL = """
+WITH m AS (
+  SELECT CAST(sum(CASE WHEN l_orderkey % 97 <> 0
+                       THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS DOUBLE)
+         / sum(CASE WHEN l_orderkey % 97 <> 0 THEN 1 ELSE 0 END) AS fill,
+         CAST(sum(CASE WHEN l_orderkey % 97 <> 0
+                       THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS DOUBLE) AS sum_kept,
+         CAST(sum(CASE WHEN l_orderkey % 97 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_null
+  FROM lineitem
+)
+SELECT n_null AS n_imputed, round(fill, 6) AS fill_value,
+       round(sum_kept + fill * n_null, 4) AS sum_after
+FROM m
+"""
+
+
+def mode_impute_orderpriority(sf_dir: str) -> pa.Table:
+    from tanml_ray.pipelines.mlops import mode_impute_value
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    return mode_impute_value(ds, "o_orderkey", "o_orderpriority", mod=89)
+
+
+MODE_IMPUTE_SQL = """
+WITH kept AS (SELECT o_orderpriority v FROM orders WHERE o_orderkey % 89 <> 0)
+SELECT (SELECT v FROM kept GROUP BY v ORDER BY count(*) DESC, v LIMIT 1) AS fill_value,
+       (SELECT CAST(count(*) AS BIGINT) FROM orders WHERE o_orderkey % 89 = 0) AS n_imputed
+"""

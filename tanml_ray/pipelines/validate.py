@@ -40,7 +40,7 @@ from tanml_ray.stages.constraints import (
 from tanml_ray.stages.profile import make_profile_partials, merge_profile_partials
 
 MIXED_SCHEMA = pa.schema([
-    ("kind", pa.string()),            # violation | status | partial
+    ("kind", pa.string()),            # violation | status | partial | uhash
     ("partition_id", pa.string()),
     ("constraint_id", pa.string()),
     ("url", pa.string()),
@@ -50,7 +50,10 @@ MIXED_SCHEMA = pa.schema([
     ("elapsed_us", pa.int64()),
     ("column", pa.string()),
     ("state", pa.binary()),
+    ("bucket", pa.int32()),           # uhash rows: url-hash bucket
 ])
+
+N_URL_BUCKETS = 64
 
 
 def _mixed(kind: str, n: int, **cols) -> pa.Table:
@@ -72,10 +75,12 @@ class ValidateBatch:
 
     def __init__(self, constraints: list[RowConstraint] | None = None,
                  profile_columns: list[str] | None = None,
-                 text_len_col: str | None = "text"):
+                 text_len_col: str | None = "text",
+                 uniqueness: bool = True):
         self.constraints = constraints if constraints is not None else default_pages_constraints()
         self.profile_columns = profile_columns or ["url", "warc_ts", "text", "lang"]
         self.text_len_col = text_len_col
+        self.uniqueness = uniqueness
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         t0 = time.perf_counter()
@@ -134,6 +139,29 @@ class ValidateBatch:
                               partition_id=[str(uniq_paths[0])] * partials.num_rows,
                               column=partials.column("column").combine_chunks(),
                               state=partials.column("state").combine_chunks()))
+
+        # uniqueness(url) partials: pack this batch's url-hashes into
+        # per-bucket blobs (the downstream shuffle then moves only
+        # O(buckets × blocks) rows of columnar bytes, never urls)
+        if self.uniqueness:
+            import pandas as pd
+
+            urls = batch.column("url").to_numpy(zero_copy_only=False).astype(object)
+            h = pd.util.hash_array(urls, categorize=False)
+            bucket = (h % np.uint64(N_URL_BUCKETS)).astype(np.int32)
+            order = np.argsort(bucket, kind="stable")
+            hb, bb = h[order], bucket[order]
+            bounds = np.searchsorted(bb, np.arange(N_URL_BUCKETS + 1))
+            rows_b, rows_blob = [], []
+            for b in range(N_URL_BUCKETS):
+                lo, hi = bounds[b], bounds[b + 1]
+                if hi > lo:
+                    rows_b.append(b)
+                    rows_blob.append(hb[lo:hi].tobytes())
+            if rows_b:
+                out.append(_mixed("uhash", len(rows_b),
+                                  bucket=pa.array(rows_b, type=pa.int32()),
+                                  state=pa.array(rows_blob, type=pa.binary())))
         return pa.concat_tables(out) if out else _mixed("status", 0)
 
 
@@ -149,17 +177,22 @@ class ValidationReport:
 
 def run_pages_validation(source, out_dir: str | None = None,
                          constraints: list[RowConstraint] | None = None,
-                         check_uniqueness: bool = True) -> ValidationReport:
+                         check_uniqueness: bool = True,
+                         override_num_blocks: int | None = None) -> ValidationReport:
     """source: parquet path/dir (preferred — gives real partitions) or an
-    existing ray.data.Dataset of pages."""
+    existing ray.data.Dataset of pages. override_num_blocks caps the
+    task count (one block per input file is usually right — Ray's
+    default sub-file splitting multiplies scheduling overhead)."""
     import ray.data as rd
 
     if isinstance(source, str):
-        ds = rd.read_parquet(source, include_paths=True)
+        ds = rd.read_parquet(source, include_paths=True,
+                             override_num_blocks=override_num_blocks)
     else:
         ds = source
 
-    mixed = ds.map_batches(ValidateBatch(constraints=constraints),
+    mixed = ds.map_batches(ValidateBatch(constraints=constraints,
+                                         uniqueness=check_uniqueness),
                            batch_format="pyarrow").materialize()
 
     def _only(kind):
@@ -170,18 +203,80 @@ def run_pages_validation(source, out_dir: str | None = None,
     violations = _only("violation").select_columns(
         ["partition_id", "constraint_id", "url", "offending_value"])
 
-    # -- per-partition × constraint status (small: partitions × constraints)
-    from ray.data.aggregate import Max, Sum
+    # -- status + profile: one driver-side pass over the (small) non-
+    # violation, non-uhash rows — a distributed groupby at this size
+    # would be pure scheduling overhead (O(blocks × constraints) rows).
+    status_agg: dict[tuple, list[int]] = {}
+    merged_profiles = None
+    import pickle
 
-    status_ds = (_only("status")
-                 .select_columns(["partition_id", "constraint_id", "rows",
-                                  "violations", "elapsed_us"])
-                 .groupby(["partition_id", "constraint_id"])
-                 .aggregate(Sum("rows", alias_name="rows"),
-                            Sum("violations", alias_name="violations"),
-                            Max("elapsed_us", alias_name="elapsed_us")))
+    from tanml_ray.kernels.accumulators import ColumnProfileAcc
+
+    def _pre_merge(t: pa.Table) -> pa.Table:
+        """Tree-merge round: collapse one block's status/partial rows so
+        the driver merge is O(pre-merge tasks), not O(input blocks)."""
+        import pickle as _pickle
+
+        from tanml_ray.kernels.accumulators import ColumnProfileAcc as _Acc
+
+        st: dict[tuple, list[int]] = {}
+        pr: dict[str, object] = {}
+        first_pid = "all"
+        for r in t.to_pylist():
+            if r["kind"] == "status":
+                first_pid = r["partition_id"]
+                a = st.setdefault((r["partition_id"], r["constraint_id"]), [0, 0, 0])
+                a[0] += r["rows"]
+                a[1] += r["violations"]
+                a[2] = max(a[2], r["elapsed_us"])
+            elif r["kind"] == "partial":
+                acc = _Acc.from_state(_pickle.loads(r["state"]))
+                if r["column"] in pr:
+                    pr[r["column"]].merge(acc)
+                else:
+                    pr[r["column"]] = acc
+        out = []
+        if st:
+            keys = sorted(st)
+            out.append(_mixed("status", len(keys),
+                              partition_id=[k[0] for k in keys],
+                              constraint_id=[k[1] for k in keys],
+                              rows=[st[k][0] for k in keys],
+                              violations=[st[k][1] for k in keys],
+                              elapsed_us=[st[k][2] for k in keys]))
+        if pr:
+            cols = sorted(pr)
+            out.append(_mixed("partial", len(cols),
+                              partition_id=[first_pid] * len(cols),
+                              column=cols,
+                              state=[_pickle.dumps(pr[c].to_state()) for c in cols]))
+        return pa.concat_tables(out) if out else _mixed("status", 0)
+
+    small = (mixed.map_batches(
+        lambda t: t.filter(pc.is_in(t.column("kind"),
+                                    value_set=pa.array(["status", "partial"]))),
+        batch_format="pyarrow")
+        .repartition(8)
+        .map_batches(_pre_merge, batch_format="pyarrow", batch_size=None))
+    merged_profiles = {}
+    for t in small.iter_batches(batch_size=8192, batch_format="pyarrow"):
+        for r in t.to_pylist():
+            if r["kind"] == "status":
+                a = status_agg.setdefault((r["partition_id"], r["constraint_id"]),
+                                          [0, 0, 0])
+                a[0] += r["rows"]
+                a[1] += r["violations"]
+                a[2] = max(a[2], r["elapsed_us"])
+            else:
+                acc = ColumnProfileAcc.from_state(pickle.loads(r["state"]))
+                if r["column"] in merged_profiles:
+                    merged_profiles[r["column"]].merge(acc)
+                else:
+                    merged_profiles[r["column"]] = acc
     status = pa.Table.from_pylist(
-        collect_pylist(status_ds),
+        [{"partition_id": k[0], "constraint_id": k[1],
+          "rows": v[0], "violations": v[1], "elapsed_us": v[2]}
+         for k, v in sorted(status_agg.items())],
         schema=pa.schema([("partition_id", pa.string()),
                           ("constraint_id", pa.string()),
                           ("rows", pa.int64()), ("violations", pa.int64()),
@@ -189,55 +284,68 @@ def run_pages_validation(source, out_dir: str | None = None,
     status = status.append_column(
         "status", pc.if_else(pc.greater(status.column("violations"), 0),
                              pa.scalar("fail"), pa.scalar("pass")))
-
-    # -- profile artifact
-    merged = merge_profile_partials(
-        _only("partial").select_columns(["column", "state"])
-        .iter_batches(batch_size=4096, batch_format="pyarrow"))
-    profile = {name: acc.finalize() for name, acc in merged.items()}
+    profile = {name: acc.finalize() for name, acc in merged_profiles.items()}
 
     # -- uniqueness(url): the one shuffle (SURVEY.md §7.5 item 7).
-    # Shuffle 64-bit url HASHES, not strings: per-batch local counts on
-    # the hash (pre-dedup combiner), int groupby-sum, filter n>1, then
-    # resolve the (tiny) duplicate hash set back to url strings with a
-    # broadcast-filter pass. Sorting ints moves ~10× less data than
-    # sorting urls and the hot shuffle never carries strings.
+    # Stage 1 already packed per-batch url-hash blobs keyed by bucket;
+    # the exchange moves O(buckets × blocks) rows of columnar bytes
+    # (never url strings), and per-bucket dup detection is one
+    # np.unique over the concatenated blobs.
     dup_urls = None
     dup_count = 0
     if check_uniqueness:
         import pandas as pd
 
-        def local_hash_counts(t: pa.Table) -> pa.Table:
-            urls = t.column("url").to_numpy(zero_copy_only=False).astype(object)
-            h = pd.util.hash_array(urls, categorize=False).astype(np.int64)
+        # Size-adaptive merge (like broadcast-vs-shuffle join selection):
+        # hash blobs are 8 B/url. Below the threshold one driver-side
+        # np.unique is faster than any shuffle; above it (≳10^8 urls)
+        # the per-bucket distributed groupby takes over. Both paths are
+        # exact and partitioning-independent.
+        DRIVER_UNIQUE_BYTES = 512 << 20
+        uhash = _only("uhash").select_columns(["bucket", "state"]).materialize()
+        total_bytes = uhash.size_bytes()
+        if total_bytes <= DRIVER_UNIQUE_BYTES:
+            blobs = [r["state"] for r in collect_pylist(uhash)]
+            h = np.frombuffer(b"".join(blobs), dtype=np.uint64)
             uniq, counts = np.unique(h, return_counts=True)
-            return pa.table({"h": uniq, "n": counts.astype(np.int64)})
+            dupm = counts > 1
+            dup_hash_rows = [{"h": int(x), "n": int(n)} for x, n in
+                             zip(uniq[dupm].astype(np.int64), counts[dupm])]
+        else:
+            def find_dups(g: pd.DataFrame) -> pd.DataFrame:
+                hh = np.frombuffer(b"".join(g["state"]), dtype=np.uint64)
+                u, c = np.unique(hh, return_counts=True)
+                d = c > 1
+                return pd.DataFrame({"h": u[d].astype(np.int64),
+                                     "n": c[d].astype(np.int64)})
 
-        hash_partials = ds.select_columns(["url"]).map_batches(
-            local_hash_counts, batch_format="pyarrow")
-        dup_hashes_ds = (hash_partials.groupby("h")
-                         .aggregate(Sum("n", alias_name="n"))
-                         .map_batches(lambda t: t.filter(pc.greater(t.column("n"), 1)),
-                                      batch_format="pyarrow"))
-        dup_hash_rows = collect_pylist(dup_hashes_ds)
+            dup_hash_rows = collect_pylist(
+                uhash.groupby("bucket").map_groups(find_dups,
+                                                   batch_format="pandas"))
         dup_n_by_hash = {r["h"]: r["n"] for r in dup_hash_rows}
         dup_count = len(dup_n_by_hash)
         if dup_count:
             import ray as _ray
 
-            dup_ref = _ray.put(set(dup_n_by_hash))
+            dup_ref = _ray.put(np.sort(np.fromiter(dup_n_by_hash, dtype=np.int64)))
 
             def resolve_urls(t: pa.Table) -> pa.Table:
-                dup_set = _ray.get(dup_ref)
+                dup_sorted = _ray.get(dup_ref)
                 urls = t.column("url").to_numpy(zero_copy_only=False).astype(object)
                 h = pd.util.hash_array(urls, categorize=False).astype(np.int64)
-                mask = np.isin(h, np.fromiter(dup_set, dtype=np.int64))
+                pos = np.searchsorted(dup_sorted, h)
+                pos[pos == len(dup_sorted)] = 0
+                mask = dup_sorted[pos] == h
                 return pa.table({"url": pa.array(urls[mask].tolist(), type=pa.string()),
                                  "h": h[mask]})
 
+            # column-pruned re-read: only urls leave storage
+            if isinstance(source, str):
+                resolve_src = rd.read_parquet(source, columns=["url"])
+            else:
+                resolve_src = ds.select_columns(["url"])
             resolved = collect_pylist(
-                ds.select_columns(["url"]).map_batches(resolve_urls,
-                                                       batch_format="pyarrow"))
+                resolve_src.map_batches(resolve_urls, batch_format="pyarrow"))
             by_hash: dict[int, str] = {}
             for r in resolved:
                 by_hash.setdefault(r["h"], r["url"])
