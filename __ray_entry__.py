@@ -81,6 +81,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "first3_per_lang_documents": q.first3_per_lang_documents,
         "mean_impute_quantity": q.mean_impute_quantity,
         "mode_impute_orderpriority": q.mode_impute_orderpriority,
+        "feature_ranking_lineitem": q.feature_ranking_lineitem,
+        "linear_cv_orders": q.linear_cv_orders,
     }
 
 
@@ -124,6 +126,8 @@ def oracle_sql() -> dict[str, str]:
         "first3_per_lang_documents": q.FIRST3_SQL,
         "mean_impute_quantity": q.MEAN_IMPUTE_SQL,
         "mode_impute_orderpriority": q.MODE_IMPUTE_SQL,
+        "feature_ranking_lineitem": q.RANKING_SQL,
+        "linear_cv_orders": q.LINEAR_CV_SQL,
         # langid / lsh-knn / minhash / simhash: not SQL-expressible →
         # rows-only driver check; verified in pytest instead.
     }

@@ -38,30 +38,26 @@ def _matrix(batch: pa.Table, cols: list[str]) -> np.ndarray:
 
 def kmeans_fit(ds, cols: list[str], k: int, max_iter: int = 20,
                tol: float = 1e-6) -> np.ndarray:
-    """Distributed Lloyd. Init = k deterministic quantile points along
-    the first principal coordinate proxy (per-dim quantiles) — fixed,
-    no RNG, so any partitioning converges identically."""
-    from tanml_ray.kernels.tdigest import TDigest
-
-    # init: per-dim quantiles at (i+0.5)/k
-    digs = [TDigest() for _ in cols]
-
-    def q_partial(batch: pa.Table) -> pa.Table:
-        import pickle
-
+    """Distributed Lloyd. Init = k points spaced evenly along the
+    per-dim [min, max] diagonal — computed from EXACT mergeable min/max
+    partials, so any partitioning starts from identical centers and
+    converges identically (no RNG, retry-safe)."""
+    def mm_partial(batch: pa.Table) -> pa.Table:
         rows = []
         for i, c in enumerate(cols):
-            t = TDigest()
-            t.update(batch.column(c).to_numpy(zero_copy_only=False).astype(np.float64))
-            rows.append({"dim": i, "state": pickle.dumps(t.to_state())})
+            x = batch.column(c).to_numpy(zero_copy_only=False).astype(np.float64)
+            x = x[np.isfinite(x)]
+            if x.size:
+                rows.append({"dim": i, "vmin": float(x.min()), "vmax": float(x.max())})
         return pa.Table.from_pylist(rows)
 
-    import pickle
-
-    for r in collect_pylist(ds.map_batches(q_partial, batch_format="pyarrow")):
-        digs[r["dim"]].merge(TDigest.from_state(pickle.loads(r["state"])))
-    centers = np.array([[d.quantile((i + 0.5) / k) for d in digs]
-                        for i in range(k)])
+    vmin = np.full(len(cols), np.inf)
+    vmax = np.full(len(cols), -np.inf)
+    for r in collect_pylist(ds.map_batches(mm_partial, batch_format="pyarrow")):
+        vmin[r["dim"]] = min(vmin[r["dim"]], r["vmin"])
+        vmax[r["dim"]] = max(vmax[r["dim"]], r["vmax"])
+    fracs = (np.arange(k) + 0.5) / k
+    centers = vmin[None, :] + fracs[:, None] * (vmax - vmin)[None, :]
 
     for _ in range(max_iter):
         import ray

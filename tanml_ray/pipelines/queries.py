@@ -1032,3 +1032,89 @@ WITH kept AS (SELECT o_orderpriority v FROM orders WHERE o_orderkey % 89 <> 0)
 SELECT (SELECT v FROM kept GROUP BY v ORDER BY count(*) DESC, v LIMIT 1) AS fill_value,
        (SELECT CAST(count(*) AS BIGINT) FROM orders WHERE o_orderkey % 89 = 0) AS n_imputed
 """
+
+
+# ---------------------------------------------------------------------------
+# A19-A21: feature ranking power scores (pipelines/ranking.py) and the
+# one-pass closed-form K-fold CV of a univariate linear model.
+# ---------------------------------------------------------------------------
+
+def feature_ranking_lineitem(sf_dir: str) -> pa.Table:
+    from tanml_ray.pipelines.ranking import feature_ranking
+
+    cols = ["l_quantity", "l_discount", "l_tax"]
+    ds = _read(sf_dir, "lineitem", cols + ["l_extendedprice"])
+    out = feature_ranking(ds, cols, "l_extendedprice")
+    rows = [{"feature": r["feature"], "r": _round6(r["r"]),
+             "abs_r": _round6(r["abs_r"]), "power": _round6(r["power"]),
+             "pseudo_iv": _round6(r["pseudo_iv"]),
+             "pseudo_gini": _round6(r["pseudo_gini"])}
+            for r in out.to_pylist()]
+    return pa.Table.from_pylist(rows)
+
+
+RANKING_SQL = """
+WITH r AS (
+  SELECT 'l_quantity' AS feature, corr(l_quantity, l_extendedprice) AS r FROM lineitem
+  UNION ALL SELECT 'l_discount', corr(l_discount, l_extendedprice) FROM lineitem
+  UNION ALL SELECT 'l_tax', corr(l_tax, l_extendedprice) FROM lineitem
+), m AS (SELECT max(abs(r)) AS mx FROM r)
+SELECT feature, round(r, 6) AS r, round(abs(r), 6) AS abs_r,
+       round(100.0 * abs(r) / mx, 6) AS power,
+       round(abs(r) / mx * 0.5, 6) AS pseudo_iv,
+       round(abs(r) / mx * 0.8, 6) AS pseudo_gini
+FROM r, m ORDER BY power DESC
+"""
+
+
+def linear_cv_orders(sf_dir: str) -> pa.Table:
+    from tanml_ray.pipelines.ranking import linear_cv
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_totalprice"])
+
+    def derive(batch: pa.Table) -> pa.Table:
+        days = (batch.column("o_orderdate").cast(pa.int64())
+                .to_numpy(zero_copy_only=False) // 86_400_000_000)
+        return pa.table({"o_orderkey": batch.column("o_orderkey"),
+                         "x": pa.array(days.astype(np.float64), type=pa.float64()),
+                         "y": batch.column("o_totalprice")})
+
+    out = linear_cv(ds.map_batches(derive, batch_format="pyarrow"),
+                    "x", "y", "o_orderkey", k=5)
+    rows = [{"fold": r["fold"], "n_test": r["n_test"],
+             "rmse": float(np.round(r["rmse"], 2)), "r2": _round6(r["r2"])}
+            for r in out.to_pylist()]
+    return pa.Table.from_pylist(rows)
+
+
+LINEAR_CV_SQL = """
+WITH p AS (
+  SELECT o_orderkey % 5 AS fold,
+         CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS DOUBLE) AS x,
+         o_totalprice AS y
+  FROM orders
+), fs AS (
+  SELECT fold, CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x*y) AS sxy, sum(x*x) AS sxx, sum(y*y) AS syy
+  FROM p GROUP BY fold
+), tot AS (
+  SELECT sum(n) AS n, sum(sx) AS sx, sum(sy) AS sy, sum(sxy) AS sxy,
+         sum(sxx) AS sxx, sum(syy) AS syy
+  FROM fs
+), fit AS (
+  SELECT f.fold, f.n AS n_te, f.sx AS sx_te, f.sy AS sy_te, f.sxy AS sxy_te,
+         f.sxx AS sxx_te, f.syy AS syy_te,
+         ((t.n - f.n) * (t.sxy - f.sxy) - (t.sx - f.sx) * (t.sy - f.sy))
+         / ((t.n - f.n) * (t.sxx - f.sxx) - (t.sx - f.sx) * (t.sx - f.sx)) AS b,
+         ((t.sy - f.sy) - ((t.n - f.n) * (t.sxy - f.sxy) - (t.sx - f.sx) * (t.sy - f.sy))
+          / ((t.n - f.n) * (t.sxx - f.sxx) - (t.sx - f.sx) * (t.sx - f.sx)) * (t.sx - f.sx))
+         / (t.n - f.n) AS a
+  FROM fs f, tot t
+)
+SELECT CAST(fold AS BIGINT) AS fold, CAST(n_te AS BIGINT) AS n_test,
+       round(sqrt(greatest(syy_te + n_te*a*a + b*b*sxx_te - 2*a*sy_te
+                           - 2*b*sxy_te + 2*a*b*sx_te, 0) / n_te), 2) AS rmse,
+       round(1 - (syy_te + n_te*a*a + b*b*sxx_te - 2*a*sy_te - 2*b*sxy_te
+                  + 2*a*b*sx_te) / (syy_te - sy_te*sy_te / n_te), 6) AS r2
+FROM fit ORDER BY fold
+"""

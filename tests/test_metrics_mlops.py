@@ -1,0 +1,158 @@
+"""Metrics + mlops operator tests vs sklearn-free numpy oracles."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _ds_from(tbl: pa.Table, parts: int = 4):
+    import ray.data as rd
+
+    return rd.from_arrow(tbl).repartition(parts)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestClassificationMetrics:
+    def _make(self, n=5000, seed=3):
+        rng = np.random.default_rng(seed)
+        y = (rng.random(n) < 0.4).astype(np.int64)
+        score = np.clip(0.3 * y + 0.4 * rng.random(n) + 0.15, 0.001, 0.999)
+        return pa.table({"label": y, "score": score}), y, score
+
+    def test_matches_numpy_oracle(self):
+        from tanml_ray.pipelines.metrics import classification_metrics
+
+        tbl, y, s = self._make()
+        m = classification_metrics(_ds_from(tbl), "label", "score")
+        pred = (s >= 0.5).astype(int)
+        tp = int(((pred == 1) & (y == 1)).sum())
+        fp = int(((pred == 1) & (y == 0)).sum())
+        fn = int(((pred == 0) & (y == 1)).sum())
+        assert m["accuracy"] == pytest.approx((pred == y).mean(), rel=1e-12)
+        assert m["precision"] == pytest.approx(tp / (tp + fp), rel=1e-12)
+        assert m["recall"] == pytest.approx(tp / (tp + fn), rel=1e-12)
+        assert m["brier"] == pytest.approx(((s - y) ** 2).mean(), rel=1e-9)
+        eps = 1e-15
+        sc = np.clip(s, eps, 1 - eps)
+        ll = -(y * np.log(sc) + (1 - y) * np.log(1 - sc)).mean()
+        assert m["log_loss"] == pytest.approx(ll, rel=1e-9)
+
+    def test_auc_exact_matches_oracle(self):
+        from tanml_ray.pipelines.metrics import auc_exact
+
+        tbl, y, s = self._make()
+        auc = auc_exact(_ds_from(tbl), "label", "score")
+        # numpy midrank AUC oracle
+        order = np.argsort(s)
+        ranks = np.empty(len(s), dtype=np.float64)
+        ranks[order] = np.arange(1, len(s) + 1)
+        # average ranks over ties
+        import pandas as pd
+
+        r = pd.Series(s).rank(method="average").to_numpy()
+        n1, n0 = int(y.sum()), int((1 - y).sum())
+        expect = (r[y == 1].sum() - n1 * (n1 + 1) / 2) / (n1 * n0)
+        assert auc == pytest.approx(expect, rel=1e-12)
+
+    def test_auc_with_heavy_ties(self):
+        from tanml_ray.pipelines.metrics import auc_exact
+
+        rng = np.random.default_rng(1)
+        y = (rng.random(2000) < 0.5).astype(np.int64)
+        s = np.round(rng.random(2000), 1)  # only 11 distinct scores
+        import pandas as pd
+
+        r = pd.Series(s).rank(method="average").to_numpy()
+        n1, n0 = int(y.sum()), int((1 - y).sum())
+        expect = (r[y == 1].sum() - n1 * (n1 + 1) / 2) / (n1 * n0)
+        auc = auc_exact(_ds_from(pa.table({"label": y, "score": s})),
+                        "label", "score")
+        assert auc == pytest.approx(expect, rel=1e-12)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestRegressionMetrics:
+    def test_matches_numpy(self):
+        from tanml_ray.pipelines.metrics import regression_metrics
+
+        rng = np.random.default_rng(5)
+        y = rng.normal(100, 20, 3000)
+        p = y + rng.normal(0, 5, 3000)
+        m = regression_metrics(_ds_from(pa.table({"y": y, "pred": p})), "y", "pred")
+        err = p - y
+        assert m["rmse"] == pytest.approx(np.sqrt((err ** 2).mean()), rel=1e-9)
+        assert m["mae"] == pytest.approx(np.abs(err).mean(), rel=1e-9)
+        assert m["median_ae"] == pytest.approx(np.median(np.abs(err)), rel=1e-12)
+        ss_res = (err ** 2).sum()
+        ss_tot = ((y - y.mean()) ** 2).sum()
+        assert m["r2"] == pytest.approx(1 - ss_res / ss_tot, rel=1e-9)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestTaskInference:
+    def test_reference_cases(self):
+        """models/registry.py:528-558 semantics."""
+        from tanml_ray.pipelines.metrics import infer_task_type
+
+        binary = pa.table({"t": [0.0, 1.0] * 50})
+        assert infer_task_type(_ds_from(binary, 2), "t") == "classification"
+        cont = pa.table({"t": np.random.default_rng(0).normal(0, 1, 100)})
+        assert infer_task_type(_ds_from(cont, 2), "t") == "regression"
+        many_int = pa.table({"t": np.arange(100).astype(np.float64)})
+        assert infer_task_type(_ds_from(many_int, 2), "t") == "regression"
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestKMeans:
+    def test_fit_recovers_clusters(self):
+        from tanml_ray.pipelines.mlops import cluster_coverage, kmeans_fit
+
+        rng = np.random.default_rng(42)
+        centers_true = np.array([[0.0, 0.0], [10.0, 10.0], [0.0, 10.0]])
+        X = np.vstack([c + rng.normal(0, 0.5, (200, 2)) for c in centers_true])
+        tbl = pa.table({"x": X[:, 0], "y": X[:, 1]})
+        centers = kmeans_fit(_ds_from(tbl), ["x", "y"], k=3)
+        # each true center has a fitted center within 0.5
+        for c in centers_true:
+            assert np.min(np.linalg.norm(centers - c, axis=1)) < 0.5
+
+        cov = cluster_coverage(_ds_from(tbl), ["x", "y"], centers, threshold=3.0)
+        counts = {r["cluster"]: r["n"] for r in cov.to_pylist()}
+        assert sum(counts.values()) == 600
+        assert sum(r["n_ood"] for r in cov.to_pylist()) == 0
+
+    def test_fit_partition_invariant(self):
+        from tanml_ray.pipelines.mlops import kmeans_fit
+
+        rng = np.random.default_rng(7)
+        X = rng.normal(0, 1, (500, 3))
+        tbl = pa.table({"a": X[:, 0], "b": X[:, 1], "c": X[:, 2]})
+        c1 = kmeans_fit(_ds_from(tbl, 1), ["a", "b", "c"], k=4, max_iter=5)
+        c8 = kmeans_fit(_ds_from(tbl, 8), ["a", "b", "c"], k=4, max_iter=5)
+        np.testing.assert_allclose(c1, c8, rtol=1e-9)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestVIF:
+    def test_collinear_is_huge(self):
+        """Reference test: b = 2a → VIF → inf (tests/test_analysis_metrics.py:46-83)."""
+        from tanml_ray.pipelines.mlops import vif
+
+        rng = np.random.default_rng(11)
+        a = rng.normal(0, 1, 1000)
+        tbl = pa.table({"a": a, "b": 2 * a, "c": rng.normal(0, 1, 1000)})
+        out = vif(_ds_from(tbl), ["a", "b", "c"])
+        assert out["a"] > 1000 or out["a"] == float("inf")
+        assert out["b"] > 1000 or out["b"] == float("inf")
+        assert out["c"] < 5
+
+    def test_independent_near_one(self):
+        from tanml_ray.pipelines.mlops import vif
+
+        rng = np.random.default_rng(12)
+        tbl = pa.table({c: rng.normal(0, 1, 2000) for c in ("a", "b", "c")})
+        out = vif(_ds_from(tbl), ["a", "b", "c"])
+        for v in out.values():
+            assert 1.0 <= v < 1.1
