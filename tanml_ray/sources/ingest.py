@@ -1,0 +1,73 @@
+"""Ingestion / normalization pipelines (SURVEY §2.1 S1-S11).
+
+The reference reads ~12 formats into pandas and converts uploads
+CSV→Parquet once (/root/reference/tanml/utils/data_loader.py:9-31,
+tanml/ui/services/data.py:17-33). The engine is Parquet-first; these
+readers normalize other formats INTO partitioned parquet as a
+streaming Ray Data job, preserving the reference's loader semantics:
+
+  - UCI NA tokens ("?", "NA", "", "NULL", "null", "N/A", "na")
+    treated as null (data_loader.py:59-94)
+  - low-cardinality string columns (<50% unique) dictionary-encoded
+    on write (data_loader.py:24-29 category cast)
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+NA_TOKENS = ["?", "NA", "", "NULL", "null", "N/A", "na"]
+
+
+def read_csv_normalized(paths, delimiter: str = ",", **kwargs):
+    """ray.data CSV reader with the reference's null-token handling."""
+    from pyarrow import csv as pacsv
+
+    import ray.data as rd
+
+    return rd.read_csv(
+        paths,
+        parse_options=pacsv.ParseOptions(delimiter=delimiter),
+        convert_options=pacsv.ConvertOptions(
+            null_values=NA_TOKENS, strings_can_be_null=True),
+        **kwargs)
+
+
+def dictionary_encode_low_cardinality(batch: pa.Table,
+                                      max_unique_frac: float = 0.5) -> pa.Table:
+    """Per-batch analog of the category cast (exact semantics need a
+    global distinct count; the reference itself decides per-DataFrame —
+    here per block, which at 10^12 rows is the only bounded option)."""
+    cols = []
+    for name in batch.column_names:
+        col = batch.column(name)
+        if pa.types.is_string(col.type) and batch.num_rows:
+            n_unique = len(pc.unique(col))
+            if n_unique / batch.num_rows < max_unique_frac:
+                col = pc.dictionary_encode(col.combine_chunks())
+        cols.append(col)
+    return pa.Table.from_arrays(cols, names=batch.column_names)
+
+
+def ingest_csv_to_parquet(csv_paths, out_dir: str, num_files: int = 8,
+                          delimiter: str = ",") -> str:
+    """The S11 normalization job: read_csv → normalize → write_parquet."""
+    ds = read_csv_normalized(csv_paths, delimiter=delimiter)
+    ds = ds.map_batches(dictionary_encode_low_cardinality, batch_format="pyarrow")
+    ds.repartition(num_files).write_parquet(out_dir)
+    return out_dir
+
+
+def read_json_table(paths, **kwargs):
+    import ray.data as rd
+
+    return rd.read_json(paths, **kwargs)
+
+
+def from_pandas_table(df):
+    """S8-style driver-side loads (Excel/SAS/SPSS via pandas readers,
+    non-goal at scale) → Dataset."""
+    import ray.data as rd
+
+    return rd.from_pandas(df)

@@ -1,0 +1,123 @@
+"""Multimodal actor-pool stages, CSV ingestion, schema alignment."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from tanml_ray.stages.multimodal import (
+    AudioFeatureStage,
+    ImageResizeStage,
+    VideoFrameSampleStage,
+    decode_fake_image,
+    encode_fake_audio,
+    encode_fake_image,
+    encode_fake_video,
+)
+
+
+def _rng():
+    return np.random.default_rng(42)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestMultimodal:
+    def _image_ds(self, n=40):
+        import ray.data as rd
+
+        rng = _rng()
+        rows = []
+        for i in range(n):
+            px = (rng.integers(0, 256, (64, 48))).astype(np.uint8)
+            rows.append({"id": i, "image": encode_fake_image(px)})
+        rows.append({"id": n, "image": None})
+        return rd.from_arrow(pa.Table.from_pylist(rows)).repartition(4)
+
+    def test_image_resize_actor_pool(self):
+        ds = self._image_ds()
+        out = ds.map_batches(ImageResizeStage(16, 16), batch_format="pyarrow",
+                             batch_size=8, concurrency=2)
+        rows = out.take_all()
+        assert len(rows) == 41
+        ok = [r for r in rows if r["resized"] is not None]
+        assert len(ok) == 40
+        for r in ok[:5]:
+            img = np.frombuffer(r["resized"], dtype=np.uint8).reshape(16, 16)
+            assert img.shape == (16, 16)
+            assert 0 <= r["mean_pixel"] <= 255
+        assert rows[-1]["resized"] is None or any(r["resized"] is None for r in rows)
+
+    def test_real_codec_raises_cleanly(self):
+        with pytest.raises(NotImplementedError, match="Pillow"):
+            ImageResizeStage(use_real_codec=True)
+
+    def test_image_roundtrip(self):
+        px = _rng().integers(0, 256, (10, 7)).astype(np.uint8)
+        np.testing.assert_array_equal(decode_fake_image(encode_fake_image(px)), px)
+
+    def test_audio_features(self):
+        import ray.data as rd
+
+        rng = _rng()
+        rows = [{"id": i, "audio": encode_fake_audio(
+            (rng.normal(0, 1000, 16000 * 2)).astype(np.int16))} for i in range(10)]
+        ds = rd.from_arrow(pa.Table.from_pylist(rows))
+        out = ds.map_batches(AudioFeatureStage(frame=1024), batch_format="pyarrow",
+                             batch_size=4, concurrency=2).take_all()
+        assert len(out) == 10
+        for r in out:
+            assert r["duration_sec"] == pytest.approx(2.0)
+            assert len(r["frame_energy"]) == 16000 * 2 // 1024
+
+    def test_video_frame_sampling_flatmap(self):
+        import ray.data as rd
+
+        rng = _rng()
+        frames = rng.integers(0, 256, (12, 8, 8)).astype(np.uint8)
+        rows = [{"id": 1, "video": encode_fake_video(frames)},
+                {"id": 2, "video": None}]
+        ds = rd.from_arrow(pa.Table.from_pylist(rows))
+        out = ds.map_batches(VideoFrameSampleStage(every_k=5),
+                             batch_format="pyarrow").take_all()
+        assert [(r["id"], r["frame_no"]) for r in out] == [(1, 0), (1, 5), (1, 10)]
+        img = decode_fake_image(out[0]["image"])
+        np.testing.assert_array_equal(img, frames[0])
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestIngestion:
+    def test_csv_roundtrip_with_na_tokens(self, tmp_path):
+        from tanml_ray.sources.ingest import ingest_csv_to_parquet
+
+        csv = tmp_path / "in.csv"
+        csv.write_text("a,b,c\n1,x,0.5\n2,?,1.5\n3,NA,N/A\n4,y,2.5\n")
+        out = ingest_csv_to_parquet([str(csv)], str(tmp_path / "out"), num_files=2)
+        t = pq.read_table(out)
+        assert t.num_rows == 4
+        b = dict(zip(t.column("a").to_pylist(), t.column("b").to_pylist()))
+        assert b[2] is None and b[3] is None and b[1] == "x"
+        c = dict(zip(t.column("a").to_pylist(), t.column("c").to_pylist()))
+        assert c[3] is None and c[4] == 2.5
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSchemaAlign:
+    def test_align_and_violations(self):
+        import ray.data as rd
+
+        from tanml_ray.stages.schema_align import align_dataset, compare_schemas
+
+        target = pa.schema([("a", pa.float64()), ("b", pa.string())])
+        tbl = pa.table({"b": ["x", "y"], "a": [1, 2], "extra": [0, 0]})
+        ds = rd.from_arrow(tbl)
+        aligned, res = align_dataset(ds, target)
+        out = aligned.take_all()
+        assert list(out[0].keys()) == ["a", "b"]
+        assert isinstance(out[0]["a"], float)
+        assert res.extra_columns == ["extra"]
+        assert res.coerced_columns == ["a"]
+
+        missing = compare_schemas(target, pa.schema([("b", pa.string())]))
+        assert missing.missing_columns == ["a"] and not missing.ok
