@@ -83,6 +83,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mode_impute_orderpriority": q.mode_impute_orderpriority,
         "feature_ranking_lineitem": q.feature_ranking_lineitem,
         "linear_cv_orders": q.linear_cv_orders,
+        "validate_pages_status": q.validate_pages_status,
+        "drift_pages_report": q.drift_pages_report,
     }
 
 

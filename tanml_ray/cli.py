@@ -1,0 +1,93 @@
+"""Job-runner CLI — the `ray job submit` entrypoint (north_rule).
+
+    python -m tanml_ray.cli validate --input pages_dir --out out_dir \
+        [--wave-size 16] [--num-cpus N]
+    python -m tanml_ray.cli drift-baseline --input pages_dir --artifact b.pkl
+    python -m tanml_ray.cli drift --input pages_dir --artifact b.pkl
+
+On a real cluster:  ray job submit -- python -m tanml_ray.cli validate ...
+(the driver-side code is identical; ray.init() connects to the
+existing cluster via RAY_ADDRESS). Locally it starts a local session.
+Only this module owns ray.init/shutdown — library code never does.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _ensure_ray(num_cpus: int | None) -> None:
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = {"include_dashboard": False, "ignore_reinit_error": True,
+                  "logging_level": "ERROR"}
+        if num_cpus:
+            kwargs["num_cpus"] = num_cpus
+        ray.init(address=os.environ.get("RAY_ADDRESS", "local"), **kwargs)
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="tanml_ray")
+    p.add_argument("--num-cpus", type=int, default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    v = sub.add_parser("validate", help="resumable flagship validation")
+    v.add_argument("--input", required=True)
+    v.add_argument("--out", required=True)
+    v.add_argument("--wave-size", type=int, default=16)
+
+    b = sub.add_parser("drift-baseline", help="build drift baseline artifact")
+    b.add_argument("--input", required=True)
+    b.add_argument("--artifact", required=True)
+    b.add_argument("--value-col", default="text_len")
+    b.add_argument("--bucket", default="week")
+
+    d = sub.add_parser("drift", help="drift report vs baseline artifact")
+    d.add_argument("--input", required=True)
+    d.add_argument("--artifact", required=True)
+    d.add_argument("--report-out", default=None)
+
+    args = p.parse_args(argv)
+    _ensure_ray(args.num_cpus)
+    import ray
+
+    try:
+        if args.cmd == "validate":
+            from tanml_ray.state.checkpoint import run_resumable_validation
+
+            summary = run_resumable_validation(args.input, args.out,
+                                               wave_size=args.wave_size)
+            print(json.dumps(summary, default=str))
+        elif args.cmd == "drift-baseline":
+            import ray.data as rd
+
+            from tanml_ray.pipelines.drift import build_drift_baseline
+
+            ds = rd.read_parquet(args.input)
+            baseline = build_drift_baseline(ds, args.value_col, args.bucket)
+            baseline.save(args.artifact)
+            print(json.dumps({"groups": len(baseline.groups),
+                              "artifact": args.artifact}))
+        elif args.cmd == "drift":
+            import ray.data as rd
+
+            from tanml_ray.pipelines.drift import DriftBaseline, compute_drift
+
+            baseline = DriftBaseline.load(args.artifact)
+            table, summary = compute_drift(baseline, rd.read_parquet(args.input))
+            if args.report_out:
+                import pyarrow.parquet as pq
+
+                pq.write_table(table, args.report_out)
+            print(json.dumps(summary, default=str))
+    finally:
+        ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1118,3 +1118,44 @@ SELECT CAST(fold AS BIGINT) AS fold, CAST(n_te AS BIGINT) AS n_test,
                   + 2*a*b*sx_te) / (syy_te - sy_te*sy_te / n_te), 6) AS r2
 FROM fit ORDER BY fold
 """
+
+
+# ---------------------------------------------------------------------------
+# Flagship pages pipelines exposed as queries (rows-only driver checks —
+# the fixture derivation is hash-based and not SQL-expressible; full
+# oracle coverage lives in tests/test_validate.py / test_drift.py).
+# ---------------------------------------------------------------------------
+
+def _pages_dir_for(sf_dir: str, variant: str = "baseline") -> str:
+    from tanml_ray.sources.pages import synthesize_pages_parquet
+
+    tag = sf_dir.rstrip("/").split("/")[-1]
+    return synthesize_pages_parquet(sf_dir, f"/tmp/tanml_pages_{tag}_{variant}",
+                                    variant=variant)
+
+
+def validate_pages_status(sf_dir: str) -> pa.Table:
+    """Flagship validation per-(partition, constraint) status (without
+    the nondeterministic elapsed_us column)."""
+    from tanml_ray.pipelines.validate import run_pages_validation
+
+    rep = run_pages_validation(_pages_dir_for(sf_dir))
+    return rep.status.select(["partition_id", "constraint_id", "rows",
+                              "violations", "status"])
+
+
+def drift_pages_report(sf_dir: str) -> pa.Table:
+    """Grouped PSI/KS of the shifted current vs baseline, per
+    (lang, week) on text_len."""
+    from tanml_ray.pipelines.drift import build_drift_baseline, compute_drift
+    from tanml_ray.sources.pages import pages_dataset
+
+    baseline = build_drift_baseline(pages_dataset(sf_dir), "text_len", "week")
+    table, _ = compute_drift(baseline, pages_dataset(sf_dir, variant="current"))
+    rows = [{"lang": r["lang"], "bucket": r["bucket"],
+             "n_expected": r["n_expected"], "n_actual": r["n_actual"],
+             "psi": _round6(r["psi"]) if r["psi"] == r["psi"] else None,
+             "psi_level": r["psi_level"], "ks_level": r["ks_level"]}
+            for r in table.to_pylist()]
+    rows.sort(key=lambda r: (r["lang"], r["bucket"]))
+    return pa.Table.from_pylist(rows)
