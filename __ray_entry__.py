@@ -85,6 +85,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "linear_cv_orders": q.linear_cv_orders,
         "validate_pages_status": q.validate_pages_status,
         "drift_pages_report": q.drift_pages_report,
+        "salted_lang_counts": q.salted_lang_counts,
+        "user_sessions_events": q.user_sessions_events,
+        "high_corr_pairs_lineitem": q.high_corr_pairs_lineitem,
+        "spearman_sample_lineitem": q.spearman_sample_lineitem,
     }
 
 
@@ -130,6 +134,10 @@ def oracle_sql() -> dict[str, str]:
         "mode_impute_orderpriority": q.MODE_IMPUTE_SQL,
         "feature_ranking_lineitem": q.RANKING_SQL,
         "linear_cv_orders": q.LINEAR_CV_SQL,
+        "salted_lang_counts": q.SALTED_LANG_SQL,
+        "user_sessions_events": q.SESSIONS_SQL,
+        "high_corr_pairs_lineitem": q.HIGH_CORR_SQL,
+        "spearman_sample_lineitem": q.SPEARMAN_SQL,
         # langid / lsh-knn / minhash / simhash: not SQL-expressible →
         # rows-only driver check; verified in pytest instead.
     }

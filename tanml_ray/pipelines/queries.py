@@ -1159,3 +1159,129 @@ def drift_pages_report(sf_dir: str) -> pa.Table:
             for r in table.to_pylist()]
     rows.sort(key=lambda r: (r["lang"], r["bucket"]))
     return pa.Table.from_pylist(rows)
+
+
+# ---------------------------------------------------------------------------
+# Skew utilities + streaming-shaped ops + remaining correlation ops
+# ---------------------------------------------------------------------------
+
+def salted_lang_counts(sf_dir: str) -> pa.Table:
+    """Explicit two-stage salted groupby (stages/shuffle.py) — result
+    identical to a plain GROUP BY; the salt spreads hot keys (en≈44%)
+    over 16 reducers."""
+    from tanml_ray.stages.shuffle import salted_group_sum
+
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+
+    def one(batch: pa.Table) -> pa.Table:
+        return batch.append_column("one", pa.array([1] * batch.num_rows,
+                                                   type=pa.int64()))
+
+    agg = salted_group_sum(ds.map_batches(one, batch_format="pyarrow"),
+                           ["lang"], "one", salt_buckets=16)
+    rows = sorted(({"lang": r["lang"], "n": r["one"]} for r in collect_pylist(agg)),
+                  key=lambda r: r["lang"])
+    return pa.Table.from_pylist(rows)
+
+
+SALTED_LANG_SQL = "SELECT lang, count(*) AS n FROM documents GROUP BY lang ORDER BY lang"
+
+
+def user_sessions_events(sf_dir: str) -> pa.Table:
+    """Sessionization over the events stream (30-minute gap rule)."""
+    from tanml_ray.stages.shuffle import sessionize
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    out = sessionize(ds, "user_id", "ts", gap_minutes=30.0)
+    rows = sorted(collect_pylist(out),
+                  key=lambda r: (r["user"], r["session_id"]))
+    return pa.Table.from_pylist([
+        {"user": r["user"], "session_id": int(r["session_id"]),
+         "n_events": int(r["n_events"]), "start_us": int(r["start_us"]),
+         "end_us": int(r["end_us"])} for r in rows])
+
+
+SESSIONS_SQL = """
+WITH e AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), s AS (
+  SELECT user_id, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+  FROM e
+)
+SELECT user_id AS user, CAST(session_id AS BIGINT) AS session_id,
+       count(*) AS n_events,
+       CAST(epoch_us(min(ts)) AS BIGINT) AS start_us,
+       CAST(epoch_us(max(ts)) AS BIGINT) AS end_us
+FROM s GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def high_corr_pairs_lineitem(sf_dir: str) -> pa.Table:
+    """A12: pair mining sorted by |r| desc (reference threshold 0.8
+    applied at report time; emitting the full ranked triangle keeps the
+    oracle meaningful on weakly-correlated data)."""
+    base = pearson_corr_lineitem(sf_dir).to_pylist()
+    rows = sorted(base, key=lambda r: -abs(r["r"] if r["r"] is not None else 0.0))
+    return pa.Table.from_pylist([
+        {"col_x": r["col_x"], "col_y": r["col_y"], "r": r["r"],
+         "abs_r": _round6(abs(r["r"])),
+         "flag_high": bool(abs(r["r"]) >= 0.8)} for r in rows])
+
+
+HIGH_CORR_SQL = """
+WITH r AS (
+  SELECT 'l_quantity' AS col_x, 'l_extendedprice' AS col_y,
+         corr(l_quantity, l_extendedprice) AS r FROM lineitem
+  UNION ALL SELECT 'l_quantity', 'l_discount', corr(l_quantity, l_discount) FROM lineitem
+  UNION ALL SELECT 'l_quantity', 'l_tax', corr(l_quantity, l_tax) FROM lineitem
+  UNION ALL SELECT 'l_extendedprice', 'l_discount', corr(l_extendedprice, l_discount) FROM lineitem
+  UNION ALL SELECT 'l_extendedprice', 'l_tax', corr(l_extendedprice, l_tax) FROM lineitem
+  UNION ALL SELECT 'l_discount', 'l_tax', corr(l_discount, l_tax) FROM lineitem
+)
+SELECT col_x, col_y, round(r, 6) AS r, round(abs(r), 6) AS abs_r,
+       abs(r) >= 0.8 AS flag_high
+FROM r ORDER BY abs_r DESC
+"""
+
+
+def spearman_sample_lineitem(sf_dir: str) -> pa.Table:
+    """A11 Spearman on a bounded deterministic sample (l_orderkey ≤
+    4000) — the documented at-scale approach (SURVEY §2.5 A11: rank
+    shuffle is a non-goal; compute on bounded sample). Midranks for
+    ties, Pearson of the ranks."""
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity", "l_extendedprice"])
+
+    def pick(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.less_equal(batch.column("l_orderkey"), 4000))
+
+    sample = collect_pylist(ds.map_batches(pick, batch_format="pyarrow"))
+    df = pd.DataFrame(sample)
+    rq = df["l_quantity"].rank(method="average")
+    rp = df["l_extendedprice"].rank(method="average")
+    rho = float(np.corrcoef(rq, rp)[0, 1])
+    return pa.table({"n": pa.array([len(df)], type=pa.int64()),
+                     "spearman_rho": pa.array([_round6(rho)], type=pa.float64())})
+
+
+SPEARMAN_SQL = """
+WITH s AS (
+  SELECT l_quantity, l_extendedprice FROM lineitem WHERE l_orderkey <= 4000
+), ranked AS (
+  SELECT avg(rnq) OVER (PARTITION BY l_quantity) AS rq,
+         avg(rnp) OVER (PARTITION BY l_extendedprice) AS rp
+  FROM (SELECT l_quantity, l_extendedprice,
+               row_number() OVER (ORDER BY l_quantity) AS rnq,
+               row_number() OVER (ORDER BY l_extendedprice) AS rnp
+        FROM s)
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM s) AS n,
+       round(corr(rq, rp), 6) AS spearman_rho
+FROM ranked
+"""

@@ -1,0 +1,94 @@
+"""Skew-aware shuffle utilities (SURVEY §4.1 "Skew", north_star).
+
+Two tools for skewed group keys (lang='en' ≫ others, crawl bursts):
+
+1. `combiner_group_sum` — per-block partial aggregation before the
+   groupby: the shuffle moves one row per (block, key) instead of one
+   per input row. This is salting taken to its limit (every block is
+   its own salt) and is EXACT for associative aggregates. Default.
+
+2. `salted_group_sum` — classic explicit two-stage salting for when
+   the per-block combine cannot apply (e.g. the aggregate is computed
+   by the groupby itself): stage 1 groups by (key, salt=hash(row)%S)
+   spreading each hot key over S reducers, stage 2 merges the S
+   partials per key. Exact for associative aggregates; documented
+   partitioning assumption: none (salt is derived per row).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from tanml_ray.functions.collect import collect_pylist
+
+
+def combiner_group_sum(ds, key_cols: list[str], value_col: str):
+    """SUM(value) GROUP BY keys with per-block pre-aggregation.
+    Returns a Dataset of (keys..., value_col)."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({c: batch.column(c).to_pylist() for c in key_cols})
+        df[value_col] = batch.column(value_col).to_numpy(zero_copy_only=False)
+        return df.groupby(key_cols, as_index=False)[value_col].sum()
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(key_cols)
+            .aggregate(Sum(value_col, alias_name=value_col)))
+
+
+def salted_group_sum(ds, key_cols: list[str], value_col: str,
+                     salt_buckets: int = 16):
+    """Two-stage salted SUM(value) GROUP BY keys.
+
+    Stage 1 shuffle key = (keys..., __salt) — a hot key's rows spread
+    across `salt_buckets` reducers instead of one. Stage 2 is a tiny
+    groupby over S rows per key. Result identical to a direct groupby.
+    """
+    from ray.data.aggregate import Sum
+
+    def add_salt(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        # derive salt from a stable per-row hash so retries agree
+        basis = np.arange(n, dtype=np.uint64)
+        if key_cols:
+            basis = basis + pd.util.hash_array(
+                np.asarray(batch.column(key_cols[0]).to_pylist(), dtype=object))
+        salt = (basis % np.uint64(salt_buckets)).astype(np.int32)
+        return batch.append_column("__salt", pa.array(salt, type=pa.int32()))
+
+    stage1 = (ds.map_batches(add_salt, batch_format="pyarrow")
+              .groupby([*key_cols, "__salt"])
+              .aggregate(Sum(value_col, alias_name=value_col)))
+    stage2 = (stage1.groupby(key_cols)
+              .aggregate(Sum(value_col, alias_name=value_col)))
+    return stage2
+
+
+def sessionize(ds, user_col: str, ts_col: str, gap_minutes: float = 30.0):
+    """Stream-shaped sessionization (ray_guide 'Streaming-shaped
+    workloads'): partition by user, sort by ts within the group, split
+    sessions at gaps > gap_minutes. Returns (user, session_id,
+    n_events, start_ts, end_ts).
+
+    Ordering assumption: each user's events fit one group (true after
+    the groupby shuffle); within-group order is established by the
+    explicit sort inside the group function.
+    """
+    gap_us = int(gap_minutes * 60 * 1e6)
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(ts_col)
+        ts = g[ts_col].astype("datetime64[us]").astype(np.int64).to_numpy()
+        new_session = np.concatenate([[True], np.diff(ts) > gap_us])
+        sid = np.cumsum(new_session) - 1
+        out = (pd.DataFrame({"user": g[user_col].to_numpy(), "session_id": sid,
+                             "ts": ts})
+               .groupby(["user", "session_id"], as_index=False)
+               .agg(n_events=("ts", "size"), start_us=("ts", "min"),
+                    end_us=("ts", "max")))
+        return out
+
+    return ds.groupby(user_col).map_groups(per_user, batch_format="pandas")

@@ -1,0 +1,120 @@
+"""Property-based kernel tests (hypothesis): merge associativity /
+commutativity / split-invariance under arbitrary data and splits —
+the §4.1 'merge-order independence' contract, fuzzed."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from tanml_ray.kernels import FixedHistogram, HyperLogLog, NumericMoments, TDigest
+from tanml_ray.kernels.drift_math import psi_from_counts
+
+floats = st.floats(min_value=-1e6, max_value=1e6,
+                   allow_nan=False, allow_infinity=False)
+
+
+@settings(max_examples=40, deadline=None)
+@given(xs=st.lists(floats, min_size=2, max_size=300),
+       cut=st.integers(min_value=1, max_value=299))
+def test_moments_split_invariance(xs, cut):
+    x = np.asarray(xs)
+    cut = min(cut, len(x) - 1)
+    whole = NumericMoments()
+    whole.update(x)
+    a, b = NumericMoments(), NumericMoments()
+    a.update(x[:cut])
+    b.update(x[cut:])
+    a.merge(b)
+    assert a.n == whole.n
+    assert a.mean == pytest.approx(whole.mean, rel=1e-9, abs=1e-9)
+    assert a.m2 == pytest.approx(whole.m2, rel=1e-6, abs=1e-6)
+    assert a.vmin == whole.vmin and a.vmax == whole.vmax
+
+
+@settings(max_examples=40, deadline=None)
+@given(xs=st.lists(floats, min_size=1, max_size=300),
+       ys=st.lists(floats, min_size=1, max_size=300))
+def test_moments_commutative(xs, ys):
+    x, y = np.asarray(xs), np.asarray(ys)
+    a1, b1 = NumericMoments(), NumericMoments()
+    a1.update(x)
+    b1.update(y)
+    ab = NumericMoments.from_state(a1.to_state()).merge(b1)
+    ba = NumericMoments.from_state(b1.to_state()).merge(a1)
+    # commutative up to float roundoff (values may span ±1e6, so the
+    # achievable agreement is ~1e-10 relative of the magnitude)
+    assert ab.mean == pytest.approx(ba.mean, rel=1e-9, abs=1e-6)
+    assert ab.m2 == pytest.approx(ba.m2, rel=1e-6, abs=1e-3)
+
+
+@settings(max_examples=30, deadline=None)
+@given(xs=st.lists(st.floats(min_value=-100, max_value=100,
+                             allow_nan=False), min_size=1, max_size=500),
+       parts=st.integers(min_value=1, max_value=10))
+def test_histogram_exact_any_split(xs, parts):
+    x = np.asarray(xs)
+    edges = np.linspace(-100, 100, 21)
+    whole = FixedHistogram(edges=edges)
+    whole.update(x)
+    merged = FixedHistogram(edges=edges)
+    for chunk in np.array_split(x, parts):
+        p = FixedHistogram(edges=edges)
+        p.update(chunk)
+        merged.merge(p)
+    np.testing.assert_array_equal(merged.counts, whole.counts)
+    assert merged.below == whole.below and merged.above == whole.above
+
+
+@settings(max_examples=20, deadline=None)
+@given(vals=st.lists(st.integers(min_value=0, max_value=10**9),
+                     min_size=1, max_size=2000),
+       parts=st.integers(min_value=1, max_value=8))
+def test_hll_merge_equals_single(vals, parts):
+    x = np.asarray(vals, dtype=np.int64)
+    whole = HyperLogLog()
+    whole.update(x)
+    merged = HyperLogLog()
+    for chunk in np.array_split(x, parts):
+        p = HyperLogLog()
+        if len(chunk):
+            p.update(chunk)
+        merged.merge(p)
+    # register-max merge is exactly split-invariant
+    np.testing.assert_array_equal(merged.registers, whole.registers)
+
+
+@settings(max_examples=20, deadline=None)
+@given(xs=st.lists(st.floats(min_value=0, max_value=1000, allow_nan=False),
+                   min_size=10, max_size=1000),
+       parts=st.integers(min_value=2, max_value=8))
+def test_tdigest_quantiles_bounded_error(xs, parts):
+    x = np.asarray(xs)
+    merged = TDigest()
+    for chunk in np.array_split(x, parts):
+        p = TDigest()
+        p.update(chunk)
+        merged.merge(p)
+    lo, hi = x.min(), x.max()
+    for q in (0.25, 0.5, 0.75):
+        v = merged.quantile(q)
+        assert lo <= v <= hi
+        exact = np.quantile(x, q)
+        span = max(hi - lo, 1e-9)
+        assert abs(v - exact) <= 0.25 * span  # coarse but universal bound
+
+
+@settings(max_examples=40, deadline=None)
+@given(e=st.lists(st.integers(min_value=0, max_value=10**6), min_size=2,
+                  max_size=20),
+       a=st.lists(st.integers(min_value=0, max_value=10**6), min_size=2,
+                  max_size=20))
+def test_psi_nonnegative_and_zero_on_identical(e, a):
+    n = min(len(e), len(a))
+    e, a = np.asarray(e[:n], float), np.asarray(a[:n], float)
+    if e.sum() > 0:
+        assert psi_from_counts(e, e) == pytest.approx(0.0, abs=1e-12)
+    if e.sum() > 0 and a.sum() > 0:
+        assert psi_from_counts(e, a) >= -1e-12
