@@ -89,6 +89,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_sessions_events": q.user_sessions_events,
         "high_corr_pairs_lineitem": q.high_corr_pairs_lineitem,
         "spearman_sample_lineitem": q.spearman_sample_lineitem,
+        "ngram_jaccard_pairs_documents": q.ngram_jaccard_pairs_documents,
     }
 
 
@@ -138,6 +139,7 @@ def oracle_sql() -> dict[str, str]:
         "user_sessions_events": q.SESSIONS_SQL,
         "high_corr_pairs_lineitem": q.HIGH_CORR_SQL,
         "spearman_sample_lineitem": q.SPEARMAN_SQL,
+        "ngram_jaccard_pairs_documents": q.NGRAM_JACCARD_SQL,
         # langid / lsh-knn / minhash / simhash: not SQL-expressible →
         # rows-only driver check; verified in pytest instead.
     }

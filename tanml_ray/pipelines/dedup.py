@@ -206,15 +206,25 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
                          "jaccard": pa.array([], type=pa.float64())})
     cand_df = cand_df.drop_duplicates()
 
-    # signature prefilter (vectorized): est-J = mean matching minhashes
-    sig_map: dict[int, np.ndarray] = {}
+    # signature prefilter (fully vectorized): est-J = mean matching
+    # minhashes; signatures gathered as ONE matrix, pair lookups via
+    # searchsorted (no per-pair python)
+    all_ids: list[np.ndarray] = []
+    all_sigs: list[np.ndarray] = []
     for t in sigs.iter_batches(batch_size=8192, batch_format="pyarrow"):
-        for i, blob in zip(t.column("id").to_pylist(), t.column("sig").to_pylist()):
-            sig_map[i] = np.frombuffer(blob, dtype=np.uint64)
+        ids_arr = t.column("id").to_numpy(zero_copy_only=False)
+        blob = b"".join(t.column("sig").to_pylist())
+        all_ids.append(ids_arr)
+        all_sigs.append(np.frombuffer(blob, dtype=np.uint64)
+                        .reshape(len(ids_arr), num_perm))
+    id_vec = np.concatenate(all_ids)
+    sig_mat = np.vstack(all_sigs)
+    order = np.argsort(id_vec)
+    id_vec, sig_mat = id_vec[order], sig_mat[order]
     ids_a = cand_df["id_a"].to_numpy()
     ids_b = cand_df["id_b"].to_numpy()
-    sa = np.stack([sig_map[i] for i in ids_a])
-    sb = np.stack([sig_map[i] for i in ids_b])
+    sa = sig_mat[np.searchsorted(id_vec, ids_a)]
+    sb = sig_mat[np.searchsorted(id_vec, ids_b)]
     est = (sa == sb).mean(axis=1)
     keep = est >= max(threshold - 0.15, 0.0)
     survivors = sorted(zip(ids_a[keep].tolist(), ids_b[keep].tolist()))

@@ -1285,3 +1285,46 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM s) AS n,
        round(corr(rq, rp), 6) AS spearman_rho
 FROM ranked
 """
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram (word-set) Jaccard similarity with a full SQL oracle —
+# the verification kernel the MinHash pipeline approximates, checked
+# end-to-end on a bounded pair set (doc_id ≤ 60 cross pairs).
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs_documents(sf_dir: str) -> pa.Table:
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def pick(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.less_equal(batch.column("doc_id"), 60))
+
+    rows = collect_pylist(ds.map_batches(pick, batch_format="pyarrow"))
+    docs = {r["doc_id"]: set(r["text"].split(" ")) for r in rows}
+    ids = sorted(docs)
+    out = []
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(docs[a] & docs[b])
+            union = len(docs[a] | docs[b])
+            j = inter / union if union else 0.0
+            if j >= 0.5:
+                out.append({"id_a": a, "id_b": b, "jaccard": _round6(j)})
+    return pa.Table.from_pylist(out) if out else pa.table(
+        {"id_a": pa.array([], type=pa.int64()),
+         "id_b": pa.array([], type=pa.int64()),
+         "jaccard": pa.array([], type=pa.float64())})
+
+
+NGRAM_JACCARD_SQL = """
+WITH d AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS words
+  FROM documents WHERE doc_id <= 60
+), p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
+         / (len(a.words) + len(b.words) - len(list_intersect(a.words, b.words))) AS j
+  FROM d a JOIN d b ON a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, round(j, 6) AS jaccard FROM p WHERE j >= 0.5 ORDER BY id_a, id_b
+"""
