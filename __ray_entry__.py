@@ -90,6 +90,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "high_corr_pairs_lineitem": q.high_corr_pairs_lineitem,
         "spearman_sample_lineitem": q.spearman_sample_lineitem,
         "ngram_jaccard_pairs_documents": q.ngram_jaccard_pairs_documents,
+        "iqr_outliers_extendedprice": q.iqr_outliers_extendedprice,
+        "rolling_7day_events": q.rolling_7day_events,
     }
 
 
@@ -140,6 +142,8 @@ def oracle_sql() -> dict[str, str]:
         "high_corr_pairs_lineitem": q.HIGH_CORR_SQL,
         "spearman_sample_lineitem": q.SPEARMAN_SQL,
         "ngram_jaccard_pairs_documents": q.NGRAM_JACCARD_SQL,
+        "iqr_outliers_extendedprice": q.IQR_SQL,
+        "rolling_7day_events": q.ROLLING_SQL,
         # langid / lsh-knn / minhash / simhash: not SQL-expressible →
         # rows-only driver check; verified in pytest instead.
     }

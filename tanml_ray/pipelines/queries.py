@@ -1328,3 +1328,87 @@ WITH d AS (
 )
 SELECT id_a, id_b, round(j, 6) AS jaccard FROM p WHERE j >= 0.5 ORDER BY id_a, id_b
 """
+
+
+# ---------------------------------------------------------------------------
+# A5: exact IQR outlier bounds (stages/quantiles.py, distributed sort)
+# and windowed aggregates over the events stream.
+# ---------------------------------------------------------------------------
+
+def iqr_outliers_extendedprice(sf_dir: str) -> pa.Table:
+    from tanml_ray.stages.quantiles import iqr_outlier_summary
+
+    ds = _read(sf_dir, "lineitem", ["l_extendedprice"])
+    s = iqr_outlier_summary(ds, "l_extendedprice")
+    return pa.Table.from_pylist([{
+        "q1": _round6(s["q1"]), "q3": _round6(s["q3"]),
+        "iqr_lo": _round6(s["iqr_lo"]), "iqr_hi": _round6(s["iqr_hi"]),
+        "n": s["n"], "n_outliers": s["n_outliers"],
+        "outlier_pct": _round6(s["outlier_pct"]),
+    }])
+
+
+IQR_SQL = """
+WITH q AS (
+  SELECT quantile_cont(l_extendedprice, 0.25) AS q1,
+         quantile_cont(l_extendedprice, 0.75) AS q3
+  FROM lineitem
+)
+SELECT round(q1, 6) AS q1, round(q3, 6) AS q3,
+       round(q1 - 1.5 * (q3 - q1), 6) AS iqr_lo,
+       round(q3 + 1.5 * (q3 - q1), 6) AS iqr_hi,
+       (SELECT count(*) FROM lineitem) AS n,
+       (SELECT CAST(count(*) AS BIGINT) FROM lineitem, q
+        WHERE l_extendedprice < q1 - 1.5 * (q3 - q1)
+           OR l_extendedprice > q3 + 1.5 * (q3 - q1)) AS n_outliers,
+       round(100.0 * (SELECT count(*) FROM lineitem, q
+                      WHERE l_extendedprice < q1 - 1.5 * (q3 - q1)
+                         OR l_extendedprice > q3 + 1.5 * (q3 - q1))
+             / (SELECT count(*) FROM lineitem), 6) AS outlier_pct
+FROM q
+"""
+
+
+def rolling_7day_events(sf_dir: str) -> pa.Table:
+    """Sliding 7-day event-count window per event_type: daily counts
+    (combiner pattern) then a per-type pandas rolling sum inside
+    map_groups — the guide's 'windows as groupby(key).map_groups over
+    the sorted group' recipe."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+
+    def daily(batch: pa.Table) -> pd.DataFrame:
+        day = pc.floor_temporal(batch.column("ts"), unit="day")
+        df = pd.DataFrame({"day": day.to_numpy(zero_copy_only=False),
+                           "event_type": batch.column("event_type").to_pylist()})
+        return df.groupby(["day", "event_type"], as_index=False).size().rename(
+            columns={"size": "n"})
+
+    dailies = (ds.map_batches(daily, batch_format="pyarrow")
+               .groupby(["day", "event_type"])
+               .aggregate(Sum("n", alias_name="n")))
+
+    def roll(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("day").set_index("day")
+        g["n7"] = g["n"].rolling("7D").sum().astype(np.int64)
+        return g.reset_index()[["day", "event_type", "n", "n7"]]
+
+    out = dailies.groupby("event_type").map_groups(roll, batch_format="pandas")
+    rows = sorted(collect_pylist(out), key=lambda r: (r["event_type"], r["day"]))
+    return pa.Table.from_pylist([
+        {"day": pd.Timestamp(r["day"]), "event_type": r["event_type"],
+         "n": int(r["n"]), "n7": int(r["n7"])} for r in rows])
+
+
+ROLLING_SQL = """
+WITH d AS (
+  SELECT date_trunc('day', ts) AS day, event_type, count(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT day, event_type, n,
+       CAST(sum(n) OVER (PARTITION BY event_type ORDER BY day
+                         RANGE BETWEEN INTERVAL 6 DAY PRECEDING
+                               AND CURRENT ROW) AS BIGINT) AS n7
+FROM d ORDER BY event_type, day
+"""

@@ -74,4 +74,12 @@ def profile_dataset(ds, columns: list[str] | None = None,
         batch_format="pyarrow")
     merged = merge_profile_partials(
         partials.iter_batches(batch_size=4096, batch_format="pyarrow"))
+    if not merged and columns:
+        # empty input: still return a stable zero-profile per column
+        schema = ds.schema()
+        types = (dict(zip(schema.names, schema.types))
+                 if schema is not None else {})
+        for c in columns:
+            kind = (ColumnProfileAcc.kind_of(types[c]) if c in types else "other")
+            merged[c] = ColumnProfileAcc(c, kind)
     return {name: acc.finalize() for name, acc in merged.items()}
