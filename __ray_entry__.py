@@ -92,6 +92,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs_documents": q.ngram_jaccard_pairs_documents,
         "iqr_outliers_extendedprice": q.iqr_outliers_extendedprice,
         "rolling_7day_events": q.rolling_7day_events,
+        "roc_curve_orders": q.roc_curve_orders,
+        "stratified_fold_counts_orders": q.stratified_fold_counts_orders,
     }
 
 
@@ -144,6 +146,8 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_pairs_documents": q.NGRAM_JACCARD_SQL,
         "iqr_outliers_extendedprice": q.IQR_SQL,
         "rolling_7day_events": q.ROLLING_SQL,
+        "roc_curve_orders": q.ROC_CURVE_SQL,
+        "stratified_fold_counts_orders": q.STRATIFIED_SQL,
         # langid / lsh-knn / minhash / simhash: not SQL-expressible →
         # rows-only driver check; verified in pytest instead.
     }

@@ -297,3 +297,51 @@ def mode_impute_value(ds, key_col: str, value_col: str, mod: int = 89) -> pa.Tab
             counts[r["value"]] = counts.get(r["value"], 0) + r["n"]
     mode = max(sorted(counts), key=lambda v: counts[v])
     return pa.Table.from_pylist([{"fill_value": mode, "n_imputed": n_null}])
+
+
+# ---------------------------------------------------------------------------
+# Distributed univariate logistic regression via IRLS (the statsmodels
+# inference analog, reference ui/views/evaluation/tabs/inference.py:
+# 111-115 — odds ratios exp(coef)). Each Newton step is ONE map_batches
+# pass computing the weighted Gram/score sums; 6-8 passes converge.
+# ---------------------------------------------------------------------------
+
+def logistic_fit(ds, x_cols: list[str], y_col: str,
+                 max_iter: int = 8, tol: float = 1e-8) -> dict:
+    """Returns {coef: [...], intercept, odds_ratios, n_iter}."""
+    p = len(x_cols) + 1
+    beta = np.zeros(p)
+
+    for it in range(max_iter):
+        import ray
+
+        bref = ray.put(beta.copy())
+
+        def step_partial(batch: pa.Table) -> pa.Table:
+            import ray as _ray
+
+            b = _ray.get(bref)
+            X = np.column_stack([np.ones(batch.num_rows),
+                                 _matrix(batch, x_cols)])
+            y = batch.column(y_col).to_numpy(zero_copy_only=False).astype(np.float64)
+            eta = X @ b
+            mu = 1.0 / (1.0 + np.exp(-eta))
+            w = mu * (1 - mu)
+            XtWX = X.T @ (X * w[:, None])
+            Xtz = X.T @ (y - mu)
+            return pa.Table.from_pylist([{
+                "xtwx": XtWX.ravel().tolist(), "xtz": Xtz.tolist()}])
+
+        H = np.zeros((p, p))
+        g = np.zeros(p)
+        for r in collect_pylist(ds.map_batches(step_partial, batch_format="pyarrow")):
+            H += np.asarray(r["xtwx"]).reshape(p, p)
+            g += np.asarray(r["xtz"])
+        delta = np.linalg.solve(H + 1e-10 * np.eye(p), g)
+        beta = beta + delta
+        if float(np.abs(delta).max()) < tol:
+            break
+    return {"intercept": float(beta[0]),
+            "coef": beta[1:].tolist(),
+            "odds_ratios": np.exp(beta[1:]).tolist(),
+            "n_iter": it + 1}

@@ -1412,3 +1412,86 @@ SELECT day, event_type, n,
                                AND CURRENT ROW) AS BIGINT) AS n7
 FROM d ORDER BY event_type, day
 """
+
+
+# ---------------------------------------------------------------------------
+# ROC curve points at fixed thresholds (A15 adjunct) + stratified fold
+# balance (K5, RepeatedStratifiedKFold analog) — full SQL oracles.
+# ---------------------------------------------------------------------------
+
+def roc_curve_orders(sf_dir: str) -> pa.Table:
+    """TPR/FPR at thresholds 0.05..0.95 step 0.05 over the sigmoid-age
+    scorer — computed from per-batch confusion partials per threshold."""
+    ds = _scored_orders(sf_dir)
+    thresholds = [round(0.05 * i, 2) for i in range(1, 20)]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        y = batch.column("label").to_numpy(zero_copy_only=False)
+        s = batch.column("score").to_numpy(zero_copy_only=False)
+        rows = []
+        for t in thresholds:
+            pred = s >= t
+            rows.append({"threshold": t,
+                         "tp": int((pred & (y == 1)).sum()),
+                         "fp": int((pred & (y == 0)).sum()),
+                         "pos": int((y == 1).sum()),
+                         "neg": int((y == 0).sum())})
+        return pa.Table.from_pylist(rows)
+
+    agg: dict[float, list[int]] = {}
+    for r in collect_pylist(ds.map_batches(partial, batch_format="pyarrow")):
+        a = agg.setdefault(r["threshold"], [0, 0, 0, 0])
+        a[0] += r["tp"]
+        a[1] += r["fp"]
+        a[2] += r["pos"]
+        a[3] += r["neg"]
+    rows = [{"threshold": t, "tpr": _round6(a[0] / a[2]) if a[2] else None,
+             "fpr": _round6(a[1] / a[3]) if a[3] else None}
+            for t, a in sorted(agg.items())]
+    return pa.Table.from_pylist(rows)
+
+
+ROC_CURVE_SQL = """
+WITH scored AS (
+  SELECT CAST(o_orderstatus = 'F' AS BIGINT) AS y,
+         1.0 / (1.0 + exp(-((9131 - datediff('day', DATE '1970-01-01',
+                                             CAST(o_orderdate AS DATE))) / 365.0))) AS s
+  FROM orders
+), th AS (SELECT round(0.05 * i, 2) AS threshold FROM range(1, 20) t(i))
+SELECT th.threshold,
+       round(CAST(sum(CASE WHEN s >= th.threshold AND y = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / sum(y), 6) AS tpr,
+       round(CAST(sum(CASE WHEN s >= th.threshold AND y = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+             / sum(1 - y), 6) AS fpr
+FROM scored CROSS JOIN th
+GROUP BY th.threshold ORDER BY th.threshold
+"""
+
+
+def stratified_fold_counts_orders(sf_dir: str) -> pa.Table:
+    """K5 stratified fold assignment: within each class, rank by key
+    and take rank % k — per-(label, fold) counts prove the balance.
+    Implemented as groupby(label).map_groups (rank within group)."""
+    ds = _scored_orders(sf_dir).select_columns(["o_orderkey", "label"])
+
+    def assign(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("o_orderkey")
+        g["fold"] = np.arange(len(g)) % 5
+        return (g.groupby(["label", "fold"], as_index=False).size()
+                .rename(columns={"size": "n"}))
+
+    out = ds.groupby("label").map_groups(assign, batch_format="pandas")
+    rows = sorted(collect_pylist(out), key=lambda r: (r["label"], r["fold"]))
+    return pa.Table.from_pylist([{"label": int(r["label"]), "fold": int(r["fold"]),
+                                  "n": int(r["n"])} for r in rows])
+
+
+STRATIFIED_SQL = """
+WITH s AS (
+  SELECT CAST(o_orderstatus = 'F' AS BIGINT) AS label,
+         (row_number() OVER (PARTITION BY (o_orderstatus = 'F') ORDER BY o_orderkey) - 1) % 5 AS fold
+  FROM orders
+)
+SELECT label, CAST(fold AS BIGINT) AS fold, count(*) AS n
+FROM s GROUP BY 1, 2 ORDER BY 1, 2
+"""
