@@ -94,6 +94,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_7day_events": q.rolling_7day_events,
         "roc_curve_orders": q.roc_curve_orders,
         "stratified_fold_counts_orders": q.stratified_fold_counts_orders,
+        "model_benchmark_orders": q.model_benchmark_orders,
     }
 
 
@@ -148,6 +149,7 @@ def oracle_sql() -> dict[str, str]:
         "rolling_7day_events": q.ROLLING_SQL,
         "roc_curve_orders": q.ROC_CURVE_SQL,
         "stratified_fold_counts_orders": q.STRATIFIED_SQL,
+        "model_benchmark_orders": q.MODEL_BENCHMARK_SQL,
         # langid / lsh-knn / minhash / simhash: not SQL-expressible →
         # rows-only driver check; verified in pytest instead.
     }

@@ -1495,3 +1495,64 @@ WITH s AS (
 SELECT label, CAST(fold AS BIGINT) AS fold, count(*) AS n
 FROM s GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# Model benchmarking (reference evaluation tab order 50): side-by-side
+# metrics for two scorers over the same labels.
+# ---------------------------------------------------------------------------
+
+def model_benchmark_orders(sf_dir: str) -> pa.Table:
+    """Two deterministic scorers: the sigmoid-age model vs a weaker
+    price-rank heuristic; accuracy/precision/recall/brier per model."""
+    from tanml_ray.pipelines.metrics import classification_metrics
+
+    base = _scored_orders(sf_dir)
+
+    def alt_score(batch: pa.Table) -> pa.Table:
+        price = batch.column("o_totalprice").to_numpy(zero_copy_only=False)
+        s = 1.0 / (1.0 + np.exp(-((price - 150000.0) / 100000.0)))
+        return pa.table({"label": batch.column("label"),
+                         "score": pa.array(s, type=pa.float64())})
+
+    rows = []
+    for model, ds in (("age_sigmoid", base),
+                      ("price_sigmoid", base.map_batches(alt_score,
+                                                         batch_format="pyarrow"))):
+        m = classification_metrics(ds, "label", "score", with_auc=False)
+        rows.append({"model": model,
+                     "accuracy": _round6(m["accuracy"]),
+                     "precision": _round6(m["precision"]),
+                     "recall": _round6(m["recall"]),
+                     "brier": _round6(m["brier"])})
+    return pa.Table.from_pylist(sorted(rows, key=lambda r: r["model"]))
+
+
+MODEL_BENCHMARK_SQL = """
+WITH scored AS (
+  SELECT CAST(o_orderstatus = 'F' AS BIGINT) AS y,
+         1.0 / (1.0 + exp(-((9131 - datediff('day', DATE '1970-01-01',
+                                             CAST(o_orderdate AS DATE))) / 365.0))) AS s_age,
+         1.0 / (1.0 + exp(-((o_totalprice - 150000.0) / 100000.0))) AS s_price
+  FROM orders
+)
+SELECT model, accuracy, precision, recall, brier FROM (
+  SELECT 'age_sigmoid' AS model,
+         round(avg(CASE WHEN (s_age >= 0.5) = (y = 1) THEN 1.0 ELSE 0.0 END), 6) AS accuracy,
+         round(CAST(sum(CASE WHEN s_age >= 0.5 AND y = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+               / sum(CASE WHEN s_age >= 0.5 THEN 1 ELSE 0 END), 6) AS precision,
+         round(CAST(sum(CASE WHEN s_age >= 0.5 AND y = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+               / sum(y), 6) AS recall,
+         round(avg((s_age - y) * (s_age - y)), 6) AS brier
+  FROM scored
+  UNION ALL
+  SELECT 'price_sigmoid',
+         round(avg(CASE WHEN (s_price >= 0.5) = (y = 1) THEN 1.0 ELSE 0.0 END), 6),
+         round(CAST(sum(CASE WHEN s_price >= 0.5 AND y = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+               / sum(CASE WHEN s_price >= 0.5 THEN 1 ELSE 0 END), 6),
+         round(CAST(sum(CASE WHEN s_price >= 0.5 AND y = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+               / sum(y), 6),
+         round(avg((s_price - y) * (s_price - y)), 6)
+  FROM scored
+) ORDER BY model
+"""
