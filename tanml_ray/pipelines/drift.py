@@ -32,7 +32,6 @@ import pyarrow.compute as pc
 
 from tanml_ray.kernels.drift_math import (
     drift_summary_status,
-    ks_asymp_pvalue,
     ks_from_histograms,
     psi_from_counts,
     psi_level,

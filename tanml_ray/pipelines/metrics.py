@@ -18,8 +18,6 @@ stage degenerates to a stateless map for closed-form models).
 from __future__ import annotations
 
 import math
-from typing import Callable
-
 import numpy as np
 import pyarrow as pa
 

@@ -37,7 +37,7 @@ from tanml_ray.stages.constraints import (
     default_pages_constraints,
     evaluate_constraints,
 )
-from tanml_ray.stages.profile import make_profile_partials, merge_profile_partials
+from tanml_ray.stages.profile import make_profile_partials
 
 MIXED_SCHEMA = pa.schema([
     ("kind", pa.string()),            # violation | status | partial | uhash

@@ -12,11 +12,9 @@ pipelines/validate.py as a groupby.
 
 from __future__ import annotations
 
-import re
 from abc import ABC, abstractmethod
 from typing import Iterable
 
-import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 

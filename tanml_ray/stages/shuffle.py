@@ -21,7 +21,6 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from tanml_ray.functions.collect import collect_pylist
 
 
 def combiner_group_sum(ds, key_cols: list[str], value_col: str):
