@@ -213,7 +213,10 @@ def compute_drift(baseline: DriftBaseline, current_ds) -> tuple[pa.Table, dict[s
     cur = _merge_hist_partials(
         _hist_partials(current_ds, baseline.value_col, baseline.bucket_unit,
                        edges_by_group))
+    return _drift_rows(baseline, cur)
 
+
+def _drift_rows(baseline: DriftBaseline, cur: dict) -> tuple[pa.Table, dict[str, Any]]:
     rows = []
     for key in sorted(set(baseline.groups) | set(cur)):
         b = baseline.groups.get(key)
@@ -277,3 +280,76 @@ def lang_mix_drift(baseline_ds, current_ds) -> dict[str, Any]:
     psi = psi_from_counts(eb, ac)
     return {"psi": psi, "psi_level": psi_level(psi), "langs": len(langs),
             "n_expected": int(eb.sum()), "n_actual": int(ac.sum())}
+
+
+class BaselineHolderVerify:
+    """Actor-pool variant of the current-side verify stage (north_star:
+    "baseline-histogram holders live in actor pools"): each actor
+    fetches the baseline edge map ONCE in __init__ and histograms every
+    batch against it. Use via:
+
+        ds.map_batches(BaselineHolderVerify,
+                       fn_constructor_kwargs={"edges_ref": ray.put(edges),
+                                              "value_col": ..., "bucket_unit": ...},
+                       batch_format="pyarrow", concurrency=N)
+
+    Preferable to the broadcast-closure path when the baseline is large
+    (many lang×bucket cells): the object-store fetch happens per actor,
+    not per task.
+    """
+
+    def __init__(self, edges_ref, value_col: str, bucket_unit: str):
+        import ray
+
+        self.edges_map = ray.get(edges_ref)
+        self.value_col = value_col
+        self.bucket_unit = bucket_unit
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        df = _augment(batch, self.value_col, self.bucket_unit).dropna(subset=["value"])
+        rows = []
+        for (lang, bucket), sub in df.groupby(["lang", "bucket"]):
+            e = self.edges_map.get((lang, bucket))
+            if e is None:
+                rows.append({"lang": lang, "bucket": bucket, "n": len(sub),
+                             "below": 0, "above": 0, "counts": b"",
+                             "fine_counts": b""})
+                continue
+            v = sub["value"].to_numpy()
+            c, _ = np.histogram(v[(v >= e["edges"][0]) & (v <= e["edges"][-1])],
+                                bins=e["edges"])
+            fc, _ = np.histogram(v[(v >= e["fine_edges"][0]) & (v <= e["fine_edges"][-1])],
+                                 bins=e["fine_edges"])
+            rows.append({"lang": lang, "bucket": bucket, "n": len(sub),
+                         "below": int((v < e["edges"][0]).sum()),
+                         "above": int((v > e["edges"][-1]).sum()),
+                         "counts": c.astype(np.int64).tobytes(),
+                         "fine_counts": fc.astype(np.int64).tobytes()})
+        return pa.Table.from_pylist(rows) if rows else pa.table({
+            "lang": pa.array([], type=pa.string()),
+            "bucket": pa.array([], type=pa.string()),
+            "n": pa.array([], type=pa.int64()),
+            "below": pa.array([], type=pa.int64()),
+            "above": pa.array([], type=pa.int64()),
+            "counts": pa.array([], type=pa.binary()),
+            "fine_counts": pa.array([], type=pa.binary()),
+        })
+
+
+def compute_drift_actor_pool(baseline: DriftBaseline, current_ds,
+                             concurrency: int = 4) -> tuple[pa.Table, dict[str, Any]]:
+    """compute_drift with the actor-pool verify stage — identical
+    results; the baseline ships once per actor instead of per task."""
+    import ray
+
+    edges_by_group = {k: {"edges": g["edges"], "fine_edges": g["fine_edges"]}
+                      for k, g in baseline.groups.items() if g["edges"] is not None}
+    edges_ref = ray.put(edges_by_group)
+    partials = current_ds.map_batches(
+        BaselineHolderVerify,
+        fn_constructor_kwargs={"edges_ref": edges_ref,
+                               "value_col": baseline.value_col,
+                               "bucket_unit": baseline.bucket_unit},
+        batch_format="pyarrow", concurrency=concurrency)
+    cur = _merge_hist_partials(partials)
+    return _drift_rows(baseline, cur)

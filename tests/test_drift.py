@@ -104,3 +104,22 @@ class TestDriftSuite:
         assert ks_level(0.25) == "moderate"
         assert ks_level(0.15) == "mild"
         assert ks_level(0.05) == "none"
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestActorPoolDrift:
+    def test_actor_pool_matches_task_path(self, sf_dir):
+        """The baseline-holder actor pool (north_star T4) produces the
+        identical drift table to the broadcast-closure task path."""
+        from tanml_ray.pipelines.drift import compute_drift_actor_pool
+
+        baseline = build_drift_baseline(pages_dataset(sf_dir), "text_len", "week")
+        cur = pages_dataset(sf_dir, variant="current")
+        t_task, s_task = compute_drift(baseline, cur)
+        t_actor, s_actor = compute_drift_actor_pool(baseline, cur, concurrency=2)
+        assert s_task == s_actor
+        a = sorted(t_task.to_pylist(), key=lambda r: (r["lang"], r["bucket"]))
+        b = sorted(t_actor.to_pylist(), key=lambda r: (r["lang"], r["bucket"]))
+        for ra, rb in zip(a, b):
+            for k in ("lang", "bucket", "n_expected", "n_actual", "psi_level", "ks_level"):
+                assert ra[k] == rb[k]
