@@ -4,9 +4,10 @@ Prints ONE JSON line:
   {"metric": "...", "value": <total sec>, "unit": "sec",
    "queries": {...per-pipeline sec...}, "sf": ..., "num_cpus": N}
 
-`--scaling` runs the same job at num_cpus=8 and 32 in fresh processes
-and reports throughput at both plus scaling efficiency (the sandbox
-substitute for the N vs 4N cluster criterion, BASELINE.md §3).
+`--scaling` runs the headline pipeline at N and 4N CPUs (default 4/16)
+in fresh processes and reports throughput at both plus scaling
+efficiency (the sandbox substitute for the N vs 4N cluster criterion,
+BASELINE.md §3-4).
 """
 
 from __future__ import annotations
@@ -22,7 +23,7 @@ def _scaling_main() -> None:
     """Two-cluster-size substitute (BASELINE.md §3): the HEADLINE
     pipeline (flagship pages validation) at N and 4N CPUs in fresh
     processes, same input. The sandbox host is shared/noisy, so each
-    level runs twice and the min is reported (standard noisy-host
+    level runs three times and the min is reported (standard noisy-host
     protocol); one untimed warm-up run first heats the page cache."""
     n_lo = int(os.environ.get("GRAFT_SCALE_NCPU", "4"))
     n_hi = 4 * n_lo
@@ -38,8 +39,8 @@ def _scaling_main() -> None:
         return json.loads(out.strip().splitlines()[-1])
 
     run(n_hi)  # warm-up (also synthesizes/caches the fixture)
-    lo = min((run(n_lo) for _ in range(2)), key=lambda r: r["value"])
-    hi = min((run(n_hi) for _ in range(2)), key=lambda r: r["value"])
+    lo = min((run(n_lo) for _ in range(3)), key=lambda r: r["value"])
+    hi = min((run(n_hi) for _ in range(3)), key=lambda r: r["value"])
     eff = (lo["value"] / hi["value"]) / (n_hi / n_lo)
     print(json.dumps({
         f"sec_{n_lo}": lo["value"], f"sec_{n_hi}": hi["value"],
@@ -48,7 +49,7 @@ def _scaling_main() -> None:
         f"rows_per_sec_{n_hi}": round(hi["rows"] / hi["value"], 1),
         "scaling_efficiency": round(eff, 3),
         "pipeline": "validate_pages",
-        "protocol": "min of 2 runs per level, fresh ray.init each",
+        "protocol": "min of 3 runs per level, fresh ray.init each",
     }))
 
 
