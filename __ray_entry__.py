@@ -95,6 +95,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "roc_curve_orders": q.roc_curve_orders,
         "stratified_fold_counts_orders": q.stratified_fold_counts_orders,
         "model_benchmark_orders": q.model_benchmark_orders,
+        "join_orders_customer_broadcast": q.join_orders_customer_broadcast,
+        "join_lineitem_orders_partitioned": q.join_lineitem_orders_partitioned,
     }
 
 
@@ -150,6 +152,8 @@ def oracle_sql() -> dict[str, str]:
         "roc_curve_orders": q.ROC_CURVE_SQL,
         "stratified_fold_counts_orders": q.STRATIFIED_SQL,
         "model_benchmark_orders": q.MODEL_BENCHMARK_SQL,
+        "join_orders_customer_broadcast": q.JOIN_BROADCAST_SQL,
+        "join_lineitem_orders_partitioned": q.JOIN_PARTITIONED_SQL,
         # langid / lsh-knn / minhash / simhash: not SQL-expressible →
         # rows-only driver check; verified in pytest instead.
     }

@@ -372,3 +372,62 @@ def _gather_matrix(ds, id_col: str, vec_col: str) -> tuple[np.ndarray, np.ndarra
         ids.append(t.column(id_col).to_numpy(zero_copy_only=False))
         vecs.append(np.stack(t.column(vec_col).to_pylist()).astype(np.float64))
     return np.concatenate(ids), np.vstack(vecs)
+
+
+# ---------------------------------------------------------------------------
+# Duplicate clusters: near-dup pairs → connected components → keep list.
+# Union-find on the driver for the (bounded) post-LSH pair set; the
+# at-scale alternative is iterative min-label propagation via groupby
+# (documented in ray_guide) — same result, O(diameter) rounds.
+# ---------------------------------------------------------------------------
+
+def dup_clusters(pairs: "pa.Table | list[tuple[int, int]]") -> dict[int, int]:
+    """{doc_id: cluster_root} for every id appearing in a pair; the
+    root is the MIN id of the component (deterministic keep-first)."""
+    if isinstance(pairs, pa.Table):
+        it = zip(pairs.column("id_a").to_pylist(), pairs.column("id_b").to_pylist())
+    else:
+        it = iter(pairs)
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in it:
+        for v in (a, b):
+            parent.setdefault(v, v)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by MIN id so the root is deterministic
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return {v: find(v) for v in parent}
+
+
+def dedup_keep_list(ds, pairs: pa.Table, id_col: str = "doc_id"):
+    """Near-dup-aware keep filter: drop every id whose cluster root is
+    not itself (keep-first-per-cluster). Returns the filtered Dataset —
+    the drop set broadcasts; the data never shuffles."""
+    import ray
+
+    clusters = dup_clusters(pairs)
+    drop = {v for v, root in clusters.items() if v != root}
+    ref = ray.put(np.sort(np.fromiter(drop, dtype=np.int64))
+                  if drop else np.empty(0, dtype=np.int64))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        drop_sorted = _ray.get(ref)
+        if not len(drop_sorted):
+            return batch
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(drop_sorted, ids)
+        pos[pos == len(drop_sorted)] = 0
+        mask = drop_sorted[pos] != ids
+        return batch.filter(pa.array(mask))
+
+    return ds.map_batches(keep, batch_format="pyarrow")

@@ -1,0 +1,106 @@
+"""Joins: broadcast hash join (small side) and partitioned hash join
+(both sides large).
+
+The reference has no relational joins (SURVEY §2.4 — only hash-set
+semi-joins); a standalone engine needs them. Two Ray-Data-first
+strategies, chosen by the caller (a future planner can pick by size):
+
+  broadcast_join   — build side ray.put once, probe side streams
+                     through map_batches doing a pandas merge per
+                     batch. No shuffle. Right whenever one side fits
+                     in worker memory (dimension tables).
+
+  partitioned_join — the guide's explicit pattern: add
+                     bucket = hash(key) % B to BOTH sides, tag each
+                     side, union, groupby(bucket), and merge the two
+                     sides within each bucket group. One shuffle of
+                     each side, no row ever compared across buckets.
+                     B is the skew knob: hot keys spread over at most
+                     one bucket, so pick B ≫ reducers and salt
+                     upstream if a single key dominates (see
+                     stages/shuffle.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+_SIDE_COL = "__join_side"
+_BUCKET_COL = "__join_bucket"
+
+
+def broadcast_join(large_ds, small_table: pa.Table, key: str,
+                   how: str = "inner"):
+    """small_table is materialized driver-side (a dimension table),
+    shipped once via ray.put; each probe batch merges locally."""
+    import ray
+
+    ref = ray.put(small_table.to_pandas())
+
+    def probe(batch: pa.Table) -> pd.DataFrame:
+        import ray as _ray
+
+        small = _ray.get(ref)
+        return batch.to_pandas().merge(small, on=key, how=how)
+
+    return large_ds.map_batches(probe, batch_format="pyarrow")
+
+
+def partitioned_join(left_ds, right_ds, key: str, buckets: int = 32,
+                     how: str = "inner"):
+    """Explicit partitioned hash join of two Datasets on `key`.
+
+    Returns a Dataset of merged rows (pandas-merge column semantics:
+    overlapping non-key columns suffixed _x/_y).
+    """
+    left_schema = left_ds.schema()
+    right_schema = right_ds.schema()
+    left_cols = list(left_schema.names)
+    right_cols = list(right_schema.names)
+    all_fields: dict[str, pa.DataType] = {}
+    for names, types in ((left_schema.names, left_schema.types),
+                         (right_schema.names, right_schema.types)):
+        for n, t in zip(names, types):
+            all_fields.setdefault(n, t)
+
+    def tag(side: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            kn = batch.column(key).to_numpy(zero_copy_only=False)
+            if kn.dtype == object:
+                h = pd.util.hash_array(kn.astype(object), categorize=False)
+            else:
+                h = pd.util.hash_array(kn)
+            b = (h % np.uint64(buckets)).astype(np.int32)
+            # pad to the unified schema so union() sees one schema
+            arrays, names = [], []
+            for n, t in all_fields.items():
+                names.append(n)
+                if n in batch.column_names:
+                    arrays.append(batch.column(n))
+                else:
+                    arrays.append(pa.nulls(batch.num_rows, type=t))
+            names += [_BUCKET_COL, _SIDE_COL]
+            arrays += [pa.array(b, type=pa.int32()),
+                       pa.array([side] * batch.num_rows, type=pa.string())]
+            return pa.Table.from_arrays(
+                [a if isinstance(a, pa.Array) else a.combine_chunks()
+                 for a in arrays], names=names)
+        return fn
+
+    left_t = left_ds.map_batches(tag("l"), batch_format="pyarrow")
+    right_t = right_ds.map_batches(tag("r"), batch_format="pyarrow")
+    both = left_t.union(right_t)
+
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        l = g[g[_SIDE_COL] == "l"][left_cols]
+        r = g[g[_SIDE_COL] == "r"][right_cols]
+        if l.empty or r.empty:
+            if how == "left" and not l.empty:
+                return l.merge(r, on=key, how="left")
+            return pd.DataFrame(columns=list(dict.fromkeys(left_cols + right_cols)))
+        return l.merge(r, on=key, how=how)
+
+    return both.groupby(_BUCKET_COL).map_groups(merge_bucket,
+                                                batch_format="pandas")

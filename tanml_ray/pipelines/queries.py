@@ -1556,3 +1556,88 @@ SELECT model, accuracy, precision, recall, brier FROM (
   FROM scored
 ) ORDER BY model
 """
+
+
+# ---------------------------------------------------------------------------
+# Joins (pipelines/join.py): broadcast dimension join and the explicit
+# partitioned hash join — both with SQL oracles.
+# ---------------------------------------------------------------------------
+
+def join_orders_customer_broadcast(sf_dir: str) -> pa.Table:
+    """Revenue per market segment via broadcast join (customer is the
+    small side) + grouped sum."""
+    import pyarrow.parquet as pq
+
+    from tanml_ray.pipelines.join import broadcast_join
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_mktsegment"])
+    cust = cust.rename_columns(["o_custkey", "c_mktsegment"])
+    joined = broadcast_join(orders, cust, "o_custkey")
+
+    def partial(batch) -> pd.DataFrame:
+        df = batch if isinstance(batch, pd.DataFrame) else batch.to_pandas()
+        df["price_c"] = np.rint(df["o_totalprice"].to_numpy() * 100).astype(np.int64)
+        g = df.groupby("c_mktsegment", as_index=False).agg(
+            n=("price_c", "size"), price_c=("price_c", "sum"))
+        return g
+
+    from ray.data.aggregate import Sum
+
+    agg = (joined.map_batches(partial, batch_format="pandas")
+           .groupby("c_mktsegment")
+           .aggregate(Sum("n", alias_name="n"), Sum("price_c", alias_name="price_c")))
+    rows = [{"c_mktsegment": r["c_mktsegment"], "n": r["n"],
+             "revenue": r["price_c"] / 100.0} for r in collect_pylist(agg)]
+    return pa.Table.from_pylist(sorted(rows, key=lambda r: r["c_mktsegment"]))
+
+
+JOIN_BROADCAST_SQL = """
+SELECT c_mktsegment, count(*) AS n,
+       sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
+def join_lineitem_orders_partitioned(sf_dir: str) -> pa.Table:
+    """Partitioned hash join with BOTH sides large (lineitem ⋈ orders
+    on orderkey), then revenue per order status."""
+    from ray.data.aggregate import Sum
+
+    from tanml_ray.pipelines.join import partitioned_join
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice"])
+
+    def rn(batch: pa.Table) -> pa.Table:
+        return pa.table({"o_orderkey": batch.column("l_orderkey"),
+                         "price_c": pc.cast(pc.round(pc.multiply(
+                             batch.column("l_extendedprice"), 100)), pa.int64())})
+
+    li = li.map_batches(rn, batch_format="pyarrow")
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus"])
+    joined = partitioned_join(li, orders, "o_orderkey", buckets=32)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"o_orderstatus": pd.Series([], dtype=str),
+                                 "n": pd.Series([], dtype="int64"),
+                                 "price_c": pd.Series([], dtype="int64")})
+        return df.groupby("o_orderstatus", as_index=False).agg(
+            n=("price_c", "size"), price_c=("price_c", "sum"))
+
+    agg = (joined.map_batches(partial, batch_format="pandas")
+           .groupby("o_orderstatus")
+           .aggregate(Sum("n", alias_name="n"), Sum("price_c", alias_name="price_c")))
+    rows = [{"o_orderstatus": r["o_orderstatus"], "n": r["n"],
+             "revenue": r["price_c"] / 100.0} for r in collect_pylist(agg)]
+    return pa.Table.from_pylist(sorted(rows, key=lambda r: r["o_orderstatus"]))
+
+
+JOIN_PARTITIONED_SQL = """
+SELECT o_orderstatus, count(*) AS n,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""

@@ -1,0 +1,87 @@
+"""Joins (broadcast + partitioned hash) and duplicate clustering."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from tanml_ray.functions.collect import collect_pylist
+from tanml_ray.pipelines.dedup import dedup_keep_list, dup_clusters
+from tanml_ray.pipelines.join import broadcast_join, partitioned_join
+
+
+def _ds(tbl, parts=4):
+    import ray.data as rd
+
+    return rd.from_arrow(tbl).repartition(parts)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestJoins:
+    def _sides(self, n=5000):
+        rng = np.random.default_rng(42)
+        left = pa.table({"k": rng.integers(0, 500, n),
+                         "lv": rng.normal(0, 1, n)})
+        right = pa.table({"k": np.arange(400),   # keys 400..499 unmatched
+                          "rv": np.arange(400) * 10})
+        return left, right
+
+    def test_partitioned_matches_pandas(self):
+        left, right = self._sides()
+        out = pd.DataFrame(collect_pylist(
+            partitioned_join(_ds(left), _ds(right, 2), "k", buckets=16)))
+        expect = left.to_pandas().merge(right.to_pandas(), on="k")
+        assert len(out) == len(expect)
+        assert out["lv"].sum() == pytest.approx(expect["lv"].sum())
+        assert set(out["k"]) == set(expect["k"])
+
+    def test_broadcast_matches_pandas(self):
+        left, right = self._sides()
+        out = pd.DataFrame(collect_pylist(broadcast_join(_ds(left), right, "k")))
+        expect = left.to_pandas().merge(right.to_pandas(), on="k")
+        assert len(out) == len(expect)
+        assert out["rv"].sum() == expect["rv"].sum()
+
+    def test_partitioned_skewed_key(self):
+        rng = np.random.default_rng(1)
+        left = pa.table({"k": np.where(rng.random(10_000) < 0.9, 7,
+                                       rng.integers(0, 100, 10_000)),
+                         "lv": np.ones(10_000)})
+        right = pa.table({"k": np.arange(100), "rv": np.arange(100)})
+        out = pd.DataFrame(collect_pylist(
+            partitioned_join(_ds(left), _ds(right, 2), "k", buckets=8)))
+        expect = left.to_pandas().merge(right.to_pandas(), on="k")
+        assert len(out) == len(expect) == 10_000
+
+    def test_partition_invariance(self):
+        left, right = self._sides(2000)
+        a = sorted(collect_pylist(partitioned_join(_ds(left, 1), _ds(right, 1), "k")),
+                   key=lambda r: (r["k"], r["lv"]))
+        b = sorted(collect_pylist(partitioned_join(_ds(left, 8), _ds(right, 3), "k")),
+                   key=lambda r: (r["k"], r["lv"]))
+        assert a == b
+
+
+class TestDupClusters:
+    def test_transitive_components(self):
+        pairs = [(1, 2), (2, 3), (10, 11), (3, 4)]
+        c = dup_clusters(pairs)
+        assert c[1] == c[2] == c[3] == c[4] == 1
+        assert c[10] == c[11] == 10
+
+    def test_min_root_deterministic(self):
+        assert dup_clusters([(5, 9), (9, 2)])[5] == 2
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDedupKeepList:
+    def test_keeps_first_per_cluster(self):
+        tbl = pa.table({"doc_id": list(range(10))})
+        pairs = pa.table({"id_a": [1, 2, 7], "id_b": [2, 3, 8],
+                          "jaccard": [0.9, 0.9, 0.9]})
+        kept = sorted(r["doc_id"] for r in collect_pylist(
+            dedup_keep_list(_ds(tbl, 3), pairs)))
+        # clusters {1,2,3} keep 1; {7,8} keep 7
+        assert kept == [0, 1, 4, 5, 6, 7, 9]
