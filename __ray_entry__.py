@@ -97,6 +97,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "model_benchmark_orders": q.model_benchmark_orders,
         "join_orders_customer_broadcast": q.join_orders_customer_broadcast,
         "join_lineitem_orders_partitioned": q.join_lineitem_orders_partitioned,
+        "asof_join_events": q.asof_join_events,
     }
 
 
@@ -154,6 +155,7 @@ def oracle_sql() -> dict[str, str]:
         "model_benchmark_orders": q.MODEL_BENCHMARK_SQL,
         "join_orders_customer_broadcast": q.JOIN_BROADCAST_SQL,
         "join_lineitem_orders_partitioned": q.JOIN_PARTITIONED_SQL,
+        "asof_join_events": q.ASOF_SQL,
         # langid / lsh-knn / minhash / simhash: not SQL-expressible →
         # rows-only driver check; verified in pytest instead.
     }

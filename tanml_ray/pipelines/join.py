@@ -104,3 +104,68 @@ def partitioned_join(left_ds, right_ds, key: str, buckets: int = 32,
 
     return both.groupby(_BUCKET_COL).map_groups(merge_bucket,
                                                 batch_format="pandas")
+
+
+def asof_join(left_ds, right_ds, key: str, ts_col: str):
+    """As-of (backward) join: for each left row, the greatest right
+    ts <= left ts within the same key (ray_guide: sort both sides by
+    (key, ts) within buckets + pd.merge_asof per group).
+
+    Tag sides, union, groupby(key), merge_asof inside each group (the
+    groupby shuffle colocates each key; merge_asof requires — and the
+    group fn establishes — ts order). Unmatched left rows are dropped
+    (inner-asof). Right columns come back prefixed `r_`, including the
+    matched timestamp as `r_ts`.
+    """
+    def tag(side: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            cols = {key: batch.column(key).combine_chunks(),
+                    "__ts": batch.column(ts_col).combine_chunks(),
+                    _SIDE_COL: pa.array([side] * batch.num_rows, type=pa.string())}
+            if side == "r":
+                cols["r_ts"] = batch.column(ts_col).combine_chunks()
+            for n in batch.column_names:
+                if n not in (key, ts_col):
+                    cols[("r_" if side == "r" else "l_") + n] = \
+                        batch.column(n).combine_chunks()
+            return pa.table(cols)
+        return fn
+
+    left_t = left_ds.map_batches(tag("l"), batch_format="pyarrow")
+    right_t = right_ds.map_batches(tag("r"), batch_format="pyarrow")
+
+    l_schema, r_schema = left_t.schema(), right_t.schema()
+    fields: dict[str, "pa.DataType"] = {}
+    for names, types in ((l_schema.names, l_schema.types),
+                         (r_schema.names, r_schema.types)):
+        for n, t in zip(names, types):
+            fields.setdefault(n, t)
+
+    def pad(batch: pa.Table) -> pa.Table:
+        arrays, names = [], []
+        for n, t in fields.items():
+            names.append(n)
+            if n in batch.column_names:
+                c = batch.column(n)
+                arrays.append(c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c)
+            else:
+                arrays.append(pa.nulls(batch.num_rows, type=t))
+        return pa.Table.from_arrays(arrays, names=names)
+
+    both = (left_t.map_batches(pad, batch_format="pyarrow")
+            .union(right_t.map_batches(pad, batch_format="pyarrow")))
+
+    l_cols = [n for n in fields if n.startswith("l_")]
+    r_cols = ["r_ts"] + [n for n in fields
+                         if n.startswith("r_") and n != "r_ts"]
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        l = g[g[_SIDE_COL] == "l"][[key, "__ts", *l_cols]].sort_values("__ts")
+        r = g[g[_SIDE_COL] == "r"][["__ts", *r_cols]].sort_values("__ts")
+        if l.empty or r.empty:
+            return pd.DataFrame()
+        m = pd.merge_asof(l, r, on="__ts", direction="backward")
+        m = m[m["r_ts"].notna()]
+        return m.rename(columns={"__ts": ts_col})
+
+    return both.groupby(key).map_groups(per_key, batch_format="pandas")

@@ -1641,3 +1641,46 @@ SELECT o_orderstatus, count(*) AS n,
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderstatus ORDER BY o_orderstatus
 """
+
+
+def asof_join_events(sf_dir: str) -> pa.Table:
+    """As-of join over the events stream: for each 'error' event, the
+    most recent prior-or-equal 'view' by the same user; count + mean
+    lag per user bucket (user_id % 10)."""
+    from tanml_ray.pipelines.join import asof_join
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    def side(kind):
+        def fn(batch: pa.Table) -> pa.Table:
+            t = batch.filter(pc.equal(batch.column("event_type"), kind))
+            return t.select(["event_id", "user_id", "ts"])
+        return fn
+
+    errors = ds.map_batches(side("error"), batch_format="pyarrow")
+    views = ds.map_batches(side("view"), batch_format="pyarrow")
+    joined = asof_join(errors, views, "user_id", "ts")
+    rows = collect_pylist(joined)
+    df = pd.DataFrame(rows)
+    df["lag_us"] = (pd.to_datetime(df["ts"]).astype(np.int64) // 1000
+                    - pd.to_datetime(df["r_ts"]).astype(np.int64) // 1000)
+    df["ubucket"] = df["user_id"] % 10
+    g = (df.groupby("ubucket", as_index=False)
+         .agg(n=("lag_us", "size"), total_lag_us=("lag_us", "sum")))
+    g = g.sort_values("ubucket")
+    return pa.table({"ubucket": g["ubucket"].astype("int64"),
+                     "n": g["n"].astype("int64"),
+                     "total_lag_us": g["total_lag_us"].astype("int64")})
+
+
+ASOF_SQL = """
+WITH j AS (
+  SELECT e.user_id, e.ts, v.ts AS view_ts
+  FROM (SELECT * FROM events WHERE event_type = 'error') e
+  ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON e.user_id = v.user_id AND v.ts <= e.ts
+)
+SELECT user_id % 10 AS ubucket, count(*) AS n,
+       CAST(sum(epoch_us(ts) - epoch_us(view_ts)) AS BIGINT) AS total_lag_us
+FROM j GROUP BY 1 ORDER BY 1
+"""

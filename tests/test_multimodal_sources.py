@@ -121,3 +121,22 @@ class TestSchemaAlign:
 
         missing = compare_schemas(target, pa.schema([("b", pa.string())]))
         assert missing.missing_columns == ["a"] and not missing.ok
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestRowFilters:
+    def test_drop_missing_and_nonfinite(self):
+        import ray.data as rd
+
+        from tanml_ray.functions.collect import collect_pylist
+        from tanml_ray.functions.filters import drop_missing, drop_nonfinite_target
+
+        tbl = pa.table({"x": [1.0, None, 3.0, float("nan"), 5.0],
+                        "y": [1.0, 2.0, None, 4.0, float("inf")]})
+        ds = rd.from_arrow(tbl)
+        # dropna semantics: null/NaN are missing, ±inf is NOT (M8)
+        kept = collect_pylist(drop_missing(ds, ["x", "y"]))
+        assert [r["x"] for r in kept] == [1.0, 5.0]
+
+        kept_t = collect_pylist(drop_nonfinite_target(ds, "y"))
+        assert [r["y"] for r in kept_t] == [1.0, 2.0, 4.0]
