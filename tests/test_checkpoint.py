@@ -81,3 +81,75 @@ class TestResume:
         # same lineage → entries kept; different → fresh
         assert Manifest.load_or_create(str(tmp_path / "m.json"), a).done("p1")
         assert not Manifest.load_or_create(str(tmp_path / "m.json"), b).done("p1")
+
+
+class TestKillResume:
+    def test_sigkill_mid_run_then_resume(self, tmp_path):
+        """Launch the resumable job in a subprocess, SIGKILL it mid-wave,
+        rerun, and require (a) some partitions survived the kill, (b) the
+        resumed manifest equals an uninterrupted run's manifest."""
+        import json
+        import signal
+        import subprocess
+        import sys
+        import time
+
+        from tanml_ray.sources.pages import synthesize_pages_parquet
+
+        # fixture needs a live ray session for synthesis → reuse global
+        import ray
+
+        if not ray.is_initialized():
+            ray.init(address="local", num_cpus=4, include_dashboard=False,
+                     ignore_reinit_error=True, logging_level="ERROR")
+        pages_dir = synthesize_pages_parquet("/root/testdata/sf0.001",
+                                             str(tmp_path / "pages"))
+
+        script = f"""
+import ray, sys
+ray.init(address="local", num_cpus=2, include_dashboard=False, logging_level="ERROR")
+sys.path.insert(0, "/root/repo")
+from ray.data import DataContext
+DataContext.get_current().enable_progress_bars = False
+from tanml_ray.state.checkpoint import run_resumable_validation
+print(run_resumable_validation({pages_dir!r}, {str(tmp_path / 'out')!r}, wave_size=1))
+"""
+        proc = subprocess.Popen([sys.executable, "-c", script],
+                                stdout=subprocess.PIPE, stderr=subprocess.PIPE)
+        # wait until at least one wave checkpointed, then kill hard
+        manifest_path = tmp_path / "out" / "manifest.json"
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if manifest_path.exists():
+                try:
+                    m = json.load(open(manifest_path))
+                    if len(m.get("partitions", {})) >= 2:
+                        break
+                except Exception:
+                    pass
+            if proc.poll() is not None:
+                break  # finished before we could kill — still a valid run
+            time.sleep(0.3)
+        if proc.poll() is None:
+            proc.send_signal(signal.SIGKILL)
+            proc.wait()
+
+        partial = json.load(open(manifest_path))
+        n_done_after_kill = len(partial["partitions"])
+        assert n_done_after_kill >= 1
+
+        # resume in-process (shares the session fixture's ray)
+        from tanml_ray.state.checkpoint import run_resumable_validation
+
+        s = run_resumable_validation(pages_dir, str(tmp_path / "out"), wave_size=1)
+        assert s["partitions"] == 8
+        assert s["skipped_partitions"] >= min(n_done_after_kill, 8)
+        assert s["total_violations"] == 6
+        assert s["rows"] == 500
+
+        # equality with an uninterrupted run
+        ref = run_resumable_validation(pages_dir, str(tmp_path / "ref"))
+        got = json.load(open(manifest_path))["partitions"]
+        want = json.load(open(tmp_path / "ref" / "manifest.json"))["partitions"]
+        assert {k: (v["rows"], v["violations"]) for k, v in got.items()} == \
+               {k: (v["rows"], v["violations"]) for k, v in want.items()}

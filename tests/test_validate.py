@@ -172,3 +172,32 @@ class TestPipelineE2E:
             assert r1.summary[key] == r8.summary[key]
         assert r1.profile["text_len"]["mean"] == pytest.approx(
             r8.profile["text_len"]["mean"], rel=1e-12)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestViolationHeavyInput:
+    def test_every_row_violating(self, tmp_path):
+        """A constraint that fails on EVERY row must not choke the
+        pipeline: violations stream as a Dataset, counts stay exact."""
+        import pyarrow.parquet as pq_
+
+        from tanml_ray.pipelines.validate import run_pages_validation
+        from tanml_ray.stages.constraints import RegexMatch
+
+        pages = make_pages_batch(_docs_batch(400))
+        d = tmp_path / "pages"
+        d.mkdir()
+        pq_.write_table(pages.slice(0, 200), str(d / "a.parquet"))
+        pq_.write_table(pages.slice(200, 200), str(d / "b.parquet"))
+
+        # impossible url pattern → every row violates
+        rep = run_pages_validation(str(d),
+                                   constraints=[RegexMatch("url", r"^ftp://",
+                                                           name="impossible")],
+                                   check_uniqueness=False)
+        counts = dict(zip(rep.status.column("constraint_id").to_pylist(),
+                          rep.status.column("violations").to_pylist()))
+        assert sum(rep.status.column("violations").to_pylist()) == 400
+        assert rep.summary["overall"] == "fail"
+        v = rep.violations.take(5)
+        assert all(r["constraint_id"] == "impossible" for r in v)
