@@ -27,7 +27,7 @@ def _scaling_main() -> None:
     protocol); one untimed warm-up run first heats the page cache."""
     n_lo = int(os.environ.get("GRAFT_SCALE_NCPU", "2"))
     n_hi = 4 * n_lo
-    repeat = int(os.environ.get("GRAFT_SCALE_REPEAT", "1920"))
+    repeat = int(os.environ.get("GRAFT_SCALE_REPEAT", "960"))
 
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
