@@ -98,6 +98,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_orders_customer_broadcast": q.join_orders_customer_broadcast,
         "join_lineitem_orders_partitioned": q.join_lineitem_orders_partitioned,
         "asof_join_events": q.asof_join_events,
+        "bloom_semi_join_lineitem": q.bloom_semi_join_lineitem,
     }
 
 
@@ -156,6 +157,7 @@ def oracle_sql() -> dict[str, str]:
         "join_orders_customer_broadcast": q.JOIN_BROADCAST_SQL,
         "join_lineitem_orders_partitioned": q.JOIN_PARTITIONED_SQL,
         "asof_join_events": q.ASOF_SQL,
+        "bloom_semi_join_lineitem": q.BLOOM_SEMI_SQL,
         # langid / lsh-knn / minhash / simhash: not SQL-expressible →
         # rows-only driver check; verified in pytest instead.
     }

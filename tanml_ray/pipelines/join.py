@@ -169,3 +169,39 @@ def asof_join(left_ds, right_ds, key: str, ts_col: str):
         return m.rename(columns={"__ts": ts_col})
 
     return both.groupby(key).map_groups(per_key, batch_format="pandas")
+
+
+def bloom_semi_join(large_ds, key_values: "np.ndarray", key: str,
+                    fp_rate: float = 0.01, exact: bool = True):
+    """Semi-join: keep large_ds rows whose key ∈ key_values.
+
+    A Bloom filter of the key set broadcasts instead of the set itself
+    (the at-scale variant of the ray_guide semi-join pattern); with
+    exact=True a sorted-array membership check runs ONLY on the bloom
+    survivors, restoring exactness while the bloom has already dropped
+    ~(1−fp) of the non-matching rows cheaply.
+    """
+    import ray
+
+    from tanml_ray.kernels.bloom import BloomFilter
+
+    bf = BloomFilter(capacity=len(key_values), fp_rate=fp_rate)
+    bf.add(np.asarray(key_values))
+    exact_sorted = np.sort(np.asarray(key_values)) if exact else None
+    ref = ray.put((bf.to_state(), exact_sorted))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        state, exact_arr = _ray.get(ref)
+        f = BloomFilter.from_state(state)
+        vals = batch.column(key).to_numpy(zero_copy_only=False)
+        mask = f.contains(vals)
+        if exact_arr is not None and mask.any():
+            surv = vals[mask]
+            pos = np.searchsorted(exact_arr, surv)
+            pos[pos == len(exact_arr)] = 0
+            mask[np.nonzero(mask)[0]] = exact_arr[pos] == surv
+        return batch.filter(pa.array(mask))
+
+    return large_ds.map_batches(keep, batch_format="pyarrow")

@@ -1684,3 +1684,40 @@ SELECT user_id % 10 AS ubucket, count(*) AS n,
        CAST(sum(epoch_us(ts) - epoch_us(view_ts)) AS BIGINT) AS total_lag_us
 FROM j GROUP BY 1 ORDER BY 1
 """
+
+
+def bloom_semi_join_lineitem(sf_dir: str) -> pa.Table:
+    """Semi-join: lineitem rows whose order is 'expensive'
+    (o_totalprice > 400000) via bloom prefilter + exact verify —
+    returns count + exact revenue."""
+    import pyarrow.parquet as pq_
+
+    from tanml_ray.pipelines.join import bloom_semi_join
+
+    orders = pq_.read_table(f"{sf_dir}/orders.parquet",
+                            columns=["o_orderkey", "o_totalprice"])
+    keys = orders.filter(pc.greater(orders.column("o_totalprice"), 400000.0)) \
+                 .column("o_orderkey").to_numpy(zero_copy_only=False)
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice"])
+    kept = bloom_semi_join(li, keys, "l_orderkey")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        price_c = np.rint(batch.column("l_extendedprice")
+                          .to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        return pa.table({"n": pa.array([batch.num_rows], type=pa.int64()),
+                         "price_c": pa.array([int(price_c.sum())], type=pa.int64())})
+
+    n = price_c = 0
+    for r in collect_pylist(kept.map_batches(partial, batch_format="pyarrow")):
+        n += r["n"]
+        price_c += r["price_c"]
+    return pa.table({"n": pa.array([n], type=pa.int64()),
+                     "revenue": pa.array([price_c / 100.0], type=pa.float64())})
+
+
+BLOOM_SEMI_SQL = """
+SELECT count(*) AS n,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 AS revenue
+FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000.0)
+"""

@@ -85,3 +85,36 @@ class TestDedupKeepList:
             dedup_keep_list(_ds(tbl, 3), pairs)))
         # clusters {1,2,3} keep 1; {7,8} keep 7
         assert kept == [0, 1, 4, 5, 6, 7, 9]
+
+
+class TestBloomFilter:
+    def test_no_false_negatives_and_bounded_fp(self):
+        from tanml_ray.kernels.bloom import BloomFilter
+
+        rng = np.random.default_rng(42)
+        members = rng.choice(10**9, 50_000, replace=False)
+        bf = BloomFilter(capacity=50_000, fp_rate=0.01)
+        bf.add(members)
+        assert bf.contains(members).all()          # zero false negatives
+        outsiders = np.arange(10**9 + 1, 10**9 + 100_001)
+        fp = bf.contains(outsiders).mean()
+        assert fp < 0.03                           # ~1% target, generous bound
+
+    def test_merge_and_state_roundtrip(self):
+        from tanml_ray.kernels.bloom import BloomFilter
+
+        a = BloomFilter(1000)
+        b = BloomFilter(1000)
+        a.add(np.arange(0, 500))
+        b.add(np.arange(500, 1000))
+        a.merge(b)
+        restored = BloomFilter.from_state(a.to_state())
+        assert restored.contains(np.arange(0, 1000)).all()
+
+    def test_string_keys(self):
+        from tanml_ray.kernels.bloom import BloomFilter
+
+        bf = BloomFilter(100)
+        bf.add(np.array(["alpha", "beta"], dtype=object))
+        got = bf.contains(np.array(["alpha", "gamma"], dtype=object))
+        assert got[0] and not got[1]
