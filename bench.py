@@ -82,7 +82,7 @@ def main() -> None:
     sf_tag = os.path.basename(sf_dir.rstrip("/"))
     # keep ~75k rows (~50 MB decoded) per file: per-task heap stays flat
     # as `repeat` grows, so the 4N-CPU leg isn't memory-throttled
-    num_files = max(8, min(256, (repeat + 14) // 15))
+    num_files = max(32, min(256, (repeat + 14) // 15))
     pages_dir = synthesize_pages_parquet(
         sf_dir, f"/tmp/tanml_pages_{sf_tag}_r{repeat}f{num_files}_baseline",
         repeat=repeat, num_files=num_files)
