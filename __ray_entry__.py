@@ -99,6 +99,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_lineitem_orders_partitioned": q.join_lineitem_orders_partitioned,
         "asof_join_events": q.asof_join_events,
         "bloom_semi_join_lineitem": q.bloom_semi_join_lineitem,
+        "json_extract_events": q.json_extract_events,
     }
 
 
@@ -158,6 +159,7 @@ def oracle_sql() -> dict[str, str]:
         "join_lineitem_orders_partitioned": q.JOIN_PARTITIONED_SQL,
         "asof_join_events": q.ASOF_SQL,
         "bloom_semi_join_lineitem": q.BLOOM_SEMI_SQL,
+        "json_extract_events": q.JSON_EXTRACT_SQL,
         # langid / lsh-knn / minhash / simhash: not SQL-expressible →
         # rows-only driver check; verified in pytest instead.
     }

@@ -1721,3 +1721,47 @@ SELECT count(*) AS n,
 FROM lineitem
 WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000.0)
 """
+
+
+# ---------------------------------------------------------------------------
+# JSON column handling: events.props is a JSON string — extract a field
+# and aggregate (the reference has no JSON ops, SURVEY §2.8; a web-data
+# engine needs them). Vectorized parse per batch; DuckDB JSON oracle.
+# ---------------------------------------------------------------------------
+
+def json_extract_events(sf_dir: str) -> pa.Table:
+    """Parse props JSON, extract k, aggregate per event_type:
+    n, sum_k, min_k, max_k (all exact ints)."""
+    import json as _json
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    ds = _read(sf_dir, "events", ["event_type", "props"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        ks = np.fromiter((_json.loads(p)["k"] for p in
+                          batch.column("props").to_pylist()),
+                         dtype=np.int64, count=batch.num_rows)
+        df = pd.DataFrame({"event_type": batch.column("event_type").to_pylist(),
+                           "k": ks})
+        return df.groupby("event_type", as_index=False).agg(
+            n=("k", "size"), sum_k=("k", "sum"),
+            min_k=("k", "min"), max_k=("k", "max"))
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("event_type")
+           .aggregate(Sum("n", alias_name="n"), Sum("sum_k", alias_name="sum_k"),
+                      Min("min_k", alias_name="min_k"),
+                      Max("max_k", alias_name="max_k")))
+    rows = sorted(collect_pylist(agg), key=lambda r: r["event_type"])
+    return pa.Table.from_pylist([{k: int(v) if k != "event_type" else v
+                                  for k, v in r.items()} for r in rows])
+
+
+JSON_EXTRACT_SQL = """
+SELECT event_type, count(*) AS n,
+       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(min(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+       CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+FROM events GROUP BY event_type ORDER BY event_type
+"""
