@@ -100,6 +100,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join_events": q.asof_join_events,
         "bloom_semi_join_lineitem": q.bloom_semi_join_lineitem,
         "json_extract_events": q.json_extract_events,
+        "grouped_psi_events": q.grouped_psi_events,
     }
 
 
@@ -160,6 +161,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_join_events": q.ASOF_SQL,
         "bloom_semi_join_lineitem": q.BLOOM_SEMI_SQL,
         "json_extract_events": q.JSON_EXTRACT_SQL,
+        "grouped_psi_events": q.GROUPED_PSI_SQL,
         # langid / lsh-knn / minhash / simhash: not SQL-expressible →
         # rows-only driver check; verified in pytest instead.
     }

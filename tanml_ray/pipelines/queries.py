@@ -1765,3 +1765,80 @@ SELECT event_type, count(*) AS n,
        CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
 FROM events GROUP BY event_type ORDER BY event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# A7 grouped drift with a FULL SQL oracle: PSI of the props.k
+# distribution per event_type, expected = first half of January vs
+# actual = second half. Integer bins (k // 10) make the binning exactly
+# SQL-reproducible (no float bin-edge ambiguity); the engine path is
+# the same per-batch partial-count combiner the pages drift suite uses.
+# ---------------------------------------------------------------------------
+
+_DRIFT_SPLIT_TS = "2024-01-16 00:00:00"
+
+
+def grouped_psi_events(sf_dir: str) -> pa.Table:
+    import json as _json
+
+    from ray.data.aggregate import Sum
+
+    from tanml_ray.kernels.drift_math import psi_from_counts, psi_level
+
+    ds = _read(sf_dir, "events", ["ts", "event_type", "props"])
+    split_us = int(pd.Timestamp(_DRIFT_SPLIT_TS).value // 1000)
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        ks = np.fromiter((_json.loads(p)["k"] for p in
+                          batch.column("props").to_pylist()),
+                         dtype=np.int64, count=batch.num_rows)
+        ts_us = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"event_type": batch.column("event_type").to_pylist(),
+                           "side": np.where(ts_us < split_us, "e", "a"),
+                           "bin": ks // 10})
+        return df.groupby(["event_type", "side", "bin"], as_index=False).size() \
+                 .rename(columns={"size": "n"})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby(["event_type", "side", "bin"])
+           .aggregate(Sum("n", alias_name="n")))
+    counts: dict[str, dict[str, np.ndarray]] = {}
+    for r in collect_pylist(agg):
+        g = counts.setdefault(r["event_type"], {"e": np.zeros(10), "a": np.zeros(10)})
+        g[r["side"]][int(r["bin"])] = r["n"]
+    rows = []
+    for et in sorted(counts):
+        psi = psi_from_counts(counts[et]["e"], counts[et]["a"])
+        rows.append({"event_type": et, "psi": _round6(psi),
+                     "psi_level": psi_level(psi)})
+    return pa.Table.from_pylist(rows)
+
+
+GROUPED_PSI_SQL = f"""
+WITH b AS (
+  SELECT event_type,
+         CASE WHEN ts < TIMESTAMP '{_DRIFT_SPLIT_TS}' THEN 'e' ELSE 'a' END AS side,
+         CAST(json_extract(props, '$.k') AS BIGINT) // 10 AS bin
+  FROM events
+), c AS (
+  SELECT event_type, side, bin, count(*) AS n FROM b GROUP BY 1, 2, 3
+), bins AS (
+  SELECT DISTINCT event_type, i AS bin FROM c, range(0, 10) t(i)
+), p AS (
+  SELECT bins.event_type, bins.bin,
+         greatest(coalesce(e.n, 0) / CAST(se.tot AS DOUBLE), 1e-8) AS pe,
+         greatest(coalesce(a.n, 0) / CAST(sa.tot AS DOUBLE), 1e-8) AS pa
+  FROM bins
+  LEFT JOIN c e ON e.event_type = bins.event_type AND e.bin = bins.bin AND e.side = 'e'
+  LEFT JOIN c a ON a.event_type = bins.event_type AND a.bin = bins.bin AND a.side = 'a'
+  JOIN (SELECT event_type, sum(n) AS tot FROM c WHERE side = 'e' GROUP BY 1) se
+    ON se.event_type = bins.event_type
+  JOIN (SELECT event_type, sum(n) AS tot FROM c WHERE side = 'a' GROUP BY 1) sa
+    ON sa.event_type = bins.event_type
+)
+SELECT event_type, round(sum((pa - pe) * ln(pa / pe)), 6) AS psi,
+       CASE WHEN sum((pa - pe) * ln(pa / pe)) >= 0.2 THEN 'severe'
+            WHEN sum((pa - pe) * ln(pa / pe)) >= 0.1 THEN 'moderate'
+            ELSE 'none' END AS psi_level
+FROM p GROUP BY event_type ORDER BY event_type
+"""
