@@ -101,6 +101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_semi_join_lineitem": q.bloom_semi_join_lineitem,
         "json_extract_events": q.json_extract_events,
         "grouped_psi_events": q.grouped_psi_events,
+        "anti_join_lineitem": q.anti_join_lineitem,
     }
 
 
@@ -162,6 +163,7 @@ def oracle_sql() -> dict[str, str]:
         "bloom_semi_join_lineitem": q.BLOOM_SEMI_SQL,
         "json_extract_events": q.JSON_EXTRACT_SQL,
         "grouped_psi_events": q.GROUPED_PSI_SQL,
+        "anti_join_lineitem": q.ANTI_JOIN_SQL,
         # langid / lsh-knn / minhash / simhash: not SQL-expressible →
         # rows-only driver check; verified in pytest instead.
     }

@@ -172,8 +172,12 @@ def asof_join(left_ds, right_ds, key: str, ts_col: str):
 
 
 def bloom_semi_join(large_ds, key_values: "np.ndarray", key: str,
-                    fp_rate: float = 0.01, exact: bool = True):
-    """Semi-join: keep large_ds rows whose key ∈ key_values.
+                    fp_rate: float = 0.01, exact: bool = True,
+                    anti: bool = False):
+    """Semi-join: keep large_ds rows whose key ∈ key_values
+    (anti=True inverts: keep rows whose key ∉ key_values — the bloom
+    then only ACCELERATES the exact check, since bloom "no" is a
+    definite non-member).
 
     A Bloom filter of the key set broadcasts instead of the set itself
     (the at-scale variant of the ray_guide semi-join pattern); with
@@ -202,6 +206,8 @@ def bloom_semi_join(large_ds, key_values: "np.ndarray", key: str,
             pos = np.searchsorted(exact_arr, surv)
             pos[pos == len(exact_arr)] = 0
             mask[np.nonzero(mask)[0]] = exact_arr[pos] == surv
+        if anti:
+            mask = ~mask
         return batch.filter(pa.array(mask))
 
     return large_ds.map_batches(keep, batch_format="pyarrow")

@@ -1842,3 +1842,40 @@ SELECT event_type, round(sum((pa - pe) * ln(pa / pe)), 6) AS psi,
             ELSE 'none' END AS psi_level
 FROM p GROUP BY event_type ORDER BY event_type
 """
+
+
+def anti_join_lineitem(sf_dir: str) -> pa.Table:
+    """Anti-join complement of the bloom semi-join: lineitem rows whose
+    order is NOT expensive — count + revenue (semi + anti must cover
+    every row exactly once)."""
+    import pyarrow.parquet as pq_
+
+    from tanml_ray.pipelines.join import bloom_semi_join
+
+    orders = pq_.read_table(f"{sf_dir}/orders.parquet",
+                            columns=["o_orderkey", "o_totalprice"])
+    keys = orders.filter(pc.greater(orders.column("o_totalprice"), 400000.0)) \
+                 .column("o_orderkey").to_numpy(zero_copy_only=False)
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice"])
+    kept = bloom_semi_join(li, keys, "l_orderkey", anti=True)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        price_c = np.rint(batch.column("l_extendedprice")
+                          .to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        return pa.table({"n": pa.array([batch.num_rows], type=pa.int64()),
+                         "price_c": pa.array([int(price_c.sum())], type=pa.int64())})
+
+    n = price_c = 0
+    for r in collect_pylist(kept.map_batches(partial, batch_format="pyarrow")):
+        n += r["n"]
+        price_c += r["price_c"]
+    return pa.table({"n": pa.array([n], type=pa.int64()),
+                     "revenue": pa.array([price_c / 100.0], type=pa.float64())})
+
+
+ANTI_JOIN_SQL = """
+SELECT count(*) AS n,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 AS revenue
+FROM lineitem
+WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000.0)
+"""
