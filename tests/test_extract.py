@@ -53,3 +53,38 @@ class TestExtractText:
         arr = pa.array(htmls, type=pa.binary())
         out = extract_text_array(arr).to_pylist()
         assert out == [extract_text(h) for h in htmls]
+
+
+class TestExtractorProperty:
+    """Fuzz the frozen extraction kernel: render→extract must be the
+    identity for ANY title/body text (the BASELINE byte-identity
+    invariant, hypothesis-fuzzed over unicode incl. HTML specials)."""
+
+    def test_roundtrip_fuzz(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        text_strategy = st.text(
+            alphabet=st.characters(blacklist_categories=("Cs",)),
+            max_size=300)
+
+        @settings(max_examples=200, deadline=None)
+        @given(title=text_strategy, body=text_strategy)
+        def check(title, body):
+            html = render_html(title, body)
+            assert extract_text(html) == f"{title}\n{body}"
+
+        check()
+
+    def test_adversarial_html_like_bodies(self):
+        cases = [
+            "<p>nested paragraph markers</p>",
+            "</title><script>alert(1)</script>",
+            "&amp;&lt;&gt;&quot;&#39;",
+            "<html><body>full doc inside body</body></html>",
+            "a\x00b",            # NUL byte
+            "line\r\nwindows newline",
+        ]
+        for body in cases:
+            html = render_html("T", body)
+            assert extract_text(html) == f"T\n{body}", repr(body)
