@@ -22,6 +22,11 @@ FAST_QUERIES = [
     "histogram_quantity", "referential_lang_violations",
     "pearson_corr_lineitem", "psi_documents_even_odd",
     "token_counts_documents", "dedup_first_per_group",
+    "classification_metrics_orders", "regression_metrics_orders",
+    "join_orders_customer_broadcast", "join_lineitem_orders_partitioned",
+    "asof_join_events", "bloom_semi_join_lineitem", "anti_join_lineitem",
+    "json_extract_events", "grouped_psi_events", "linear_cv_orders",
+    "vif_lineitem", "iqr_outliers_extendedprice", "rolling_7day_events",
 ]
 
 
