@@ -811,14 +811,19 @@ WITH scored AS (
 )
 SELECT n,
        round(CAST(tp + tn AS DOUBLE) / n, 6) AS accuracy,
-       round(CAST(tp AS DOUBLE) / (tp + fp), 6) AS precision,
-       round(CAST(tp AS DOUBLE) / (tp + fn), 6) AS recall,
-       round(2.0 * (CAST(tp AS DOUBLE) / (tp + fp)) * (CAST(tp AS DOUBLE) / (tp + fn))
-             / (CAST(tp AS DOUBLE) / (tp + fp) + CAST(tp AS DOUBLE) / (tp + fn)), 6) AS f1,
-       round((CAST(tp AS DOUBLE) / (tp + fn) + CAST(tn AS DOUBLE) / (tn + fp)) / 2, 6)
+       round(CASE WHEN tp + fp = 0 THEN 0.0
+                  ELSE CAST(tp AS DOUBLE) / (tp + fp) END, 6) AS precision,
+       round(CASE WHEN tp + fn = 0 THEN 0.0
+                  ELSE CAST(tp AS DOUBLE) / (tp + fn) END, 6) AS recall,
+       round(CASE WHEN tp = 0 THEN 0.0
+                  ELSE 2.0 * (CAST(tp AS DOUBLE) / (tp + fp)) * (CAST(tp AS DOUBLE) / (tp + fn))
+                       / (CAST(tp AS DOUBLE) / (tp + fp) + CAST(tp AS DOUBLE) / (tp + fn)) END, 6) AS f1,
+       round((CASE WHEN tp + fn = 0 THEN 0.0 ELSE CAST(tp AS DOUBLE) / (tp + fn) END
+              + CASE WHEN tn + fp = 0 THEN 0.0 ELSE CAST(tn AS DOUBLE) / (tn + fp) END) / 2, 6)
            AS balanced_accuracy,
-       round((CAST(tp AS DOUBLE) * tn - CAST(fp AS DOUBLE) * fn)
-             / sqrt(CAST(tp + fp AS DOUBLE) * (tp + fn) * (tn + fp) * (tn + fn)), 6) AS mcc,
+       round(CASE WHEN (tp + fp) * (tp + fn) * (tn + fp) * (tn + fn) = 0 THEN 0.0
+                  ELSE (CAST(tp AS DOUBLE) * tn - CAST(fp AS DOUBLE) * fn)
+                       / sqrt(CAST(tp + fp AS DOUBLE) * (tp + fn) * (tn + fp) * (tn + fn)) END, 6) AS mcc,
        round(brier, 6) AS brier,
        round(log_loss, 6) AS log_loss,
        round((SELECT auc FROM auc_t), 6) AS roc_auc,
