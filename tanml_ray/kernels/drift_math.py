@@ -20,17 +20,28 @@ PSI_MODERATE = 0.1
 
 
 def psi_from_counts(expected_counts: np.ndarray, actual_counts: np.ndarray,
-                    eps: float = 1e-8) -> float:
+                    eps: float = 1e-8,
+                    expected_n: float | None = None,
+                    actual_n: float | None = None) -> float:
     """PSI = Σ (a% − e%) · ln(a% / e%), zero proportions → eps.
 
     Exact reproduction of drift.py:71-84 given identical bin counts.
+    The reference normalizes by ``len(expected)`` / ``len(actual)`` —
+    the FULL non-null sample size, including values that fall outside
+    the baseline bin range (np.histogram drops them from the counts but
+    they still appear in the denominator). Callers that track
+    out-of-range mass separately must pass the full totals via
+    ``expected_n`` / ``actual_n``; when omitted, the counts are assumed
+    to cover the whole sample (categorical / integer-bin cases).
     """
     e = np.asarray(expected_counts, dtype=np.float64)
     a = np.asarray(actual_counts, dtype=np.float64)
-    if e.sum() == 0 or a.sum() == 0:
+    ne = float(e.sum()) if expected_n is None else float(expected_n)
+    na = float(a.sum()) if actual_n is None else float(actual_n)
+    if ne == 0 or na == 0:
         return float("nan")
-    ep = e / e.sum()
-    ap = a / a.sum()
+    ep = e / ne
+    ap = a / na
     ep = np.where(ep == 0, eps, ep)
     ap = np.where(ap == 0, eps, ap)
     return float(np.sum((ap - ep) * np.log(ap / ep)))
@@ -74,9 +85,47 @@ def ks_asymp_pvalue(d: float, n1: float, n2: float) -> float:
     return float(min(max(2.0 * s, 0.0), 1.0))
 
 
+def ks_exact_pvalue(d: float, n1: int, n2: int) -> float:
+    """Exact two-sided two-sample KS p-value P(D ≥ d) under H0 for
+    continuous data, via lattice-path counting: of the C(m+n, n) equally
+    likely interleavings of the two samples, count the paths whose ECDF
+    difference stays strictly below d everywhere (standard
+    Hodges/Drion path-counting construction; same quantity
+    scipy.stats.ks_2samp(mode='exact') computes). Python big-int DP —
+    exact, no overflow; intended for m·n ≤ ~250k."""
+    m, n = int(n1), int(n2)
+    if m <= 0 or n <= 0 or d != d:
+        return float("nan")
+    # |ECDF_x − ECDF_y| at any point = |i·n − j·m| / (m·n): integer grid
+    lim = int(round(d * m * n))
+    if lim <= 0:
+        return 1.0
+    prev = [0] * (n + 1)
+    for i in range(m + 1):
+        cur = [0] * (n + 1)
+        for j in range(n + 1):
+            if abs(i * n - j * m) >= lim:
+                cur[j] = 0
+            elif i == 0 and j == 0:
+                cur[j] = 1
+            else:
+                cur[j] = (prev[j] if i > 0 else 0) + (cur[j - 1] if j > 0 else 0)
+        prev = cur
+    return float(1.0 - prev[n] / math.comb(m + n, n))
+
+
+# Above this product of sample sizes the O(m·n) exact DP is slower than
+# useful and the asymptotic formula is accurate anyway (mirrors
+# scipy.stats.ks_2samp's mode='auto' switch).
+KS_EXACT_MAX_MN = 250_000
+
+
 def ks_2samp_exact(x: np.ndarray, y: np.ndarray) -> tuple[float, float]:
-    """Exact two-sample KS statistic (sup |ECDF_x − ECDF_y|) + asymptotic
-    p-value. Used for small/bounded samples; the at-scale path uses
+    """Exact two-sample KS statistic (sup |ECDF_x − ECDF_y|). P-value is
+    EXACT (path-counting) when m·n ≤ KS_EXACT_MAX_MN — matching
+    scipy.stats.ks_2samp(mode='auto')'s small-sample behavior the
+    reference relies on — else the asymptotic Kolmogorov formula.
+    Used for small/bounded samples; the at-scale path uses
     ks_from_histograms below."""
     x = np.sort(np.asarray(x, dtype=np.float64))
     y = np.sort(np.asarray(y, dtype=np.float64))
@@ -87,6 +136,8 @@ def ks_2samp_exact(x: np.ndarray, y: np.ndarray) -> tuple[float, float]:
     cdf_x = np.searchsorted(x, both, side="right") / n1
     cdf_y = np.searchsorted(y, both, side="right") / n2
     d = float(np.abs(cdf_x - cdf_y).max())
+    if n1 * n2 <= KS_EXACT_MAX_MN:
+        return d, ks_exact_pvalue(d, n1, n2)
     return d, ks_asymp_pvalue(d, n1, n2)
 
 
@@ -97,7 +148,13 @@ def ks_from_histograms(expected_counts: np.ndarray, actual_counts: np.ndarray,
     sup-norm of the difference of the binned ECDFs evaluated at bin
     edges. Error ≤ max bin mass; with fine equi-depth bins from the
     baseline t-digest the error is ≤ 1/n_bins (SURVEY.md §7.5 item 1).
-    """
+
+    The p-value here is always the ASYMPTOTIC Kolmogorov formula (the
+    statistic itself is binned, so an exact small-sample p-value would
+    be false precision) — a documented divergence from the reference's
+    scipy mode='auto' at small n; the drift BANDS use the statistic, so
+    classification is unaffected. Exact small-sample p-values are
+    available on the sample path via ks_2samp_exact."""
     e = np.asarray(expected_counts, dtype=np.float64)
     a = np.asarray(actual_counts, dtype=np.float64)
     ne = e.sum() + expected_below + expected_above

@@ -236,7 +236,13 @@ def _drift_rows(baseline: DriftBaseline, cur: dict) -> tuple[pa.Table, dict[str,
                          "ks_stat": float("nan"), "ks_pvalue": float("nan"),
                          "ks_level": "unknown"})
             continue
-        psi = psi_from_counts(b["counts"], c["counts"])
+        # Reference parity (drift.py:71-84): proportions are
+        # counts / FULL group size, so below/above-range mass lowers the
+        # in-range proportions instead of being renormalized away. A
+        # current group entirely outside the baseline range yields a
+        # large PSI (all ap → eps), not NaN.
+        psi = psi_from_counts(b["counts"], c["counts"],
+                              expected_n=b["n"], actual_n=c["n"])
         d, p = ks_from_histograms(b["fine_counts"], c["fine_counts"],
                                   expected_below=b["below"], actual_below=c["below"],
                                   expected_above=b["above"], actual_above=c["above"])

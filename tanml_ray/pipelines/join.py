@@ -189,6 +189,13 @@ def bloom_semi_join(large_ds, key_values: "np.ndarray", key: str,
 
     from tanml_ray.kernels.bloom import BloomFilter
 
+    if anti and not exact:
+        # Bloom membership is one-sided: "no" is definite, "yes" is not.
+        # Inverting the raw bloom mask would DROP genuine non-members on
+        # false positives — the anti-join always runs the exact verify
+        # on bloom survivors (ADVICE r1).
+        exact = True
+
     bf = BloomFilter(capacity=len(key_values), fp_rate=fp_rate)
     bf.add(np.asarray(key_values))
     exact_sorted = np.sort(np.asarray(key_values)) if exact else None

@@ -69,6 +69,18 @@ def _mixed(kind: str, n: int, **cols) -> pa.Table:
     return pa.Table.from_arrays(arrays, schema=MIXED_SCHEMA)
 
 
+def _hash_urls(urls: np.ndarray, mod: int | None = None) -> np.ndarray:
+    """64-bit url hash used by the uniqueness check. ``mod`` narrows the
+    hash space (test hook: forces collisions so the collision-verify
+    path is exercisable; production leaves it None)."""
+    import pandas as pd
+
+    h = pd.util.hash_array(urls, categorize=False)
+    if mod is not None:
+        h = h % np.uint64(mod)
+    return h
+
+
 class ValidateBatch:
     """Stage-1 batch worker. Plain callable class → usable both as
     stateless task fn and as an actor pool via map_batches(cls)."""
@@ -76,11 +88,13 @@ class ValidateBatch:
     def __init__(self, constraints: list[RowConstraint] | None = None,
                  profile_columns: list[str] | None = None,
                  text_len_col: str | None = "text",
-                 uniqueness: bool = True):
+                 uniqueness: bool = True,
+                 url_hash_mod: int | None = None):
         self.constraints = constraints if constraints is not None else default_pages_constraints()
         self.profile_columns = profile_columns or ["url", "warc_ts", "text", "lang"]
         self.text_len_col = text_len_col
         self.uniqueness = uniqueness
+        self.url_hash_mod = url_hash_mod
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         t0 = time.perf_counter()
@@ -147,7 +161,7 @@ class ValidateBatch:
             import pandas as pd
 
             urls = batch.column("url").to_numpy(zero_copy_only=False).astype(object)
-            h = pd.util.hash_array(urls, categorize=False)
+            h = _hash_urls(urls, self.url_hash_mod)
             bucket = (h % np.uint64(N_URL_BUCKETS)).astype(np.int32)
             order = np.argsort(bucket, kind="stable")
             hb, bb = h[order], bucket[order]
@@ -178,7 +192,8 @@ class ValidationReport:
 def run_pages_validation(source, out_dir: str | None = None,
                          constraints: list[RowConstraint] | None = None,
                          check_uniqueness: bool = True,
-                         override_num_blocks: int | None = None) -> ValidationReport:
+                         override_num_blocks: int | None = None,
+                         url_hash_mod: int | None = None) -> ValidationReport:
     """source: parquet path/dir (preferred — gives real partitions) or an
     existing ray.data.Dataset of pages. override_num_blocks caps the
     task count (one block per input file is usually right — Ray's
@@ -192,15 +207,13 @@ def run_pages_validation(source, out_dir: str | None = None,
         ds = source
 
     mixed = ds.map_batches(ValidateBatch(constraints=constraints,
-                                         uniqueness=check_uniqueness),
+                                         uniqueness=check_uniqueness,
+                                         url_hash_mod=url_hash_mod),
                            batch_format="pyarrow").materialize()
 
-    def _only(kind):
-        return mixed.map_batches(
-            lambda t, k=kind: t.filter(pc.equal(t.column("kind"), k)),
-            batch_format="pyarrow")
-
-    violations = _only("violation").select_columns(
+    violations = mixed.map_batches(
+        lambda t: t.filter(pc.equal(t.column("kind"), "violation")),
+        batch_format="pyarrow").select_columns(
         ["partition_id", "constraint_id", "url", "offending_value"])
 
     # -- status + profile: one driver-side pass over the (small) non-
@@ -214,13 +227,17 @@ def run_pages_validation(source, out_dir: str | None = None,
 
     def _pre_merge(t: pa.Table) -> pa.Table:
         """Tree-merge round: collapse one block's status/partial rows so
-        the driver merge is O(pre-merge tasks), not O(input blocks)."""
+        the driver merge is O(pre-merge tasks), not O(input blocks).
+        uhash rows pass through with per-bucket blob concatenation, so
+        the whole non-violation stream is consumed in ONE pass (no
+        per-kind re-filters over the full mixed table)."""
         import pickle as _pickle
 
         from tanml_ray.kernels.accumulators import ColumnProfileAcc as _Acc
 
         st: dict[tuple, list[int]] = {}
         pr: dict[str, object] = {}
+        uh: dict[int, list[bytes]] = {}
         first_pid = "all"
         for r in t.to_pylist():
             if r["kind"] == "status":
@@ -235,7 +252,15 @@ def run_pages_validation(source, out_dir: str | None = None,
                     pr[r["column"]].merge(acc)
                 else:
                     pr[r["column"]] = acc
+            elif r["kind"] == "uhash":
+                uh.setdefault(r["bucket"], []).append(r["state"])
         out = []
+        if uh:
+            bks = sorted(uh)
+            out.append(_mixed("uhash", len(bks),
+                              bucket=pa.array(bks, type=pa.int32()),
+                              state=pa.array([b"".join(uh[b]) for b in bks],
+                                             type=pa.binary())))
         if st:
             keys = sorted(st)
             out.append(_mixed("status", len(keys),
@@ -253,13 +278,17 @@ def run_pages_validation(source, out_dir: str | None = None,
         return pa.concat_tables(out) if out else _mixed("status", 0)
 
     small = (mixed.map_batches(
+        lambda t: t.filter(pc.not_equal(t.column("kind"), "violation")),
+        batch_format="pyarrow")
+        .repartition(8)
+        .map_batches(_pre_merge, batch_format="pyarrow", batch_size=None)
+        .materialize())
+    merged_profiles = {}
+    status_partial = small.map_batches(
         lambda t: t.filter(pc.is_in(t.column("kind"),
                                     value_set=pa.array(["status", "partial"]))),
         batch_format="pyarrow")
-        .repartition(8)
-        .map_batches(_pre_merge, batch_format="pyarrow", batch_size=None))
-    merged_profiles = {}
-    for t in small.iter_batches(batch_size=8192, batch_format="pyarrow"):
+    for t in status_partial.iter_batches(batch_size=8192, batch_format="pyarrow"):
         for r in t.to_pylist():
             if r["kind"] == "status":
                 a = status_agg.setdefault((r["partition_id"], r["constraint_id"]),
@@ -299,62 +328,67 @@ def run_pages_validation(source, out_dir: str | None = None,
         # Size-adaptive merge (like broadcast-vs-shuffle join selection):
         # hash blobs are 8 B/url. Below the threshold one driver-side
         # np.unique is faster than any shuffle; above it (≳10^8 urls)
-        # the per-bucket distributed groupby takes over. Both paths are
-        # exact and partitioning-independent.
+        # the per-bucket distributed groupby takes over. The hash pass is
+        # a CANDIDATE FILTER only — repeated hashes are then verified by
+        # actual url string equality in the resolve pass, so 64-bit
+        # birthday collisions (≈ n²/2^65 — thousands of false pairs at
+        # 10^12 rows) can never report distinct urls as duplicates.
         DRIVER_UNIQUE_BYTES = 512 << 20
-        uhash = _only("uhash").select_columns(["bucket", "state"]).materialize()
+        uhash = small.map_batches(
+            lambda t: t.filter(pc.equal(t.column("kind"), "uhash")),
+            batch_format="pyarrow").select_columns(["bucket", "state"]).materialize()
         total_bytes = uhash.size_bytes()
         if total_bytes <= DRIVER_UNIQUE_BYTES:
             blobs = [r["state"] for r in collect_pylist(uhash)]
             h = np.frombuffer(b"".join(blobs), dtype=np.uint64)
             uniq, counts = np.unique(h, return_counts=True)
-            dupm = counts > 1
-            dup_hash_rows = [{"h": int(x), "n": int(n)} for x, n in
-                             zip(uniq[dupm].astype(np.int64), counts[dupm])]
+            cand_hashes = uniq[counts > 1].astype(np.int64)
         else:
             def find_dups(g: pd.DataFrame) -> pd.DataFrame:
                 hh = np.frombuffer(b"".join(g["state"]), dtype=np.uint64)
                 u, c = np.unique(hh, return_counts=True)
                 d = c > 1
-                return pd.DataFrame({"h": u[d].astype(np.int64),
-                                     "n": c[d].astype(np.int64)})
+                return pd.DataFrame({"h": u[d].astype(np.int64)})
 
-            dup_hash_rows = collect_pylist(
-                uhash.groupby("bucket").map_groups(find_dups,
-                                                   batch_format="pandas"))
-        dup_n_by_hash = {r["h"]: r["n"] for r in dup_hash_rows}
-        dup_count = len(dup_n_by_hash)
-        if dup_count:
+            cand_hashes = np.array(
+                [r["h"] for r in collect_pylist(
+                    uhash.groupby("bucket").map_groups(find_dups,
+                                                       batch_format="pandas"))],
+                dtype=np.int64)
+        if cand_hashes.size:
             import ray as _ray
 
-            dup_ref = _ray.put(np.sort(np.fromiter(dup_n_by_hash, dtype=np.int64)))
+            dup_ref = _ray.put(np.sort(cand_hashes))
 
             def resolve_urls(t: pa.Table) -> pa.Table:
                 dup_sorted = _ray.get(dup_ref)
                 urls = t.column("url").to_numpy(zero_copy_only=False).astype(object)
-                h = pd.util.hash_array(urls, categorize=False).astype(np.int64)
+                h = _hash_urls(urls, url_hash_mod).astype(np.int64)
                 pos = np.searchsorted(dup_sorted, h)
                 pos[pos == len(dup_sorted)] = 0
                 mask = dup_sorted[pos] == h
-                return pa.table({"url": pa.array(urls[mask].tolist(), type=pa.string()),
-                                 "h": h[mask]})
+                return pa.table({"url": pa.array(urls[mask].tolist(), type=pa.string())})
 
-            # column-pruned re-read: only urls leave storage
+            # column-pruned re-read: only urls leave storage; output is
+            # bounded by the candidate row count (true dups + rare
+            # collision partners), not the input size
             if isinstance(source, str):
                 resolve_src = rd.read_parquet(source, columns=["url"])
             else:
                 resolve_src = ds.select_columns(["url"])
             resolved = collect_pylist(
                 resolve_src.map_batches(resolve_urls, batch_format="pyarrow"))
-            by_hash: dict[int, str] = {}
-            for r in resolved:
-                by_hash.setdefault(r["h"], r["url"])
+            # verify: a url is duplicated iff the SAME string occurs >1×
+            from collections import Counter
+
+            url_counts = Counter(r["url"] for r in resolved)
+            verified = {u: n for u, n in url_counts.items() if n > 1}
+            dup_count = len(verified)
             import ray.data as _rd
 
             dup_urls = _rd.from_arrow(pa.Table.from_pylist(
-                sorted(({"url": by_hash[h], "n": n}
-                        for h, n in dup_n_by_hash.items() if h in by_hash),
-                       key=lambda r: r["url"])))
+                [{"url": u, "n": n} for u, n in sorted(verified.items())],
+                schema=pa.schema([("url", pa.string()), ("n", pa.int64())])))
         else:
             import ray.data as _rd
 

@@ -7,8 +7,9 @@ checkpoint with per-partition lineage + metrics".
 
 Design (SURVEY.md §4.1 "Checkpoint / resume"):
   - partition = input parquet file (the natural resume unit)
-  - lineage id = sha256(input file list + file sizes + config + code
-    version) — any change invalidates the checkpoint
+  - lineage id = sha256(input file list + file sizes + mtimes + config
+    + code version) — any change invalidates the checkpoint (mtime_ns
+    catches a regenerated partition with identical name+size)
   - manifest.json: {lineage_id, partitions: {pid: {state, rows,
     violations, elapsed_us, constraints: {...}}}}, written atomically
     (tmp + rename) after every WAVE of partitions, so a killed run
@@ -41,7 +42,7 @@ def lineage_id(input_files: list[str], config: dict[str, Any]) -> str:
     h.update(ENGINE_VERSION.encode())
     for f in sorted(input_files):
         st = os.stat(f)
-        h.update(f"{os.path.basename(f)}:{st.st_size}".encode())
+        h.update(f"{os.path.basename(f)}:{st.st_size}:{st.st_mtime_ns}".encode())
     h.update(json.dumps(config, sort_keys=True, default=str).encode())
     return h.hexdigest()[:16]
 

@@ -77,10 +77,50 @@ class TestDriftSuite:
             edges = np.linspace(lo, hi, 11)
             eb, _ = np.histogram(b, bins=edges)
             ac, _ = np.histogram(c, bins=edges)
-            expect = psi_from_counts(eb, ac)
+            # independent oracle: the reference's exact formula
+            # (drift.py:71-84) — divide by FULL len incl. out-of-range
+            ep = np.where(eb / len(b) == 0, 1e-8, eb / len(b))
+            ap = np.where(ac / len(c) == 0, 1e-8, ac / len(c))
+            expect = float(np.sum((ap - ep) * np.log(ap / ep)))
             assert psi_engine == pytest.approx(expect, abs=1e-12), key
             checked += 1
         assert checked >= 5
+
+    def test_out_of_range_mass_counts_in_denominator(self, ray_session):
+        """A current group entirely OUTSIDE the baseline bin range is the
+        most severe drift: PSI must be large (all actual in-range
+        proportions → eps), never NaN/'unknown' (reference drift.py:71-84
+        divides by len(actual), not the in-range count)."""
+        import ray
+
+        def tbl(vals, lang="en"):
+            n = len(vals)
+            return pd.DataFrame({
+                "url": [f"http://x/{i}" for i in range(n)],
+                "warc_ts": pd.to_datetime(["2024-01-03"] * n),
+                "html": [b""] * n,
+                "text": ["x" * int(v) for v in vals],
+                "lang": [lang] * n,
+            })
+
+        base = ray.data.from_pandas(tbl(np.linspace(10, 100, 50)))
+        cur = ray.data.from_pandas(tbl(np.full(50, 5000.0)))  # all above range
+        baseline = build_drift_baseline(base, "text_len", "week")
+        table, summary = compute_drift(baseline, cur)
+        row = table.to_pylist()[0]
+        assert row["psi"] == row["psi"]  # not NaN
+        assert row["psi"] > 0.2 and row["psi_level"] == "severe"
+        assert summary["status"] == "fail"
+        # partial out-of-range: oracle = reference formula with full-n denominators
+        cur2 = ray.data.from_pandas(tbl(np.r_[np.linspace(10, 100, 25), np.full(25, 5000.0)]))
+        t2, _ = compute_drift(baseline, cur2)
+        got = t2.to_pylist()[0]["psi"]
+        edges = np.linspace(10, 100, 11)
+        eb, _ = np.histogram(np.linspace(10, 100, 50), bins=edges)
+        ac, _ = np.histogram(np.r_[np.linspace(10, 100, 25), np.full(25, 5000.0)], bins=edges)
+        ep = np.where(eb / 50 == 0, 1e-8, eb / 50)
+        ap = np.where(ac / 50 == 0, 1e-8, ac / 50)
+        assert got == pytest.approx(float(np.sum((ap - ep) * np.log(ap / ep))), abs=1e-12)
 
     def test_baseline_artifact_roundtrip(self, sf_dir, tmp_path):
         baseline = build_drift_baseline(pages_dataset(sf_dir), "text_len", "week")

@@ -275,6 +275,34 @@ class TestDriftMath:
         except ImportError:
             assert 0.15 < d < 0.35  # ~0.5σ shift
 
+    def test_ks_exact_pvalue_matches_brute_force(self):
+        """Exact path-counting p-value == enumeration over all C(m+n,n)
+        interleavings (the definition of the exact two-sample test)."""
+        from itertools import combinations
+
+        from tanml_ray.kernels.drift_math import ks_exact_pvalue
+
+        rng = np.random.default_rng(7)
+        for m, n in [(3, 4), (5, 5), (4, 6), (2, 7)]:
+            x = np.sort(rng.normal(0, 1, m))
+            y = np.sort(rng.normal(0.8, 1, n))
+            d_obs, p_got = ks_2samp_exact(x, y)
+            # brute force: all ways to label m+n distinct values
+            vals = np.sort(np.concatenate([x, y]))
+            total = 0
+            ge = 0
+            for xs_idx in combinations(range(m + n), m):
+                xs = vals[list(xs_idx)]
+                ys = np.delete(vals, list(xs_idx))
+                cdf_x = np.searchsorted(xs, vals, side="right") / m
+                cdf_y = np.searchsorted(ys, vals, side="right") / n
+                d = np.abs(cdf_x - cdf_y).max()
+                total += 1
+                if d >= d_obs - 1e-12:
+                    ge += 1
+            assert p_got == pytest.approx(ge / total, abs=1e-12), (m, n)
+            assert ks_exact_pvalue(0.0, m, n) == 1.0
+
     def test_ks_identical_zero(self):
         x = RNG.normal(0, 1, 1000)
         d, _ = ks_2samp_exact(x, x)

@@ -175,6 +175,63 @@ class TestPipelineE2E:
 
 
 @pytest.mark.usefixtures("ray_session")
+class TestUniquenessCollisionVerify:
+    def test_hash_collisions_are_not_duplicates(self, tmp_path):
+        """Narrow the url-hash space (url_hash_mod test hook) so DISTINCT
+        urls collide: the verify pass must reject collision-only
+        candidates, while true string duplicates still surface with
+        exact per-url counts (ADVICE r1: birthday collisions at 10^12
+        rows must not flip overall to fail)."""
+        import pyarrow.parquet as pq_
+
+        from tanml_ray.pipelines.validate import run_pages_validation
+
+        pages = make_pages_batch(_docs_batch(400))
+        # 400 distinct-ish urls through a 16-value hash → guaranteed
+        # collisions between distinct strings
+        d = tmp_path / "pages"
+        d.mkdir()
+        pq_.write_table(pages.slice(0, 200), str(d / "a.parquet"))
+        pq_.write_table(pages.slice(200, 200), str(d / "b.parquet"))
+
+        rep = run_pages_validation(str(d), check_uniqueness=True,
+                                   url_hash_mod=16)
+        # fixture injects true dups at ids 7,207 (each dup of prev id) →
+        # 2 urls each appearing exactly twice; everything else is a
+        # collision the verify pass must discard
+        import pandas as pd
+        urls = pages.column("url").to_pylist()
+        truth = pd.Series(urls).value_counts()
+        true_dups = {u: int(n) for u, n in truth.items() if n > 1}
+        got = {r["url"]: r["n"] for r in rep.duplicate_urls.take_all()}
+        assert got == true_dups
+        assert rep.summary["duplicate_urls"] == len(true_dups)
+
+    def test_no_dups_no_collisions_clean(self, tmp_path):
+        """All-unique urls with forced collisions → zero duplicates."""
+        import pyarrow.parquet as pq_
+
+        from tanml_ray.pipelines.validate import run_pages_validation
+
+        t = pa.table({
+            "url": [f"https://site-{i}.example/page" for i in range(300)],
+            "warc_ts": pa.array([1700000000_000000 + i for i in range(300)],
+                                type=pa.timestamp("us")),
+            "html": pa.array([b"<p>x</p>"] * 300, type=pa.binary()),
+            "text": ["x"] * 300,
+            "lang": ["en"] * 300,
+        })
+        d = tmp_path / "pages"
+        d.mkdir()
+        pq_.write_table(t, str(d / "a.parquet"))
+        rep = run_pages_validation(str(d), check_uniqueness=True,
+                                   url_hash_mod=8,
+                                   constraints=[])
+        assert rep.summary["duplicate_urls"] == 0
+        assert rep.duplicate_urls.count() == 0
+
+
+@pytest.mark.usefixtures("ray_session")
 class TestViolationHeavyInput:
     def test_every_row_violating(self, tmp_path):
         """A constraint that fails on EVERY row must not choke the
