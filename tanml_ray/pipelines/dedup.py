@@ -120,17 +120,26 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
                       bucket_partitions: int = 64) -> pa.Table:
     """MinHash+LSH near-dup pairs, verified with exact Jaccard ≥ threshold.
 
-    Pipeline (only signatures/buckets shuffle — never text):
+    Pipeline (only signatures/buckets shuffle — never text, and the
+    signature table is never gathered to the driver):
       1. one pass: per-doc minhash signature rows (id, sig 8·num_perm B)
       2. bucketize: (bpart=bhash%P, band, bhash, id) rows
       3. groupby COARSE bpart (P groups, not one per bucket — per-group
          scheduling overhead would dominate with millions of tiny
          buckets) → vectorized within-partition pair generation
-      4. signature prefilter: est-Jaccard from the signatures (exactly
-         the statistic LSH banding thresholds), keep est ≥ t − 0.15
-         (≈2.5σ of the 64-perm estimator — same probabilistic contract
-         as the banding itself)
-      5. exact Jaccard on the survivors only (targeted shingle fetch)
+      4. DISTRIBUTED signature prefilter: two partitioned sig-attach
+         rounds — candidates shuffle to hash(id_a)%P alongside the
+         hash-partitioned sig table (attach sig_a + global pair dedup,
+         every copy of a pair shares id_a so dedup is exact), then to
+         hash(id_b)%P (attach sig_b, est-Jaccard = mean matching
+         minhashes — exactly the statistic LSH banding thresholds —
+         keep est ≥ t − 0.15, ≈2.5σ of the 64-perm estimator, same
+         probabilistic contract as the banding itself). Each round
+         moves O(sigs + candidate pairs) rows; nothing scales with the
+         corpus on the driver.
+      5. exact Jaccard on the survivors only (targeted shingle fetch;
+         the survivor id set is output-bounded and broadcast via
+         ray.put, never captured in a task closure)
 
     Returns (id_a, id_b, jaccard) with id_a < id_b, sorted.
     """
@@ -198,49 +207,112 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
 
     cand = (buckets.groupby("bpart")
             .map_groups(pairs_of_partition, batch_format="pandas"))
-    cand_df = pd.DataFrame(collect_pylist(cand))
-    if cand_df.empty:
-        return pa.table({"id_a": pa.array([], type=pa.int64()),
-                         "id_b": pa.array([], type=pa.int64()),
-                         "jaccard": pa.array([], type=pa.float64())})
-    cand_df = cand_df.drop_duplicates()
 
-    # signature prefilter (fully vectorized): est-J = mean matching
-    # minhashes; signatures gathered as ONE matrix, pair lookups via
-    # searchsorted (no per-pair python)
-    all_ids: list[np.ndarray] = []
-    all_sigs: list[np.ndarray] = []
-    for t in sigs.iter_batches(batch_size=8192, batch_format="pyarrow"):
-        ids_arr = t.column("id").to_numpy(zero_copy_only=False)
-        blob = b"".join(t.column("sig").to_pylist())
-        all_ids.append(ids_arr)
-        all_sigs.append(np.frombuffer(blob, dtype=np.uint64)
-                        .reshape(len(ids_arr), num_perm))
-    id_vec = np.concatenate(all_ids)
-    sig_mat = np.vstack(all_sigs)
-    order = np.argsort(id_vec)
-    id_vec, sig_mat = id_vec[order], sig_mat[order]
-    ids_a = cand_df["id_a"].to_numpy()
-    ids_b = cand_df["id_b"].to_numpy()
-    sa = sig_mat[np.searchsorted(id_vec, ids_a)]
-    sb = sig_mat[np.searchsorted(id_vec, ids_b)]
-    est = (sa == sb).mean(axis=1)
-    keep = est >= max(threshold - 0.15, 0.0)
-    survivors = sorted(zip(ids_a[keep].tolist(), ids_b[keep].tolist()))
+    # --- distributed est-Jaccard prefilter: two sig-attach rounds.
+    # The sig table hash-partitions by id ONCE (same key both rounds);
+    # candidate pairs ride along. No driver gather of signatures.
+    P = bucket_partitions
+    min_est = max(threshold - 0.15, 0.0)
+
+    def _part_of(ids: np.ndarray) -> np.ndarray:
+        return (pd.util.hash_array(ids.astype(np.int64))
+                % np.uint64(P)).astype(np.int32)
+
+    def sig_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column("id").to_numpy(zero_copy_only=False)
+        return pa.table({"jpart": pa.array(_part_of(ids), type=pa.int32()),
+                         "kind": pa.array(["s"] * len(ids), type=pa.string()),
+                         "id_a": pa.array(ids, type=pa.int64()),
+                         "id_b": pa.array(np.zeros(len(ids), dtype=np.int64)),
+                         "sig": batch.column("sig").combine_chunks()})
+
+    sig_keyed = sigs.map_batches(sig_rows, batch_format="pyarrow").materialize()
+
+    def cand_rows(batch: pa.Table) -> pa.Table:
+        ia = batch.column("id_a").to_numpy(zero_copy_only=False)
+        n = len(ia)
+        return pa.table({"jpart": pa.array(_part_of(ia), type=pa.int32()),
+                         "kind": pa.array(["p"] * n, type=pa.string()),
+                         "id_a": batch.column("id_a").combine_chunks(),
+                         "id_b": batch.column("id_b").combine_chunks(),
+                         "sig": pa.nulls(n, type=pa.binary())})
+
+    _empty_tagged = pa.table({"jpart": pa.array([], type=pa.int32()),
+                              "kind": pa.array([], type=pa.string()),
+                              "id_a": pa.array([], type=pa.int64()),
+                              "id_b": pa.array([], type=pa.int64()),
+                              "sig": pa.array([], type=pa.binary())})
+    _empty_pairs = pa.table({"id_a": pa.array([], type=pa.int64()),
+                             "id_b": pa.array([], type=pa.int64())})
+
+    def attach_a(g: pd.DataFrame) -> pa.Table:
+        s = g[g["kind"] == "s"]
+        sig_map = dict(zip(s["id_a"].to_numpy(), s["sig"]))
+        p = g[g["kind"] == "p"][["id_a", "id_b"]].drop_duplicates()
+        if p.empty:
+            return _empty_tagged
+        sa = p["id_a"].map(sig_map)
+        m = sa.notna()
+        p, sa = p[m], sa[m]
+        n = len(p)
+        return pa.table({"jpart": pa.array(_part_of(p["id_b"].to_numpy()), type=pa.int32()),
+                         "kind": pa.array(["p"] * n, type=pa.string()),
+                         "id_a": pa.array(p["id_a"].to_numpy(), type=pa.int64()),
+                         "id_b": pa.array(p["id_b"].to_numpy(), type=pa.int64()),
+                         "sig": pa.array(sa.tolist(), type=pa.binary())})
+
+    def attach_b_and_filter(g: pd.DataFrame) -> pa.Table:
+        s = g[g["kind"] == "s"]
+        sig_map = dict(zip(s["id_a"].to_numpy(), s["sig"]))
+        p = g[g["kind"] == "p"]
+        if p.empty:
+            return _empty_pairs
+        sb = p["id_b"].map(sig_map)
+        m = sb.notna()
+        p, sb = p[m], sb[m]
+        if p.empty:
+            return _empty_pairs
+        sa_mat = np.frombuffer(b"".join(p["sig"]), dtype=np.uint64) \
+            .reshape(len(p), num_perm)
+        sb_mat = np.frombuffer(b"".join(sb), dtype=np.uint64) \
+            .reshape(len(p), num_perm)
+        est = (sa_mat == sb_mat).mean(axis=1)
+        keep = est >= min_est
+        return pa.table({"id_a": pa.array(p["id_a"].to_numpy()[keep], type=pa.int64()),
+                         "id_b": pa.array(p["id_b"].to_numpy()[keep], type=pa.int64())})
+
+    round1 = (sig_keyed.union(cand.map_batches(cand_rows, batch_format="pyarrow"))
+              .groupby("jpart").map_groups(attach_a, batch_format="pandas"))
+    surv_ds = (sig_keyed.union(round1)
+               .groupby("jpart").map_groups(attach_b_and_filter,
+                                            batch_format="pandas"))
+    # survivors are OUTPUT-bounded (post-prefilter near-dup pairs) —
+    # safe to collect
+    survivors = sorted({(int(r["id_a"]), int(r["id_b"]))
+                        for r in collect_pylist(surv_ds)})
     if not survivors:
         return pa.table({"id_a": pa.array([], type=pa.int64()),
                          "id_b": pa.array([], type=pa.int64()),
                          "jaccard": pa.array([], type=pa.float64())})
 
-    # exact verify on survivors only
-    need_set = {i for p in survivors for i in p}
+    # exact verify on survivors only; the needed-id set broadcasts via
+    # ray.put (a closure capture would re-ship it with every task)
+    import ray as _ray_mod
+
+    need_ref = _ray_mod.put(np.unique(np.array(survivors, dtype=np.int64)))
 
     def shingles_of(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        need = _ray.get(need_ref)
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
-        texts = batch.column(text_col).to_pylist()
+        pos = np.searchsorted(need, ids)
+        pos[pos == len(need)] = 0
+        hit = np.nonzero(need[pos] == ids)[0]
+        texts = batch.column(text_col).take(hit).to_pylist() if hit.size else []
         keep_ids, blobs = [], []
-        for i, t in enumerate(texts):
-            if int(ids[i]) in need_set and t is not None:
+        for i, t in zip(hit, texts):
+            if t is not None:
                 keep_ids.append(int(ids[i]))
                 blobs.append(shingle_hashes(t, k=shingle_k).tobytes())
         return pa.table({"id": pa.array(keep_ids, type=pa.int64()),
@@ -264,11 +336,30 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
          "jaccard": pa.array([], type=pa.float64())})
 
 
+def popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount of a uint64 array (unpackbits, no per-element
+    Python)."""
+    x = np.ascontiguousarray(x, dtype=np.uint64)
+    if x.size == 0:
+        return np.empty(0, dtype=np.int64)
+    return np.unpackbits(x.view(np.uint8)).reshape(x.size, 64) \
+        .sum(axis=1).astype(np.int64)
+
+
 def simhash_near_dups(ds, text_col: str = "text", id_col: str = "doc_id",
-                      max_hamming: int = 3) -> pa.Table:
+                      max_hamming: int = 3,
+                      bucket_partitions: int = 64) -> pa.Table:
     """SimHash near-dup pairs: 64-bit fingerprints, candidates share at
     least one of 4 16-bit blocks (guarantees recall for distance ≤ 3),
-    verified by exact Hamming distance."""
+    verified by exact Hamming distance.
+
+    Scale shape mirrors the MinHash path: the shuffle groups by a
+    COARSE ``(blk·2¹⁶+bv) % P`` partition key (P groups, not one
+    map_groups call per 16-bit bucket — up to 262k tiny groups would be
+    pure scheduling overhead), with the per-bucket pair generation and
+    XOR+popcount Hamming verify fully vectorized inside each partition.
+    Only the post-verify matching pairs (output-bounded) reach the
+    driver, where cross-band duplicates collapse."""
     def fp_batch(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
         texts = batch.column(text_col).to_pylist()
@@ -286,36 +377,52 @@ def simhash_near_dups(ds, text_col: str = "text", id_col: str = "doc_id",
                 out_fp.append(fp - 2**63)  # store as int64
                 out_blk.append(blk)
                 out_bv.append((fp >> (16 * blk)) & 0xFFFF)
+        bpart = ((np.asarray(out_blk, dtype=np.int64) << 16)
+                 + np.asarray(out_bv, dtype=np.int64)) % bucket_partitions
         return pa.table({"id": pa.array(out_id, type=pa.int64()),
                          "fp": pa.array(out_fp, type=pa.int64()),
                          "blk": pa.array(out_blk, type=pa.int32()),
-                         "bv": pa.array(out_bv, type=pa.int32())})
+                         "bv": pa.array(out_bv, type=pa.int32()),
+                         "bpart": pa.array(bpart, type=pa.int32())})
 
     buckets = ds.map_batches(fp_batch, batch_format="pyarrow")
 
-    def pairs_of(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.drop_duplicates("id")
-        if len(g) < 2 or len(g) > 1000:
-            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
+    def pairs_of_partition(group: pd.DataFrame) -> pa.Table:
+        g = (group.drop_duplicates(["blk", "bv", "id"])
+             .sort_values(["blk", "bv", "id"]))
+        key = g.groupby(["blk", "bv"], sort=False).ngroup().to_numpy()
         ids = g["id"].to_numpy()
         fps = (g["fp"].to_numpy().astype(np.int64) + 2**63).astype(np.uint64)
-        ia, ib = np.triu_indices(len(g), k=1)
-        rows = {"id_a": [], "id_b": [], "hamming": []}
-        for x, y in zip(ia, ib):
-            d = bin(int(fps[x]) ^ int(fps[y])).count("1")
-            a, b = int(ids[x]), int(ids[y])
-            if a > b:
-                a, b = b, a
-            rows["id_a"].append(a)
-            rows["id_b"].append(b)
-            rows["hamming"].append(d)
-        return pd.DataFrame(rows)
+        out_a, out_b, out_d = [], [], []
+        start = 0
+        for end in np.flatnonzero(np.diff(key)).tolist() + [len(key) - 1]:
+            size = end - start + 1
+            if 2 <= size <= 1000:
+                seg_ids = ids[start:end + 1]
+                seg_fps = fps[start:end + 1]
+                ia, ib = np.triu_indices(size, k=1)
+                d = popcount64(seg_fps[ia] ^ seg_fps[ib])
+                keep = d <= max_hamming
+                if keep.any():
+                    a, b = seg_ids[ia[keep]], seg_ids[ib[keep]]
+                    lo, hi = np.minimum(a, b), np.maximum(a, b)
+                    out_a.append(lo)
+                    out_b.append(hi)
+                    out_d.append(d[keep])
+            start = end + 1
+        if not out_a:
+            return pa.table({"id_a": pa.array([], type=pa.int64()),
+                             "id_b": pa.array([], type=pa.int64()),
+                             "hamming": pa.array([], type=pa.int32())})
+        return pa.table({"id_a": pa.array(np.concatenate(out_a), type=pa.int64()),
+                         "id_b": pa.array(np.concatenate(out_b), type=pa.int64()),
+                         "hamming": pa.array(np.concatenate(out_d), type=pa.int32())})
 
-    cand = buckets.groupby(["blk", "bv"]).map_groups(pairs_of, batch_format="pandas")
-    seen = {}
+    cand = buckets.groupby("bpart").map_groups(pairs_of_partition,
+                                               batch_format="pandas")
+    seen: dict[tuple[int, int], int] = {}
     for r in collect_pylist(cand):
-        if r["hamming"] <= max_hamming:
-            seen[(int(r["id_a"]), int(r["id_b"]))] = int(r["hamming"])
+        seen[(int(r["id_a"]), int(r["id_b"]))] = int(r["hamming"])
     rows = [{"id_a": a, "id_b": b, "hamming": h} for (a, b), h in sorted(seen.items())]
     return pa.Table.from_pylist(rows) if rows else pa.table(
         {"id_a": pa.array([], type=pa.int64()),
@@ -323,55 +430,207 @@ def simhash_near_dups(ds, text_col: str = "text", id_col: str = "doc_id",
          "hamming": pa.array([], type=pa.int32())})
 
 
-def embedding_near_dups(ds, threshold: float = 0.95,
-                        id_col: str = "vec_id", vec_col: str = "embedding") -> pa.Table:
-    """Embedding-cosine near-dup pairs (sim ≥ threshold, id_a < id_b).
+def _normalize_batch(batch: pa.Table, id_col: str, vec_col: str):
+    ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+    vecs = np.stack(batch.column(vec_col).to_pylist()).astype(np.float64)
+    vecs = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-30)
+    return ids, vecs
 
-    Small-side broadcast design: the normalized matrix is ray.put once
-    and every batch does one numpy matmul against it. The 10^12-scale
-    path replaces the broadcast matrix with LSH/IVF buckets; this is
-    the exact baseline those approximations are verified against.
-    """
+
+def _kmeans_unit_vectors(ds, id_col: str, vec_col: str, k: int,
+                         iters: int = 5) -> np.ndarray:
+    """Deterministic Lloyd over the NORMALIZED vector column: diagonal
+    min/max init (partition-order independent, no RNG), a few mergeable
+    sum/count rounds. Centroid quality only affects near-dup PRUNING,
+    never correctness, so few iterations suffice."""
     import ray
 
-    full = ds.select_columns([id_col, vec_col]).materialize()
-    ids_all, mat = _gather_matrix(full, id_col, vec_col)
-    norm = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
-    ref = ray.put((ids_all, norm))
+    def mm(batch: pa.Table) -> pa.Table:
+        _, v = _normalize_batch(batch, id_col, vec_col)
+        return pa.table({"vmin": [v.min(axis=0).tolist()],
+                         "vmax": [v.max(axis=0).tolist()]})
 
-    def sims(batch: pa.Table) -> pa.Table:
+    vmin = vmax = None
+    for r in collect_pylist(ds.map_batches(mm, batch_format="pyarrow")):
+        lo, hi = np.asarray(r["vmin"]), np.asarray(r["vmax"])
+        vmin = lo if vmin is None else np.minimum(vmin, lo)
+        vmax = hi if vmax is None else np.maximum(vmax, hi)
+    fracs = (np.arange(k) + 0.5) / k
+    centers = vmin[None, :] + fracs[:, None] * (vmax - vmin)[None, :]
+
+    for _ in range(iters):
+        cref = ray.put(centers)
+
+        def assign(batch: pa.Table) -> pa.Table:
+            import ray as _ray
+
+            C = _ray.get(cref)
+            _, v = _normalize_batch(batch, id_col, vec_col)
+            d = ((v ** 2).sum(axis=1, keepdims=True) + (C ** 2).sum(axis=1)[None, :]
+                 - 2.0 * (v @ C.T))
+            lab = d.argmin(axis=1)
+            rows = []
+            for j in np.unique(lab):
+                m = lab == j
+                rows.append({"cluster": int(j), "n": int(m.sum()),
+                             "sums": v[m].sum(axis=0).tolist()})
+            return pa.Table.from_pylist(rows)
+
+        agg: dict[int, tuple[int, np.ndarray]] = {}
+        for r in collect_pylist(ds.map_batches(assign, batch_format="pyarrow")):
+            n0, s0 = agg.get(r["cluster"], (0, 0.0))
+            agg[r["cluster"]] = (n0 + r["n"], s0 + np.asarray(r["sums"]))
+        for j, (n, s) in agg.items():
+            if n:
+                centers[j] = s / n
+    return centers
+
+
+def embedding_near_dups(ds, threshold: float = 0.95,
+                        id_col: str = "vec_id", vec_col: str = "embedding",
+                        n_centroids: int | None = None) -> pa.Table:
+    """Embedding-cosine near-dup pairs (sim ≥ threshold, id_a < id_b) —
+    IVF/centroid-bucketed with GUARANTEED recall 1.0, so it backs the
+    threshold-exact SQL oracle directly.
+
+    Recall guarantee (triangle inequality, unit vectors): sim ≥ t ⟹
+    ‖u−v‖ ≤ r = √(2−2t). Each vector is native to its nearest centroid
+    and replicated to every centroid within d_min(u) + 2r; for any
+    qualifying pair, d(u, c_v) ≤ r + d_min(v) ≤ 2r + d_min(u), so u
+    always lands in v's native cell (and/or vice versa). Cells compare
+    native×copy pairs with one vectorized matmul; only post-threshold
+    pairs (output-bounded) reach the driver, where the ≤2-cell
+    duplicates collapse. Nothing is broadcast except the k×d centroid
+    matrix; no stage scales super-linearly on the driver. Total compare
+    cost ≈ Σ m_c² ≈ N^1.5 at k=√N for spread data (vs the exact
+    kernel's N², `embedding_near_dups_exact`, which this path is
+    recall-tested against).
+
+    Below threshold ≈ 0.75 the replication radius 2r approaches the
+    diameter of the unit sphere and EVERY radius-based index degenerates
+    to all-pairs-times-k; the call transparently routes to the exact
+    block-pair kernel there (same output contract — both are exact)."""
+    import ray
+
+    r = float(np.sqrt(max(0.0, 2.0 - 2.0 * threshold)))
+    if threshold < 0.75:
+        return embedding_near_dups_exact(ds, threshold=threshold,
+                                         id_col=id_col, vec_col=vec_col)
+    N = ds.count()
+    if N == 0:
+        return pa.table({"id_a": pa.array([], type=pa.int64()),
+                         "id_b": pa.array([], type=pa.int64()),
+                         "sim": pa.array([], type=pa.float64())})
+    k = n_centroids or max(2, int(np.sqrt(N)))
+    src = ds.select_columns([id_col, vec_col]).materialize()
+    centers = _kmeans_unit_vectors(src, id_col, vec_col, k)
+    cref = ray.put((centers, r))
+
+    def emit(batch: pa.Table) -> pa.Table:
         import ray as _ray
 
-        ids_b = batch.column(id_col).to_numpy(zero_copy_only=False)
-        vecs = np.stack(batch.column(vec_col).to_pylist()).astype(np.float64)
-        vecs = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-30)
-        all_ids, all_norm = _ray.get(ref)
-        s = vecs @ all_norm.T
-        rows = {"id_a": [], "id_b": [], "sim": []}
-        for r in range(s.shape[0]):
-            mask = (s[r] >= threshold) & (all_ids > ids_b[r])
-            for j in np.nonzero(mask)[0]:
-                rows["id_a"].append(int(ids_b[r]))
-                rows["id_b"].append(int(all_ids[j]))
-                rows["sim"].append(round(float(s[r, j]), 6))
-        return pa.table({"id_a": pa.array(rows["id_a"], type=pa.int64()),
-                         "id_b": pa.array(rows["id_b"], type=pa.int64()),
-                         "sim": pa.array(rows["sim"], type=pa.float64())})
+        C, rr = _ray.get(cref)
+        ids, v = _normalize_batch(batch, id_col, vec_col)
+        d2 = ((v ** 2).sum(axis=1, keepdims=True) + (C ** 2).sum(axis=1)[None, :]
+              - 2.0 * (v @ C.T))
+        d = np.sqrt(np.maximum(d2, 0.0))
+        native = d.argmin(axis=1)
+        lim = d[np.arange(len(ids)), native] + 2.0 * rr
+        ri, rc = np.nonzero(d <= lim[:, None])
+        return pa.table({
+            "cell": pa.array(rc.astype(np.int32), type=pa.int32()),
+            "id": pa.array(ids[ri], type=pa.int64()),
+            "native": pa.array(native[ri] == rc),
+            "vec": pa.array([v[i].tobytes() for i in ri], type=pa.binary()),
+        })
 
-    out = full.map_batches(sims, batch_format="pyarrow")
-    rows = sorted(collect_pylist(out), key=lambda r: (r["id_a"], r["id_b"]))
+    rows_ds = src.map_batches(emit, batch_format="pyarrow")
+
+    def pairs_in_cell(g: pd.DataFrame) -> pa.Table:
+        ids = g["id"].to_numpy()
+        nat = g["native"].to_numpy(dtype=bool)
+        V = np.frombuffer(b"".join(g["vec"]), dtype=np.float64).reshape(len(g), -1)
+        s = V @ V.T
+        iu, ju = np.triu_indices(len(g), k=1)
+        ok = (s[iu, ju] >= threshold) & (nat[iu] | nat[ju])
+        a, b = ids[iu[ok]], ids[ju[ok]]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pa.table({"id_a": pa.array(lo, type=pa.int64()),
+                         "id_b": pa.array(hi, type=pa.int64()),
+                         "sim": pa.array(np.round(s[iu, ju][ok], 6),
+                                         type=pa.float64())})
+
+    out = rows_ds.groupby("cell").map_groups(pairs_in_cell, batch_format="pandas")
+    best: dict[tuple[int, int], float] = {}
+    for rr_ in collect_pylist(out):
+        best.setdefault((int(rr_["id_a"]), int(rr_["id_b"])), float(rr_["sim"]))
+    rows = [{"id_a": a, "id_b": b, "sim": s} for (a, b), s in sorted(best.items())]
     return pa.Table.from_pylist(rows) if rows else pa.table(
         {"id_a": pa.array([], type=pa.int64()),
          "id_b": pa.array([], type=pa.int64()),
          "sim": pa.array([], type=pa.float64())})
 
 
-def _gather_matrix(ds, id_col: str, vec_col: str) -> tuple[np.ndarray, np.ndarray]:
-    ids, vecs = [], []
-    for t in ds.iter_batches(batch_size=8192, batch_format="pyarrow"):
-        ids.append(t.column(id_col).to_numpy(zero_copy_only=False))
-        vecs.append(np.stack(t.column(vec_col).to_pylist()).astype(np.float64))
-    return np.concatenate(ids), np.vstack(vecs)
+def embedding_near_dups_exact(ds, threshold: float = 0.95,
+                              id_col: str = "vec_id",
+                              vec_col: str = "embedding") -> pa.Table:
+    """Exact all-pairs verify kernel, distributed as a block-pair join:
+    normalized blocks live in the object store; one Ray task per block
+    pair (B(B+1)/2 tasks) does a single matmul and emits only
+    post-threshold pairs. O(N²) compute by definition — the price of
+    exactness — but no full-matrix broadcast and no driver gather of
+    vectors (raw Ray tasks: a block-pair grid is one of the few shapes
+    the Dataset API can't express)."""
+    import ray
+
+    mat = ds.select_columns([id_col, vec_col]).map_batches(
+        lambda b: (lambda ids, v: pa.table(
+            {"id": pa.array(ids, type=pa.int64()),
+             "vec": pa.array([v[i].tobytes() for i in range(len(ids))],
+                             type=pa.binary())}))(*_normalize_batch(b, id_col, vec_col)),
+        batch_format="pyarrow").materialize()
+    try:
+        block_refs = [ref for bundle in mat.iter_internal_ref_bundles()
+                      for ref in bundle.block_refs]
+    except AttributeError:  # older Ray
+        block_refs = list(mat.get_internal_block_refs())
+
+    @ray.remote
+    def cmp(block_a, block_b, same: bool):
+        ba = pa.table(block_a) if not isinstance(block_a, pa.Table) else block_a
+        bb = pa.table(block_b) if not isinstance(block_b, pa.Table) else block_b
+        ia = ba.column("id").to_numpy(zero_copy_only=False)
+        ib = bb.column("id").to_numpy(zero_copy_only=False)
+        A = np.frombuffer(b"".join(ba.column("vec").to_pylist()),
+                          dtype=np.float64).reshape(len(ia), -1)
+        B = np.frombuffer(b"".join(bb.column("vec").to_pylist()),
+                          dtype=np.float64).reshape(len(ib), -1)
+        s = A @ B.T
+        if same:
+            iu, ju = np.triu_indices(len(ia), k=1)
+            ok = s[iu, ju] >= threshold
+            a, b = ia[iu[ok]], ib[ju[ok]]
+            sim = s[iu, ju][ok]
+        else:
+            iu, ju = np.nonzero(s >= threshold)
+            a, b = ia[iu], ib[ju]
+            sim = s[iu, ju]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return lo, hi, np.round(sim, 6)
+
+    futs = []
+    for i in range(len(block_refs)):
+        for j in range(i, len(block_refs)):
+            futs.append(cmp.remote(block_refs[i], block_refs[j], i == j))
+    rows = []
+    for lo, hi, sim in ray.get(futs):
+        rows.extend({"id_a": int(a), "id_b": int(b), "sim": float(s)}
+                    for a, b, s in zip(lo, hi, sim))
+    rows.sort(key=lambda r: (r["id_a"], r["id_b"]))
+    return pa.Table.from_pylist(rows) if rows else pa.table(
+        {"id_a": pa.array([], type=pa.int64()),
+         "id_b": pa.array([], type=pa.int64()),
+         "sim": pa.array([], type=pa.float64())})
 
 
 # ---------------------------------------------------------------------------

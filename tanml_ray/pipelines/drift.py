@@ -165,10 +165,20 @@ def _merge_hist_partials(partials) -> dict[tuple, dict[str, Any]]:
 
 
 def build_drift_baseline(ds, value_col: str = "text_len",
-                         bucket_unit: str = "week") -> DriftBaseline:
-    """Two passes over the baseline table (done once, artifact reused):
-    pass 1 per-group n/min/max → equal-width bin edges (reference
-    parity); pass 2 per-group histogram counts."""
+                         bucket_unit: str = "week",
+                         single_pass: bool | None = None) -> DriftBaseline:
+    """Baseline build. Default for integer-valued metrics (text_len =
+    utf8_length is integral by construction): ONE pass of per-group
+    value-counts partials, from which n/min/max AND the exact
+    histograms all derive — bit-identical to the two-pass result
+    (np.histogram over the distinct values weighted by their counts is
+    the same float path as histogramming the raw rows). General float
+    columns use the two-pass path (min/max → edges → counts), since
+    unbounded distinct values make count partials unmergeable."""
+    if single_pass is None:
+        single_pass = value_col == "text_len"
+    if single_pass:
+        return _build_baseline_counts(ds, value_col, bucket_unit)
     mm = _merge_minmax(_minmax_partials(ds, value_col, bucket_unit))
     edges_by_group = {}
     for key, m in mm.items():
@@ -189,6 +199,49 @@ def build_drift_baseline(ds, value_col: str = "text_len",
             "edges": e["edges"] if e else None,
             "counts": h["counts"], "fine_edges": e["fine_edges"] if e else None,
             "fine_counts": h["fine_counts"],
+        }
+    return baseline
+
+
+def _build_baseline_counts(ds, value_col: str, bucket_unit: str) -> DriftBaseline:
+    """Single-pass exact baseline for integer-valued metrics: per-block
+    per-group value-counts (rows ≤ groups × distinct-values per block —
+    text lengths span a few thousand distinct ints, so partials stay
+    tiny), merged driver-side, then edges + histograms derived from the
+    merged counts with the IDENTICAL np.histogram call the two-pass
+    path uses."""
+    def partial(batch: pa.Table) -> pa.Table:
+        df = _augment(batch, value_col, bucket_unit).dropna(subset=["value"])
+        g = (df.groupby(["lang", "bucket", "value"], as_index=False)
+             .size().rename(columns={"size": "n"}))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    merged: dict[tuple, dict[float, int]] = {}
+    for t in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+            batch_size=8192, batch_format="pyarrow"):
+        langs = t.column("lang").to_pylist()
+        bks = t.column("bucket").to_pylist()
+        vals = t.column("value").to_numpy(zero_copy_only=False)
+        ns = t.column("n").to_numpy(zero_copy_only=False)
+        for lang, bucket, v, n in zip(langs, bks, vals, ns):
+            g = merged.setdefault((lang, bucket), {})
+            g[float(v)] = g.get(float(v), 0) + int(n)
+
+    baseline = DriftBaseline(value_col=value_col, bucket_unit=bucket_unit)
+    for key, counts_map in merged.items():
+        vals = np.array(sorted(counts_map), dtype=np.float64)
+        cnts = np.array([counts_map[v] for v in vals], dtype=np.float64)
+        n = int(cnts.sum())
+        vmin, vmax = float(vals[0]), float(vals[-1])
+        lo, hi = vmin, vmax if vmax > vmin else vmin + 1.0
+        edges = np.linspace(lo, hi, N_PSI_BINS + 1)
+        fine_edges = np.linspace(lo, hi, N_FINE_BINS + 1)
+        counts = np.histogram(vals, bins=edges, weights=cnts)[0].astype(np.int64)
+        fine_counts = np.histogram(vals, bins=fine_edges, weights=cnts)[0].astype(np.int64)
+        baseline.groups[key] = {
+            "n": n, "below": 0, "above": 0, "vmin": vmin, "vmax": vmax,
+            "edges": edges, "counts": counts,
+            "fine_edges": fine_edges, "fine_counts": fine_counts,
         }
     return baseline
 

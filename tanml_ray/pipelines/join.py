@@ -34,16 +34,22 @@ _BUCKET_COL = "__join_bucket"
 def broadcast_join(large_ds, small_table: pa.Table, key: str,
                    how: str = "inner"):
     """small_table is materialized driver-side (a dimension table),
-    shipped once via ray.put; each probe batch merges locally."""
+    shipped once via ray.put; each probe batch joins locally with the
+    Arrow hash-join kernel — the probe path stays zero-copy Arrow end
+    to end (no pandas conversion). Overlapping non-key columns get
+    pandas-style _x/_y suffixes."""
     import ray
 
-    ref = ray.put(small_table.to_pandas())
+    join_type = {"inner": "inner", "left": "left outer",
+                 "right": "right outer", "outer": "full outer"}[how]
+    ref = ray.put(small_table.combine_chunks())
 
-    def probe(batch: pa.Table) -> pd.DataFrame:
+    def probe(batch: pa.Table) -> pa.Table:
         import ray as _ray
 
         small = _ray.get(ref)
-        return batch.to_pandas().merge(small, on=key, how=how)
+        return batch.join(small, keys=key, join_type=join_type,
+                          left_suffix="_x", right_suffix="_y")
 
     return large_ds.map_batches(probe, batch_format="pyarrow")
 
@@ -106,20 +112,29 @@ def partitioned_join(left_ds, right_ds, key: str, buckets: int = 32,
                                                 batch_format="pandas")
 
 
-def asof_join(left_ds, right_ds, key: str, ts_col: str):
+def asof_join(left_ds, right_ds, key: str, ts_col: str,
+              key_partitions: int = 64):
     """As-of (backward) join: for each left row, the greatest right
     ts <= left ts within the same key (ray_guide: sort both sides by
     (key, ts) within buckets + pd.merge_asof per group).
 
-    Tag sides, union, groupby(key), merge_asof inside each group (the
-    groupby shuffle colocates each key; merge_asof requires — and the
-    group fn establishes — ts order). Unmatched left rows are dropped
-    (inner-asof). Right columns come back prefixed `r_`, including the
-    matched timestamp as `r_ts`.
+    Tag sides, union, groupby the COARSE ``hash(key) % P`` partition
+    (NOT the raw key — at 10⁸ keys one pandas call per key is pure
+    scheduling overhead), then ONE vectorized
+    ``pd.merge_asof(..., by=key)`` per partition handles every key in
+    it. Unmatched left rows are dropped (inner-asof). Right columns
+    come back prefixed `r_`, including the matched timestamp as `r_ts`.
     """
     def tag(side: str):
         def fn(batch: pa.Table) -> pa.Table:
+            kn = batch.column(key).to_numpy(zero_copy_only=False)
+            if kn.dtype == object:
+                h = pd.util.hash_array(kn.astype(object), categorize=False)
+            else:
+                h = pd.util.hash_array(kn)
+            kpart = (h % np.uint64(key_partitions)).astype(np.int32)
             cols = {key: batch.column(key).combine_chunks(),
+                    "__kpart": pa.array(kpart, type=pa.int32()),
                     "__ts": batch.column(ts_col).combine_chunks(),
                     _SIDE_COL: pa.array([side] * batch.num_rows, type=pa.string())}
             if side == "r":
@@ -159,16 +174,19 @@ def asof_join(left_ds, right_ds, key: str, ts_col: str):
     r_cols = ["r_ts"] + [n for n in fields
                          if n.startswith("r_") and n != "r_ts"]
 
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
-        l = g[g[_SIDE_COL] == "l"][[key, "__ts", *l_cols]].sort_values("__ts")
-        r = g[g[_SIDE_COL] == "r"][["__ts", *r_cols]].sort_values("__ts")
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        l = (g[g[_SIDE_COL] == "l"][[key, "__ts", *l_cols]]
+             .sort_values("__ts", kind="mergesort"))
+        r = (g[g[_SIDE_COL] == "r"][[key, "__ts", *r_cols]]
+             .sort_values("__ts", kind="mergesort"))
         if l.empty or r.empty:
             return pd.DataFrame()
-        m = pd.merge_asof(l, r, on="__ts", direction="backward")
+        m = pd.merge_asof(l, r, on="__ts", by=key, direction="backward")
         m = m[m["r_ts"].notna()]
         return m.rename(columns={"__ts": ts_col})
 
-    return both.groupby(key).map_groups(per_key, batch_format="pandas")
+    return both.groupby("__kpart").map_groups(per_partition,
+                                              batch_format="pandas")
 
 
 def bloom_semi_join(large_ds, key_values: "np.ndarray", key: str,

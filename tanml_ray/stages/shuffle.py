@@ -66,28 +66,46 @@ def salted_group_sum(ds, key_cols: list[str], value_col: str,
     return stage2
 
 
-def sessionize(ds, user_col: str, ts_col: str, gap_minutes: float = 30.0):
+def sessionize(ds, user_col: str, ts_col: str, gap_minutes: float = 30.0,
+               user_partitions: int = 64):
     """Stream-shaped sessionization (ray_guide 'Streaming-shaped
-    workloads'): partition by user, sort by ts within the group, split
+    workloads'): partition by user, sort by ts within the user, split
     sessions at gaps > gap_minutes. Returns (user, session_id,
-    n_events, start_ts, end_ts).
+    n_events, start_us, end_us).
 
-    Ordering assumption: each user's events fit one group (true after
-    the groupby shuffle); within-group order is established by the
-    explicit sort inside the group function.
-    """
+    Shuffle key is the COARSE ``hash(user) % P`` partition, not the raw
+    user id — at 10⁸ users one map_groups call per user is pure
+    scheduling overhead; one call per partition with a vectorized
+    within-partition sort + per-user gap split is the scale shape.
+    Correctness is unchanged: every user's rows land in exactly one
+    partition, and the sort + boundary mask never crosses users."""
     gap_us = int(gap_minutes * 60 * 1e6)
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(ts_col)
+    def add_part(batch: pa.Table) -> pa.Table:
+        users = batch.column(user_col).to_numpy(zero_copy_only=False)
+        if users.dtype == object:
+            h = pd.util.hash_array(users.astype(object), categorize=False)
+        else:
+            h = pd.util.hash_array(users)
+        part = (h % np.uint64(user_partitions)).astype(np.int32)
+        return batch.append_column("__upart", pa.array(part, type=pa.int32()))
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([user_col, ts_col], kind="mergesort")
+        users = g[user_col].to_numpy()
         ts = g[ts_col].astype("datetime64[us]").astype(np.int64).to_numpy()
-        new_session = np.concatenate([[True], np.diff(ts) > gap_us])
-        sid = np.cumsum(new_session) - 1
-        out = (pd.DataFrame({"user": g[user_col].to_numpy(), "session_id": sid,
-                             "ts": ts})
-               .groupby(["user", "session_id"], as_index=False)
+        same_user = np.concatenate([[False], users[1:] == users[:-1]])
+        new_session = ~same_user | (np.concatenate([[0], np.diff(ts)]) > gap_us)
+        sid_global = np.cumsum(new_session) - 1
+        out = (pd.DataFrame({"user": users, "__g": sid_global, "ts": ts})
+               .groupby(["user", "__g"], as_index=False)
                .agg(n_events=("ts", "size"), start_us=("ts", "min"),
                     end_us=("ts", "max")))
-        return out
+        # session_id restarts at 0 per user (global cumsum is monotone
+        # within each user's contiguous run, so rank-within-user works)
+        out = out.sort_values(["user", "__g"])
+        out["session_id"] = out.groupby("user").cumcount()
+        return out[["user", "session_id", "n_events", "start_us", "end_us"]]
 
-    return ds.groupby(user_col).map_groups(per_user, batch_format="pandas")
+    return (ds.map_batches(add_part, batch_format="pyarrow")
+            .groupby("__upart").map_groups(per_partition, batch_format="pandas"))

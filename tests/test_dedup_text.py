@@ -121,6 +121,79 @@ class TestDedupPipelines:
 
 
 @pytest.mark.usefixtures("ray_session")
+class TestEmbeddingNearDup:
+    def _planted_vectors(self, n_noise=400, n_planted=30, dim=48):
+        """Deterministic corpus: noise vectors + planted near-dup pairs
+        (perturbed copies at sim ≥ 0.95)."""
+        rng = np.random.default_rng(11)
+        noise = rng.standard_normal((n_noise, dim))
+        rows_v, rows_id = [], []
+        for i, v in enumerate(noise):
+            rows_id.append(i)
+            rows_v.append(v)
+        base = rng.standard_normal((n_planted, dim))
+        for j, v in enumerate(base):
+            u = v / np.linalg.norm(v)
+            eps = rng.standard_normal(dim) * 0.02
+            w = u + eps
+            rows_id += [1000 + 2 * j, 1001 + 2 * j]
+            rows_v += [u * 3.0, w]
+        t = pa.table({"vec_id": pa.array(rows_id, type=pa.int64()),
+                      "embedding": pa.array([np.asarray(v, dtype=np.float32)
+                                             for v in rows_v],
+                                            type=pa.list_(pa.float32()))})
+        import ray.data as rd
+
+        return rd.from_arrow(t).repartition(6)
+
+    def test_ivf_recall_matches_exact_kernel(self):
+        """The centroid-bucketed path (threshold ≥ 0.75 regime) must
+        return EXACTLY the pairs of the exact block-pair kernel —
+        recall 1.0 is a triangle-inequality guarantee, not a
+        probabilistic contract."""
+        from tanml_ray.pipelines.dedup import (
+            embedding_near_dups,
+            embedding_near_dups_exact,
+        )
+
+        ds = self._planted_vectors()
+        ivf = embedding_near_dups(ds, threshold=0.95).to_pylist()
+        exact = embedding_near_dups_exact(ds, threshold=0.95).to_pylist()
+        assert len(exact) >= 25  # planted pairs actually exceed 0.95
+        assert ivf == exact
+
+    def test_low_threshold_routes_to_exact(self):
+        from tanml_ray.pipelines.dedup import (
+            embedding_near_dups,
+            embedding_near_dups_exact,
+        )
+
+        ds = self._planted_vectors(n_noise=120, n_planted=8)
+        got = embedding_near_dups(ds, threshold=0.4).to_pylist()
+        exact = embedding_near_dups_exact(ds, threshold=0.4).to_pylist()
+        assert got == exact
+
+    def test_exact_kernel_matches_bruteforce(self):
+        from tanml_ray.pipelines.dedup import embedding_near_dups_exact
+
+        ds = self._planted_vectors(n_noise=100, n_planted=5)
+        got = {(r["id_a"], r["id_b"]): r["sim"]
+               for r in embedding_near_dups_exact(ds, threshold=0.9).to_pylist()}
+        t = ds.to_pandas()
+        ids = t["vec_id"].to_numpy()
+        m = np.stack(t["embedding"].to_numpy()).astype(np.float64)
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+        s = m @ m.T
+        iu, ju = np.triu_indices(len(ids), 1)
+        want = {}
+        for a, b, v in zip(ids[iu], ids[ju], s[iu, ju]):
+            if v >= 0.9:
+                lo, hi = (int(a), int(b)) if a < b else (int(b), int(a))
+                want[(lo, hi)] = round(float(v), 6)
+        assert got == want
+
+
+@pytest.mark.usefixtures("ray_session")
 class TestSimilarity:
     def test_knn_matches_bruteforce_numpy(self, sf_dir):
         import pyarrow.parquet as pq

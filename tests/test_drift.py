@@ -122,6 +122,22 @@ class TestDriftSuite:
         ap = np.where(ac / 50 == 0, 1e-8, ac / 50)
         assert got == pytest.approx(float(np.sum((ap - ep) * np.log(ap / ep))), abs=1e-12)
 
+    def test_single_pass_baseline_identical_to_two_pass(self, sf_dir):
+        """The fused value-counts baseline build must be bit-identical
+        to the two-pass (min/max → histogram) build for integer-valued
+        metrics."""
+        ds = pages_dataset(sf_dir)
+        b1 = build_drift_baseline(ds, "text_len", "week", single_pass=True)
+        b2 = build_drift_baseline(pages_dataset(sf_dir), "text_len", "week",
+                                  single_pass=False)
+        assert set(b1.groups) == set(b2.groups)
+        for key in b1.groups:
+            g1, g2 = b1.groups[key], b2.groups[key]
+            for fld in ("n", "below", "above", "vmin", "vmax"):
+                assert g1[fld] == g2[fld], (key, fld)
+            for fld in ("edges", "counts", "fine_edges", "fine_counts"):
+                assert np.array_equal(g1[fld], g2[fld]), (key, fld)
+
     def test_baseline_artifact_roundtrip(self, sf_dir, tmp_path):
         baseline = build_drift_baseline(pages_dataset(sf_dir), "text_len", "week")
         p = str(tmp_path / "baseline.pkl")
