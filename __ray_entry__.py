@@ -102,6 +102,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "json_extract_events": q.json_extract_events,
         "grouped_psi_events": q.grouped_psi_events,
         "anti_join_lineitem": q.anti_join_lineitem,
+        "permutation_importance_orders": q.permutation_importance_orders,
+        "logistic_cv_orders": q.logistic_cv_orders,
+        "kendall_sample_lineitem": q.kendall_sample_lineitem,
     }
 
 
@@ -164,6 +167,9 @@ def oracle_sql() -> dict[str, str]:
         "json_extract_events": q.JSON_EXTRACT_SQL,
         "grouped_psi_events": q.GROUPED_PSI_SQL,
         "anti_join_lineitem": q.ANTI_JOIN_SQL,
-        # langid / lsh-knn / minhash / simhash: not SQL-expressible →
-        # rows-only driver check; verified in pytest instead.
+        "permutation_importance_orders": q.PERMUTATION_IMPORTANCE_SQL,
+        "kendall_sample_lineitem": q.KENDALL_SQL,
+        # langid / lsh-knn / minhash / simhash / logistic_cv (iterative
+        # IRLS): not SQL-expressible → rows-only driver check; verified
+        # in pytest instead.
     }

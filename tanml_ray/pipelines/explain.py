@@ -1,0 +1,243 @@
+"""Explainability + model-benchmark suite (SURVEY §2.3 T2 stand-in).
+
+The reference's SHAP check (tanml/checks/explainability/shap_check.py:
+138-177 explainer selection, 244-259 background/test sampling, 313-324
+mean-|shap| top-k ranking) needs the `shap` library, which this
+environment doesn't have. The library-free stand-in that honors the
+check's intent is PERMUTATION importance: re-score a bounded evaluation
+sample with one feature's column permuted and rank features by the mean
+absolute prediction delta — the same "how much does this feature move
+the output" quantity mean-|shap| summarizes, with the same
+argsort-descending top-`max_display` ranking semantics
+(shap_check.py:313-314, defaults bg_n=100/test_n=200/max_display=20 at
+:195-201).
+
+Determinism contract (what makes this ORACLE-able in SQL): the
+evaluation sample is the `test_n` smallest ids (reference: Xte.head)
+and the permutation is the cyclic shift by one position in ascending-id
+order — a fixed derangement, expressible as LEAD(...) OVER (ORDER BY
+id) with wraparound. No RNG anywhere.
+
+Scale shape: the sample extraction is a distributed min-k (per-block
+local top-k, merge of block×k rows); scoring runs through the
+ScorerStage actor pool (model deserialized once per actor). Only the
+bounded sample (test_n × features) ever sits on the driver, matching
+the reference's own bounded-sample contract.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from tanml_ray.functions.collect import collect_pylist
+
+
+def sample_min_k(ds, id_col: str, cols: list[str], n: int) -> pa.Table:
+    """Distributed deterministic bounded sample: the n smallest-id rows.
+    Per-block local top-k first, so at most blocks×n rows merge on the
+    driver — never the dataset."""
+    want = [id_col] + [c for c in cols if c != id_col]
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        t = batch.select(want)
+        order = np.argsort(t.column(id_col).to_numpy(zero_copy_only=False),
+                           kind="stable")[:n]
+        return t.take(order)
+
+    parts = collect_pylist(ds.map_batches(local_topk, batch_format="pyarrow"))
+    df = pd.DataFrame(parts).sort_values(id_col, kind="mergesort").head(n)
+    return pa.Table.from_pandas(df.reset_index(drop=True), preserve_index=False)
+
+
+def permutation_importance(ds, model: Any, feature_cols: list[str],
+                           id_col: str, test_n: int = 200,
+                           max_display: int = 20,
+                           concurrency: int = 2) -> pa.Table:
+    """Feature ranking by mean |Δprediction| under single-feature
+    permutation (cyclic shift in id order) on the n-smallest-id sample.
+
+    Returns (rank, feature, mean_abs_delta) sorted descending by
+    mean_abs_delta (ties broken by feature name), top `max_display` —
+    the reference's mean-|shap| ranking semantics
+    (shap_check.py:313-324)."""
+    import ray
+    import ray.data as rd
+
+    sample = sample_min_k(ds, id_col, feature_cols, test_n)
+    n = sample.num_rows
+    base = {c: sample.column(c).to_numpy(zero_copy_only=False).astype(np.float64)
+            for c in feature_cols}
+
+    # one variant table per feature + the baseline, tagged; the scorer
+    # actor pool sees it as a single stream of batches
+    tables = []
+    variants = ["__base__"] + list(feature_cols)
+    for v in variants:
+        cols = {"variant": pa.array([v] * n, type=pa.string()),
+                "row": pa.array(np.arange(n), type=pa.int64())}
+        for c in feature_cols:
+            x = base[c]
+            if c == v:
+                x = np.roll(x, -1)  # cyclic shift: LEAD(...) with wrap
+            cols[c] = pa.array(x, type=pa.float64())
+        tables.append(pa.table(cols))
+    vds = rd.from_arrow(pa.concat_tables(tables)).repartition(len(variants))
+
+    ref = ray.put(model)
+    from tanml_ray.stages.scoring import ScorerStage
+
+    scored = vds.map_batches(
+        ScorerStage,
+        fn_constructor_kwargs={"model_ref": ref, "feature_cols": feature_cols,
+                               "output_col": "score"},
+        batch_format="pyarrow", concurrency=concurrency)
+
+    preds: dict[str, np.ndarray] = {}
+    for r in collect_pylist(scored.select_columns(["variant", "row", "score"])):
+        preds.setdefault(r["variant"], np.zeros(n))[r["row"]] = r["score"]
+    b = preds["__base__"]
+    rows = [{"feature": c,
+             "mean_abs_delta": float(np.abs(preds[c] - b).mean())}
+            for c in feature_cols]
+    rows.sort(key=lambda r: (-r["mean_abs_delta"], r["feature"]))
+    rows = rows[:max_display]
+    for i, r in enumerate(rows):
+        r["rank"] = i + 1
+    return pa.table({
+        "rank": pa.array([r["rank"] for r in rows], type=pa.int64()),
+        "feature": pa.array([r["feature"] for r in rows], type=pa.string()),
+        "mean_abs_delta": pa.array([round(r["mean_abs_delta"], 6) for r in rows],
+                                   type=pa.float64()),
+    })
+
+
+# ---------------------------------------------------------------------------
+# Model benchmarking: K-fold CV of the IRLS logistic vs the closed-form
+# linear score on the same label (reference flagship: ui/services/cv.py
+# 37-222 repeated CV over the estimator registry — this is the
+# two-model slice the sandbox's no-sklearn constraint allows).
+# ---------------------------------------------------------------------------
+
+def logistic_cv(ds, x_cols: list[str], y_col: str, key_col: str,
+                k: int = 5, max_iter: int = 8) -> pa.Table:
+    """K-fold CV of the distributed IRLS logistic: fit on k−1 folds
+    (each fit is max_iter streaming passes over the train folds), score
+    the held-out fold through the scorer pool, report exact AUC +
+    accuracy@0.5 per fold. Fold = key % k (deterministic,
+    partition/retry-safe — same contract as linear_cv)."""
+    from tanml_ray.pipelines.metrics import auc_exact
+    from tanml_ray.pipelines.mlops import logistic_fit
+
+    rows = []
+    for f in range(k):
+        def in_fold(batch: pa.Table, fold=f, invert=False) -> pa.Table:
+            keys = batch.column(key_col).to_numpy(zero_copy_only=False)
+            m = (keys % k) == fold
+            if invert:
+                m = ~m
+            return batch.filter(pa.array(m))
+
+        train = ds.map_batches(lambda b, fold=f: in_fold(b, fold, invert=True),
+                               batch_format="pyarrow")
+        test = ds.map_batches(lambda b, fold=f: in_fold(b, fold),
+                              batch_format="pyarrow")
+        fit = logistic_fit(train, x_cols, y_col, max_iter=max_iter)
+        # stateless task scoring: the per-fold model is a tiny coef
+        # vector, so a fresh actor pool per fold would cost more in
+        # actor startup than it saves — the ScorerStage actor pool is
+        # for big/expensive models on long streams (stages/scoring.py)
+        w = np.asarray(fit["coef"], dtype=np.float64)
+        b0 = float(fit["intercept"])
+
+        def score_batch(batch: pa.Table, w=w, b0=b0) -> pa.Table:
+            X = np.column_stack([
+                batch.column(c).to_numpy(zero_copy_only=False).astype(np.float64)
+                for c in x_cols])
+            s = 1.0 / (1.0 + np.exp(-(X @ w + b0)))
+            return batch.append_column("score", pa.array(s, type=pa.float64()))
+
+        scored = test.map_batches(score_batch,
+                                  batch_format="pyarrow").materialize()
+        auc = auc_exact(scored, y_col, "score")
+
+        def acc_partial(batch: pa.Table) -> pa.Table:
+            y = batch.column(y_col).to_numpy(zero_copy_only=False)
+            s = batch.column("score").to_numpy(zero_copy_only=False)
+            return pa.table({"n": pa.array([batch.num_rows], type=pa.int64()),
+                             "hit": pa.array([int(((s >= 0.5) == (y == 1)).sum())],
+                                             type=pa.int64())})
+
+        n = hit = 0
+        for r in collect_pylist(scored.map_batches(acc_partial,
+                                                   batch_format="pyarrow")):
+            n += r["n"]
+            hit += r["hit"]
+        rows.append({"fold": f, "n_test": n, "auc": round(float(auc), 6),
+                     "accuracy": round(hit / n, 6) if n else float("nan")})
+    return pa.Table.from_pylist(rows)
+
+
+def model_benchmark(ds, x_cols: list[str], y_col: str, key_col: str,
+                    k: int = 5) -> pa.Table:
+    """Per-(model, fold) benchmark table: IRLS logistic vs closed-form
+    least-squares linear scorer on the identical folds and label —
+    (model, fold, n_test, auc, accuracy)."""
+    from tanml_ray.pipelines.metrics import auc_exact
+    from tanml_ray.pipelines.ranking import _suff_stats
+
+    out_rows = []
+    log_rows = logistic_cv(ds, x_cols, y_col, key_col, k=k).to_pylist()
+    for r in log_rows:
+        out_rows.append({"model": "logistic_irls", **r})
+
+    # one-pass closed-form univariate linear on the first feature
+    # (k-fold fit = total-sums − fold-sums; same algebra as linear_cv)
+    def fold_of(batch: pa.Table) -> np.ndarray:
+        return (batch.column(key_col).to_numpy(zero_copy_only=False) % k)
+
+    st = _suff_stats(ds, [x_cols[0]], y_col, fold_of=fold_of)
+    tot = {s: sum(st[(x_cols[0], f)][s] for f in range(k))
+           for s in ("n", "sx", "sy", "sxy", "sxx", "syy")}
+    for f in range(k):
+        te = st[(x_cols[0], f)]
+        tr = {s: tot[s] - te[s] for s in tot}
+        denom = tr["n"] * tr["sxx"] - tr["sx"] ** 2
+        b = (tr["n"] * tr["sxy"] - tr["sx"] * tr["sy"]) / denom if denom else 0.0
+        a = (tr["sy"] - b * tr["sx"]) / tr["n"] if tr["n"] else 0.0
+
+        def in_fold(batch: pa.Table, fold=f) -> pa.Table:
+            keys = batch.column(key_col).to_numpy(zero_copy_only=False)
+            return batch.filter(pa.array((keys % k) == fold))
+
+        def score_batch(batch: pa.Table, b=b, a=a) -> pa.Table:
+            x = batch.column(x_cols[0]).to_numpy(zero_copy_only=False).astype(np.float64)
+            return batch.append_column("score",
+                                       pa.array(a + b * x, type=pa.float64()))
+
+        scored = (ds.map_batches(in_fold, batch_format="pyarrow")
+                  .map_batches(score_batch, batch_format="pyarrow").materialize())
+        auc = auc_exact(scored, y_col, "score")
+        # accuracy via the train-side label base rate as the threshold
+        thr = tr["sy"] / tr["n"] if tr["n"] else 0.5
+
+        def acc_partial(batch: pa.Table, t=thr) -> pa.Table:
+            y = batch.column(y_col).to_numpy(zero_copy_only=False)
+            s = batch.column("score").to_numpy(zero_copy_only=False)
+            return pa.table({"n": pa.array([batch.num_rows], type=pa.int64()),
+                             "hit": pa.array([int(((s >= t) == (y == 1)).sum())],
+                                             type=pa.int64())})
+
+        n = hit = 0
+        for r in collect_pylist(scored.map_batches(acc_partial,
+                                                   batch_format="pyarrow")):
+            n += r["n"]
+            hit += r["hit"]
+        out_rows.append({"model": "linear_closed_form", "fold": f, "n_test": n,
+                         "auc": round(float(auc), 6),
+                         "accuracy": round(hit / n, 6) if n else float("nan")})
+    out_rows.sort(key=lambda r: (r["model"], r["fold"]))
+    return pa.Table.from_pylist(out_rows)

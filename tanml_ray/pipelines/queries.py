@@ -1884,3 +1884,144 @@ SELECT count(*) AS n,
 FROM lineitem
 WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000.0)
 """
+
+
+# ---------------------------------------------------------------------------
+# T2 stand-in: permutation importance (pipelines/explain.py) with a FULL
+# SQL oracle — deterministic sample (200 smallest ids) + deterministic
+# permutation (cyclic shift in id order = LEAD(...) with wraparound).
+# Reference mean-|shap| ranking semantics: shap_check.py:313-324.
+# ---------------------------------------------------------------------------
+
+_PI_WEIGHTS = [1e-5, 0.01, 1e-6]   # f_price, f_days, f_cust
+
+
+def permutation_importance_orders(sf_dir: str) -> pa.Table:
+    from tanml_ray.pipelines.explain import permutation_importance
+    from tanml_ray.stages.scoring import ClosedFormModel
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate",
+                                  "o_totalprice", "o_custkey"])
+
+    def derive(batch: pa.Table) -> pa.Table:
+        days = (batch.column("o_orderdate").cast(pa.int64())
+                .to_numpy(zero_copy_only=False) // 86_400_000_000)
+        return pa.table({
+            "id": batch.column("o_orderkey"),
+            "f_price": pc.cast(batch.column("o_totalprice"), pa.float64()),
+            "f_days": pa.array(days.astype(np.float64), type=pa.float64()),
+            "f_cust": pc.cast(batch.column("o_custkey"), pa.float64()),
+        })
+
+    model = ClosedFormModel(_PI_WEIGHTS, bias=1.0)
+    return permutation_importance(ds.map_batches(derive, batch_format="pyarrow"),
+                                  model, ["f_price", "f_days", "f_cust"],
+                                  id_col="id", test_n=200)
+
+
+PERMUTATION_IMPORTANCE_SQL = f"""
+WITH s AS (
+  SELECT o_orderkey AS id,
+         CAST(o_totalprice AS DOUBLE) AS f_price,
+         CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS DOUBLE) AS f_days,
+         CAST(o_custkey AS DOUBLE) AS f_cust
+  FROM orders ORDER BY o_orderkey LIMIT 200
+), sh AS (
+  SELECT f_price, f_days, f_cust,
+         coalesce(lead(f_price) OVER (ORDER BY id),
+                  first_value(f_price) OVER (ORDER BY id ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)) AS p_price,
+         coalesce(lead(f_days) OVER (ORDER BY id),
+                  first_value(f_days) OVER (ORDER BY id ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)) AS p_days,
+         coalesce(lead(f_cust) OVER (ORDER BY id),
+                  first_value(f_cust) OVER (ORDER BY id ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)) AS p_cust
+  FROM s
+), d AS (
+  SELECT avg(abs({_PI_WEIGHTS[0]} * (p_price - f_price))) AS d_price,
+         avg(abs({_PI_WEIGHTS[1]} * (p_days - f_days))) AS d_days,
+         avg(abs({_PI_WEIGHTS[2]} * (p_cust - f_cust))) AS d_cust
+  FROM sh
+), u AS (
+  SELECT 'f_price' AS feature, d_price AS mad FROM d
+  UNION ALL SELECT 'f_days', d_days FROM d
+  UNION ALL SELECT 'f_cust', d_cust FROM d
+)
+SELECT CAST(row_number() OVER (ORDER BY mad DESC, feature) AS BIGINT) AS rank,
+       feature, round(mad, 6) AS mean_abs_delta
+FROM u ORDER BY rank
+"""
+
+
+# ---------------------------------------------------------------------------
+# IRLS logistic K-fold CV (pipelines/explain.py) — iterative fit is not
+# SQL-expressible → rows-only driver check; coefficient recovery and
+# fold accounting are pytest-verified (tests/test_logistic.py,
+# test_explain.py).
+# ---------------------------------------------------------------------------
+
+def logistic_cv_orders(sf_dir: str) -> pa.Table:
+    from tanml_ray.pipelines.explain import logistic_cv
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus",
+                                  "o_orderdate", "o_totalprice"])
+
+    def derive(batch: pa.Table) -> pa.Table:
+        days = (batch.column("o_orderdate").cast(pa.int64())
+                .to_numpy(zero_copy_only=False) // 86_400_000_000)
+        y = pc.cast(pc.equal(batch.column("o_orderstatus"), "F"), pa.int64())
+        return pa.table({
+            "o_orderkey": batch.column("o_orderkey"),
+            "x1": pa.array((9131 - days) / 365.0, type=pa.float64()),
+            "x2": pc.divide(pc.cast(batch.column("o_totalprice"), pa.float64()),
+                            pa.scalar(100000.0, type=pa.float64())),
+            "label": y,
+        })
+
+    return logistic_cv(ds.map_batches(derive, batch_format="pyarrow"),
+                       ["x1", "x2"], "label", "o_orderkey", k=3, max_iter=6)
+
+
+# ---------------------------------------------------------------------------
+# A11 Kendall tau-b on a bounded deterministic sample (reference
+# analysis/correlation.py:23-42 `method` param) — closes the last A11
+# gap next to spearman_sample_lineitem. Vectorized O(n²) sign kernel on
+# the bounded sample; full SQL oracle via the self-join pair count.
+# ---------------------------------------------------------------------------
+
+def kendall_sample_lineitem(sf_dir: str) -> pa.Table:
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity", "l_extendedprice"])
+
+    def pick(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.less_equal(batch.column("l_orderkey"), 500))
+
+    df = pd.DataFrame(collect_pylist(ds.map_batches(pick, batch_format="pyarrow")))
+    x = df["l_quantity"].to_numpy(dtype=np.float64)
+    y = df["l_extendedprice"].to_numpy(dtype=np.float64)
+    n = len(x)
+    dx = np.sign(x[:, None] - x[None, :])
+    dy = np.sign(y[:, None] - y[None, :])
+    iu = np.triu_indices(n, 1)
+    s_cd = float((dx[iu] * dy[iu]).sum())
+    n0 = n * (n - 1) / 2.0
+    tie = lambda v: float(sum(c * (c - 1) / 2.0
+                              for c in pd.Series(v).value_counts()))
+    n1, n2 = tie(x), tie(y)
+    tau = s_cd / np.sqrt((n0 - n1) * (n0 - n2))
+    return pa.table({"n": pa.array([n], type=pa.int64()),
+                     "kendall_tau": pa.array([_round6(tau)], type=pa.float64())})
+
+
+KENDALL_SQL = """
+WITH s AS (
+  SELECT row_number() OVER (ORDER BY l_orderkey, l_linenumber) AS rid,
+         l_quantity AS x, l_extendedprice AS y
+  FROM lineitem WHERE l_orderkey <= 500
+), cd AS (
+  SELECT CAST(sum(sign(a.x - b.x) * sign(a.y - b.y)) AS DOUBLE) AS s_cd
+  FROM s a JOIN s b ON a.rid < b.rid
+), nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM s),
+tx AS (SELECT sum(c*(c-1)/2.0) AS n1 FROM (SELECT count(*) AS c FROM s GROUP BY x)),
+ty AS (SELECT sum(c*(c-1)/2.0) AS n2 FROM (SELECT count(*) AS c FROM s GROUP BY y))
+SELECT (SELECT CAST(n AS BIGINT) FROM nn) AS n,
+       round(s_cd / sqrt((n*(n-1)/2.0 - n1) * (n*(n-1)/2.0 - n2)), 6) AS kendall_tau
+FROM cd, nn, tx, ty
+"""

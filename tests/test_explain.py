@@ -1,0 +1,108 @@
+"""Permutation-importance (T2 stand-in) + logistic CV / model benchmark
+tests: ranking matches the analytic expectation for a linear model,
+sample/permutation determinism, fold accounting."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _ds(tbl, parts=4):
+    import ray.data as rd
+
+    return rd.from_arrow(tbl).repartition(parts)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestPermutationImportance:
+    def _tbl(self, n=300, seed=3):
+        rng = np.random.default_rng(seed)
+        return pa.table({
+            "id": pa.array(rng.permutation(n), type=pa.int64()),
+            "a": rng.normal(0, 10, n),
+            "b": rng.normal(0, 1, n),
+            "c": rng.normal(0, 0.01, n),
+        })
+
+    def test_ranking_matches_analytic(self):
+        """For a linear model, mean|Δpred| for feature j is exactly
+        mean|w_j · (x_j − roll(x_j))| over the id-sorted sample."""
+        from tanml_ray.pipelines.explain import permutation_importance
+        from tanml_ray.stages.scoring import ClosedFormModel
+
+        tbl = self._tbl()
+        w = [1.0, 5.0, 100.0]
+        model = ClosedFormModel(w, bias=2.0)
+        out = permutation_importance(_ds(tbl), model, ["a", "b", "c"],
+                                     id_col="id", test_n=200).to_pylist()
+        df = tbl.to_pandas().sort_values("id").head(200)
+        want = {}
+        for j, c in enumerate(["a", "b", "c"]):
+            x = df[c].to_numpy()
+            want[c] = round(float(np.abs(w[j] * (np.roll(x, -1) - x)).mean()), 6)
+        got = {r["feature"]: r["mean_abs_delta"] for r in out}
+        for c in want:
+            assert got[c] == pytest.approx(want[c], abs=2e-6), c
+        # a: std 10 × w 1 → ~11; b: std 1 × 5 → ~5.6; c: 0.01 × 100 → ~1.1
+        assert [r["feature"] for r in out] == ["a", "b", "c"]
+        assert [r["rank"] for r in out] == [1, 2, 3]
+
+    def test_partition_invariant(self):
+        from tanml_ray.pipelines.explain import permutation_importance
+        from tanml_ray.stages.scoring import ClosedFormModel
+
+        tbl = self._tbl(n=250)
+        model = ClosedFormModel([1.0, 2.0, 3.0])
+        a = permutation_importance(_ds(tbl, 1), model, ["a", "b", "c"],
+                                   id_col="id", test_n=100).to_pylist()
+        b = permutation_importance(_ds(tbl, 8), model, ["a", "b", "c"],
+                                   id_col="id", test_n=100).to_pylist()
+        assert a == b
+
+    def test_max_display_truncates(self):
+        from tanml_ray.pipelines.explain import permutation_importance
+        from tanml_ray.stages.scoring import ClosedFormModel
+
+        out = permutation_importance(_ds(self._tbl()),
+                                     ClosedFormModel([1.0, 1.0, 1.0]),
+                                     ["a", "b", "c"], id_col="id",
+                                     test_n=50, max_display=2)
+        assert out.num_rows == 2
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestLogisticCVBenchmark:
+    def _tbl(self, n=6000, seed=9):
+        rng = np.random.default_rng(seed)
+        x1 = rng.normal(0, 1, n)
+        x2 = rng.normal(0, 1, n)
+        eta = 0.3 + 2.0 * x1 - 1.0 * x2
+        y = (rng.random(n) < 1 / (1 + np.exp(-eta))).astype(np.int64)
+        return pa.table({"k": pa.array(np.arange(n), type=pa.int64()),
+                         "x1": x1, "x2": x2, "y": y})
+
+    def test_logistic_cv_folds_and_auc(self):
+        from tanml_ray.pipelines.explain import logistic_cv
+
+        out = logistic_cv(_ds(self._tbl()), ["x1", "x2"], "y", "k",
+                          k=3, max_iter=6).to_pylist()
+        assert [r["fold"] for r in out] == [0, 1, 2]
+        assert sum(r["n_test"] for r in out) == 6000
+        for r in out:
+            assert r["auc"] > 0.85          # separable-ish signal
+            assert 0.7 < r["accuracy"] <= 1.0
+
+    def test_model_benchmark_shape_and_order(self):
+        from tanml_ray.pipelines.explain import model_benchmark
+
+        out = model_benchmark(_ds(self._tbl(n=3000)), ["x1", "x2"], "y",
+                              "k", k=3).to_pylist()
+        assert len(out) == 6
+        models = [r["model"] for r in out]
+        assert models == sorted(models)
+        # logistic uses both features, linear only x1 → logistic wins
+        log_auc = np.mean([r["auc"] for r in out if r["model"] == "logistic_irls"])
+        lin_auc = np.mean([r["auc"] for r in out if r["model"] == "linear_closed_form"])
+        assert log_auc > lin_auc
