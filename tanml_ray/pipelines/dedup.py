@@ -117,26 +117,33 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
 def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
                       num_perm: int = 64, bands: int = 16,
                       shingle_k: int = 5, threshold: float = 0.6,
-                      bucket_partitions: int = 64) -> pa.Table:
+                      bucket_partitions: int = 64,
+                      sig_driver_budget: int = 256 << 20) -> pa.Table:
     """MinHash+LSH near-dup pairs, verified with exact Jaccard ≥ threshold.
 
     Pipeline (only signatures/buckets shuffle — never text, and the
-    signature table is never gathered to the driver):
+    signature table never exceeds a bounded driver budget):
       1. one pass: per-doc minhash signature rows (id, sig 8·num_perm B)
       2. bucketize: (bpart=bhash%P, band, bhash, id) rows
       3. groupby COARSE bpart (P groups, not one per bucket — per-group
          scheduling overhead would dominate with millions of tiny
          buckets) → vectorized within-partition pair generation
-      4. DISTRIBUTED signature prefilter: two partitioned sig-attach
-         rounds — candidates shuffle to hash(id_a)%P alongside the
-         hash-partitioned sig table (attach sig_a + global pair dedup,
-         every copy of a pair shares id_a so dedup is exact), then to
-         hash(id_b)%P (attach sig_b, est-Jaccard = mean matching
-         minhashes — exactly the statistic LSH banding thresholds —
-         keep est ≥ t − 0.15, ≈2.5σ of the 64-perm estimator, same
-         probabilistic contract as the banding itself). Each round
-         moves O(sigs + candidate pairs) rows; nothing scales with the
-         corpus on the driver.
+      4. signature prefilter, est-Jaccard = mean matching minhashes
+         (exactly the statistic LSH banding thresholds), keep est ≥
+         t − 0.15 (≈2.5σ of the 64-perm estimator — same probabilistic
+         contract as the banding itself). SIZE-ADAPTIVE, same contract
+         as the uniqueness(url) merge: while the sig table fits
+         `sig_driver_budget` (8·num_perm B/doc → 256 MB ≈ 5×10⁵ docs…
+         at 512 B/doc ≈ 5×10⁵; cluster drivers usually raise this) one
+         driver pass with vectorized searchsorted lookups is faster
+         than any shuffle; above it, TWO partitioned sig-attach rounds
+         run fully distributed — candidates shuffle to hash(id_a)%P
+         alongside the hash-partitioned sig table (attach sig_a +
+         global pair dedup — every copy of a pair shares id_a so the
+         dedup is exact), then to hash(id_b)%P (attach sig_b, est
+         filter). Each round moves O(sigs + candidate pairs) rows;
+         nothing scales with the corpus on the driver. Both paths are
+         exact and produce identical survivors.
       5. exact Jaccard on the survivors only (targeted shingle fetch;
          the survivor id set is output-bounded and broadcast via
          ray.put, never captured in a task closure)
@@ -208,11 +215,44 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
     cand = (buckets.groupby("bpart")
             .map_groups(pairs_of_partition, batch_format="pandas"))
 
+    P = bucket_partitions
+    min_est = max(threshold - 0.15, 0.0)
+    empty_result = pa.table({"id_a": pa.array([], type=pa.int64()),
+                             "id_b": pa.array([], type=pa.int64()),
+                             "jaccard": pa.array([], type=pa.float64())})
+
+    if sigs.size_bytes() <= sig_driver_budget:
+        # --- bounded driver prefilter: one vectorized pass over the
+        # budget-bounded sig matrix (searchsorted pair lookups)
+        cand_df = pd.DataFrame(collect_pylist(cand))
+        if cand_df.empty:
+            return empty_result
+        cand_df = cand_df.drop_duplicates()
+        all_ids: list[np.ndarray] = []
+        all_sigs: list[np.ndarray] = []
+        for t in sigs.iter_batches(batch_size=8192, batch_format="pyarrow"):
+            ids_arr = t.column("id").to_numpy(zero_copy_only=False)
+            blob = b"".join(t.column("sig").to_pylist())
+            all_ids.append(ids_arr)
+            all_sigs.append(np.frombuffer(blob, dtype=np.uint64)
+                            .reshape(len(ids_arr), num_perm))
+        id_vec = np.concatenate(all_ids)
+        sig_mat = np.vstack(all_sigs)
+        order = np.argsort(id_vec)
+        id_vec, sig_mat = id_vec[order], sig_mat[order]
+        ids_a = cand_df["id_a"].to_numpy()
+        ids_b = cand_df["id_b"].to_numpy()
+        sa = sig_mat[np.searchsorted(id_vec, ids_a)]
+        sb = sig_mat[np.searchsorted(id_vec, ids_b)]
+        est = (sa == sb).mean(axis=1)
+        keep = est >= min_est
+        survivors = sorted(zip(ids_a[keep].tolist(), ids_b[keep].tolist()))
+        return _minhash_exact_verify(ds, survivors, text_col, id_col,
+                                     shingle_k, threshold, empty_result)
+
     # --- distributed est-Jaccard prefilter: two sig-attach rounds.
     # The sig table hash-partitions by id ONCE (same key both rounds);
     # candidate pairs ride along. No driver gather of signatures.
-    P = bucket_partitions
-    min_est = max(threshold - 0.15, 0.0)
 
     def _part_of(ids: np.ndarray) -> np.ndarray:
         return (pd.util.hash_array(ids.astype(np.int64))
@@ -290,13 +330,19 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
     # safe to collect
     survivors = sorted({(int(r["id_a"]), int(r["id_b"]))
                         for r in collect_pylist(surv_ds)})
-    if not survivors:
-        return pa.table({"id_a": pa.array([], type=pa.int64()),
-                         "id_b": pa.array([], type=pa.int64()),
-                         "jaccard": pa.array([], type=pa.float64())})
+    return _minhash_exact_verify(ds, survivors, text_col, id_col,
+                                 shingle_k, threshold, empty_result)
 
-    # exact verify on survivors only; the needed-id set broadcasts via
-    # ray.put (a closure capture would re-ship it with every task)
+
+def _minhash_exact_verify(ds, survivors, text_col: str, id_col: str,
+                          shingle_k: int, threshold: float,
+                          empty_result: pa.Table) -> pa.Table:
+    """Exact-Jaccard verify of prefilter survivors: targeted shingle
+    fetch of only the surviving ids (output-bounded), then the exact
+    set kernel per pair. The needed-id set broadcasts via ray.put (a
+    closure capture would re-ship it with every task)."""
+    if not survivors:
+        return empty_result
     import ray as _ray_mod
 
     need_ref = _ray_mod.put(np.unique(np.array(survivors, dtype=np.int64)))
@@ -330,10 +376,7 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
             j = jaccard(sh[a], sh[b])
             if j >= threshold:
                 rows.append({"id_a": a, "id_b": b, "jaccard": round(j, 6)})
-    return pa.Table.from_pylist(rows) if rows else pa.table(
-        {"id_a": pa.array([], type=pa.int64()),
-         "id_b": pa.array([], type=pa.int64()),
-         "jaccard": pa.array([], type=pa.float64())})
+    return pa.Table.from_pylist(rows) if rows else empty_result
 
 
 def popcount64(x: np.ndarray) -> np.ndarray:

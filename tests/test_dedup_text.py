@@ -119,6 +119,19 @@ class TestDedupPipelines:
         p8 = minhash_lsh_pairs(rd.from_arrow(tbl).repartition(8), threshold=0.5)
         assert p1.to_pylist() == p8.to_pylist()
 
+    def test_distributed_prefilter_matches_driver_path(self):
+        """sig_driver_budget=0 forces the fully-distributed two-round
+        sig-attach prefilter (the 100-TB path, zero driver gather of
+        signatures); output must be identical to the bounded-budget
+        driver prefilter."""
+        from tanml_ray.pipelines.dedup import minhash_lsh_pairs
+
+        ds = self._planted_ds()
+        fast = minhash_lsh_pairs(ds, threshold=0.5)
+        dist = minhash_lsh_pairs(ds, threshold=0.5, sig_driver_budget=0)
+        assert fast.to_pylist() == dist.to_pylist()
+        assert len(dist.to_pylist()) >= 1
+
 
 @pytest.mark.usefixtures("ray_session")
 class TestEmbeddingNearDup:
