@@ -158,3 +158,89 @@ def knn_cosine_lsh(ds, queries: dict[int, np.ndarray], k: int = 10,
                              "sim": round(float(r["sim"]), 6)})
     out_rows.sort(key=lambda r: (r["query_id"], -r["sim"], r["vec_id"]))
     return pa.Table.from_pylist(out_rows)
+
+
+# ---------------------------------------------------------------------------
+# Bucketed-parquet LSH index: the at-scale layout the docstring above
+# promises. Vectors are written ONCE to hive-partitioned parquet keyed
+# by their LSH bucket; a query then reads ONLY its probe buckets via
+# partition pruning (pyarrow filter on the partition column) — the scan
+# touches a handful of partitions instead of the full corpus.
+# ---------------------------------------------------------------------------
+
+def build_lsh_index(ds, out_dir: str, n_bits: int = 8, seed: int = 42,
+                    id_col: str = "vec_id", vec_col: str = "embedding") -> str:
+    """One streaming pass: bucket every vector (signed projections) and
+    write hive-partitioned parquet `out_dir/bucket=<b>/…`. The plane
+    matrix (the only state a query needs) is persisted next to the data
+    so the index is self-describing and resumable."""
+    import json
+    import os
+
+    # dim is data-dependent: plane construction is deferred into the
+    # map fn (deterministic: same seed/n_bits → same planes everywhere)
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        vecs = _normalize(_batch_matrix(batch, vec_col))
+        pl = make_planes(vecs.shape[1], n_bits, seed)
+        b = lsh_project_bucket(vecs, pl).astype(np.int64)
+        return batch.append_column("bucket", pa.array(b, type=pa.int64()))
+
+    os.makedirs(out_dir, exist_ok=True)
+    ds.map_batches(add_bucket, batch_format="pyarrow").write_parquet(
+        out_dir, partition_cols=["bucket"])
+    with open(os.path.join(out_dir, "_lsh_meta.json"), "w") as f:
+        json.dump({"n_bits": n_bits, "seed": seed,
+                   "id_col": id_col, "vec_col": vec_col}, f)
+    return out_dir
+
+
+def knn_cosine_lsh_indexed(index_dir: str, queries: dict[int, np.ndarray],
+                           k: int = 10, multiprobe: int = 1) -> pa.Table:
+    """Approximate top-k over a build_lsh_index layout: ONLY the probe
+    buckets (query bucket ± `multiprobe` bit flips) are read — partition
+    pruning does the candidate filtering at the storage layer, so scan
+    cost is O(probed buckets), not O(corpus)."""
+    import itertools
+    import json
+    import os
+
+    import ray.data as rd
+
+    with open(os.path.join(index_dir, "_lsh_meta.json")) as f:
+        meta = json.load(f)
+    n_bits, seed = meta["n_bits"], meta["seed"]
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+
+    qids = sorted(queries)
+    qmat = _normalize(np.stack([np.asarray(queries[q], dtype=np.float64)
+                                for q in qids]))
+    planes = make_planes(qmat.shape[1], n_bits, seed)
+    qbuckets = lsh_project_bucket(qmat, planes)
+    probe_all: set[int] = set()
+    for qb in qbuckets:
+        probes = {int(qb)}
+        for r in range(1, multiprobe + 1):
+            for flips in itertools.combinations(range(n_bits), r):
+                b = int(qb)
+                for fl in flips:
+                    b ^= 1 << fl
+                probes.add(b)
+        probe_all |= probes
+
+    # PATH-level partition pruning: only the probe buckets' directories
+    # are handed to the reader, so non-probed partitions never leave
+    # storage. (Ray's fragment-level `filter=` can't see hive partition
+    # fields, so the pruning is done where it's cheapest anyway — on
+    # the directory listing.) The pruned read is the UNION of every
+    # query's probe buckets; extra candidates a query sees from another
+    # query's bucket are genuine vectors and can only improve recall.
+    paths = [os.path.join(p, f)
+             for b in sorted(probe_all)
+             if os.path.isdir(p := os.path.join(index_dir, f"bucket={b}"))
+             for f in sorted(os.listdir(p)) if f.endswith(".parquet")]
+    if not paths:
+        return pa.table({"query_id": pa.array([], type=pa.int64()),
+                         "vec_id": pa.array([], type=pa.int64()),
+                         "sim": pa.array([], type=pa.float64())})
+    ds = rd.read_parquet(paths)
+    return knn_cosine(ds, queries, k=k, id_col=id_col, vec_col=vec_col)

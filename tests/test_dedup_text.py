@@ -251,6 +251,64 @@ class TestSimilarity:
             assert recall >= 0.8, f"q{qid} recall {recall}"
 
 
+@pytest.mark.usefixtures("ray_session")
+class TestLshIndexedKnn:
+    def test_bucketed_index_prunes_and_recalls(self, tmp_path):
+        """build_lsh_index writes hive-partitioned parquet by bucket;
+        the indexed query reads ONLY probe buckets (partition pruning)
+        and still recovers the true neighbors of clustered vectors."""
+        import os
+
+        import ray.data as rd
+
+        from tanml_ray.pipelines.similarity import (
+            build_lsh_index,
+            knn_cosine,
+            knn_cosine_lsh_indexed,
+        )
+
+        rng = np.random.default_rng(5)
+        centers = rng.standard_normal((8, 32)) * 5
+        vecs = np.vstack([c + rng.standard_normal((50, 32)) * 0.3 for c in centers])
+        ids = np.arange(len(vecs))
+        t = pa.table({"vec_id": pa.array(ids, type=pa.int64()),
+                      "embedding": pa.array([v.astype(np.float32) for v in vecs],
+                                            type=pa.list_(pa.float32()))})
+        idx_dir = str(tmp_path / "lsh_index")
+        build_lsh_index(rd.from_arrow(t).repartition(4), idx_dir, n_bits=6)
+
+        # layout really is partitioned by bucket
+        parts = [d for d in os.listdir(idx_dir) if d.startswith("bucket=")]
+        assert len(parts) >= 2
+
+        qs = {0: vecs[0], 50: vecs[50]}
+        exact = knn_cosine(rd.from_arrow(t), qs, k=10).to_pylist()
+        approx = knn_cosine_lsh_indexed(idx_dir, qs, k=10, multiprobe=2).to_pylist()
+        for qid in qs:
+            e = {r["vec_id"] for r in exact if r["query_id"] == qid}
+            a = {r["vec_id"] for r in approx if r["query_id"] == qid}
+            assert len(e & a) / len(e) >= 0.8, qid
+
+        # pruning: the probe-bucket read touches fewer rows than the
+        # corpus (path-level partition pruning)
+        from tanml_ray.pipelines.similarity import (
+            _normalize,
+            lsh_project_bucket,
+            make_planes,
+        )
+
+        planes = make_planes(32, 6, 42)
+        qb = {int(b) for b in lsh_project_bucket(
+            _normalize(np.stack([vecs[0], vecs[50]])), planes)}
+        paths = [os.path.join(idx_dir, f"bucket={b}", f) for b in qb
+                 if os.path.isdir(os.path.join(idx_dir, f"bucket={b}"))
+                 for f in os.listdir(os.path.join(idx_dir, f"bucket={b}"))
+                 if f.endswith(".parquet")]
+        assert paths
+        pruned = rd.read_parquet(paths)
+        assert 0 < pruned.count() < len(vecs)
+
+
 class TestTextAnalysis:
     def test_normalize_and_fingerprint(self):
         assert normalize_text("  Hello   WORLD \n") == "hello world"
