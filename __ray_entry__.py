@@ -105,6 +105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "permutation_importance_orders": q.permutation_importance_orders,
         "logistic_cv_orders": q.logistic_cv_orders,
         "kendall_sample_lineitem": q.kendall_sample_lineitem,
+        "knn_impute_quantity": q.knn_impute_quantity,
     }
 
 
@@ -169,6 +170,7 @@ def oracle_sql() -> dict[str, str]:
         "anti_join_lineitem": q.ANTI_JOIN_SQL,
         "permutation_importance_orders": q.PERMUTATION_IMPORTANCE_SQL,
         "kendall_sample_lineitem": q.KENDALL_SQL,
+        "knn_impute_quantity": q.KNN_IMPUTE_SQL,
         # langid / lsh-knn / minhash / simhash / logistic_cv (iterative
         # IRLS): not SQL-expressible → rows-only driver check; verified
         # in pytest instead.

@@ -274,6 +274,96 @@ def mean_impute_stats(ds, key_col: str, value_col: str, mod: int = 97,
     }])
 
 
+def knn_impute(ds, id_col: str, target_col: str, feature_cols: list[str],
+               mod: int = 997, k: int = 5,
+               max_missing: int = 100_000) -> pa.Table:
+    """M6 KNN imputation (reference: sklearn KNNImputer(n_neighbors=5),
+    ui/views/preprocessing.py:163-164), rebuilt distributed and
+    library-free. Deterministic synthetic null mask (id % mod == 0 —
+    same convention as mean/mode impute, which keeps the check
+    SQL-oracle-able).
+
+    Shape: pass 1 collects the missing rows' feature vectors (bounded;
+    guarded by max_missing — at 10^12 rows imputation runs
+    shard-by-shard so the missing set per run stays bounded). The
+    missing matrix broadcasts once via ray.put; pass 2 streams the
+    corpus, each block computing squared euclidean distances from every
+    missing row to its donor rows — accumulated per-feature as
+    (mᵢ−xᵢ)², the same term order as the SQL oracle, so the rounded
+    tie-break key is bit-identical — and keeping a local top-k. The
+    classic distributed-top-k merge (similarity.knn_cosine shape)
+    then orders candidates by (round(d², 6), donor id) — a
+    float-robust deterministic neighbor set — and imputes the k-donor
+    mean. Returns (id, imputed) sorted by id."""
+    import ray
+
+    def collect_missing(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        m = (ids % mod) == 0
+        cols = {"id": pa.array(ids[m], type=pa.int64())}
+        for c in feature_cols:
+            cols[c] = pa.array(
+                batch.column(c).to_numpy(zero_copy_only=False)[m].astype(np.float64),
+                type=pa.float64())
+        return pa.table(cols)
+
+    miss_rows = collect_pylist(ds.map_batches(collect_missing,
+                                              batch_format="pyarrow"))
+    if not miss_rows:
+        return pa.table({"id": pa.array([], type=pa.int64()),
+                         "imputed": pa.array([], type=pa.float64())})
+    if len(miss_rows) > max_missing:
+        raise ValueError(
+            f"{len(miss_rows)} missing rows exceed max_missing="
+            f"{max_missing}; impute shard-by-shard at this scale")
+    miss_ids = np.array([r["id"] for r in miss_rows], dtype=np.int64)
+    miss_mat = np.array([[r[c] for c in feature_cols] for r in miss_rows],
+                        dtype=np.float64)
+    mref = ray.put((miss_ids, miss_mat))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        mi, mm = _ray.get(mref)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        donors = (ids % mod) != 0
+        if not donors.any():
+            return pa.table({"mid": pa.array([], type=pa.int64()),
+                             "did": pa.array([], type=pa.int64()),
+                             "d2": pa.array([], type=pa.float64()),
+                             "v": pa.array([], type=pa.float64())})
+        did = ids[donors]
+        v = batch.column(target_col).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)[donors]
+        d2 = np.zeros((len(mi), len(did)))
+        for j, c in enumerate(feature_cols):
+            x = batch.column(c).to_numpy(zero_copy_only=False) \
+                .astype(np.float64)[donors]
+            d2 += (mm[:, j][:, None] - x[None, :]) ** 2
+        top = min(k, d2.shape[1])
+        idx = np.argpartition(d2, top - 1, axis=1)[:, :top]
+        rows_mid = np.repeat(mi, top)
+        flat = idx.ravel()
+        return pa.table({
+            "mid": pa.array(rows_mid, type=pa.int64()),
+            "did": pa.array(did[flat], type=pa.int64()),
+            "d2": pa.array(np.take_along_axis(d2, idx, axis=1).ravel(),
+                           type=pa.float64()),
+            "v": pa.array(v[flat], type=pa.float64())})
+
+    import pandas as pd
+
+    parts = pd.DataFrame(collect_pylist(
+        ds.map_batches(local_topk, batch_format="pyarrow")))
+    parts["d2r"] = np.round(parts["d2"].to_numpy(), 6)
+    parts = parts.sort_values(["mid", "d2r", "did"], kind="mergesort")
+    out = (parts.groupby("mid", sort=True).head(k)
+           .groupby("mid", sort=True)["v"].mean())
+    return pa.table({"id": pa.array(out.index.to_numpy(), type=pa.int64()),
+                     "imputed": pa.array(np.round(out.to_numpy(), 6),
+                                         type=pa.float64())})
+
+
 def mode_impute_value(ds, key_col: str, value_col: str, mod: int = 89) -> pa.Table:
     """M7 most-frequent imputation: mode of kept values (deterministic
     tie-break by value), count of imputed rows."""

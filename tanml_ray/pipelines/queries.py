@@ -2025,3 +2025,54 @@ SELECT (SELECT CAST(n AS BIGINT) FROM nn) AS n,
        round(s_cd / sqrt((n*(n-1)/2.0 - n1) * (n*(n-1)/2.0 - n2)), 6) AS kendall_tau
 FROM cd, nn, tx, ty
 """
+
+
+# ---------------------------------------------------------------------------
+# M6 KNN imputation with a FULL SQL oracle: impute l_quantity for the
+# deterministic synthetic-null rows (id % 997 == 0) from the mean of
+# the 5 euclidean-nearest donors over (price, discount, tax). The
+# (round(d²,6), donor id) ordering makes the neighbor set float-robust
+# and identical in engine and SQL.
+# ---------------------------------------------------------------------------
+
+def knn_impute_quantity(sf_dir: str) -> pa.Table:
+    from tanml_ray.pipelines.mlops import knn_impute
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber",
+                                    "l_quantity", "l_extendedprice",
+                                    "l_discount", "l_tax"])
+
+    def derive(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "id": pc.add(pc.multiply(batch.column("l_orderkey"), pa.scalar(10)),
+                         pc.cast(batch.column("l_linenumber"), pa.int64())),
+            "v": pc.cast(batch.column("l_quantity"), pa.float64()),
+            "f1": pc.cast(batch.column("l_extendedprice"), pa.float64()),
+            "f2": pc.cast(batch.column("l_discount"), pa.float64()),
+            "f3": pc.cast(batch.column("l_tax"), pa.float64()),
+        })
+
+    return knn_impute(ds.map_batches(derive, batch_format="pyarrow"),
+                      "id", "v", ["f1", "f2", "f3"], mod=997, k=5)
+
+
+KNN_IMPUTE_SQL = """
+WITH base AS (
+  SELECT l_orderkey*10 + l_linenumber AS id,
+         CAST(l_quantity AS DOUBLE) AS v,
+         CAST(l_extendedprice AS DOUBLE) AS f1,
+         CAST(l_discount AS DOUBLE) AS f2,
+         CAST(l_tax AS DOUBLE) AS f3
+  FROM lineitem
+), miss AS (SELECT * FROM base WHERE id % 997 = 0),
+donor AS (SELECT * FROM base WHERE id % 997 != 0),
+ranked AS (
+  SELECT m.id AS id, d.v AS v,
+         row_number() OVER (PARTITION BY m.id
+           ORDER BY round((m.f1-d.f1)*(m.f1-d.f1) + (m.f2-d.f2)*(m.f2-d.f2)
+                          + (m.f3-d.f3)*(m.f3-d.f3), 6), d.id) AS rn
+  FROM miss m CROSS JOIN donor d
+)
+SELECT id, round(avg(v), 6) AS imputed
+FROM ranked WHERE rn <= 5 GROUP BY id ORDER BY id
+"""

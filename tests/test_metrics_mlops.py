@@ -156,3 +156,49 @@ class TestVIF:
         out = vif(_ds_from(tbl), ["a", "b", "c"])
         for v in out.values():
             assert 1.0 <= v < 1.1
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestKnnImpute:
+    def _tbl(self, n=400, seed=13):
+        rng = np.random.default_rng(seed)
+        return pa.table({
+            "id": pa.array(np.arange(1, n + 1), type=pa.int64()),
+            "v": rng.uniform(0, 50, n).round(0),
+            "f1": rng.normal(0, 10, n),
+            "f2": rng.normal(0, 1, n),
+        })
+
+    def test_matches_bruteforce_and_partition_invariant(self):
+        import ray.data as rd
+
+        from tanml_ray.pipelines.mlops import knn_impute
+
+        tbl = self._tbl()
+        out1 = knn_impute(rd.from_arrow(tbl).repartition(1),
+                          "id", "v", ["f1", "f2"], mod=50, k=5).to_pylist()
+        out8 = knn_impute(rd.from_arrow(tbl).repartition(8),
+                          "id", "v", ["f1", "f2"], mod=50, k=5).to_pylist()
+        assert out1 == out8 and len(out1) == 8  # ids 50,100,...,400
+
+        # brute force oracle (sklearn-free): nearest 5 donors by
+        # (round(d2,6), id), mean of their v
+        df = tbl.to_pandas()
+        miss = df[df.id % 50 == 0]
+        donor = df[df.id % 50 != 0]
+        want = {}
+        for _, m in miss.iterrows():
+            d2 = (m.f1 - donor.f1) ** 2 + (m.f2 - donor.f2) ** 2
+            cand = donor.assign(d2r=np.round(d2, 6)).sort_values(
+                ["d2r", "id"], kind="mergesort").head(5)
+            want[int(m.id)] = round(float(cand.v.mean()), 6)
+        assert {r["id"]: r["imputed"] for r in out1} == want
+
+    def test_max_missing_guard(self):
+        import ray.data as rd
+
+        from tanml_ray.pipelines.mlops import knn_impute
+
+        with pytest.raises(ValueError, match="shard-by-shard"):
+            knn_impute(rd.from_arrow(self._tbl()), "id", "v", ["f1", "f2"],
+                       mod=2, k=5, max_missing=10)
