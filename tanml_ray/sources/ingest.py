@@ -71,3 +71,62 @@ def from_pandas_table(df):
     import ray.data as rd
 
     return rd.from_pandas(df)
+
+
+def read_any(path: str, **kwargs):
+    """S1+S9: extension dispatch with the reference's unknown-extension
+    fallback chain (data_loader.py:161-178): parquet/csv/tsv/json by
+    extension; anything else is tried as delimited text — comma+utf-8
+    first, then separator-sniffing, then latin-1 — before giving up.
+    Returns a ray.data.Dataset. The fallback probes ONLY a bounded head
+    of the file on the driver to pick (sep, encoding); the actual read
+    streams through Ray Data with the chosen dialect."""
+    import os
+
+    import ray.data as rd
+
+    ext = os.path.splitext(path)[1].lower()
+    if ext == ".parquet":
+        return rd.read_parquet(path, **kwargs)
+    if ext == ".csv":
+        return read_csv_normalized(path, **kwargs)
+    if ext in (".tsv", ".tab"):
+        return read_csv_normalized(path, delimiter="\t", **kwargs)
+    if ext == ".json":
+        return read_json_table(path, **kwargs)
+
+    # unknown extension (.data/.names/.info UCI-style): bounded-head
+    # dialect sniffing, reference order (comma/utf-8 → inferred sep →
+    # latin-1)
+    sep, encoding = _sniff_delimited(path)
+    if encoding == "utf-8":
+        return read_csv_normalized(path, delimiter=sep, **kwargs)
+    # non-utf8: decode driver-side via pandas (bounded use-case — UCI
+    # metadata files, not the 10^12-row path)
+    import pandas as pd
+
+    df = pd.read_csv(path, sep=sep, encoding=encoding, engine="python")
+    return rd.from_pandas(df)
+
+
+def _sniff_delimited(path: str, probe_bytes: int = 64 << 10) -> tuple[str, str]:
+    """Pick (separator, encoding) from a bounded head, trying the
+    reference's fallback order."""
+    import csv as _csv
+
+    with open(path, "rb") as f:
+        head = f.read(probe_bytes)
+    for encoding in ("utf-8", "latin-1"):
+        try:
+            text = head.decode(encoding)
+        except UnicodeDecodeError:
+            continue
+        first = text.splitlines()[0] if text.splitlines() else ""
+        if "," in first:
+            return ",", encoding
+        try:
+            dialect = _csv.Sniffer().sniff(text[:4096])
+            return dialect.delimiter, encoding
+        except _csv.Error:
+            continue
+    raise ValueError(f"Could not parse file as delimited text: {path}")

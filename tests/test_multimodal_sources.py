@@ -140,3 +140,47 @@ class TestRowFilters:
 
         kept_t = collect_pylist(drop_nonfinite_target(ds, "y"))
         assert [r["y"] for r in kept_t] == [1.0, 2.0, 4.0]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestReadAnyFallback:
+    def test_known_extensions(self, tmp_path, sf_dir):
+        from tanml_ray.sources.ingest import read_any
+
+        assert read_any(f"{sf_dir}/region.parquet").count() > 0
+        p = tmp_path / "t.csv"
+        p.write_text("a,b\n1,x\n2,?\n")
+        rows = read_any(str(p)).take_all()
+        assert rows[1]["b"] is None  # NA token handling preserved
+
+    def test_unknown_extension_comma(self, tmp_path):
+        from tanml_ray.sources.ingest import read_any
+
+        p = tmp_path / "iris.data"
+        p.write_text("a,b,c\n1,2,3\n4,5,6\n")
+        rows = read_any(str(p)).take_all()
+        assert rows == [{"a": 1, "b": 2, "c": 3}, {"a": 4, "b": 5, "c": 6}]
+
+    def test_unknown_extension_sniffed_sep(self, tmp_path):
+        from tanml_ray.sources.ingest import read_any
+
+        p = tmp_path / "table.unknown"
+        p.write_text("a;b\n1;2\n3;4\n")
+        rows = read_any(str(p)).take_all()
+        assert rows == [{"a": 1, "b": 2}, {"a": 3, "b": 4}]
+
+    def test_unknown_extension_latin1(self, tmp_path):
+        from tanml_ray.sources.ingest import read_any
+
+        p = tmp_path / "names.info"
+        p.write_bytes("name,city\nren\xe9,k\xf6ln\n".encode("latin-1"))
+        rows = read_any(str(p)).take_all()
+        assert rows[0]["name"] == "rené"
+
+    def test_unparseable_raises(self, tmp_path):
+        from tanml_ray.sources.ingest import read_any
+
+        p = tmp_path / "blob.bin"
+        p.write_bytes(bytes(range(256)) * 4)
+        with pytest.raises(ValueError, match="delimited"):
+            read_any(str(p))
