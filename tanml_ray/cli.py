@@ -52,6 +52,15 @@ def main(argv: list[str] | None = None) -> int:
     d.add_argument("--report-out", default=None)
 
     args = p.parse_args(argv)
+
+    # fail fast with a one-line diagnosis BEFORE starting a Ray session
+    for attr in ("input", "artifact"):
+        path = getattr(args, attr, None)
+        if path and not os.path.exists(path):
+            print(json.dumps({"error": f"--{attr} path does not exist: {path}"}),
+                  file=sys.stderr)
+            return 2
+
     _ensure_ray(args.num_cpus)
     import ray
 
@@ -84,6 +93,15 @@ def main(argv: list[str] | None = None) -> int:
 
                 pq.write_table(table, args.report_out)
             print(json.dumps(summary, default=str))
+    except Exception as e:  # surface a one-line JSON error, not a traceback
+        import traceback
+
+        print(json.dumps({"error": f"{type(e).__name__}: {e}",
+                          "hint": "run with TANML_RAY_DEBUG=1 for the "
+                                  "full traceback"}), file=sys.stderr)
+        if os.environ.get("TANML_RAY_DEBUG"):
+            traceback.print_exc()
+        return 1
     finally:
         ray.shutdown()
     return 0
