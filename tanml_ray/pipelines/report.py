@@ -80,6 +80,20 @@ def executive_rollup(validation_summary: dict[str, Any] | None = None,
     status = "fail" if fails else ("warning" if issues else "pass")
     summary = ("healthy" if status == "pass"
                else "; ".join(fails + issues))
+
+    # human-readable findings (reference narrative layer semantics,
+    # pipelines/narratives.py) alongside the machine-readable items
+    from tanml_ray.pipelines.narratives import (
+        story_drift,
+        story_validation,
+    )
+
+    narratives: dict[str, str] = {}
+    if validation_summary:
+        narratives["validation"] = story_validation(validation_summary)
+    if drift_summary is not None and "drift_rows" in (drift_summary or {}):
+        narratives["drift"] = story_drift(drift_summary["drift_rows"])
     return CheckResult(name="executive_rollup", status=status,
                        metrics=metrics, summary=summary,
-                       report_data={"issues": issues, "fails": fails})
+                       report_data={"issues": issues, "fails": fails,
+                                    "narratives": narratives})

@@ -94,6 +94,14 @@ def read_any(path: str, **kwargs):
         return read_csv_normalized(path, delimiter="\t", **kwargs)
     if ext == ".json":
         return read_json_table(path, **kwargs)
+    if ext in (".feather", ".ft"):
+        return read_feather_table(path)
+    if ext in (".xlsx",):
+        return read_xlsx(path, **kwargs)
+    if ext == ".dta":
+        return read_stata(path)
+    if ext in (".sas7bdat", ".xpt"):
+        return read_sas(path)
 
     # unknown extension (.data/.names/.info UCI-style): bounded-head
     # dialect sniffing, reference order (comma/utf-8 → inferred sep →
@@ -130,3 +138,111 @@ def _sniff_delimited(path: str, probe_bytes: int = 64 << 10) -> tuple[str, str]:
         except _csv.Error:
             continue
     raise ValueError(f"Could not parse file as delimited text: {path}")
+
+
+def read_feather_table(path: str):
+    """S6: Feather/Arrow IPC → Dataset (pyarrow native, no extra deps)."""
+    from pyarrow import feather
+
+    import ray.data as rd
+
+    return rd.from_arrow(feather.read_table(path))
+
+
+def _xlsx_col_index(ref: str) -> int:
+    """'BC12' → 0-based column index (54)."""
+    idx = 0
+    for ch in ref:
+        if ch.isalpha():
+            idx = idx * 26 + (ord(ch.upper()) - 64)
+        else:
+            break
+    return idx - 1
+
+
+def read_xlsx_table(path: str, sheet_index: int = 0) -> pa.Table:
+    """S4: minimal XLSX reader built on stdlib zipfile + ElementTree —
+    openpyxl is absent in this environment, and the format is just
+    zipped SpreadsheetML (ECMA-376). Handles shared strings, inline
+    strings, numbers and booleans; row 1 is the header (the reference's
+    pd.read_excel(sheet_name=0) default, data_loader.py:103-110).
+    Driver-side by design: spreadsheets are config/metadata-scale
+    inputs, never the 10^12-row path."""
+    import zipfile
+    from xml.etree import ElementTree as ET
+
+    NS = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+    with zipfile.ZipFile(path) as z:
+        shared: list[str] = []
+        if "xl/sharedStrings.xml" in z.namelist():
+            root = ET.fromstring(z.read("xl/sharedStrings.xml"))
+            for si in root.findall(f"{NS}si"):
+                shared.append("".join(t.text or "" for t in si.iter(f"{NS}t")))
+        sheets = sorted(n for n in z.namelist()
+                        if n.startswith("xl/worksheets/sheet") and n.endswith(".xml"))
+        if not sheets:
+            raise ValueError(f"no worksheets in {path}")
+        root = ET.fromstring(z.read(sheets[sheet_index]))
+
+    rows: list[dict[int, object]] = []
+    for row in root.iter(f"{NS}row"):
+        cells: dict[int, object] = {}
+        for c in row.findall(f"{NS}c"):
+            ref = c.get("r", "")
+            t = c.get("t", "n")
+            if t == "inlineStr":
+                v = "".join(x.text or "" for x in c.iter(f"{NS}t"))
+            else:
+                ve = c.find(f"{NS}v")
+                if ve is None or ve.text is None:
+                    continue
+                if t == "s":
+                    v = shared[int(ve.text)]
+                elif t == "b":
+                    v = bool(int(ve.text))
+                elif t == "str":
+                    v = ve.text
+                else:
+                    f = float(ve.text)
+                    v = int(f) if f.is_integer() else f
+            cells[_xlsx_col_index(ref)] = v
+        if cells:
+            rows.append(cells)
+    if not rows:
+        return pa.table({})
+    header = rows[0]
+    ncol = max(header) + 1
+    names = [str(header.get(i, f"col{i}")) for i in range(ncol)]
+    cols: list[list] = [[] for _ in range(ncol)]
+    for r in rows[1:]:
+        for i in range(ncol):
+            cols[i].append(r.get(i))
+    import pandas as pd
+
+    return pa.Table.from_pandas(pd.DataFrame(dict(zip(names, cols))),
+                                preserve_index=False)
+
+
+def read_xlsx(path: str, sheet_index: int = 0):
+    import ray.data as rd
+
+    return rd.from_arrow(read_xlsx_table(path, sheet_index))
+
+
+def read_stata(path: str):
+    """S8: Stata .dta via pandas' NATIVE reader (no pyreadstat needed)."""
+    import pandas as pd
+
+    import ray.data as rd
+
+    return rd.from_pandas(pd.read_stata(path))
+
+
+def read_sas(path: str):
+    """S8: SAS .sas7bdat/.xpt via pandas' native reader (the reference's
+    own best-effort fallback, data_loader.py:143-145)."""
+    import pandas as pd
+
+    import ray.data as rd
+
+    return rd.from_pandas(pd.read_sas(path))

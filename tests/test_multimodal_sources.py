@@ -184,3 +184,55 @@ class TestReadAnyFallback:
         p.write_bytes(bytes(range(256)) * 4)
         with pytest.raises(ValueError, match="delimited"):
             read_any(str(p))
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestFormatReaders:
+    def test_feather_roundtrip(self, tmp_path):
+        import pyarrow as pa_
+        from pyarrow import feather
+
+        from tanml_ray.sources.ingest import read_any
+
+        t = pa_.table({"a": [1, 2, 3], "b": ["x", "y", "z"]})
+        p = str(tmp_path / "t.feather")
+        feather.write_feather(t, p)
+        assert read_any(p).take_all() == t.to_pylist()
+
+    def test_stata_roundtrip(self, tmp_path):
+        import pandas as pd
+
+        from tanml_ray.sources.ingest import read_any
+
+        df = pd.DataFrame({"a": [1.5, 2.5], "b": ["u", "v"]})
+        p = str(tmp_path / "t.dta")
+        df.to_stata(p, write_index=False)
+        rows = read_any(p).take_all()
+        assert [r["a"] for r in rows] == [1.5, 2.5]
+        assert [r["b"] for r in rows] == ["u", "v"]
+
+    def test_xlsx_minimal_reader(self, tmp_path):
+        """Hand-built SpreadsheetML zip (openpyxl is absent, so the
+        test constructs the format the same way the parser reads it:
+        shared strings + inline strings + numbers)."""
+        import zipfile
+
+        from tanml_ray.sources.ingest import read_any
+
+        sheet = """<?xml version="1.0"?>
+<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+<sheetData>
+<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="inlineStr"><is><t>score</t></is></c></row>
+<row r="2"><c r="A2" t="s"><v>1</v></c><c r="B2"><v>1.5</v></c></row>
+<row r="3"><c r="A3" t="s"><v>2</v></c><c r="B3"><v>42</v></c></row>
+</sheetData></worksheet>"""
+        shared = """<?xml version="1.0"?>
+<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" count="3" uniqueCount="3">
+<si><t>name</t></si><si><t>alice</t></si><si><t>bob</t></si></sst>"""
+        p = str(tmp_path / "t.xlsx")
+        with zipfile.ZipFile(p, "w") as z:
+            z.writestr("xl/worksheets/sheet1.xml", sheet)
+            z.writestr("xl/sharedStrings.xml", shared)
+        rows = read_any(p).take_all()
+        assert rows == [{"name": "alice", "score": 1.5},
+                        {"name": "bob", "score": 42.0}]
