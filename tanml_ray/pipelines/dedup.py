@@ -23,6 +23,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from tanml_ray.functions.collect import collect_pylist
 
@@ -707,6 +708,118 @@ def dup_clusters(pairs: "pa.Table | list[tuple[int, int]]") -> dict[int, int]:
             lo, hi = (ra, rb) if ra < rb else (rb, ra)
             parent[hi] = lo
     return {v: find(v) for v in parent}
+
+
+def dup_clusters_distributed(pairs_ds, partitions: int = 64,
+                             max_rounds: int = 50) -> "pa.Table":
+    """Distributed connected components over a near-dup pair Dataset:
+    iterative MIN-label propagation (the at-scale alternative to the
+    driver union-find — O(component diameter) rounds, each round one
+    coarse-partitioned groupby; labels converge to the component's MIN
+    id, the same deterministic keep-first root dup_clusters produces).
+
+    Every round ships (node, candidate_label) rows keyed by
+    hash(node) % P — label state never sits on the driver; only the
+    per-round changed-count (one aggregate row) does. Returns
+    (id, root) for every id appearing in a pair, sorted by id.
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Min, Sum
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        a = batch.column("id_a").to_numpy(zero_copy_only=False)
+        b = batch.column("id_b").to_numpy(zero_copy_only=False)
+        # both directions so each node sees every neighbor's label
+        return pa.table({"v": pa.array(np.concatenate([a, b]), type=pa.int64()),
+                         "u": pa.array(np.concatenate([b, a]), type=pa.int64())})
+
+    edges = (pairs_ds if hasattr(pairs_ds, "map_batches")
+             else rd.from_arrow(pairs_ds)).map_batches(
+        to_edges, batch_format="pyarrow").materialize()
+
+    # initial label(v) = v, over the distinct nodes
+    labels = edges.groupby("v").aggregate(Min("u", alias_name="nbr_min"))
+    labels = labels.map_batches(
+        lambda t: pa.table({
+            "v": t.column("v").combine_chunks(),
+            "label": pc.min_element_wise(t.column("v"), t.column("nbr_min"))}),
+        batch_format="pyarrow").materialize()
+
+    for _ in range(max_rounds):
+        # propagate: edge (v,u) picks up label(u) → candidate for v
+        def kpart(t: pa.Table, col: str) -> pa.Table:
+            h = pd.util.hash_array(t.column(col).to_numpy(zero_copy_only=False))
+            return t.append_column(
+                "kp", pa.array((h % np.uint64(partitions)).astype(np.int32)))
+
+        tagged_edges = edges.map_batches(
+            lambda t: kpart(pa.table({"u": t.column("u").combine_chunks(),
+                                      "v": t.column("v").combine_chunks(),
+                                      "label": pa.nulls(t.num_rows, pa.int64())}),
+                            "u"),
+            batch_format="pyarrow")
+        tagged_labels = labels.map_batches(
+            lambda t: kpart(pa.table({"u": t.column("v").combine_chunks(),
+                                      "v": pa.nulls(t.num_rows, pa.int64()),
+                                      "label": t.column("label").combine_chunks()}),
+                            "u"),
+            batch_format="pyarrow")
+
+        def join_labels(g: pd.DataFrame) -> pa.Table:
+            lab = g[g["v"].isna()]
+            lmap = dict(zip(lab["u"].to_numpy(), lab["label"].to_numpy()))
+            e = g[g["v"].notna()]
+            if e.empty:
+                return pa.table({"v": pa.array([], type=pa.int64()),
+                                 "cand": pa.array([], type=pa.int64())})
+            cand = e["u"].map(lmap)
+            return pa.table({"v": pa.array(e["v"].to_numpy(dtype=np.int64)),
+                             "cand": pa.array(cand.to_numpy(dtype=np.int64))})
+
+        cands = (tagged_edges.union(tagged_labels)
+                 .groupby("kp").map_groups(join_labels, batch_format="pandas"))
+
+        # new label(v) = min(label(v), min over neighbor labels)
+        self_rows = labels.map_batches(
+            lambda t: pa.table({"v": t.column("v").combine_chunks(),
+                                "cand": t.column("label").combine_chunks()}),
+            batch_format="pyarrow")
+        new_labels = (cands.union(self_rows).groupby("v")
+                      .aggregate(Min("cand", alias_name="label"))).materialize()
+
+        # changed-count via a tiny keyed join (old vs new), same pattern
+        old_tag = labels.map_batches(
+            lambda t: kpart(pa.table({"u": t.column("v").combine_chunks(),
+                                      "v": pa.nulls(t.num_rows, pa.int64()),
+                                      "label": t.column("label").combine_chunks()}),
+                            "u"),
+            batch_format="pyarrow")
+        new_tag = new_labels.map_batches(
+            lambda t: kpart(pa.table({"u": t.column("v").combine_chunks(),
+                                      "v": t.column("v").combine_chunks(),
+                                      "label": t.column("label").combine_chunks()}),
+                            "u"),
+            batch_format="pyarrow")
+
+        def count_changed(g: pd.DataFrame) -> pa.Table:
+            old = g[g["v"].isna()]
+            new = g[g["v"].notna()]
+            omap = dict(zip(old["u"].to_numpy(), old["label"].to_numpy()))
+            changed = int(sum(1 for u, l in zip(new["u"].to_numpy(),
+                                                new["label"].to_numpy())
+                              if omap.get(u) != l))
+            return pa.table({"n": pa.array([changed], type=pa.int64())})
+
+        changed = sum(r["n"] for r in collect_pylist(
+            old_tag.union(new_tag).groupby("kp")
+            .map_groups(count_changed, batch_format="pandas")))
+        labels = new_labels
+        if changed == 0:
+            break
+
+    out = sorted(collect_pylist(labels), key=lambda r: r["v"])
+    return pa.table({"id": pa.array([r["v"] for r in out], type=pa.int64()),
+                     "root": pa.array([r["label"] for r in out], type=pa.int64())})
 
 
 def dedup_keep_list(ds, pairs: pa.Table, id_col: str = "doc_id"):

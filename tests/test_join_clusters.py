@@ -118,3 +118,28 @@ class TestBloomFilter:
         bf.add(np.array(["alpha", "beta"], dtype=object))
         got = bf.contains(np.array(["alpha", "gamma"], dtype=object))
         assert got[0] and not got[1]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDistributedClusters:
+    def test_matches_driver_union_find(self):
+        """Min-label propagation (distributed) == union-find (driver):
+        every node's root is the component MIN id."""
+        import ray.data as rd
+
+        from tanml_ray.pipelines.dedup import dup_clusters, dup_clusters_distributed
+
+        rng = np.random.default_rng(21)
+        # several chains + a star + isolated pairs
+        pairs = [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12),
+                 (20, 21), (20, 22), (20, 23), (30, 31)]
+        pairs += [(int(a), int(a) + 1000) for a in rng.choice(500, 40, replace=False)]
+        t = pa.table({"id_a": pa.array([p[0] for p in pairs], type=pa.int64()),
+                      "id_b": pa.array([p[1] for p in pairs], type=pa.int64())})
+        want = dup_clusters(t)
+        got = {r["id"]: r["root"]
+               for r in dup_clusters_distributed(
+                   rd.from_arrow(t).repartition(4)).to_pylist()}
+        assert got == want
+        # chain 1-2-3-4 all rooted at 1; star rooted at 20
+        assert got[4] == 1 and got[23] == 20
