@@ -193,7 +193,8 @@ def run_pages_validation(source, out_dir: str | None = None,
                          constraints: list[RowConstraint] | None = None,
                          check_uniqueness: bool = True,
                          override_num_blocks: int | None = None,
-                         url_hash_mod: int | None = None) -> ValidationReport:
+                         url_hash_mod: int | None = None,
+                         uhash_driver_budget: int = 512 << 20) -> ValidationReport:
     """source: parquet path/dir (preferred — gives real partitions) or an
     existing ray.data.Dataset of pages. override_num_blocks caps the
     task count (one block per input file is usually right — Ray's
@@ -284,11 +285,28 @@ def run_pages_validation(source, out_dir: str | None = None,
         .map_batches(_pre_merge, batch_format="pyarrow", batch_size=None)
         .materialize())
     merged_profiles = {}
-    status_partial = small.map_batches(
-        lambda t: t.filter(pc.is_in(t.column("kind"),
-                                    value_set=pa.array(["status", "partial"]))),
-        batch_format="pyarrow")
-    for t in status_partial.iter_batches(batch_size=8192, batch_format="pyarrow"):
+
+    # size-adaptive routing decided UP FRONT with one tiny round over
+    # the 8 pre-merged blocks: if the url-hash blobs fit the driver
+    # budget, ONE driver iteration consumes status + profile + uhash
+    # together (no per-kind re-filters, no extra materialize); above
+    # the budget the uhash rows never stream through the driver at all.
+    uhash_bytes = 0
+    if check_uniqueness:
+        def _uhash_size(t: pa.Table) -> pa.Table:
+            m = t.filter(pc.equal(t.column("kind"), "uhash"))
+            n = sum(len(b) for b in m.column("state").to_pylist())
+            return pa.table({"n": pa.array([n], type=pa.int64())})
+
+        uhash_bytes = sum(r["n"] for r in collect_pylist(
+            small.map_batches(_uhash_size, batch_format="pyarrow")))
+    driver_uhash = check_uniqueness and uhash_bytes <= uhash_driver_budget
+
+    uh_blobs: list[bytes] = []
+    driver_stream = (small if driver_uhash else small.map_batches(
+        lambda t: t.filter(pc.not_equal(t.column("kind"), "uhash")),
+        batch_format="pyarrow"))
+    for t in driver_stream.iter_batches(batch_size=8192, batch_format="pyarrow"):
         for r in t.to_pylist():
             if r["kind"] == "status":
                 a = status_agg.setdefault((r["partition_id"], r["constraint_id"]),
@@ -296,12 +314,14 @@ def run_pages_validation(source, out_dir: str | None = None,
                 a[0] += r["rows"]
                 a[1] += r["violations"]
                 a[2] = max(a[2], r["elapsed_us"])
-            else:
+            elif r["kind"] == "partial":
                 acc = ColumnProfileAcc.from_state(pickle.loads(r["state"]))
                 if r["column"] in merged_profiles:
                     merged_profiles[r["column"]].merge(acc)
                 else:
                     merged_profiles[r["column"]] = acc
+            elif r["kind"] == "uhash":
+                uh_blobs.append(r["state"])
     status = pa.Table.from_pylist(
         [{"partition_id": k[0], "constraint_id": k[1],
           "rows": v[0], "violations": v[1], "elapsed_us": v[2]}
@@ -327,23 +347,23 @@ def run_pages_validation(source, out_dir: str | None = None,
 
         # Size-adaptive merge (like broadcast-vs-shuffle join selection):
         # hash blobs are 8 B/url. Below the threshold one driver-side
-        # np.unique is faster than any shuffle; above it (≳10^8 urls)
-        # the per-bucket distributed groupby takes over. The hash pass is
-        # a CANDIDATE FILTER only — repeated hashes are then verified by
-        # actual url string equality in the resolve pass, so 64-bit
-        # birthday collisions (≈ n²/2^65 — thousands of false pairs at
-        # 10^12 rows) can never report distinct urls as duplicates.
-        DRIVER_UNIQUE_BYTES = 512 << 20
-        uhash = small.map_batches(
-            lambda t: t.filter(pc.equal(t.column("kind"), "uhash")),
-            batch_format="pyarrow").select_columns(["bucket", "state"]).materialize()
-        total_bytes = uhash.size_bytes()
-        if total_bytes <= DRIVER_UNIQUE_BYTES:
-            blobs = [r["state"] for r in collect_pylist(uhash)]
-            h = np.frombuffer(b"".join(blobs), dtype=np.uint64)
+        # np.unique is faster than any shuffle (the blobs were already
+        # collected in the single consumer pass above); above it
+        # (≳10^8 urls) the per-bucket distributed groupby takes over.
+        # The hash pass is a CANDIDATE FILTER only — repeated hashes
+        # are then verified by actual url string equality in the
+        # resolve pass, so 64-bit birthday collisions (≈ n²/2^65 —
+        # thousands of false pairs at 10^12 rows) can never report
+        # distinct urls as duplicates.
+        if driver_uhash:
+            h = np.frombuffer(b"".join(uh_blobs), dtype=np.uint64)
             uniq, counts = np.unique(h, return_counts=True)
             cand_hashes = uniq[counts > 1].astype(np.int64)
         else:
+            uhash = small.map_batches(
+                lambda t: t.filter(pc.equal(t.column("kind"), "uhash")),
+                batch_format="pyarrow").select_columns(["bucket", "state"])
+
             def find_dups(g: pd.DataFrame) -> pd.DataFrame:
                 hh = np.frombuffer(b"".join(g["state"]), dtype=np.uint64)
                 u, c = np.unique(hh, return_counts=True)

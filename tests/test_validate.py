@@ -258,3 +258,27 @@ class TestViolationHeavyInput:
         assert rep.summary["overall"] == "fail"
         v = rep.violations.take(5)
         assert all(r["constraint_id"] == "impossible" for r in v)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDistributedUhashPath:
+    def test_zero_budget_forces_distributed_merge(self, tmp_path):
+        """uhash_driver_budget=0 forces the per-bucket distributed
+        groupby (the ≥10^8-url path, no driver gather of hash blobs);
+        results must be identical to the driver path."""
+        import pyarrow.parquet as pq_
+
+        from tanml_ray.pipelines.validate import run_pages_validation
+
+        pages = make_pages_batch(_docs_batch(400))
+        d = tmp_path / "pages"
+        d.mkdir()
+        pq_.write_table(pages.slice(0, 200), str(d / "a.parquet"))
+        pq_.write_table(pages.slice(200, 200), str(d / "b.parquet"))
+
+        fast = run_pages_validation(str(d), check_uniqueness=True)
+        dist = run_pages_validation(str(d), check_uniqueness=True,
+                                    uhash_driver_budget=0)
+        assert fast.summary["duplicate_urls"] == dist.summary["duplicate_urls"] > 0
+        assert (sorted(fast.duplicate_urls.take_all(), key=lambda r: r["url"])
+                == sorted(dist.duplicate_urls.take_all(), key=lambda r: r["url"]))
