@@ -141,6 +141,33 @@ def ks_2samp_exact(x: np.ndarray, y: np.ndarray) -> tuple[float, float]:
     return d, ks_asymp_pvalue(d, n1, n2)
 
 
+def ks_from_value_counts(vals_e: np.ndarray, cnts_e: np.ndarray,
+                         vals_a: np.ndarray, cnts_a: np.ndarray) -> tuple[float, float]:
+    """EXACT two-sample KS from per-value count tables (sorted distinct
+    values + multiplicities — the single-pass drift representation for
+    integer-valued metrics). D = sup |ECDF_e − ECDF_a| evaluated on the
+    union of values; p-value exact (path-counting) when n_e·n_a ≤
+    KS_EXACT_MAX_MN, else asymptotic — identical semantics to
+    scipy.stats.ks_2samp(mode='auto') on the expanded samples, at
+    O(distinct values) cost instead of O(n)."""
+    ve = np.asarray(vals_e, dtype=np.float64)
+    va = np.asarray(vals_a, dtype=np.float64)
+    ce = np.asarray(cnts_e, dtype=np.int64)
+    ca = np.asarray(cnts_a, dtype=np.int64)
+    ne, na = int(ce.sum()), int(ca.sum())
+    if ne == 0 or na == 0:
+        return float("nan"), float("nan")
+    allv = np.union1d(ve, va)
+    cum_e = np.concatenate([[0], np.cumsum(ce)])
+    cum_a = np.concatenate([[0], np.cumsum(ca)])
+    cdf_e = cum_e[np.searchsorted(ve, allv, side="right")] / ne
+    cdf_a = cum_a[np.searchsorted(va, allv, side="right")] / na
+    d = float(np.abs(cdf_e - cdf_a).max())
+    if ne * na <= KS_EXACT_MAX_MN:
+        return d, ks_exact_pvalue(d, ne, na)
+    return d, ks_asymp_pvalue(d, ne, na)
+
+
 def ks_from_histograms(expected_counts: np.ndarray, actual_counts: np.ndarray,
                        expected_below: int = 0, actual_below: int = 0,
                        expected_above: int = 0, actual_above: int = 0) -> tuple[float, float]:

@@ -203,22 +203,22 @@ def build_drift_baseline(ds, value_col: str = "text_len",
     return baseline
 
 
-def _build_baseline_counts(ds, value_col: str, bucket_unit: str) -> DriftBaseline:
-    """Single-pass exact baseline for integer-valued metrics: per-block
-    per-group value-counts (rows ≤ groups × distinct-values per block —
-    text lengths span a few thousand distinct ints, so partials stay
-    tiny), merged driver-side, then edges + histograms derived from the
-    merged counts with the IDENTICAL np.histogram call the two-pass
-    path uses."""
+def _value_count_partials(ds, value_col: str, bucket_unit: str):
+    """Per-block per-group value-count partial rows (lang, bucket,
+    value, n) — the exact-distribution representation for
+    integer-valued metrics."""
     def partial(batch: pa.Table) -> pa.Table:
         df = _augment(batch, value_col, bucket_unit).dropna(subset=["value"])
         g = (df.groupby(["lang", "bucket", "value"], as_index=False)
              .size().rename(columns={"size": "n"}))
         return pa.Table.from_pandas(g, preserve_index=False)
 
+    return ds.map_batches(partial, batch_format="pyarrow")
+
+
+def _merge_value_count_partials(partials) -> dict[tuple, dict[float, int]]:
     merged: dict[tuple, dict[float, int]] = {}
-    for t in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
-            batch_size=8192, batch_format="pyarrow"):
+    for t in partials.iter_batches(batch_size=8192, batch_format="pyarrow"):
         langs = t.column("lang").to_pylist()
         bks = t.column("bucket").to_pylist()
         vals = t.column("value").to_numpy(zero_copy_only=False)
@@ -226,7 +226,18 @@ def _build_baseline_counts(ds, value_col: str, bucket_unit: str) -> DriftBaselin
         for lang, bucket, v, n in zip(langs, bks, vals, ns):
             g = merged.setdefault((lang, bucket), {})
             g[float(v)] = g.get(float(v), 0) + int(n)
+    return merged
 
+
+def _build_baseline_counts(ds, value_col: str, bucket_unit: str) -> DriftBaseline:
+    """Single-pass exact baseline for integer-valued metrics: per-block
+    per-group value-counts (rows ≤ groups × distinct-values per block —
+    text lengths span a few thousand distinct ints, so partials stay
+    tiny), merged driver-side, then edges + histograms derived from the
+    merged counts with the IDENTICAL np.histogram call the two-pass
+    path uses."""
+    merged = _merge_value_count_partials(
+        _value_count_partials(ds, value_col, bucket_unit))
     baseline = DriftBaseline(value_col=value_col, bucket_unit=bucket_unit)
     for key, counts_map in merged.items():
         vals = np.array(sorted(counts_map), dtype=np.float64)
@@ -242,6 +253,9 @@ def _build_baseline_counts(ds, value_col: str, bucket_unit: str) -> DriftBaselin
             "n": n, "below": 0, "above": 0, "vmin": vmin, "vmax": vmax,
             "edges": edges, "counts": counts,
             "fine_edges": fine_edges, "fine_counts": fine_counts,
+            # exact per-group distribution (distinct integer values are
+            # bounded) — enables EXACT KS on the compare side
+            "vals": vals, "cnts": cnts.astype(np.int64),
         }
     return baseline
 
@@ -258,15 +272,76 @@ def _merge_minmax(partials) -> dict[tuple, dict[str, float]]:
     return merged
 
 
-def compute_drift(baseline: DriftBaseline, current_ds) -> tuple[pa.Table, dict[str, Any]]:
+def compute_drift(baseline: DriftBaseline, current_ds,
+                  exact_ks: bool | None = None) -> tuple[pa.Table, dict[str, Any]]:
     """Single pass over the current table → per-group drift table +
-    executive summary with reference thresholds."""
+    executive summary with reference thresholds.
+
+    When the baseline carries exact per-group value counts (the
+    single-pass build for integer metrics), the compare side streams
+    value-count partials too and KS is EXACT — statistic on the true
+    ECDFs, p-value exact for small groups (ks_from_value_counts) —
+    removing the histogram approximation entirely; `ks_method` in the
+    output records which path produced each row. PSI binning is
+    unchanged either way (reference equal-width bins from the baseline
+    min/max, full-n denominators)."""
+    has_counts = bool(baseline.groups) and all(
+        "vals" in g for g in baseline.groups.values())
+    if exact_ks is None:
+        exact_ks = has_counts
+    if exact_ks and has_counts:
+        cur_counts = _merge_value_count_partials(
+            _value_count_partials(current_ds, baseline.value_col,
+                                  baseline.bucket_unit))
+        return _drift_rows_exact(baseline, cur_counts)
     edges_by_group = {k: {"edges": g["edges"], "fine_edges": g["fine_edges"]}
                       for k, g in baseline.groups.items() if g["edges"] is not None}
     cur = _merge_hist_partials(
         _hist_partials(current_ds, baseline.value_col, baseline.bucket_unit,
                        edges_by_group))
     return _drift_rows(baseline, cur)
+
+
+def _drift_rows_exact(baseline: DriftBaseline,
+                      cur: dict[tuple, dict[float, int]]) -> tuple[pa.Table, dict[str, Any]]:
+    from tanml_ray.kernels.drift_math import ks_from_value_counts
+
+    rows = []
+    for key in sorted(set(baseline.groups) | set(cur)):
+        b = baseline.groups.get(key)
+        c = cur.get(key)
+        lang, bucket = key
+        if b is None or b.get("counts") is None:
+            rows.append({"lang": lang, "bucket": bucket, "column": baseline.value_col,
+                         "n_expected": 0,
+                         "n_actual": int(sum(c.values())) if c else 0,
+                         "psi": float("nan"), "psi_level": "new_group",
+                         "ks_stat": float("nan"), "ks_pvalue": float("nan"),
+                         "ks_level": "unknown", "ks_method": "exact"})
+            continue
+        if not c:
+            rows.append({"lang": lang, "bucket": bucket, "column": baseline.value_col,
+                         "n_expected": b["n"], "n_actual": 0,
+                         "psi": float("nan"), "psi_level": "unknown",
+                         "ks_stat": float("nan"), "ks_pvalue": float("nan"),
+                         "ks_level": "unknown", "ks_method": "exact"})
+            continue
+        vals_c = np.array(sorted(c), dtype=np.float64)
+        cnts_c = np.array([c[v] for v in vals_c], dtype=np.int64)
+        n_c = int(cnts_c.sum())
+        # PSI: identical np.histogram call as the histogram path, with
+        # the full-n denominator (out-of-range mass in n_c)
+        hist_c = np.histogram(vals_c, bins=b["edges"],
+                              weights=cnts_c.astype(np.float64))[0]
+        psi = psi_from_counts(b["counts"], hist_c,
+                              expected_n=b["n"], actual_n=n_c)
+        d, p = ks_from_value_counts(b["vals"], b["cnts"], vals_c, cnts_c)
+        rows.append({"lang": lang, "bucket": bucket, "column": baseline.value_col,
+                     "n_expected": b["n"], "n_actual": n_c,
+                     "psi": psi, "psi_level": psi_level(psi),
+                     "ks_stat": d, "ks_pvalue": p, "ks_level": ks_level(d),
+                     "ks_method": "exact"})
+    return _finish_drift_rows(rows)
 
 
 def _drift_rows(baseline: DriftBaseline, cur: dict) -> tuple[pa.Table, dict[str, Any]]:
@@ -280,14 +355,14 @@ def _drift_rows(baseline: DriftBaseline, cur: dict) -> tuple[pa.Table, dict[str,
                          "n_expected": 0, "n_actual": c["n"] if c else 0,
                          "psi": float("nan"), "psi_level": "new_group",
                          "ks_stat": float("nan"), "ks_pvalue": float("nan"),
-                         "ks_level": "unknown"})
+                         "ks_level": "unknown", "ks_method": "histogram_approx"})
             continue
         if c is None or c.get("counts") is None:
             rows.append({"lang": lang, "bucket": bucket, "column": baseline.value_col,
                          "n_expected": b["n"], "n_actual": 0,
                          "psi": float("nan"), "psi_level": "unknown",
                          "ks_stat": float("nan"), "ks_pvalue": float("nan"),
-                         "ks_level": "unknown"})
+                         "ks_level": "unknown", "ks_method": "histogram_approx"})
             continue
         # Reference parity (drift.py:71-84): proportions are
         # counts / FULL group size, so below/above-range mass lowers the
@@ -302,8 +377,12 @@ def _drift_rows(baseline: DriftBaseline, cur: dict) -> tuple[pa.Table, dict[str,
         rows.append({"lang": lang, "bucket": bucket, "column": baseline.value_col,
                      "n_expected": b["n"], "n_actual": c["n"],
                      "psi": psi, "psi_level": psi_level(psi),
-                     "ks_stat": d, "ks_pvalue": p, "ks_level": ks_level(d)})
+                     "ks_stat": d, "ks_pvalue": p, "ks_level": ks_level(d),
+                     "ks_method": "histogram_approx"})
+    return _finish_drift_rows(rows)
 
+
+def _finish_drift_rows(rows: list[dict]) -> tuple[pa.Table, dict[str, Any]]:
     table = pa.Table.from_pylist(rows)
     levels = [r["psi_level"] for r in rows if r["psi_level"] in ("severe", "moderate", "none")]
     summary = {
@@ -395,11 +474,41 @@ class BaselineHolderVerify:
         })
 
 
+class ValueCountVerify:
+    """Actor-pool verify stage for the EXACT (value-counts) compare
+    path: per-batch per-group value counts. Holds only the metric
+    definition — the exact representation needs no baseline state on
+    the worker at all (the comparison happens at merge time)."""
+
+    def __init__(self, value_col: str, bucket_unit: str):
+        self.value_col = value_col
+        self.bucket_unit = bucket_unit
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        df = _augment(batch, self.value_col, self.bucket_unit).dropna(subset=["value"])
+        g = (df.groupby(["lang", "bucket", "value"], as_index=False)
+             .size().rename(columns={"size": "n"}))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+
 def compute_drift_actor_pool(baseline: DriftBaseline, current_ds,
-                             concurrency: int = 4) -> tuple[pa.Table, dict[str, Any]]:
+                             concurrency: int = 4,
+                             exact_ks: bool | None = None) -> tuple[pa.Table, dict[str, Any]]:
     """compute_drift with the actor-pool verify stage — identical
-    results; the baseline ships once per actor instead of per task."""
+    results; per-actor setup instead of per task."""
     import ray
+
+    has_counts = bool(baseline.groups) and all(
+        "vals" in g for g in baseline.groups.values())
+    if exact_ks is None:
+        exact_ks = has_counts
+    if exact_ks and has_counts:
+        partials = current_ds.map_batches(
+            ValueCountVerify,
+            fn_constructor_kwargs={"value_col": baseline.value_col,
+                                   "bucket_unit": baseline.bucket_unit},
+            batch_format="pyarrow", concurrency=concurrency)
+        return _drift_rows_exact(baseline, _merge_value_count_partials(partials))
 
     edges_by_group = {k: {"edges": g["edges"], "fine_edges": g["fine_edges"]}
                       for k, g in baseline.groups.items() if g["edges"] is not None}

@@ -138,6 +138,52 @@ class TestDriftSuite:
             for fld in ("edges", "counts", "fine_edges", "fine_counts"):
                 assert np.array_equal(g1[fld], g2[fld]), (key, fld)
 
+    def test_exact_ks_matches_sample_kernel(self, sf_dir):
+        """With a counts-carrying baseline (integer metric), KS is
+        EXACT: per-group stat/p must equal ks_2samp_exact on the
+        materialized raw samples — no histogram approximation."""
+        from tanml_ray.kernels.drift_math import ks_2samp_exact
+
+        baseline_ds = pages_dataset(sf_dir)
+        current_ds = pages_dataset(sf_dir, variant="current")
+        baseline = build_drift_baseline(baseline_ds, "text_len", "week")
+        table, _ = compute_drift(baseline, current_ds)
+        assert set(table.column("ks_method").to_pylist()) == {"exact"}
+
+        def frame(ds):
+            t = ds.materialize().to_pandas()
+            t = t[t.text.notna()]
+            week = pd.Series(t.warc_ts).dt.to_period("W-SUN").dt.start_time
+            return pd.DataFrame({"lang": t.lang,
+                                 "bucket": week.dt.strftime("%Y-%m-%d"),
+                                 "value": t.text.str.len().astype(float)})
+
+        bdf, cdf = frame(baseline_ds), frame(current_ds)
+        checked = 0
+        for r in table.to_pylist():
+            if r["ks_stat"] != r["ks_stat"]:
+                continue
+            b = bdf[(bdf.lang == r["lang"]) & (bdf.bucket == r["bucket"])]["value"]
+            c = cdf[(cdf.lang == r["lang"]) & (cdf.bucket == r["bucket"])]["value"]
+            if len(b) == 0 or len(c) == 0:
+                continue
+            d, p = ks_2samp_exact(b.to_numpy(), c.to_numpy())
+            assert r["ks_stat"] == pytest.approx(d, abs=1e-12), (r["lang"], r["bucket"])
+            assert r["ks_pvalue"] == pytest.approx(p, abs=1e-12)
+            checked += 1
+        assert checked >= 5
+
+    def test_exact_and_actor_pool_paths_agree(self, sf_dir):
+        from tanml_ray.pipelines.drift import compute_drift_actor_pool
+
+        baseline = build_drift_baseline(pages_dataset(sf_dir), "text_len", "week")
+        cur = pages_dataset(sf_dir, variant="current")
+        t_task, s_task = compute_drift(baseline, cur)
+        t_actor, s_actor = compute_drift_actor_pool(baseline, cur, concurrency=2)
+        assert s_task == s_actor
+        assert sorted(t_task.to_pylist(), key=lambda r: (r["lang"], r["bucket"])) \
+            == sorted(t_actor.to_pylist(), key=lambda r: (r["lang"], r["bucket"]))
+
     def test_baseline_artifact_roundtrip(self, sf_dir, tmp_path):
         baseline = build_drift_baseline(pages_dataset(sf_dir), "text_len", "week")
         p = str(tmp_path / "baseline.pkl")
