@@ -106,6 +106,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "logistic_cv_orders": q.logistic_cv_orders,
         "kendall_sample_lineitem": q.kendall_sample_lineitem,
         "knn_impute_quantity": q.knn_impute_quantity,
+        "bpe_token_counts_documents": q.bpe_token_counts_documents,
     }
 
 
@@ -171,6 +172,7 @@ def oracle_sql() -> dict[str, str]:
         "permutation_importance_orders": q.PERMUTATION_IMPORTANCE_SQL,
         "kendall_sample_lineitem": q.KENDALL_SQL,
         "knn_impute_quantity": q.KNN_IMPUTE_SQL,
+        "bpe_token_counts_documents": q.BPE_TOKEN_COUNTS_SQL,
         # langid / lsh-knn / minhash / simhash / logistic_cv (iterative
         # IRLS): not SQL-expressible → rows-only driver check; verified
         # in pytest instead.

@@ -2076,3 +2076,36 @@ ranked AS (
 SELECT id, round(avg(v), 6) AS imputed
 FROM ranked WHERE rn <= 5 GROUP BY id ORDER BY id
 """
+
+
+# ---------------------------------------------------------------------------
+# Text analysis: BPE-ish regex token counting (the brief's second
+# tokenizer next to whitespace counting) — a GPT-2-style pretokenizer
+# alternation simplified to be RE2-compatible (no lookarounds), so the
+# engine (pyarrow/RE2) and the oracle (DuckDB/RE2) count identically:
+# contraction suffixes | optional-space letter runs | optional-space
+# digit runs | optional-space punctuation runs | whitespace runs.
+# ---------------------------------------------------------------------------
+
+_BPE_RE = "'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+
+
+def bpe_token_counts_documents(sf_dir: str) -> pa.Table:
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def count_tokens(batch: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(batch.column("text"), _BPE_RE)
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "n_bpe_tokens": pc.cast(n, pa.int64())})
+
+    out = ds.map_batches(count_tokens, batch_format="pyarrow")
+    rows = sorted(collect_pylist(out), key=lambda r: r["doc_id"])
+    return pa.Table.from_pylist(rows)
+
+
+BPE_TOKEN_COUNTS_SQL = f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{_BPE_RE.replace("'", "''")}')) AS BIGINT)
+         AS n_bpe_tokens
+FROM documents ORDER BY doc_id
+"""

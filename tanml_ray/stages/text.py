@@ -131,3 +131,67 @@ def fingerprint_batch(batch: pa.Table, text_col: str = "text",
     fps = [fingerprint_md5(t) if t is not None else None for t in texts]
     return pa.table({id_col: batch.column(id_col),
                      "fingerprint": pa.array(fps, type=pa.string())})
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer, Wilkerson, Aiken, SIGMOD 2003 —
+# public algorithm): k-gram rolling hashes over normalized text, keep
+# each sliding window's minimum hash. The fingerprint set is robust to
+# local edits and position shifts — the rolling-hash document
+# fingerprint the large-scale pipeline brief calls for, complementing
+# the exact md5 fingerprint above.
+# ---------------------------------------------------------------------------
+
+_WINNOW_B = np.uint64(0x100000001B3)  # FNV prime as the rolling base
+
+
+def winnow_fingerprints(text: str, k: int = 8, window: int = 4) -> np.ndarray:
+    """Sorted unique winnowing fingerprints of `text`. Vectorized:
+    the k-gram polynomial rolling hash is k shifted slice-multiplies
+    over the code-point array; window minima via a strided view."""
+    norm = normalize_text(text or "")
+    if not norm:
+        return np.empty(0, dtype=np.uint64)
+    c = np.frombuffer(norm.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+    if c.size < k:
+        h = np.zeros(1, dtype=np.uint64)
+        for x in c:
+            h = h * _WINNOW_B + x
+        return h
+    n_grams = c.size - k + 1
+    h = np.zeros(n_grams, dtype=np.uint64)
+    for j in range(k):  # k tiny vector ops, no per-gram Python
+        h = h * _WINNOW_B + c[j:j + n_grams]
+    if h.size <= window:
+        return np.unique(h.min(keepdims=True))
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    return np.unique(sliding_window_view(h, window).min(axis=1))
+
+
+def winnow_similarity(a: str, b: str, k: int = 8, window: int = 4) -> float:
+    """Jaccard of two documents' winnowing fingerprint sets."""
+    fa = winnow_fingerprints(a, k, window)
+    fb = winnow_fingerprints(b, k, window)
+    if fa.size == 0 and fb.size == 0:
+        return 1.0
+    inter = np.intersect1d(fa, fb, assume_unique=True).size
+    union = fa.size + fb.size - inter
+    return inter / union if union else 0.0
+
+
+def winnow_batch(batch: pa.Table, text_col: str = "text",
+                 id_col: str = "doc_id", k: int = 8,
+                 window: int = 4) -> pa.Table:
+    """Per-doc fingerprint blobs (uint64 LE bytes) + counts — the
+    map_batches stage for fingerprint-based near-dup candidates."""
+    texts = batch.column(text_col).to_pylist()
+    blobs, counts = [], []
+    for t in texts:
+        fp = winnow_fingerprints(t, k, window) if t is not None \
+            else np.empty(0, dtype=np.uint64)
+        blobs.append(fp.tobytes())
+        counts.append(fp.size)
+    return pa.table({id_col: batch.column(id_col),
+                     "fingerprints": pa.array(blobs, type=pa.binary()),
+                     "n_fingerprints": pa.array(counts, type=pa.int64())})

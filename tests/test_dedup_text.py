@@ -330,3 +330,41 @@ class TestTextAnalysis:
         assert out[0]["n_tokens"] == 6
         assert out[0]["n_punct"] == 2
         assert out[0]["quality_score"] > out[1]["quality_score"]
+
+
+class TestWinnowing:
+    def test_deterministic_and_edit_robust(self):
+        from tanml_ray.stages.text import winnow_fingerprints, winnow_similarity
+
+        base = ("the quick brown fox jumps over the lazy dog and runs into "
+                "the deep forest tonight looking for food and shelter") * 3
+        edited = base.replace("lazy", "idle", 1)
+        other = "completely different content about astronomy and stars " * 6
+        assert np.array_equal(winnow_fingerprints(base), winnow_fingerprints(base))
+        # a one-word edit preserves most fingerprints...
+        assert winnow_similarity(base, edited) > 0.8
+        # ...while unrelated text shares almost none
+        assert winnow_similarity(base, other) < 0.1
+        # position shift (prefix insertion) still matches well past the edit
+        assert winnow_similarity(base, "xyzzy " + base) > 0.8
+
+    def test_edge_cases(self):
+        from tanml_ray.stages.text import winnow_fingerprints, winnow_similarity
+
+        assert winnow_fingerprints("").size == 0
+        assert winnow_fingerprints("ab").size == 1  # shorter than k
+        assert winnow_similarity("", "") == 1.0
+        assert 0.0 <= winnow_similarity("abc", "xyz") <= 1.0
+
+    def test_batch_stage(self, ray_session):
+        import ray.data as rd
+
+        from tanml_ray.stages.text import winnow_batch, winnow_fingerprints
+
+        t = pa.table({"doc_id": pa.array([1, 2], type=pa.int64()),
+                      "text": ["some repeated words " * 10, None]})
+        out = rd.from_arrow(t).map_batches(winnow_batch,
+                                           batch_format="pyarrow").take_all()
+        fp1 = np.frombuffer(out[0]["fingerprints"], dtype=np.uint64)
+        assert np.array_equal(fp1, winnow_fingerprints("some repeated words " * 10))
+        assert out[1]["n_fingerprints"] == 0
