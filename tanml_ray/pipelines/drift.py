@@ -217,15 +217,22 @@ def _value_count_partials(ds, value_col: str, bucket_unit: str):
 
 
 def _merge_value_count_partials(partials) -> dict[tuple, dict[float, int]]:
+    """Vectorized merge: one pandas groupby-sum over the collected
+    partial rows (a Python per-row loop here scales with block count —
+    the C path doesn't). Driver volume is blocks × groups × distinct
+    values; each block's partial is already locally combined, so at
+    extreme block counts insert a repartition+combine round upstream
+    before collecting."""
+    frames = [t.to_pandas() for t in
+              partials.iter_batches(batch_size=65536, batch_format="pyarrow")]
+    if not frames:
+        return {}
+    df = (pd.concat(frames, ignore_index=True)
+          .groupby(["lang", "bucket", "value"], as_index=False)["n"].sum())
     merged: dict[tuple, dict[float, int]] = {}
-    for t in partials.iter_batches(batch_size=8192, batch_format="pyarrow"):
-        langs = t.column("lang").to_pylist()
-        bks = t.column("bucket").to_pylist()
-        vals = t.column("value").to_numpy(zero_copy_only=False)
-        ns = t.column("n").to_numpy(zero_copy_only=False)
-        for lang, bucket, v, n in zip(langs, bks, vals, ns):
-            g = merged.setdefault((lang, bucket), {})
-            g[float(v)] = g.get(float(v), 0) + int(n)
+    for (lang, bucket), sub in df.groupby(["lang", "bucket"], sort=False):
+        merged[(lang, bucket)] = dict(
+            zip(sub["value"].astype(float), sub["n"].astype(int)))
     return merged
 
 
