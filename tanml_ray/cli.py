@@ -51,13 +51,20 @@ def main(argv: list[str] | None = None) -> int:
     d.add_argument("--artifact", required=True)
     d.add_argument("--report-out", default=None)
 
+    fr = sub.add_parser("full-report",
+                        help="validation + drift + roll-up + narratives")
+    fr.add_argument("--input", required=True)
+    fr.add_argument("--out", required=True)
+    fr.add_argument("--baseline-artifact", default=None)
+
     args = p.parse_args(argv)
 
     # fail fast with a one-line diagnosis BEFORE starting a Ray session
-    for attr in ("input", "artifact"):
+    for attr in ("input", "artifact", "baseline_artifact"):
         path = getattr(args, attr, None)
         if path and not os.path.exists(path):
-            print(json.dumps({"error": f"--{attr} path does not exist: {path}"}),
+            flag = "--" + attr.replace("_", "-")
+            print(json.dumps({"error": f"{flag} path does not exist: {path}"}),
                   file=sys.stderr)
             return 2
 
@@ -93,6 +100,14 @@ def main(argv: list[str] | None = None) -> int:
 
                 pq.write_table(table, args.report_out)
             print(json.dumps(summary, default=str))
+        elif args.cmd == "full-report":
+            from tanml_ray.pipelines.report import run_full_report
+
+            out = run_full_report(args.input, args.out,
+                                  baseline_artifact=args.baseline_artifact)
+            print(json.dumps({"status": out["rollup"]["status"],
+                              "report": os.path.join(args.out, "report.json"),
+                              "narratives": out["narratives"]}, default=str))
     except Exception as e:  # surface a one-line JSON error, not a traceback
         import traceback
 

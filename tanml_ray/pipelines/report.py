@@ -97,3 +97,56 @@ def executive_rollup(validation_summary: dict[str, Any] | None = None,
                        metrics=metrics, summary=summary,
                        report_data={"issues": issues, "fails": fails,
                                     "narratives": narratives})
+
+
+def run_full_report(input_dir: str, out_dir: str,
+                    baseline_artifact: str | None = None,
+                    constraints=None) -> dict[str, Any]:
+    """End-to-end report job (the `ray job submit` user surface): one
+    validation run + optional drift vs a saved baseline + executive
+    roll-up with narratives, all written under out_dir:
+
+        out_dir/violations/        violation rows (partitioned parquet)
+        out_dir/drift.parquet      per-group drift table (if baseline)
+        out_dir/report.json        summary + roll-up + narratives
+
+    Returns the report dict. Composes the same pipelines the driver
+    queries exercise — no separate code path to drift out of sync."""
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+
+    from tanml_ray.pipelines.narratives import render_report_narratives
+    from tanml_ray.pipelines.validate import run_pages_validation
+
+    rep = run_pages_validation(input_dir, out_dir=out_dir,
+                               constraints=constraints)
+    report: dict[str, Any] = {"validation_summary": rep.summary}
+
+    drift_summary = None
+    if baseline_artifact:
+        from tanml_ray.pipelines.drift import DriftBaseline, compute_drift
+
+        baseline = DriftBaseline.load(baseline_artifact)
+        table, drift_summary = compute_drift(baseline, rd.read_parquet(input_dir))
+        pq.write_table(table, os.path.join(out_dir, "drift.parquet"))
+        report["drift_summary"] = drift_summary
+        report["drift_table"] = table.to_pylist()
+
+    rollup = executive_rollup(validation_summary=rep.summary,
+                              drift_summary=drift_summary)
+    narratives = render_report_narratives(report)
+    out = {
+        "validation": rep.summary,
+        "drift": drift_summary,
+        "rollup": {"status": rollup.status, "summary": rollup.summary,
+                   "metrics": rollup.metrics,
+                   **rollup.report_data},
+        "narratives": narratives,
+    }
+    with open(os.path.join(out_dir, "report.json"), "w") as f:
+        json.dump(out, f, indent=2, default=str)
+    return out

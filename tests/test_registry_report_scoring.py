@@ -109,3 +109,29 @@ class TestScorerStage:
             fn_constructor_kwargs={"model_path": str(p), "feature_cols": ["x"]},
             batch_format="pyarrow", concurrency=1).take_all()
         assert sorted(r["score"] for r in out) == [3.0, 5.0, 7.0]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestFullReport:
+    def test_end_to_end_report(self, sf_dir, tmp_path):
+        import json
+
+        from tanml_ray.pipelines.drift import build_drift_baseline
+        from tanml_ray.pipelines.report import run_full_report
+        from tanml_ray.sources.pages import pages_dataset, synthesize_pages_parquet
+
+        pages_dir = synthesize_pages_parquet(sf_dir, str(tmp_path / "pages"))
+        art = str(tmp_path / "baseline.pkl")
+        build_drift_baseline(pages_dataset(sf_dir), "text_len", "week").save(art)
+
+        out = run_full_report(pages_dir, str(tmp_path / "out"),
+                              baseline_artifact=art)
+        # fixture has injected defects → overall fail; same-data drift → pass
+        assert out["rollup"]["status"] == "fail"
+        assert out["drift"]["status"] == "pass"
+        assert "validation" in out["narratives"]
+        assert "drift" in out["narratives"]
+        on_disk = json.load(open(tmp_path / "out" / "report.json"))
+        assert on_disk["rollup"]["status"] == "fail"
+        assert (tmp_path / "out" / "drift.parquet").exists()
+        assert (tmp_path / "out" / "violations").exists()
