@@ -390,47 +390,38 @@ def popcount64(x: np.ndarray) -> np.ndarray:
         .sum(axis=1).astype(np.int64)
 
 
-def simhash_near_dups(ds, text_col: str = "text", id_col: str = "doc_id",
-                      max_hamming: int = 3,
-                      bucket_partitions: int = 64) -> pa.Table:
-    """SimHash near-dup pairs: 64-bit fingerprints, candidates share at
-    least one of 4 16-bit blocks (guarantees recall for distance ≤ 3),
-    verified by exact Hamming distance.
+def explode_fp_blocks(ids: np.ndarray, fps: np.ndarray,
+                      bucket_partitions: int) -> pa.Table:
+    """(id, 64-bit fp) → 4 block-bucket rows per id with the coarse
+    (blk·2¹⁶+bv) % P partition key. fps uint64; stored as int64−2⁶³."""
+    n = len(ids)
+    out_id = np.repeat(ids.astype(np.int64), 4)
+    out_fp = np.repeat(fps.astype(np.uint64), 4)
+    blk = np.tile(np.arange(4, dtype=np.int64), n)
+    bv = ((out_fp >> (blk.astype(np.uint64) * np.uint64(16)))
+          & np.uint64(0xFFFF)).astype(np.int64)
+    bpart = ((blk << 16) + bv) % bucket_partitions
+    return pa.table({"id": pa.array(out_id, type=pa.int64()),
+                     "fp": pa.array((out_fp - np.uint64(2**63)).astype(np.int64),
+                                    type=pa.int64()),
+                     "blk": pa.array(blk.astype(np.int32), type=pa.int32()),
+                     "bv": pa.array(bv.astype(np.int32), type=pa.int32()),
+                     "bpart": pa.array(bpart.astype(np.int32), type=pa.int32())})
 
-    Scale shape mirrors the MinHash path: the shuffle groups by a
+
+def fingerprint_near_dups(buckets, max_hamming: int = 3) -> pa.Table:
+    """Near-dup pairs over ANY 64-bit-fingerprint block-bucket stream
+    (explode_fp_blocks output): candidates share at least one of 4
+    16-bit blocks (guarantees recall for Hamming distance ≤ 3 by
+    pigeonhole), verified by exact vectorized Hamming.
+
+    Scale shape mirrors the MinHash path: the shuffle groups by the
     COARSE ``(blk·2¹⁶+bv) % P`` partition key (P groups, not one
     map_groups call per 16-bit bucket — up to 262k tiny groups would be
     pure scheduling overhead), with the per-bucket pair generation and
     XOR+popcount Hamming verify fully vectorized inside each partition.
     Only the post-verify matching pairs (output-bounded) reach the
     driver, where cross-band duplicates collapse."""
-    def fp_batch(batch: pa.Table) -> pa.Table:
-        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
-        texts = batch.column(text_col).to_pylist()
-        out_id, out_fp, out_blk, out_bv = [], [], [], []
-        for i, t in enumerate(texts):
-            if t is None:
-                continue
-            toks = np.asarray(t.lower().split(), dtype=object)
-            if toks.size == 0:
-                continue
-            th = pd.util.hash_array(toks, categorize=False)
-            fp = simhash64(th)
-            for blk in range(4):
-                out_id.append(int(ids[i]))
-                out_fp.append(fp - 2**63)  # store as int64
-                out_blk.append(blk)
-                out_bv.append((fp >> (16 * blk)) & 0xFFFF)
-        bpart = ((np.asarray(out_blk, dtype=np.int64) << 16)
-                 + np.asarray(out_bv, dtype=np.int64)) % bucket_partitions
-        return pa.table({"id": pa.array(out_id, type=pa.int64()),
-                         "fp": pa.array(out_fp, type=pa.int64()),
-                         "blk": pa.array(out_blk, type=pa.int32()),
-                         "bv": pa.array(out_bv, type=pa.int32()),
-                         "bpart": pa.array(bpart, type=pa.int32())})
-
-    buckets = ds.map_batches(fp_batch, batch_format="pyarrow")
-
     def pairs_of_partition(group: pd.DataFrame) -> pa.Table:
         g = (group.drop_duplicates(["blk", "bv", "id"])
              .sort_values(["blk", "bv", "id"]))
@@ -472,6 +463,32 @@ def simhash_near_dups(ds, text_col: str = "text", id_col: str = "doc_id",
         {"id_a": pa.array([], type=pa.int64()),
          "id_b": pa.array([], type=pa.int64()),
          "hamming": pa.array([], type=pa.int32())})
+
+
+def simhash_near_dups(ds, text_col: str = "text", id_col: str = "doc_id",
+                      max_hamming: int = 3,
+                      bucket_partitions: int = 64) -> pa.Table:
+    """SimHash near-dup pairs over a text column: Charikar 64-bit
+    fingerprints per doc, then the generic fingerprint_near_dups
+    block-bucket machinery (shared with image pHash dedup)."""
+    def fp_batch(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        texts = batch.column(text_col).to_pylist()
+        keep_ids, fps = [], []
+        for i, t in enumerate(texts):
+            if t is None:
+                continue
+            toks = np.asarray(t.lower().split(), dtype=object)
+            if toks.size == 0:
+                continue
+            keep_ids.append(int(ids[i]))
+            fps.append(simhash64(pd.util.hash_array(toks, categorize=False)))
+        return explode_fp_blocks(np.asarray(keep_ids, dtype=np.int64),
+                                 np.asarray(fps, dtype=np.uint64),
+                                 bucket_partitions)
+
+    buckets = ds.map_batches(fp_batch, batch_format="pyarrow")
+    return fingerprint_near_dups(buckets, max_hamming=max_hamming)
 
 
 def _normalize_batch(batch: pa.Table, id_col: str, vec_col: str):

@@ -189,3 +189,77 @@ class VideoFrameSampleStage:
             "frame_no": pa.array(out_frame_no, type=pa.int32()),
             "image": pa.array(out_img, type=pa.binary()),
         })
+
+
+# -- perceptual-hash image dedup --------------------------------------------
+
+def _dct2(a: np.ndarray) -> np.ndarray:
+    """2-D DCT-II (numpy-only, Makhoul's FFT construction — standard
+    public algorithm; scipy is absent in this environment)."""
+    def dct1(x: np.ndarray, axis: int) -> np.ndarray:
+        n = x.shape[axis]
+        even = x.take(np.arange(0, n, 2), axis)
+        odd = x.take(np.arange(1, n, 2)[::-1], axis)
+        v = np.concatenate([even, odd], axis=axis)
+        V = np.fft.fft(v, axis=axis)
+        k = np.arange(n)
+        factor = 2.0 * np.exp(-1j * np.pi * k / (2 * n))
+        shape = [1] * x.ndim
+        shape[axis] = n
+        return np.real(V * factor.reshape(shape))
+
+    return dct1(dct1(a.astype(np.float64), 0), 1)
+
+
+def phash64(img: np.ndarray) -> int:
+    """64-bit perceptual hash (classic pHash recipe): resize to 32×32,
+    2-D DCT, keep the 8×8 low-frequency block, threshold each
+    coefficient at the block median. Robust to resizing, small noise
+    and brightness shifts; Hamming distance ≈ perceptual distance."""
+    small = _resize_nearest(img, 32, 32)
+    low = _dct2(small)[:8, :8].ravel()
+    med = np.median(low)
+    bits = (low > med).astype(np.uint64)
+    return int((bits << np.arange(64, dtype=np.uint64)).sum())
+
+
+class ImagePhashStage:
+    """Actor-pool stage: decode → pHash block-bucket rows, feeding the
+    generic fingerprint_near_dups machinery (pipelines/dedup.py)."""
+
+    def __init__(self, image_col: str = "image", id_col: str = "id",
+                 bucket_partitions: int = 64):
+        self.image_col, self.id_col = image_col, id_col
+        self.bucket_partitions = bucket_partitions
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from tanml_ray.pipelines.dedup import explode_fp_blocks
+
+        ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
+        keep, fps = [], []
+        for i, blob in enumerate(batch.column(self.image_col).to_pylist()):
+            if blob is None:
+                continue
+            keep.append(int(ids[i]))
+            fps.append(phash64(decode_fake_image(blob)))
+        return explode_fp_blocks(np.asarray(keep, dtype=np.int64),
+                                 np.asarray(fps, dtype=np.uint64),
+                                 self.bucket_partitions)
+
+
+def image_near_dups(ds, max_hamming: int = 6, image_col: str = "image",
+                    id_col: str = "id", concurrency: int = 2,
+                    batch_size: int = 256) -> pa.Table:
+    """Distributed image near-dup pairs: pHash per image in an
+    actor-pool stage (small batch_size — each decoded row is w·h bytes
+    on the heap), then the same coarse-bucket + vectorized-Hamming
+    candidate machinery text SimHash uses. Returns
+    (id_a, id_b, hamming), id_a < id_b, sorted."""
+    from tanml_ray.pipelines.dedup import fingerprint_near_dups
+
+    buckets = ds.map_batches(
+        ImagePhashStage,
+        fn_constructor_kwargs={"image_col": image_col, "id_col": id_col},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency)
+    return fingerprint_near_dups(buckets, max_hamming=max_hamming)

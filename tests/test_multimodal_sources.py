@@ -236,3 +236,53 @@ class TestFormatReaders:
         rows = read_any(p).take_all()
         assert rows == [{"name": "alice", "score": 1.5},
                         {"name": "bob", "score": 42.0}]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestImagePhashDedup:
+    def _images(self):
+        import ray.data as rd
+
+        from tanml_ray.stages.multimodal import encode_fake_image
+
+        rng = np.random.default_rng(77)
+        rows = []
+        # 40 distinct random images
+        for i in range(40):
+            rows.append({"id": i, "image": encode_fake_image(
+                rng.integers(0, 256, (48, 64), dtype=np.uint8).astype(np.uint8))})
+        # planted: 100/101 identical, 102 = 100 + slight brightness shift
+        base = rng.integers(0, 200, (48, 64), dtype=np.uint8).astype(np.uint8)
+        rows.append({"id": 100, "image": encode_fake_image(base)})
+        rows.append({"id": 101, "image": encode_fake_image(base)})
+        rows.append({"id": 102, "image": encode_fake_image(
+            np.clip(base.astype(np.int16) + 12, 0, 255).astype(np.uint8))})
+        rows.append({"id": 103, "image": None})
+        return rd.from_arrow(pa.Table.from_pylist(rows)).repartition(4)
+
+    def test_phash_properties(self):
+        from tanml_ray.pipelines.dedup import hamming64
+        from tanml_ray.stages.multimodal import phash64
+
+        rng = np.random.default_rng(3)
+        img = rng.integers(0, 256, (64, 80), dtype=np.uint8).astype(np.uint8)
+        assert phash64(img) == phash64(img)  # deterministic
+        # brightness shift barely moves the hash
+        shifted = np.clip(img.astype(np.int16) + 20, 0, 255).astype(np.uint8)
+        assert hamming64(phash64(img), phash64(shifted)) <= 6
+        # resize invariance (nearest 2x upscale)
+        big = np.repeat(np.repeat(img, 2, axis=0), 2, axis=1)
+        assert hamming64(phash64(img), phash64(big)) <= 6
+        # unrelated image is far
+        other = rng.integers(0, 256, (64, 80), dtype=np.uint8).astype(np.uint8)
+        assert hamming64(phash64(img), phash64(other)) > 10
+
+    def test_pipeline_finds_planted(self):
+        from tanml_ray.stages.multimodal import image_near_dups
+
+        pairs = image_near_dups(self._images(), max_hamming=6).to_pylist()
+        got = {(r["id_a"], r["id_b"]) for r in pairs}
+        assert (100, 101) in got
+        assert (100, 102) in got or (101, 102) in got
+        # no random-image false positives at this distance
+        assert all(a >= 100 and b >= 100 for a, b in got)
