@@ -263,3 +263,67 @@ def image_near_dups(ds, max_hamming: int = 6, image_col: str = "image",
         batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency)
     return fingerprint_near_dups(buckets, max_hamming=max_hamming)
+
+
+# -- audio fingerprint dedup ------------------------------------------------
+
+def audio_fingerprint64(samples: np.ndarray, frame: int = 1024) -> int:
+    """64-bit audio fingerprint: frame RMS energies → sign of
+    consecutive energy deltas over 64 log-spaced checkpoints (a
+    miniature energy-contour fingerprint — robust to gain changes,
+    since only the CONTOUR's direction enters the hash)."""
+    s = samples.astype(np.float64)
+    n = (len(s) // frame) * frame
+    if n == 0:
+        return 0
+    e = np.sqrt((s[:n].reshape(-1, frame) ** 2).mean(axis=1))
+    if e.size < 2:
+        return 0
+    # 65 interpolated checkpoints over the energy contour → 64 delta
+    # signs (interpolation, not index sampling: short clips would
+    # otherwise repeat checkpoints and bias half the bits to 0)
+    c = np.interp(np.linspace(0.0, e.size - 1.0, 65),
+                  np.arange(e.size, dtype=np.float64), e)
+    bits = (np.diff(c) > 0).astype(np.uint64)
+    return int((bits << np.arange(64, dtype=np.uint64)).sum())
+
+
+class AudioFingerprintStage:
+    """Actor-pool stage: decode fake audio → fingerprint block-bucket
+    rows for fingerprint_near_dups."""
+
+    def __init__(self, audio_col: str = "audio", id_col: str = "id",
+                 frame: int = 1024, bucket_partitions: int = 64):
+        self.audio_col, self.id_col = audio_col, id_col
+        self.frame = frame
+        self.bucket_partitions = bucket_partitions
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from tanml_ray.pipelines.dedup import explode_fp_blocks
+
+        ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
+        keep, fps = [], []
+        for i, blob in enumerate(batch.column(self.audio_col).to_pylist()):
+            if blob is None:
+                continue
+            _, samples = decode_fake_audio(blob)
+            keep.append(int(ids[i]))
+            fps.append(audio_fingerprint64(samples, self.frame))
+        return explode_fp_blocks(np.asarray(keep, dtype=np.int64),
+                                 np.asarray(fps, dtype=np.uint64),
+                                 self.bucket_partitions)
+
+
+def audio_near_dups(ds, max_hamming: int = 6, audio_col: str = "audio",
+                    id_col: str = "id", concurrency: int = 2,
+                    batch_size: int = 256) -> pa.Table:
+    """Distributed audio near-dup pairs via the shared fingerprint
+    candidate machinery (same shape as image_near_dups)."""
+    from tanml_ray.pipelines.dedup import fingerprint_near_dups
+
+    buckets = ds.map_batches(
+        AudioFingerprintStage,
+        fn_constructor_kwargs={"audio_col": audio_col, "id_col": id_col},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency)
+    return fingerprint_near_dups(buckets, max_hamming=max_hamming)

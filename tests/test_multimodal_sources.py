@@ -286,3 +286,37 @@ class TestImagePhashDedup:
         assert (100, 102) in got or (101, 102) in got
         # no random-image false positives at this distance
         assert all(a >= 100 and b >= 100 for a, b in got)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestAudioFingerprintDedup:
+    def test_fingerprint_gain_invariant_and_pipeline(self):
+        import ray.data as rd
+
+        from tanml_ray.pipelines.dedup import hamming64
+        from tanml_ray.stages.multimodal import (
+            audio_fingerprint64,
+            audio_near_dups,
+            encode_fake_audio,
+        )
+
+        rng = np.random.default_rng(19)
+        t = np.arange(64 * 1024)
+        base = (np.sin(t / 700.0) * (3000 + 2500 * np.sin(t / 9000.0))).astype(np.int16)
+        louder = np.clip(base.astype(np.float64) * 1.8, -32768, 32767).astype(np.int16)
+        fp_b = audio_fingerprint64(base)
+        fp_l = audio_fingerprint64(louder)
+        assert hamming64(fp_b, fp_l) <= 4  # gain changes barely move it
+        noise = rng.integers(-8000, 8000, base.size).astype(np.int16)
+        assert hamming64(fp_b, audio_fingerprint64(noise)) > 10
+
+        rows = [{"id": i, "audio": encode_fake_audio(
+                    rng.integers(-8000, 8000, 32 * 1024).astype(np.int16))}
+                for i in range(20)]
+        rows.append({"id": 100, "audio": encode_fake_audio(base)})
+        rows.append({"id": 101, "audio": encode_fake_audio(louder)})
+        ds = rd.from_arrow(pa.Table.from_pylist(rows)).repartition(3)
+        pairs = audio_near_dups(ds, max_hamming=6).to_pylist()
+        got = {(r["id_a"], r["id_b"]) for r in pairs}
+        assert (100, 101) in got
+        assert all(a >= 100 for a, _ in got)
