@@ -107,6 +107,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kendall_sample_lineitem": q.kendall_sample_lineitem,
         "knn_impute_quantity": q.knn_impute_quantity,
         "bpe_token_counts_documents": q.bpe_token_counts_documents,
+        "curate_documents_stats": q.curate_documents_stats,
     }
 
 

@@ -57,6 +57,17 @@ def main(argv: list[str] | None = None) -> int:
     fr.add_argument("--out", required=True)
     fr.add_argument("--baseline-artifact", default=None)
 
+    cu = sub.add_parser("curate", help="LLM training-data curation: "
+                        "quality → langid → dedup → tokens")
+    cu.add_argument("--input", required=True)
+    cu.add_argument("--out", required=True)
+    cu.add_argument("--text-col", default="text")
+    cu.add_argument("--id-col", default="doc_id")
+    cu.add_argument("--min-tokens", type=int, default=5)
+    cu.add_argument("--near-dup-threshold", type=float, default=0.8)
+    cu.add_argument("--langs", default=None,
+                    help="comma-separated language allow-list")
+
     args = p.parse_args(argv)
 
     # fail fast with a one-line diagnosis BEFORE starting a Ray session
@@ -108,6 +119,20 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps({"status": out["rollup"]["status"],
                               "report": os.path.join(args.out, "report.json"),
                               "narratives": out["narratives"]}, default=str))
+        elif args.cmd == "curate":
+            import ray.data as rd
+
+            from tanml_ray.pipelines.curate import curate_documents
+
+            ds = rd.read_parquet(args.input)
+            langs = (set(args.langs.split(",")) if args.langs else None)
+            _, stats = curate_documents(ds, text_col=args.text_col,
+                                        id_col=args.id_col,
+                                        min_tokens=args.min_tokens,
+                                        allowed_langs=langs,
+                                        near_dup_threshold=args.near_dup_threshold,
+                                        out_dir=args.out)
+            print(json.dumps(stats, default=str))
     except Exception as e:  # surface a one-line JSON error, not a traceback
         import traceback
 

@@ -2109,3 +2109,20 @@ SELECT doc_id,
          AS n_bpe_tokens
 FROM documents ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# LLM curation pipeline (pipelines/curate.py) — end-to-end quality →
+# langid → exact dedup → near-dup dedup → token accounting. The
+# near-dup stage is LSH (not SQL-expressible) → rows-only driver
+# check; the per-stage accounting invariant (input = output + Σdrops)
+# is asserted inside the pipeline itself and in pytest.
+# ---------------------------------------------------------------------------
+
+def curate_documents_stats(sf_dir: str) -> pa.Table:
+    from tanml_ray.pipelines.curate import curate_documents
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    _, stats = curate_documents(ds, min_tokens=3, near_dup_threshold=0.8)
+    row = {k: v for k, v in stats.items() if isinstance(v, int)}
+    return pa.Table.from_pylist([row])

@@ -1,0 +1,69 @@
+"""Curation pipeline: every dropped row accounted for by stage;
+planted junk/duplicates removed; output written as partitioned
+parquet."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCurate:
+    def _corpus(self):
+        import ray.data as rd
+
+        base = ("the quick brown fox jumps over the lazy dog and then runs "
+                "far away into the deep green forest tonight looking around") * 2
+        rows = []
+        for i in range(50):
+            rows.append({"doc_id": i,
+                         "text": f"good document {i} " +
+                         " ".join(f"word{i}_{j} the and of" for j in range(20))})
+        rows.append({"doc_id": 200, "text": "tiny"})             # too short
+        rows.append({"doc_id": 201, "text": None})               # null
+        rows.append({"doc_id": 210, "text": base})               # exact dup pair
+        rows.append({"doc_id": 211, "text": base})
+        rows.append({"doc_id": 220, "text": base + " extra tail words here"})  # near dup
+        return rd.from_arrow(pa.Table.from_pylist(rows)).repartition(4)
+
+    def test_accounting_and_planted_removals(self, tmp_path):
+        import pyarrow.parquet as pq
+
+        from tanml_ray.pipelines.curate import curate_documents
+
+        out_dir = str(tmp_path / "curated")
+        curated, stats = curate_documents(self._corpus(),
+                                          near_dup_threshold=0.6,
+                                          out_dir=out_dir)
+        ids = {r["doc_id"] for r in curated.select_columns(["doc_id"]).take_all()}
+        assert 200 not in ids and 201 not in ids      # quality-dropped
+        assert 210 in ids and 211 not in ids          # exact keep-first
+        assert 220 not in ids                          # near-dup of 210
+        assert stats["input_rows"] == 55
+        assert stats["dropped_quality_or_lang"] == 2
+        assert stats["dropped_exact_dup"] == 1
+        assert stats["dropped_near_dup"] == 1
+        assert stats["output_rows"] == 51
+        assert stats["output_ws_tokens"] > 0
+        # written output readable and row-count consistent
+        assert pq.read_table(out_dir).num_rows == 51
+
+    def test_lang_allowlist(self):
+        import ray.data as rd
+
+        from tanml_ray.pipelines.curate import curate_documents
+
+        rows = [
+            {"doc_id": 1, "text": "the cat sat on the mat and it was happy "
+                                  "with the warm sun of the day"},
+            {"doc_id": 2, "text": "der hund ist nicht in den garten mit der "
+                                  "katze und das ist auch die sache"},
+        ]
+        ds = rd.from_arrow(pa.Table.from_pylist(rows))
+        curated, stats = curate_documents(ds, allowed_langs={"en"},
+                                          min_tokens=3)
+        ids = {r["doc_id"] for r in curated.take_all()}
+        assert ids == {1}
+        assert stats["dropped_quality_or_lang"] == 1
