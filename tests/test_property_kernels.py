@@ -118,3 +118,71 @@ def test_psi_nonnegative_and_zero_on_identical(e, a):
         assert psi_from_counts(e, e) == pytest.approx(0.0, abs=1e-12)
     if e.sum() > 0 and a.sum() > 0:
         assert psi_from_counts(e, a) >= -1e-12
+
+
+@settings(max_examples=60, deadline=None)
+@given(xs=st.lists(st.integers(min_value=0, max_value=2**64 - 1),
+                   min_size=1, max_size=200))
+def test_popcount64_matches_bit_count(xs):
+    from tanml_ray.pipelines.dedup import popcount64
+
+    arr = np.array(xs, dtype=np.uint64)
+    got = popcount64(arr)
+    want = np.array([int(x).bit_count() for x in xs], dtype=np.int64)
+    assert np.array_equal(got, want)
+
+
+@settings(max_examples=30, deadline=None)
+@given(m=st.integers(min_value=1, max_value=12),
+       n=st.integers(min_value=1, max_value=12),
+       frac=st.floats(min_value=0.0, max_value=1.0))
+def test_ks_exact_pvalue_properties(m, n, frac):
+    """Exact p-value is a valid probability, 1 at d=0, monotonically
+    non-increasing in d, and 0-ish beyond the max possible D."""
+    from tanml_ray.kernels.drift_math import ks_exact_pvalue
+
+    d = frac  # any d in [0,1]
+    p = ks_exact_pvalue(d, m, n)
+    assert 0.0 <= p <= 1.0
+    assert ks_exact_pvalue(0.0, m, n) == 1.0
+    # monotone: p(d) >= p(d + step)
+    step = 0.13
+    if d + step <= 1.0:
+        assert p >= ks_exact_pvalue(d + step, m, n) - 1e-12
+    # D = 1 is always achievable (all x below all y) → p > 0
+    assert ks_exact_pvalue(1.0, m, n) > 0.0
+
+
+@settings(max_examples=30, deadline=None)
+@given(vals=st.lists(st.integers(min_value=0, max_value=500), min_size=2,
+                     max_size=60),
+       split=st.floats(min_value=0.2, max_value=0.8))
+def test_ks_from_value_counts_equals_expanded_samples(vals, split):
+    from tanml_ray.kernels.drift_math import ks_2samp_exact, ks_from_value_counts
+
+    arr = np.array(vals, dtype=np.float64)
+    k = max(1, min(len(arr) - 1, int(len(arr) * split)))
+    x, y = arr[:k], arr[k:]
+
+    def counts(v):
+        u, c = np.unique(v, return_counts=True)
+        return u, c
+
+    vx, cx = counts(x)
+    vy, cy = counts(y)
+    d1, p1 = ks_from_value_counts(vx, cx, vy, cy)
+    d2, p2 = ks_2samp_exact(x, y)
+    assert d1 == pytest.approx(d2, abs=1e-12)
+    assert p1 == pytest.approx(p2, abs=1e-12)
+
+
+@settings(max_examples=30, deadline=None)
+@given(text=st.text(min_size=0, max_size=300))
+def test_winnow_fingerprints_total_and_deterministic(text):
+    from tanml_ray.stages.text import winnow_fingerprints, winnow_similarity
+
+    fp = winnow_fingerprints(text)
+    assert np.array_equal(fp, winnow_fingerprints(text))
+    assert winnow_similarity(text, text) == 1.0
+    s = winnow_similarity(text, text + " suffix words added")
+    assert 0.0 <= s <= 1.0
