@@ -52,7 +52,16 @@ def extract_text(html: bytes | None) -> str | None:
         parts.append(m.group(1).decode("utf-8", errors="replace"))
     for p in _P_RE.finditer(html):
         parts.append(p.group(1).decode("utf-8", errors="replace"))
-    cleaned = [_unescape(_TAG_RE.sub("", p)) for p in parts]
+    # guarded no-op passes: tag-strip / unescape only when the trigger
+    # character is present (most blocks have neither) — byte-identical
+    # output, ~2× fewer passes on typical pages
+    cleaned = []
+    for p in parts:
+        if "<" in p:
+            p = _TAG_RE.sub("", p)
+        if "&" in p:
+            p = _unescape(p)
+        cleaned.append(p)
     return "\n".join(cleaned)
 
 
