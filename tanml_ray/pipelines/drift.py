@@ -216,13 +216,23 @@ def _value_count_partials(ds, value_col: str, bucket_unit: str):
     return ds.map_batches(partial, batch_format="pyarrow")
 
 
-def _merge_value_count_partials(partials) -> dict[tuple, dict[float, int]]:
-    """Vectorized merge: one pandas groupby-sum over the collected
-    partial rows (a Python per-row loop here scales with block count —
-    the C path doesn't). Driver volume is blocks × groups × distinct
-    values; each block's partial is already locally combined, so at
-    extreme block counts insert a repartition+combine round upstream
-    before collecting."""
+def _merge_value_count_partials(partials, pre_combine: bool = True) -> dict[tuple, dict[float, int]]:
+    """Merge of per-block value-count partials. A distributed
+    pre-combine round (repartition + local groupby-sum) first caps the
+    driver-side volume at combine-partitions × groups × distinct values
+    — invariant to input block count, which is what makes this path
+    hold at 10⁶ blocks; the driver then does ONE vectorized pandas
+    groupby-sum (a per-row Python loop here scales with row count —
+    the C path doesn't)."""
+    if pre_combine:
+        def combine(t: pa.Table) -> pa.Table:
+            g = (t.to_pandas().groupby(["lang", "bucket", "value"],
+                                       as_index=False)["n"].sum())
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        partials = (partials.repartition(8)
+                    .map_batches(combine, batch_format="pyarrow",
+                                 batch_size=None))
     frames = [t.to_pandas() for t in
               partials.iter_batches(batch_size=65536, batch_format="pyarrow")]
     if not frames:
