@@ -108,6 +108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_impute_quantity": q.knn_impute_quantity,
         "bpe_token_counts_documents": q.bpe_token_counts_documents,
         "curate_documents_stats": q.curate_documents_stats,
+        "linear_fit_orders": q.linear_fit_orders,
     }
 
 
@@ -174,6 +175,7 @@ def oracle_sql() -> dict[str, str]:
         "kendall_sample_lineitem": q.KENDALL_SQL,
         "knn_impute_quantity": q.KNN_IMPUTE_SQL,
         "bpe_token_counts_documents": q.BPE_TOKEN_COUNTS_SQL,
+        "linear_fit_orders": q.LINEAR_FIT_SQL,
         # langid / lsh-knn / minhash / simhash / logistic_cv (iterative
         # IRLS): not SQL-expressible → rows-only driver check; verified
         # in pytest instead.

@@ -1,0 +1,110 @@
+"""Estimator registry — the engine's analog of the reference's
+ModelSpec registry (/root/reference/tanml/models/registry.py:10-30,
+34-411: (library, algo) → ModelSpec(task, import_path, defaults),
+build_estimator lazy-instantiates).
+
+The sandbox has no sklearn/xgboost, so the registry carries the
+library-free families the engine implements from scratch — every entry
+FITS DISTRIBUTED (streaming sufficient-statistics / IRLS passes over a
+Dataset) and predicts through the ScorerStage actor-pool contract
+(`.predict(X: np.ndarray)`):
+
+    linear_closed_form   one-pass Gram OLS (optional ridge), regression
+    logistic_irls        distributed IRLS logistic, classification
+    kmeans_lloyd         distributed Lloyd (unsupervised; .predict →
+                         nearest-center label)
+
+Adding a model = one @register call with a fit(ds, x_cols, y_col,
+**params) builder returning a predict-capable object; the CV /
+benchmark / stress machinery (pipelines/explain.py, mlops.py) then
+works with it unchanged — the same extension contract the reference's
+registry provides for its 22 estimators.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+import numpy as np
+
+from tanml_ray.stages.scoring import ClosedFormModel
+
+
+@dataclass
+class ModelSpec:
+    name: str
+    task: str                      # regression | classification | clustering
+    fit: Callable[..., Any]        # fit(ds, x_cols, y_col, **params) -> model
+    defaults: dict[str, Any] = field(default_factory=dict)
+
+
+class EstimatorRegistry:
+    def __init__(self) -> None:
+        self._specs: dict[str, ModelSpec] = {}
+
+    def register(self, name: str, task: str, **defaults):
+        def deco(fn: Callable[..., Any]):
+            if name in self._specs:
+                raise ValueError(f"duplicate estimator {name!r}")
+            self._specs[name] = ModelSpec(name=name, task=task, fit=fn,
+                                          defaults=dict(defaults))
+            return fn
+        return deco
+
+    def get(self, name: str) -> ModelSpec:
+        if name not in self._specs:
+            raise KeyError(f"unknown estimator {name!r}; "
+                           f"available: {self.list_names()}")
+        return self._specs[name]
+
+    def list_names(self) -> list[str]:
+        return sorted(self._specs)
+
+    def fit(self, name: str, ds, x_cols: list[str],
+            y_col: str | None = None, **params) -> Any:
+        spec = self.get(name)
+        merged = {**spec.defaults, **params}
+        return spec.fit(ds, x_cols, y_col, **merged)
+
+
+ESTIMATORS = EstimatorRegistry()
+
+
+@ESTIMATORS.register("linear_closed_form", task="regression", ridge=0.0)
+def _fit_linear(ds, x_cols, y_col, ridge: float = 0.0):
+    from tanml_ray.pipelines.mlops import linear_fit
+
+    out = linear_fit(ds, x_cols, y_col, ridge=ridge)
+    model = ClosedFormModel(out["coef"], out["intercept"])
+    model.fit_info = out
+    return model
+
+
+@ESTIMATORS.register("logistic_irls", task="classification", max_iter=8)
+def _fit_logistic(ds, x_cols, y_col, max_iter: int = 8):
+    from tanml_ray.pipelines.mlops import logistic_fit
+
+    out = logistic_fit(ds, x_cols, y_col, max_iter=max_iter)
+    model = ClosedFormModel(out["coef"], out["intercept"], sigmoid=True)
+    model.fit_info = out
+    return model
+
+
+class _KMeansModel:
+    def __init__(self, centers: np.ndarray):
+        self.centers = np.asarray(centers, dtype=np.float64)
+
+    def predict(self, X: np.ndarray) -> np.ndarray:
+        d = ((X[:, None, :] - self.centers[None, :, :]) ** 2).sum(axis=2)
+        return d.argmin(axis=1).astype(np.float64)
+
+
+@ESTIMATORS.register("kmeans_lloyd", task="clustering", k=8, max_iter=20)
+def _fit_kmeans(ds, x_cols, y_col=None, k: int = 8, max_iter: int = 20):
+    from tanml_ray.pipelines.mlops import kmeans_fit
+
+    centers = kmeans_fit(ds, x_cols, k=k, max_iter=max_iter)
+    model = _KMeansModel(centers)
+    model.fit_info = {"k": k, "centers": centers.tolist()}
+    return model

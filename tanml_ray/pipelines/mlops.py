@@ -435,3 +435,41 @@ def logistic_fit(ds, x_cols: list[str], y_col: str,
             "coef": beta[1:].tolist(),
             "odds_ratios": np.exp(beta[1:]).tolist(),
             "n_iter": it + 1}
+
+
+def linear_fit(ds, x_cols: list[str], y_col: str,
+               ridge: float = 0.0) -> dict:
+    """Distributed multivariate OLS (optionally ridge): ONE streaming
+    pass accumulates the Gram matrix XᵀX and XᵀY partials per block
+    (with intercept column), then a driver-side (p+1)² solve — the
+    closed-form analog of the reference's linear estimators
+    (models/registry.py linear family). Returns
+    {intercept, coef, n, r2}."""
+    p = len(x_cols) + 1
+
+    def partial(batch: pa.Table) -> pa.Table:
+        X = np.column_stack([np.ones(batch.num_rows), _matrix(batch, x_cols)])
+        y = batch.column(y_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.Table.from_pylist([{
+            "xtx": (X.T @ X).ravel().tolist(),
+            "xty": (X.T @ y).tolist(),
+            "n": int(len(y)),
+            "sy": float(y.sum()),
+            "syy": float((y * y).sum())}])
+
+    G = np.zeros((p, p))
+    b = np.zeros(p)
+    n = 0
+    sy = syy = 0.0
+    for r in collect_pylist(ds.map_batches(partial, batch_format="pyarrow")):
+        G += np.asarray(r["xtx"]).reshape(p, p)
+        b += np.asarray(r["xty"])
+        n += r["n"]
+        sy += r["sy"]
+        syy += r["syy"]
+    beta = np.linalg.solve(G + ridge * np.eye(p), b)
+    # R² from the same sufficient statistics: SSE = yᵀy − 2βᵀXᵀy + βᵀXᵀXβ
+    sse = syy - 2.0 * beta @ b + beta @ G @ beta
+    sst = syy - sy * sy / n if n else float("nan")
+    return {"intercept": float(beta[0]), "coef": beta[1:].tolist(),
+            "n": n, "r2": float(1.0 - sse / sst) if sst else float("nan")}

@@ -2126,3 +2126,68 @@ def curate_documents_stats(sf_dir: str) -> pa.Table:
     _, stats = curate_documents(ds, min_tokens=3, near_dup_threshold=0.8)
     row = {k: v for k, v in stats.items() if isinstance(v, int)}
     return pa.Table.from_pylist([row])
+
+
+# ---------------------------------------------------------------------------
+# Distributed multivariate OLS (mlops.linear_fit) with a FULL SQL
+# oracle: the normal equations' 3×3 system solved by Cramer's rule
+# over the same sufficient statistics the engine accumulates.
+# ---------------------------------------------------------------------------
+
+def linear_fit_orders(sf_dir: str) -> pa.Table:
+    from tanml_ray.pipelines.mlops import linear_fit
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate",
+                                  "o_totalprice", "o_custkey"])
+
+    def derive(batch: pa.Table) -> pa.Table:
+        days = (batch.column("o_orderdate").cast(pa.int64())
+                .to_numpy(zero_copy_only=False) // 86_400_000_000)
+        return pa.table({
+            "x1": pa.array(days.astype(np.float64), type=pa.float64()),
+            "x2": pc.cast(batch.column("o_custkey"), pa.float64()),
+            "y": pc.cast(batch.column("o_totalprice"), pa.float64()),
+        })
+
+    out = linear_fit(ds.map_batches(derive, batch_format="pyarrow"),
+                     ["x1", "x2"], "y")
+    return pa.Table.from_pylist([{
+        "n": out["n"],
+        "intercept": _round6(out["intercept"]),
+        "coef_days": _round6(out["coef"][0]),
+        "coef_cust": _round6(out["coef"][1]),
+        "r2": _round6(out["r2"]),
+    }])
+
+
+LINEAR_FIT_SQL = """
+WITH p AS (
+  SELECT CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS DOUBLE) AS x1,
+         CAST(o_custkey AS DOUBLE) AS x2,
+         CAST(o_totalprice AS DOUBLE) AS y
+  FROM orders
+), s AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n, sum(x1) AS s1, sum(x2) AS s2,
+         sum(y) AS sy, sum(x1*x1) AS s11, sum(x1*x2) AS s12,
+         sum(x2*x2) AS s22, sum(x1*y) AS s1y, sum(x2*y) AS s2y,
+         sum(y*y) AS syy
+  FROM p
+), d AS (
+  SELECT *,
+         n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2) + s2*(s1*s12 - s11*s2) AS det,
+         sy*(s11*s22 - s12*s12) - s1*(s1y*s22 - s12*s2y) + s2*(s1y*s12 - s11*s2y) AS det0,
+         n*(s1y*s22 - s2y*s12) - sy*(s1*s22 - s12*s2) + s2*(s1*s2y - s1y*s2) AS det1,
+         n*(s11*s2y - s12*s1y) - s1*(s1*s2y - s2*s1y) + sy*(s1*s12 - s11*s2) AS det2
+  FROM s
+)
+SELECT CAST(n AS BIGINT) AS n,
+       round(det0/det, 6) AS intercept,
+       round(det1/det, 6) AS coef_days,
+       round(det2/det, 6) AS coef_cust,
+       round(1 - (syy - 2*(det0/det*sy + det1/det*s1y + det2/det*s2y)
+                  + (det0/det)*(det0/det)*n + 2*(det0/det)*(det1/det)*s1
+                  + 2*(det0/det)*(det2/det)*s2 + (det1/det)*(det1/det)*s11
+                  + 2*(det1/det)*(det2/det)*s12 + (det2/det)*(det2/det)*s22)
+                 / (syy - sy*sy/n), 6) AS r2
+FROM d
+"""

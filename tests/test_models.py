@@ -1,0 +1,96 @@
+"""Estimator registry + distributed multivariate OLS: coefficient
+recovery, partition invariance, registry contract."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _ds(tbl, parts=4):
+    import ray.data as rd
+
+    return rd.from_arrow(tbl).repartition(parts)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestLinearFit:
+    def _data(self, n=20_000, seed=4, noise=0.5):
+        rng = np.random.default_rng(seed)
+        x1 = rng.normal(0, 2, n)
+        x2 = rng.normal(0, 1, n)
+        y = 3.0 + 1.5 * x1 - 2.5 * x2 + rng.normal(0, noise, n)
+        return pa.table({"x1": x1, "x2": x2, "y": y})
+
+    def test_recovers_coefficients(self):
+        from tanml_ray.pipelines.mlops import linear_fit
+
+        out = linear_fit(_ds(self._data()), ["x1", "x2"], "y")
+        assert out["intercept"] == pytest.approx(3.0, abs=0.05)
+        assert out["coef"][0] == pytest.approx(1.5, abs=0.05)
+        assert out["coef"][1] == pytest.approx(-2.5, abs=0.05)
+        assert out["r2"] > 0.9
+        assert out["n"] == 20_000
+
+    def test_matches_numpy_lstsq_exactly(self):
+        from tanml_ray.pipelines.mlops import linear_fit
+
+        tbl = self._data(n=3000)
+        out = linear_fit(_ds(tbl, 1), ["x1", "x2"], "y")
+        X = np.column_stack([np.ones(3000),
+                             tbl.column("x1").to_numpy(),
+                             tbl.column("x2").to_numpy()])
+        y = tbl.column("y").to_numpy()
+        beta = np.linalg.solve(X.T @ X, X.T @ y)
+        assert out["intercept"] == pytest.approx(beta[0], rel=1e-9)
+        assert out["coef"][0] == pytest.approx(beta[1], rel=1e-9)
+
+    def test_partition_invariant(self):
+        from tanml_ray.pipelines.mlops import linear_fit
+
+        tbl = self._data(n=5000)
+        a = linear_fit(_ds(tbl, 1), ["x1", "x2"], "y")
+        b = linear_fit(_ds(tbl, 8), ["x1", "x2"], "y")
+        assert a["intercept"] == pytest.approx(b["intercept"], rel=1e-12)
+        assert a["coef"] == pytest.approx(b["coef"], rel=1e-12)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestEstimatorRegistry:
+    def test_fit_and_predict_each_family(self):
+        from tanml_ray.models import ESTIMATORS
+
+        assert ESTIMATORS.list_names() == ["kmeans_lloyd", "linear_closed_form",
+                                           "logistic_irls"]
+        rng = np.random.default_rng(8)
+        n = 4000
+        x1 = rng.normal(0, 1, n)
+        x2 = rng.normal(0, 1, n)
+        y_reg = 1.0 + 2.0 * x1 - x2 + rng.normal(0, 0.3, n)
+        eta = 0.5 + 2.0 * x1
+        y_cls = (rng.random(n) < 1 / (1 + np.exp(-eta))).astype(np.int64)
+        t = pa.table({"x1": x1, "x2": x2, "y_reg": y_reg, "y_cls": y_cls})
+        ds = _ds(t)
+
+        lin = ESTIMATORS.fit("linear_closed_form", ds, ["x1", "x2"], "y_reg")
+        pred = lin.predict(np.array([[1.0, 0.0]]))
+        assert pred[0] == pytest.approx(3.0, abs=0.2)
+        assert lin.fit_info["r2"] > 0.9
+
+        log = ESTIMATORS.fit("logistic_irls", ds, ["x1", "x2"], "y_cls")
+        p_hi = log.predict(np.array([[2.0, 0.0]]))[0]
+        p_lo = log.predict(np.array([[-2.0, 0.0]]))[0]
+        assert p_hi > 0.8 > 0.2 > p_lo
+
+        km = ESTIMATORS.fit("kmeans_lloyd", ds, ["x1", "x2"], k=4)
+        labels = km.predict(np.column_stack([x1, x2])[:100])
+        assert set(np.unique(labels)) <= {0.0, 1.0, 2.0, 3.0}
+
+    def test_unknown_and_duplicate_rejected(self):
+        from tanml_ray.models import ESTIMATORS
+
+        with pytest.raises(KeyError, match="unknown estimator"):
+            ESTIMATORS.get("gradient_boosting")
+        with pytest.raises(ValueError, match="duplicate"):
+            ESTIMATORS.register("logistic_irls", task="classification")(lambda *a: None)
