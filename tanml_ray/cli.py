@@ -71,7 +71,12 @@ def main(argv: list[str] | None = None) -> int:
     args = p.parse_args(argv)
 
     # fail fast with a one-line diagnosis BEFORE starting a Ray session
-    for attr in ("input", "artifact", "baseline_artifact"):
+    # INPUT paths only — drift-baseline's --artifact is an OUTPUT
+    input_attrs = {"validate": ["input"], "drift-baseline": ["input"],
+                   "drift": ["input", "artifact"],
+                   "full-report": ["input", "baseline_artifact"],
+                   "curate": ["input"]}
+    for attr in input_attrs.get(args.cmd, []):
         path = getattr(args, attr, None)
         if path and not os.path.exists(path):
             flag = "--" + attr.replace("_", "-")

@@ -77,13 +77,16 @@ def curate_documents(ds, text_col: str = "text", id_col: str = "doc_id",
     n1 = count_of(filtered)
     stats["dropped_quality_or_lang"] = n0 - n1
 
-    # -- 2. exact dedup: keep min-id per content hash
+    # -- 2. exact dedup: keep min-id per content hash. Only the n>1
+    # groups (true duplicates — output-bounded) ever reach the driver;
+    # the one-row-per-distinct-document aggregate is filtered
+    # DISTRIBUTED first (collecting it whole would be an O(corpus)
+    # driver gather).
     agg = exact_dedup(filtered, text_col=text_col, id_col=id_col)
-    drop_exact: list[int] = []
-    # (hash, keep_id, n): ids to drop = group members ≠ keep_id; the
-    # member list isn't in the aggregate, so drop by (hash, id>keep)
-    # via a second broadcast-filter pass keyed on content hash
-    dup_groups = {r["h"]: r["keep_id"] for r in collect_pylist(agg) if r["n"] > 1}
+    dup_rows = agg.map_batches(
+        lambda t: t.filter(pc.greater(t.column("n"), 1)),
+        batch_format="pyarrow")
+    dup_groups = {r["h"]: r["keep_id"] for r in collect_pylist(dup_rows)}
     if dup_groups:
         import pandas as pd
 

@@ -393,7 +393,8 @@ def popcount64(x: np.ndarray) -> np.ndarray:
 def explode_fp_blocks(ids: np.ndarray, fps: np.ndarray,
                       bucket_partitions: int) -> pa.Table:
     """(id, 64-bit fp) → 4 block-bucket rows per id with the coarse
-    (blk·2¹⁶+bv) % P partition key. fps uint64; stored as int64−2⁶³."""
+    (blk·2¹⁶+bv) % P partition key. fps uint64; stored bit-reinterpreted
+    as int64 (Arrow has no uint64-friendly pandas round-trip here)."""
     n = len(ids)
     out_id = np.repeat(ids.astype(np.int64), 4)
     out_fp = np.repeat(fps.astype(np.uint64), 4)
@@ -402,8 +403,11 @@ def explode_fp_blocks(ids: np.ndarray, fps: np.ndarray,
           & np.uint64(0xFFFF)).astype(np.int64)
     bpart = ((blk << 16) + bv) % bucket_partitions
     return pa.table({"id": pa.array(out_id, type=pa.int64()),
-                     "fp": pa.array((out_fp - np.uint64(2**63)).astype(np.int64),
-                                    type=pa.int64()),
+                     # bit-exact store: reinterpret the uint64 bits as
+                     # int64 (NEVER arithmetic with a Python 2**63 int —
+                     # numpy promotes that to float64 and destroys the
+                     # low ~11 bits of every fingerprint)
+                     "fp": pa.array(out_fp.view(np.int64), type=pa.int64()),
                      "blk": pa.array(blk.astype(np.int32), type=pa.int32()),
                      "bv": pa.array(bv.astype(np.int32), type=pa.int32()),
                      "bpart": pa.array(bpart.astype(np.int32), type=pa.int32())})
@@ -427,7 +431,8 @@ def fingerprint_near_dups(buckets, max_hamming: int = 3) -> pa.Table:
              .sort_values(["blk", "bv", "id"]))
         key = g.groupby(["blk", "bv"], sort=False).ngroup().to_numpy()
         ids = g["id"].to_numpy()
-        fps = (g["fp"].to_numpy().astype(np.int64) + 2**63).astype(np.uint64)
+        fps = np.ascontiguousarray(
+            g["fp"].to_numpy(dtype=np.int64)).view(np.uint64)
         out_a, out_b, out_d = [], [], []
         start = 0
         for end in np.flatnonzero(np.diff(key)).tolist() + [len(key) - 1]:
@@ -493,6 +498,8 @@ def simhash_near_dups(ds, text_col: str = "text", id_col: str = "doc_id",
 
 def _normalize_batch(batch: pa.Table, id_col: str, vec_col: str):
     ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+    if batch.num_rows == 0:  # np.stack([]) raises; empty blocks are legal
+        return ids, np.empty((0, 0), dtype=np.float64)
     vecs = np.stack(batch.column(vec_col).to_pylist()).astype(np.float64)
     vecs = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-30)
     return ids, vecs
@@ -508,6 +515,9 @@ def _kmeans_unit_vectors(ds, id_col: str, vec_col: str, k: int,
 
     def mm(batch: pa.Table) -> pa.Table:
         _, v = _normalize_batch(batch, id_col, vec_col)
+        if v.size == 0:
+            return pa.table({"vmin": pa.array([], type=pa.list_(pa.float64())),
+                             "vmax": pa.array([], type=pa.list_(pa.float64()))})
         return pa.table({"vmin": [v.min(axis=0).tolist()],
                          "vmax": [v.max(axis=0).tolist()]})
 
@@ -527,6 +537,10 @@ def _kmeans_unit_vectors(ds, id_col: str, vec_col: str, k: int,
 
             C = _ray.get(cref)
             _, v = _normalize_batch(batch, id_col, vec_col)
+            if v.size == 0:
+                return pa.table({"cluster": pa.array([], type=pa.int64()),
+                                 "n": pa.array([], type=pa.int64()),
+                                 "sums": pa.array([], type=pa.list_(pa.float64()))})
             d = ((v ** 2).sum(axis=1, keepdims=True) + (C ** 2).sum(axis=1)[None, :]
                  - 2.0 * (v @ C.T))
             lab = d.argmin(axis=1)
@@ -592,6 +606,11 @@ def embedding_near_dups(ds, threshold: float = 0.95,
 
         C, rr = _ray.get(cref)
         ids, v = _normalize_batch(batch, id_col, vec_col)
+        if v.size == 0:
+            return pa.table({"cell": pa.array([], type=pa.int32()),
+                             "id": pa.array([], type=pa.int64()),
+                             "native": pa.array([], type=pa.bool_()),
+                             "vec": pa.array([], type=pa.binary())})
         d2 = ((v ** 2).sum(axis=1, keepdims=True) + (C ** 2).sum(axis=1)[None, :]
               - 2.0 * (v @ C.T))
         d = np.sqrt(np.maximum(d2, 0.0))
@@ -662,6 +681,9 @@ def embedding_near_dups_exact(ds, threshold: float = 0.95,
         bb = pa.table(block_b) if not isinstance(block_b, pa.Table) else block_b
         ia = ba.column("id").to_numpy(zero_copy_only=False)
         ib = bb.column("id").to_numpy(zero_copy_only=False)
+        if len(ia) == 0 or len(ib) == 0:
+            z = np.empty(0, dtype=np.int64)
+            return z, z, np.empty(0, dtype=np.float64)
         A = np.frombuffer(b"".join(ba.column("vec").to_pylist()),
                           dtype=np.float64).reshape(len(ia), -1)
         B = np.frombuffer(b"".join(bb.column("vec").to_pylist()),
@@ -833,6 +855,11 @@ def dup_clusters_distributed(pairs_ds, partitions: int = 64,
         labels = new_labels
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"label propagation did not converge in {max_rounds} rounds "
+            f"({changed} labels still changing) — a component's diameter "
+            "exceeds max_rounds; raise max_rounds (rounds are O(diameter))")
 
     out = sorted(collect_pylist(labels), key=lambda r: r["v"])
     return pa.table({"id": pa.array([r["v"] for r in out], type=pa.int64()),

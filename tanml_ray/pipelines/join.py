@@ -40,8 +40,15 @@ def broadcast_join(large_ds, small_table: pa.Table, key: str,
     pandas-style _x/_y suffixes."""
     import ray
 
-    join_type = {"inner": "inner", "left": "left outer",
-                 "right": "right outer", "outer": "full outer"}[how]
+    # Only inner/left are well-defined per probe batch: right/full
+    # outer would emit one unmatched-small-side copy PER BATCH (and
+    # null-padded rows for small rows matched in other batches). Those
+    # modes need a global view — use partitioned_join.
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"broadcast_join supports how='inner'|'left', got {how!r}; "
+            "use partitioned_join for right/full outer semantics")
+    join_type = {"inner": "inner", "left": "left outer"}[how]
     ref = ray.put(small_table.combine_chunks())
 
     def probe(batch: pa.Table) -> pa.Table:

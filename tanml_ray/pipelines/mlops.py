@@ -340,16 +340,20 @@ def knn_impute(ds, id_col: str, target_col: str, feature_cols: list[str],
             x = batch.column(c).to_numpy(zero_copy_only=False) \
                 .astype(np.float64)[donors]
             d2 += (mm[:, j][:, None] - x[None, :]) ** 2
+        # local candidates = EVERY donor whose rounded d² ties or beats
+        # the row's k-th smallest (raw argpartition alone could drop a
+        # boundary-tied donor with a smaller id than the one it keeps,
+        # diverging from the (round(d2,6), id) global order)
         top = min(k, d2.shape[1])
-        idx = np.argpartition(d2, top - 1, axis=1)[:, :top]
-        rows_mid = np.repeat(mi, top)
-        flat = idx.ravel()
+        kth = np.partition(d2, top - 1, axis=1)[:, top - 1]
+        d2r = np.round(d2, 6)
+        keep = d2r <= np.round(kth, 6)[:, None]
+        ri, ci = np.nonzero(keep)
         return pa.table({
-            "mid": pa.array(rows_mid, type=pa.int64()),
-            "did": pa.array(did[flat], type=pa.int64()),
-            "d2": pa.array(np.take_along_axis(d2, idx, axis=1).ravel(),
-                           type=pa.float64()),
-            "v": pa.array(v[flat], type=pa.float64())})
+            "mid": pa.array(mi[ri], type=pa.int64()),
+            "did": pa.array(did[ci], type=pa.int64()),
+            "d2": pa.array(d2[ri, ci], type=pa.float64()),
+            "v": pa.array(v[ci], type=pa.float64())})
 
     import pandas as pd
 

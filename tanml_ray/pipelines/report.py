@@ -32,7 +32,8 @@ def executive_rollup(validation_summary: dict[str, Any] | None = None,
                      stress_rows: list[dict[str, Any]] | None = None,
                      coverage_rows: list[dict[str, Any]] | None = None,
                      train_metric: float | None = None,
-                     test_metric: float | None = None) -> CheckResult:
+                     test_metric: float | None = None,
+                     drift_rows: list[dict[str, Any]] | None = None) -> CheckResult:
     issues: list[str] = []
     fails: list[str] = []
     metrics: dict[str, Any] = {}
@@ -91,8 +92,8 @@ def executive_rollup(validation_summary: dict[str, Any] | None = None,
     narratives: dict[str, str] = {}
     if validation_summary:
         narratives["validation"] = story_validation(validation_summary)
-    if drift_summary is not None and "drift_rows" in (drift_summary or {}):
-        narratives["drift"] = story_drift(drift_summary["drift_rows"])
+    if drift_rows is not None:
+        narratives["drift"] = story_drift(drift_rows)
     return CheckResult(name="executive_rollup", status=status,
                        metrics=metrics, summary=summary,
                        report_data={"issues": issues, "fails": fails,
@@ -137,7 +138,8 @@ def run_full_report(input_dir: str, out_dir: str,
         report["drift_table"] = table.to_pylist()
 
     rollup = executive_rollup(validation_summary=rep.summary,
-                              drift_summary=drift_summary)
+                              drift_summary=drift_summary,
+                              drift_rows=report.get("drift_table"))
     narratives = render_report_narratives(report)
     out = {
         "validation": rep.summary,

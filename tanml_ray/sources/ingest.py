@@ -178,8 +178,15 @@ def read_xlsx_table(path: str, sheet_index: int = 0) -> pa.Table:
             root = ET.fromstring(z.read("xl/sharedStrings.xml"))
             for si in root.findall(f"{NS}si"):
                 shared.append("".join(t.text or "" for t in si.iter(f"{NS}t")))
-        sheets = sorted(n for n in z.namelist()
-                        if n.startswith("xl/worksheets/sheet") and n.endswith(".xml"))
+        def _sheet_no(name: str) -> int:
+            # numeric sort: lexicographic would order sheet10 before
+            # sheet2 and select the wrong worksheet for sheet_index ≥ 1
+            stem = name[len("xl/worksheets/sheet"):-len(".xml")]
+            return int(stem) if stem.isdigit() else 0
+
+        sheets = sorted((n for n in z.namelist()
+                         if n.startswith("xl/worksheets/sheet")
+                         and n.endswith(".xml")), key=_sheet_no)
         if not sheets:
             raise ValueError(f"no worksheets in {path}")
         root = ET.fromstring(z.read(sheets[sheet_index]))

@@ -307,6 +307,11 @@ class AudioFingerprintStage:
             if blob is None:
                 continue
             _, samples = decode_fake_audio(blob)
+            if len(samples) < 2 * self.frame:
+                # too short for an energy contour — the degenerate
+                # fingerprint 0 would make every short clip a
+                # "duplicate" of every other; skip instead
+                continue
             keep.append(int(ids[i]))
             fps.append(audio_fingerprint64(samples, self.frame))
         return explode_fp_blocks(np.asarray(keep, dtype=np.int64),

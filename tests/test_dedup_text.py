@@ -368,3 +368,30 @@ class TestWinnowing:
         fp1 = np.frombuffer(out[0]["fingerprints"], dtype=np.uint64)
         assert np.array_equal(fp1, winnow_fingerprints("some repeated words " * 10))
         assert out[1]["n_fingerprints"] == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestFingerprintBitExactness:
+    def test_low_bits_survive_store_reload(self):
+        """Regression: fingerprints must round-trip bit-exactly through
+        the block-bucket table (an int64+2**63 arithmetic reload
+        promotes to float64 and destroys the low ~11 bits, collapsing
+        distinct fingerprints to hamming 0)."""
+        import ray.data as rd
+
+        from tanml_ray.pipelines.dedup import (
+            explode_fp_blocks,
+            fingerprint_near_dups,
+        )
+
+        fps = np.array([0x0123456789ABCDEF, 0x0123456789ABCDE0,
+                        0xFFFFFFFFFFFFFFFB], dtype=np.uint64)
+        ids = np.array([1, 2, 3], dtype=np.int64)
+        buckets = rd.from_arrow(explode_fp_blocks(ids, fps, 8))
+        pairs = fingerprint_near_dups(buckets, max_hamming=64).to_pylist()
+        got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs}
+        # true distances
+        assert got[(1, 2)] == int(0x0123456789ABCDEF ^ 0x0123456789ABCDE0).bit_count() == 4
+        for (a, b), h in got.items():
+            want = int(fps[a - 1] ^ fps[b - 1]).bit_count()
+            assert h == want, (a, b)
