@@ -184,6 +184,28 @@ class TestDriftSuite:
         assert sorted(t_task.to_pylist(), key=lambda r: (r["lang"], r["bucket"])) \
             == sorted(t_actor.to_pylist(), key=lambda r: (r["lang"], r["bucket"]))
 
+    def test_histogram_path_still_sound(self, sf_dir):
+        """The float-metric (histogram) compare path stays available via
+        exact_ks=False: same PSI as the exact path (identical binning),
+        KS within the documented bin-mass error bound."""
+        baseline = build_drift_baseline(pages_dataset(sf_dir), "text_len", "week")
+        cur = pages_dataset(sf_dir, variant="current")
+        t_exact, s_exact = compute_drift(baseline, cur)
+        t_hist, s_hist = compute_drift(baseline, cur, exact_ks=False)
+        assert set(t_hist.column("ks_method").to_pylist()) == {"histogram_approx"}
+        ex = {(r["lang"], r["bucket"]): r for r in t_exact.to_pylist()}
+        checked = 0
+        for r in t_hist.to_pylist():
+            e = ex[(r["lang"], r["bucket"])]
+            if r["psi"] == r["psi"]:
+                assert r["psi"] == pytest.approx(e["psi"], abs=1e-12)
+            if r["ks_stat"] == r["ks_stat"] and e["ks_stat"] == e["ks_stat"]:
+                # error ≤ max bin mass of the 200-bin fine histogram
+                assert abs(r["ks_stat"] - e["ks_stat"]) <= 0.05
+                checked += 1
+        assert checked >= 5
+        assert s_hist["severe"] == s_exact["severe"]  # PSI summary identical
+
     def test_baseline_artifact_roundtrip(self, sf_dir, tmp_path):
         baseline = build_drift_baseline(pages_dataset(sf_dir), "text_len", "week")
         p = str(tmp_path / "baseline.pkl")
