@@ -278,12 +278,28 @@ def run_pages_validation(source, out_dir: str | None = None,
                               state=[_pickle.dumps(pr[c].to_state()) for c in cols]))
         return pa.concat_tables(out) if out else _mixed("status", 0)
 
-    small = (mixed.map_batches(
-        lambda t: t.filter(pc.not_equal(t.column("kind"), "violation")),
-        batch_format="pyarrow")
-        .repartition(8)
-        .map_batches(_pre_merge, batch_format="pyarrow", batch_size=None)
-        .materialize())
+    def _filter_pre_merge(t: pa.Table) -> pa.Table:
+        return _pre_merge(t.filter(pc.not_equal(t.column("kind"), "violation")))
+
+    # Size-adaptive tree: at modest block counts the filter+pre-merge
+    # FUSE into one per-block pass (no repartition round — the driver
+    # merge over ≤ pre_merge_cutoff pre-merged blocks is cheaper than
+    # an exchange); past the cutoff the repartition(8) tree round caps
+    # the driver merge at O(8) regardless of block count (the 10⁶-block
+    # path; a fully driver-fused variant regressed the high-CPU legs in
+    # round 1 and stays rejected).
+    PRE_MERGE_CUTOFF = 128
+    n_blocks = mixed.num_blocks()
+    if n_blocks is not None and n_blocks <= PRE_MERGE_CUTOFF:
+        small = mixed.map_batches(_filter_pre_merge, batch_format="pyarrow",
+                                  batch_size=None).materialize()
+    else:
+        small = (mixed.map_batches(
+            lambda t: t.filter(pc.not_equal(t.column("kind"), "violation")),
+            batch_format="pyarrow")
+            .repartition(8)
+            .map_batches(_pre_merge, batch_format="pyarrow", batch_size=None)
+            .materialize())
     merged_profiles = {}
 
     # size-adaptive routing decided UP FRONT with one tiny round over
