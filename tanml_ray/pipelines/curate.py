@@ -46,7 +46,6 @@ def curate_documents(ds, text_col: str = "text", id_col: str = "doc_id",
     from tanml_ray.pipelines.dedup import (
         dedup_keep_list,
         dup_clusters,
-        exact_dedup,
         minhash_lsh_pairs,
     )
     from tanml_ray.stages.text import langid_of, quality_batch
@@ -77,37 +76,55 @@ def curate_documents(ds, text_col: str = "text", id_col: str = "doc_id",
     n1 = count_of(filtered)
     stats["dropped_quality_or_lang"] = n0 - n1
 
-    # -- 2. exact dedup: keep min-id per content hash. Only the n>1
-    # groups (true duplicates — output-bounded) ever reach the driver;
-    # the one-row-per-distinct-document aggregate is filtered
-    # DISTRIBUTED first (collecting it whole would be an O(corpus)
-    # driver gather).
-    agg = exact_dedup(filtered, text_col=text_col, id_col=id_col)
+    # -- 2. exact dedup: keep min-id per content digest. The key is a
+    # 128-bit md5 of the raw text, NOT a 64-bit hash — at 10¹² docs a
+    # 64-bit key suffers thousands of birthday collisions, each of
+    # which would DELETE a distinct document (the same hazard the
+    # uniqueness(url) check verifies away with string equality; a
+    # 128-bit digest makes chance collisions impossible instead).
+    # Only the n>1 groups (true duplicates — output-bounded) ever reach
+    # the driver; the one-row-per-distinct-document aggregate is
+    # filtered DISTRIBUTED first.
+    import hashlib
+
+    def md5_partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        texts = batch.column(text_col).to_pylist()
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        digs = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in texts]
+        df = pd.DataFrame({"dig": digs, "keep_id": ids})
+        g = df.groupby("dig", as_index=False).agg(keep_id=("keep_id", "min"),
+                                                  n=("keep_id", "size"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Min, Sum
+
+    agg = (filtered.map_batches(md5_partial, batch_format="pyarrow")
+           .groupby("dig")
+           .aggregate(Min("keep_id", alias_name="keep_id"),
+                      Sum("n", alias_name="n")))
     dup_rows = agg.map_batches(
         lambda t: t.filter(pc.greater(t.column("n"), 1)),
         batch_format="pyarrow")
-    dup_groups = {r["h"]: r["keep_id"] for r in collect_pylist(dup_rows)}
+    dup_groups = {r["dig"]: r["keep_id"] for r in collect_pylist(dup_rows)}
     if dup_groups:
-        import pandas as pd
-
         import ray
 
-        gh = np.array(sorted(dup_groups), dtype=np.int64)
-        gk = np.array([dup_groups[h] for h in gh], dtype=np.int64)
-        ref = ray.put((gh, gk))
+        ref = ray.put(dup_groups)
 
         def keep_first(batch: pa.Table) -> pa.Table:
             import ray as _ray
 
-            gh_l, gk_l = _ray.get(ref)
-            txt = batch.column(text_col).to_numpy(zero_copy_only=False).astype(object)
-            h = pd.util.hash_array(txt, categorize=False).astype(np.int64)
+            groups = _ray.get(ref)
+            texts = batch.column(text_col).to_pylist()
             ids = batch.column(id_col).to_numpy(zero_copy_only=False)
-            pos = np.searchsorted(gh_l, h)
-            pos[pos == len(gh_l)] = 0
-            in_group = gh_l[pos] == h
-            drop = in_group & (ids != gk_l[pos])
-            return batch.filter(pa.array(~drop))
+            keep = np.fromiter(
+                (groups.get(hashlib.md5(t.encode("utf-8")).hexdigest(),
+                            vid) == vid
+                 for t, vid in zip(texts, ids)),
+                dtype=bool, count=len(ids))
+            return batch.filter(pa.array(keep))
 
         deduped = filtered.map_batches(keep_first, batch_format="pyarrow").materialize()
     else:

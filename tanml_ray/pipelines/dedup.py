@@ -97,7 +97,14 @@ def hamming64(a: int, b: int) -> int:
 def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
     """Exact dedup: content-hash groupby keeping min id. Returns a
     Dataset of (hash, keep_id, n). Per-batch local pre-dedup shrinks
-    the shuffle (SURVEY.md §7.5 item 7)."""
+    the shuffle (SURVEY.md §7.5 item 7).
+
+    Scale caveat: the 64-bit key is collision-exposed at 10¹²-row
+    scale (birthday ≈ n²/2⁶⁵) — anything that DELETES rows based on
+    these groups must verify with a wider digest or string equality
+    first (pipelines/curate.py keys its destructive dedup on a 128-bit
+    md5 for exactly this reason; the uniqueness(url) check verifies by
+    string equality)."""
     from ray.data.aggregate import Min, Sum
 
     def local(batch: pa.Table) -> pa.Table:
