@@ -77,7 +77,8 @@ def curate_documents(ds, text_col: str = "text", id_col: str = "doc_id",
     stats["dropped_quality_or_lang"] = n0 - n1
 
     # -- 2. exact dedup: keep min-id per content digest. The key is a
-    # 128-bit md5 of the raw text, NOT a 64-bit hash — at 10¹² docs a
+    # 128-bit md5 digest (16 raw bytes — half the shuffle/broadcast
+    # footprint of a hexdigest string) of the raw text, NOT a 64-bit hash — at 10¹² docs a
     # 64-bit key suffers thousands of birthday collisions, each of
     # which would DELETE a distinct document (the same hazard the
     # uniqueness(url) check verifies away with string equality; a
@@ -92,7 +93,7 @@ def curate_documents(ds, text_col: str = "text", id_col: str = "doc_id",
 
         texts = batch.column(text_col).to_pylist()
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
-        digs = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in texts]
+        digs = [hashlib.md5(t.encode("utf-8")).digest() for t in texts]
         df = pd.DataFrame({"dig": digs, "keep_id": ids})
         g = df.groupby("dig", as_index=False).agg(keep_id=("keep_id", "min"),
                                                   n=("keep_id", "size"))
@@ -120,7 +121,7 @@ def curate_documents(ds, text_col: str = "text", id_col: str = "doc_id",
             texts = batch.column(text_col).to_pylist()
             ids = batch.column(id_col).to_numpy(zero_copy_only=False)
             keep = np.fromiter(
-                (groups.get(hashlib.md5(t.encode("utf-8")).hexdigest(),
+                (groups.get(hashlib.md5(t.encode("utf-8")).digest(),
                             vid) == vid
                  for t, vid in zip(texts, ids)),
                 dtype=bool, count=len(ids))

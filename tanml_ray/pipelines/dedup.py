@@ -791,7 +791,11 @@ def dup_clusters_distributed(pairs_ds, partitions: int = 64,
             "label": pc.min_element_wise(t.column("v"), t.column("nbr_min"))}),
         batch_format="pyarrow").materialize()
 
-    for _ in range(max_rounds):
+    if max_rounds < 1:
+        raise ValueError("max_rounds must be ≥ 1")
+    # +1: certifying convergence needs one QUIET round after the last
+    # change, so the certified diameter budget is exactly max_rounds
+    for _ in range(max_rounds + 1):
         # propagate: edge (v,u) picks up label(u) → candidate for v
         def kpart(t: pa.Table, col: str) -> pa.Table:
             h = pd.util.hash_array(t.column(col).to_numpy(zero_copy_only=False))

@@ -340,14 +340,26 @@ def knn_impute(ds, id_col: str, target_col: str, feature_cols: list[str],
             x = batch.column(c).to_numpy(zero_copy_only=False) \
                 .astype(np.float64)[donors]
             d2 += (mm[:, j][:, None] - x[None, :]) ** 2
-        # local candidates = EVERY donor whose rounded d² ties or beats
-        # the row's k-th smallest (raw argpartition alone could drop a
-        # boundary-tied donor with a smaller id than the one it keeps,
-        # diverging from the (round(d2,6), id) global order)
+        # local top-k under the GLOBAL total order (round(d2,6), did) —
+        # bounded at k rows per missing row (raw argpartition could
+        # drop a boundary-tied smaller-id donor; an unbounded
+        # keep-all-ties emit could explode on duplicated feature rows).
+        # Strictly-better candidates are all kept; among boundary ties
+        # only the need-smallest donor ids survive, selected vectorized.
         top = min(k, d2.shape[1])
         kth = np.partition(d2, top - 1, axis=1)[:, top - 1]
         d2r = np.round(d2, 6)
-        keep = d2r <= np.round(kth, 6)[:, None]
+        boundary = np.round(kth, 6)
+        strict = d2r < boundary[:, None]
+        n_strict = strict.sum(axis=1)           # provably < top
+        need = top - n_strict
+        at_b = d2r == boundary[:, None]
+        BIG = np.int64(2**62)
+        didm = np.where(at_b, did[None, :], BIG)
+        kmax = int(need.max())
+        part = np.sort(np.partition(didm, kmax - 1, axis=1)[:, :kmax], axis=1)
+        thresh = part[np.arange(len(need)), need - 1]
+        keep = strict | (at_b & (didm <= thresh[:, None]))
         ri, ci = np.nonzero(keep)
         return pa.table({
             "mid": pa.array(mi[ri], type=pa.int64()),
