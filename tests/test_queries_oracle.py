@@ -27,6 +27,10 @@ FAST_QUERIES = [
     "asof_join_events", "bloom_semi_join_lineitem", "anti_join_lineitem",
     "json_extract_events", "grouped_psi_events", "linear_cv_orders",
     "vif_lineitem", "iqr_outliers_extendedprice", "rolling_7day_events",
+    # round-2 families
+    "kendall_sample_lineitem", "knn_impute_quantity",
+    "permutation_importance_orders", "linear_fit_orders",
+    "bpe_token_counts_documents",
 ]
 
 
