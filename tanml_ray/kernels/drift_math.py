@@ -115,16 +115,23 @@ def ks_exact_pvalue(d: float, n1: int, n2: int) -> float:
 
 
 # Above this product of sample sizes the O(m·n) exact DP is slower than
-# useful and the asymptotic formula is accurate anyway (mirrors
-# scipy.stats.ks_2samp's mode='auto' switch).
+# useful and the asymptotic formula is accurate anyway. NOTE: this
+# criterion INTENTIONALLY differs from scipy.stats.ks_2samp(mode=
+# 'auto'), which switches on max(n1, n2) <= 10000 — scipy's exact mode
+# uses an O(n²)-cells C implementation; the pure-Python big-int DP here
+# is exact but only tractable to m·n ≈ 2.5×10⁵. Two ~600-sample groups
+# therefore get an asymptotic p here where scipy gives an exact one;
+# the divergence is confined to the p-value (the KS statistic D is
+# always exact, and the reference's drift BANDS key on the statistic,
+# so drift classification is unaffected).
 KS_EXACT_MAX_MN = 250_000
 
 
 def ks_2samp_exact(x: np.ndarray, y: np.ndarray) -> tuple[float, float]:
     """Exact two-sample KS statistic (sup |ECDF_x − ECDF_y|). P-value is
-    EXACT (path-counting) when m·n ≤ KS_EXACT_MAX_MN — matching
-    scipy.stats.ks_2samp(mode='auto')'s small-sample behavior the
-    reference relies on — else the asymptotic Kolmogorov formula.
+    EXACT (path-counting) when m·n ≤ KS_EXACT_MAX_MN, else the
+    asymptotic Kolmogorov formula (see the KS_EXACT_MAX_MN note for
+    where this regime intentionally differs from scipy's mode='auto').
     Used for small/bounded samples; the at-scale path uses
     ks_from_histograms below."""
     x = np.sort(np.asarray(x, dtype=np.float64))
@@ -147,9 +154,10 @@ def ks_from_value_counts(vals_e: np.ndarray, cnts_e: np.ndarray,
     values + multiplicities — the single-pass drift representation for
     integer-valued metrics). D = sup |ECDF_e − ECDF_a| evaluated on the
     union of values; p-value exact (path-counting) when n_e·n_a ≤
-    KS_EXACT_MAX_MN, else asymptotic — identical semantics to
-    scipy.stats.ks_2samp(mode='auto') on the expanded samples, at
-    O(distinct values) cost instead of O(n)."""
+    KS_EXACT_MAX_MN, else asymptotic (same intentional divergence from
+    scipy's mode='auto' criterion as ks_2samp_exact — see the
+    KS_EXACT_MAX_MN note). D itself is always exact, at O(distinct
+    values) cost instead of O(n)."""
     ve = np.asarray(vals_e, dtype=np.float64)
     va = np.asarray(vals_a, dtype=np.float64)
     ce = np.asarray(cnts_e, dtype=np.int64)

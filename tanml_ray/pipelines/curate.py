@@ -11,8 +11,11 @@ large-scale data team runs over raw documents —
 Everything composes the already-oracled operators (stages/text.py,
 pipelines/dedup.py); this module only sequences them, so the
 correctness story is inherited. Streaming end to end: the only
-materializations are the near-dup PAIR set (output-bounded) and the
-derived drop-sets (broadcast via ray.put); text never shuffles.
+driver-side materializations are the near-dup PAIR set
+(output-bounded) and — ONLY while it fits `dig_driver_budget` — the
+exact-dup digest map; past the budget the exact-dedup keep-first
+filter runs as a hash-partitioned semi-join (text shuffles once,
+nothing dup-rate-sized touches the driver).
 
 The reference has no curation pipeline (it's a validation tool); this
 is part of the beyond-reference scope the build brief mandates for the
@@ -31,13 +34,89 @@ import pyarrow.compute as pc
 from tanml_ray.functions.collect import collect_pylist
 
 
+def _content_digest(text: str) -> bytes:
+    """16-byte blake2b content digest. 128 bits makes CHANCE collisions
+    impossible at 10¹² docs, and blake2b (unlike md5) is collision-
+    resistant against ADVERSARIAL input — web documents are untrusted,
+    and a crafted md5 collision would silently delete a distinct
+    document in the destructive dedup below."""
+    import hashlib
+
+    return hashlib.blake2b(text.encode("utf-8"), digest_size=16).digest()
+
+
+def _digest_part(digs: list[bytes], partitions: int) -> np.ndarray:
+    """Partition key from the first 8 bytes of each 16-byte digest."""
+    if not digs:
+        return np.empty(0, dtype=np.int32)
+    h = np.frombuffer(b"".join(digs), dtype=np.uint64).reshape(-1, 2)[:, 0]
+    return (h % np.uint64(partitions)).astype(np.int32)
+
+
+def _keep_first_distributed(filtered, dup_rows, text_col: str, id_col: str,
+                            partitions: int = 64):
+    """Keep-first exact-dedup filter as a hash-partitioned semi-join:
+    corpus rows and (dig, keep_id) dup rows both shuffle to
+    hash(digest) % P and the keep decision happens inside each group —
+    nothing scales with the corpus (or its dup rate) on the driver.
+    One corpus shuffle is the price; the driver-dict path below the
+    budget avoids it when the dup set is small."""
+    import pyarrow.compute as _pc
+
+    schema = filtered.schema()
+    corpus_fields = list(zip(schema.names, schema.types))
+    helper = ["__dig", "__keep_id", "__jpart", "__kind"]
+
+    def tag_corpus(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        digs = [_content_digest(t) for t in texts]
+        cols = {name: batch.column(name).combine_chunks()
+                for name, _ in corpus_fields}
+        cols["__dig"] = pa.array(digs, type=pa.binary())
+        cols["__keep_id"] = pa.nulls(batch.num_rows, type=pa.int64())
+        cols["__jpart"] = pa.array(_digest_part(digs, partitions),
+                                   type=pa.int32())
+        cols["__kind"] = pa.array(["c"] * batch.num_rows, type=pa.string())
+        return pa.table(cols)
+
+    def tag_dups(batch: pa.Table) -> pa.Table:
+        digs = batch.column("dig").to_pylist()
+        n = batch.num_rows
+        cols = {name: pa.nulls(n, type=typ) for name, typ in corpus_fields}
+        cols["__dig"] = pa.array(digs, type=pa.binary())
+        cols["__keep_id"] = batch.column("keep_id").cast(pa.int64()).combine_chunks()
+        cols["__jpart"] = pa.array(_digest_part(digs, partitions),
+                                   type=pa.int32())
+        cols["__kind"] = pa.array(["d"] * n, type=pa.string())
+        return pa.table(cols)
+
+    tagged = (filtered.map_batches(tag_corpus, batch_format="pyarrow")
+              .union(dup_rows.map_batches(tag_dups, batch_format="pyarrow")))
+
+    def keep_group(g: pa.Table) -> pa.Table:
+        is_dup = _pc.equal(g.column("__kind"), "d")
+        dups = g.filter(is_dup)
+        corpus = g.filter(_pc.invert(is_dup))
+        kmap = dict(zip(dups.column("__dig").to_pylist(),
+                        dups.column("__keep_id").to_pylist()))
+        ids = corpus.column(id_col).to_numpy(zero_copy_only=False)
+        digs = corpus.column("__dig").to_pylist()
+        keep = np.fromiter((kmap.get(d, i) == i for d, i in zip(digs, ids)),
+                           dtype=bool, count=len(ids))
+        return corpus.filter(pa.array(keep)).drop_columns(helper)
+
+    return (tagged.groupby("__jpart")
+            .map_groups(keep_group, batch_format="pyarrow"))
+
+
 def curate_documents(ds, text_col: str = "text", id_col: str = "doc_id",
                      min_tokens: int = 5, max_tokens: int = 100_000,
                      min_quality: float = 0.0,
                      allowed_langs: set[str] | None = None,
                      near_dup_threshold: float = 0.8,
                      out_dir: str | None = None,
-                     num_output_files: int = 8) -> tuple[Any, dict[str, Any]]:
+                     num_output_files: int = 8,
+                     dig_driver_budget: int = 256 << 20) -> tuple[Any, dict[str, Any]]:
     """Returns (curated Dataset, stats dict). Stats account for every
     dropped row by stage — a curation run that can't say where rows
     went is not auditable."""
@@ -77,23 +156,28 @@ def curate_documents(ds, text_col: str = "text", id_col: str = "doc_id",
     stats["dropped_quality_or_lang"] = n0 - n1
 
     # -- 2. exact dedup: keep min-id per content digest. The key is a
-    # 128-bit md5 digest (16 raw bytes — half the shuffle/broadcast
-    # footprint of a hexdigest string) of the raw text, NOT a 64-bit hash — at 10¹² docs a
-    # 64-bit key suffers thousands of birthday collisions, each of
-    # which would DELETE a distinct document (the same hazard the
+    # 128-bit blake2b digest (16 raw bytes — half the shuffle/broadcast
+    # footprint of a hexdigest string), NOT a 64-bit hash — at 10¹²
+    # docs a 64-bit key suffers thousands of birthday collisions, each
+    # of which would DELETE a distinct document (the same hazard the
     # uniqueness(url) check verifies away with string equality; a
-    # 128-bit digest makes chance collisions impossible instead).
-    # Only the n>1 groups (true duplicates — output-bounded) ever reach
-    # the driver; the one-row-per-distinct-document aggregate is
-    # filtered DISTRIBUTED first.
-    import hashlib
-
-    def md5_partial(batch: pa.Table) -> pa.Table:
+    # 128-bit collision-resistant digest makes collisions — chance AND
+    # adversarial — impossible instead; see _content_digest).
+    # Only the n>1 groups (true duplicates) ever leave the aggregate;
+    # the one-row-per-distinct-document bulk is filtered DISTRIBUTED.
+    # The keep-first filter itself is SIZE-ADAPTIVE (the same
+    # driver/distributed switch uniqueness(url) and the MinHash
+    # prefilter use): below `dig_driver_budget` the dup map broadcasts
+    # as a driver dict; above it — web corpora commonly run 30-50%
+    # exact-dup, so the dup set is NOT output-bounded — the filter runs
+    # as a hash-partitioned semi-join with nothing corpus-sized on the
+    # driver.
+    def dig_partial(batch: pa.Table) -> pa.Table:
         import pandas as pd
 
         texts = batch.column(text_col).to_pylist()
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
-        digs = [hashlib.md5(t.encode("utf-8")).digest() for t in texts]
+        digs = [_content_digest(t) for t in texts]
         df = pd.DataFrame({"dig": digs, "keep_id": ids})
         g = df.groupby("dig", as_index=False).agg(keep_id=("keep_id", "min"),
                                                   n=("keep_id", "size"))
@@ -101,15 +185,18 @@ def curate_documents(ds, text_col: str = "text", id_col: str = "doc_id",
 
     from ray.data.aggregate import Min, Sum
 
-    agg = (filtered.map_batches(md5_partial, batch_format="pyarrow")
+    agg = (filtered.map_batches(dig_partial, batch_format="pyarrow")
            .groupby("dig")
            .aggregate(Min("keep_id", alias_name="keep_id"),
                       Sum("n", alias_name="n")))
     dup_rows = agg.map_batches(
         lambda t: t.filter(pc.greater(t.column("n"), 1)),
-        batch_format="pyarrow")
-    dup_groups = {r["dig"]: r["keep_id"] for r in collect_pylist(dup_rows)}
-    if dup_groups:
+        batch_format="pyarrow").materialize()
+    n_dup_groups = dup_rows.count()
+    if n_dup_groups == 0:
+        deduped = filtered
+    elif dup_rows.size_bytes() <= dig_driver_budget:
+        dup_groups = {r["dig"]: r["keep_id"] for r in collect_pylist(dup_rows)}
         import ray
 
         ref = ray.put(dup_groups)
@@ -121,15 +208,15 @@ def curate_documents(ds, text_col: str = "text", id_col: str = "doc_id",
             texts = batch.column(text_col).to_pylist()
             ids = batch.column(id_col).to_numpy(zero_copy_only=False)
             keep = np.fromiter(
-                (groups.get(hashlib.md5(t.encode("utf-8")).digest(),
-                            vid) == vid
+                (groups.get(_content_digest(t), vid) == vid
                  for t, vid in zip(texts, ids)),
                 dtype=bool, count=len(ids))
             return batch.filter(pa.array(keep))
 
         deduped = filtered.map_batches(keep_first, batch_format="pyarrow").materialize()
     else:
-        deduped = filtered
+        deduped = _keep_first_distributed(filtered, dup_rows, text_col,
+                                          id_col).materialize()
     n2 = count_of(deduped)
     stats["dropped_exact_dup"] = n1 - n2
 

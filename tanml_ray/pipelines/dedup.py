@@ -122,11 +122,39 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
                        Sum("n", alias_name="n")))
 
 
+def _bucket_pairs(u: np.ndarray, cap: int):
+    """All unordered pairs of a (unique, sorted) id bucket, yielded in
+    memory-bounded chunks: buckets ≤ cap emit one triu block; larger
+    buckets emit cap×cap cross-join sub-blocks so peak memory stays
+    ~cap² regardless of bucket size. NO bucket is ever skipped — a
+    boilerplate-heavy cluster of B near-identical docs genuinely has
+    O(B²) candidate pairs and gets all of them (the output is
+    inherently quadratic in cluster size; pre-collapsing exact
+    duplicates upstream, as pipelines/curate.py does, is the lever
+    that keeps B bounded)."""
+    n = u.size
+    if n < 2:
+        return
+    if n <= cap:
+        ia, ib = np.triu_indices(n, k=1)
+        yield u[ia], u[ib]
+        return
+    for ci in range(0, n, cap):
+        a = u[ci:ci + cap]
+        ia, ib = np.triu_indices(a.size, k=1)
+        yield a[ia], a[ib]
+        for cj in range(ci + cap, n, cap):
+            b = u[cj:cj + cap]
+            yield np.repeat(a, b.size), np.tile(b, a.size)
+
+
 def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
                       num_perm: int = 64, bands: int = 16,
                       shingle_k: int = 5, threshold: float = 0.6,
                       bucket_partitions: int = 64,
-                      sig_driver_budget: int = 256 << 20) -> pa.Table:
+                      sig_driver_budget: int = 256 << 20,
+                      verify_driver_budget: int = 256 << 20,
+                      bucket_cap: int = 1000) -> pa.Table:
     """MinHash+LSH near-dup pairs, verified with exact Jaccard ≥ threshold.
 
     Pipeline (only signatures/buckets shuffle — never text, and the
@@ -206,13 +234,13 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
         out_a, out_b = [], []
         start = 0
         for end in np.flatnonzero(np.diff(key)).tolist() + [len(key) - 1]:
-            size = end - start + 1
-            if 2 <= size <= 1000:
-                u = np.unique(ids[start:end + 1])
-                if u.size >= 2:
-                    ia, ib = np.triu_indices(u.size, k=1)
-                    out_a.append(u[ia])
-                    out_b.append(u[ib])
+            u = np.unique(ids[start:end + 1])
+            # every bucket contributes ALL its pairs — oversize buckets
+            # stream through chunked sub-blocks instead of being
+            # (silently) dropped
+            for a, b in _bucket_pairs(u, bucket_cap):
+                out_a.append(a)
+                out_b.append(b)
             start = end + 1
         if not out_a:
             return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
@@ -256,7 +284,9 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
         keep = est >= min_est
         survivors = sorted(zip(ids_a[keep].tolist(), ids_b[keep].tolist()))
         return _minhash_exact_verify(ds, survivors, text_col, id_col,
-                                     shingle_k, threshold, empty_result)
+                                     shingle_k, threshold, empty_result,
+                                     driver_budget=verify_driver_budget,
+                                     partitions=bucket_partitions)
 
     # --- distributed est-Jaccard prefilter: two sig-attach rounds.
     # The sig table hash-partitions by id ONCE (same key both rounds);
@@ -339,16 +369,27 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
     survivors = sorted({(int(r["id_a"]), int(r["id_b"]))
                         for r in collect_pylist(surv_ds)})
     return _minhash_exact_verify(ds, survivors, text_col, id_col,
-                                 shingle_k, threshold, empty_result)
+                                 shingle_k, threshold, empty_result,
+                                 driver_budget=verify_driver_budget,
+                                 partitions=bucket_partitions)
 
 
 def _minhash_exact_verify(ds, survivors, text_col: str, id_col: str,
                           shingle_k: int, threshold: float,
-                          empty_result: pa.Table) -> pa.Table:
+                          empty_result: pa.Table,
+                          driver_budget: int = 256 << 20,
+                          partitions: int = 64) -> pa.Table:
     """Exact-Jaccard verify of prefilter survivors: targeted shingle
-    fetch of only the surviving ids (output-bounded), then the exact
-    set kernel per pair. The needed-id set broadcasts via ray.put (a
-    closure capture would re-ship it with every task)."""
+    fetch of only the surviving ids (the pair set is output-bounded,
+    but each shingle set is O(doc length)). SIZE-ADAPTIVE like the
+    signature prefilter: while the fetched shingle table fits
+    `driver_budget`, one driver pass over it is fastest; above the
+    budget the verify runs as TWO hash-partitioned attach rounds
+    (shingle blobs ride to hash(id_a)%P then hash(id_b)%P alongside
+    the pairs; jaccard is computed inside the second round's groups)
+    so no shingle blob ever sits on the driver. Both paths are exact
+    and produce identical rows. The needed-id set broadcasts via
+    ray.put (a closure capture would re-ship it with every task)."""
     if not survivors:
         return empty_result
     import ray as _ray_mod
@@ -372,18 +413,101 @@ def _minhash_exact_verify(ds, survivors, text_col: str, id_col: str,
         return pa.table({"id": pa.array(keep_ids, type=pa.int64()),
                          "sh": pa.array(blobs, type=pa.binary())})
 
-    sh: dict[int, np.ndarray] = {}
-    for t in ds.map_batches(shingles_of, batch_format="pyarrow").iter_batches(
-            batch_size=4096, batch_format="pyarrow"):
-        for i, blob in zip(t.column("id").to_pylist(), t.column("sh").to_pylist()):
-            sh[i] = np.frombuffer(blob, dtype=np.uint64)
+    sh_ds = ds.map_batches(shingles_of, batch_format="pyarrow").materialize()
 
-    rows = []
-    for a, b in survivors:
-        if a in sh and b in sh:
-            j = jaccard(sh[a], sh[b])
+    if sh_ds.size_bytes() <= driver_budget:
+        sh: dict[int, np.ndarray] = {}
+        for t in sh_ds.iter_batches(batch_size=4096, batch_format="pyarrow"):
+            for i, blob in zip(t.column("id").to_pylist(),
+                               t.column("sh").to_pylist()):
+                sh[i] = np.frombuffer(blob, dtype=np.uint64)
+        rows = []
+        for a, b in survivors:
+            if a in sh and b in sh:
+                j = jaccard(sh[a], sh[b])
+                if j >= threshold:
+                    rows.append({"id_a": a, "id_b": b, "jaccard": round(j, 6)})
+        return pa.Table.from_pylist(rows) if rows else empty_result
+
+    # --- distributed verify: two partitioned shingle-attach rounds
+    import ray.data as rd
+
+    P = partitions
+
+    def _part_of(ids: np.ndarray) -> np.ndarray:
+        return (pd.util.hash_array(ids.astype(np.int64))
+                % np.uint64(P)).astype(np.int32)
+
+    # shingle rows key by their OWN id — the same key serves both
+    # rounds (round 1 groups by hash(id_a), round 2 by hash(id_b))
+    def sh_rows(t: pa.Table) -> pa.Table:
+        ids = t.column("id").to_numpy(zero_copy_only=False)
+        return pa.table({"jpart": pa.array(_part_of(ids), type=pa.int32()),
+                         "kind": pa.array(["s"] * len(ids), type=pa.string()),
+                         "id_a": pa.array(ids, type=pa.int64()),
+                         "id_b": pa.array(np.zeros(len(ids), dtype=np.int64)),
+                         "blob": t.column("sh").combine_chunks()})
+
+    sh_tag = sh_ds.map_batches(sh_rows, batch_format="pyarrow").materialize()
+
+    pair_arr = np.asarray(survivors, dtype=np.int64)
+    pair_ds = rd.from_arrow(pa.table({
+        "jpart": pa.array(_part_of(pair_arr[:, 0]), type=pa.int32()),
+        "kind": pa.array(["p"] * len(pair_arr), type=pa.string()),
+        "id_a": pa.array(pair_arr[:, 0], type=pa.int64()),
+        "id_b": pa.array(pair_arr[:, 1], type=pa.int64()),
+        "blob": pa.nulls(len(pair_arr), type=pa.binary())}))
+
+    _empty_tagged = pa.table({"jpart": pa.array([], type=pa.int32()),
+                              "kind": pa.array([], type=pa.string()),
+                              "id_a": pa.array([], type=pa.int64()),
+                              "id_b": pa.array([], type=pa.int64()),
+                              "blob": pa.array([], type=pa.binary())})
+
+    def attach_a(g: pd.DataFrame) -> pa.Table:
+        s = g[g["kind"] == "s"]
+        blob_map = dict(zip(s["id_a"].to_numpy(), s["blob"]))
+        p = g[g["kind"] == "p"]
+        if p.empty:
+            return _empty_tagged
+        ba = p["id_a"].map(blob_map)
+        m = ba.notna()
+        p, ba = p[m], ba[m]
+        n = len(p)
+        return pa.table({"jpart": pa.array(_part_of(p["id_b"].to_numpy()),
+                                           type=pa.int32()),
+                         "kind": pa.array(["p"] * n, type=pa.string()),
+                         "id_a": pa.array(p["id_a"].to_numpy(), type=pa.int64()),
+                         "id_b": pa.array(p["id_b"].to_numpy(), type=pa.int64()),
+                         "blob": pa.array(ba.tolist(), type=pa.binary())})
+
+    def attach_b_and_jaccard(g: pd.DataFrame) -> pa.Table:
+        s = g[g["kind"] == "s"]
+        blob_map = dict(zip(s["id_a"].to_numpy(), s["blob"]))
+        p = g[g["kind"] == "p"]
+        out = {"id_a": [], "id_b": [], "jaccard": []}
+        for a, b, blob_a in zip(p["id_a"].to_numpy(), p["id_b"].to_numpy(),
+                                p["blob"]):
+            blob_b = blob_map.get(b)
+            if blob_b is None:
+                continue
+            j = jaccard(np.frombuffer(blob_a, dtype=np.uint64),
+                        np.frombuffer(blob_b, dtype=np.uint64))
             if j >= threshold:
-                rows.append({"id_a": a, "id_b": b, "jaccard": round(j, 6)})
+                out["id_a"].append(int(a))
+                out["id_b"].append(int(b))
+                out["jaccard"].append(round(j, 6))
+        return pa.table({"id_a": pa.array(out["id_a"], type=pa.int64()),
+                         "id_b": pa.array(out["id_b"], type=pa.int64()),
+                         "jaccard": pa.array(out["jaccard"], type=pa.float64())})
+
+    round1 = (sh_tag.union(pair_ds)
+              .groupby("jpart").map_groups(attach_a, batch_format="pandas"))
+    verified = (sh_tag.union(round1)
+                .groupby("jpart").map_groups(attach_b_and_jaccard,
+                                             batch_format="pandas"))
+    rows = sorted(collect_pylist(verified),
+                  key=lambda r: (r["id_a"], r["id_b"]))
     return pa.Table.from_pylist(rows) if rows else empty_result
 
 
@@ -420,11 +544,16 @@ def explode_fp_blocks(ids: np.ndarray, fps: np.ndarray,
                      "bpart": pa.array(bpart.astype(np.int32), type=pa.int32())})
 
 
-def fingerprint_near_dups(buckets, max_hamming: int = 3) -> pa.Table:
+def fingerprint_near_dups(buckets, max_hamming: int = 3,
+                          bucket_cap: int = 1000) -> pa.Table:
     """Near-dup pairs over ANY 64-bit-fingerprint block-bucket stream
     (explode_fp_blocks output): candidates share at least one of 4
     16-bit blocks (guarantees recall for Hamming distance ≤ 3 by
-    pigeonhole), verified by exact vectorized Hamming.
+    pigeonhole — and the guarantee holds for buckets of EVERY size:
+    oversize buckets are verified in chunked cap×cap sub-blocks, never
+    skipped), verified by exact vectorized Hamming. Only pairs that
+    PASS the Hamming verify leave the group, so even a giant
+    identical-content bucket emits only its true near-dup pairs.
 
     Scale shape mirrors the MinHash path: the shuffle groups by the
     COARSE ``(blk·2¹⁶+bv) % P`` partition key (P groups, not one
@@ -444,10 +573,10 @@ def fingerprint_near_dups(buckets, max_hamming: int = 3) -> pa.Table:
         start = 0
         for end in np.flatnonzero(np.diff(key)).tolist() + [len(key) - 1]:
             size = end - start + 1
-            if 2 <= size <= 1000:
-                seg_ids = ids[start:end + 1]
-                seg_fps = fps[start:end + 1]
-                ia, ib = np.triu_indices(size, k=1)
+            seg_ids = ids[start:end + 1]
+            seg_fps = fps[start:end + 1]
+            for ia, ib in _bucket_pairs(np.arange(size, dtype=np.int64),
+                                        bucket_cap):
                 d = popcount64(seg_fps[ia] ^ seg_fps[ib])
                 keep = d <= max_hamming
                 if keep.any():
@@ -479,7 +608,8 @@ def fingerprint_near_dups(buckets, max_hamming: int = 3) -> pa.Table:
 
 def simhash_near_dups(ds, text_col: str = "text", id_col: str = "doc_id",
                       max_hamming: int = 3,
-                      bucket_partitions: int = 64) -> pa.Table:
+                      bucket_partitions: int = 64,
+                      bucket_cap: int = 1000) -> pa.Table:
     """SimHash near-dup pairs over a text column: Charikar 64-bit
     fingerprints per doc, then the generic fingerprint_near_dups
     block-bucket machinery (shared with image pHash dedup)."""
@@ -500,7 +630,8 @@ def simhash_near_dups(ds, text_col: str = "text", id_col: str = "doc_id",
                                  bucket_partitions)
 
     buckets = ds.map_batches(fp_batch, batch_format="pyarrow")
-    return fingerprint_near_dups(buckets, max_hamming=max_hamming)
+    return fingerprint_near_dups(buckets, max_hamming=max_hamming,
+                                 bucket_cap=bucket_cap)
 
 
 def _normalize_batch(batch: pa.Table, id_col: str, vec_col: str):
@@ -796,29 +927,37 @@ def dup_clusters_distributed(pairs_ds, partitions: int = 64,
     # +1: certifying convergence needs one QUIET round after the last
     # change, so the certified diameter budget is exactly max_rounds
     for _ in range(max_rounds + 1):
-        # propagate: edge (v,u) picks up label(u) → candidate for v
-        def kpart(t: pa.Table, col: str) -> pa.Table:
-            h = pd.util.hash_array(t.column(col).to_numpy(zero_copy_only=False))
+        # propagate: edge (v,u) picks up label(u) → candidate for v.
+        # Tagged rows use a `kind` column + ALL-NON-NULL int64 columns
+        # (0 where unused): null-padded shared columns would round-trip
+        # through pandas as float64 and silently corrupt ids above 2^53
+        # (e.g. 64-bit hash-derived doc ids).
+        def kpart(t: pa.Table) -> pa.Table:
+            h = pd.util.hash_array(t.column("u").to_numpy(zero_copy_only=False))
             return t.append_column(
                 "kp", pa.array((h % np.uint64(partitions)).astype(np.int32)))
 
+        def _tag(kind: str, u: pa.Array, v: pa.Array | None,
+                 label: pa.Array | None, n: int) -> pa.Table:
+            zero = pa.array(np.zeros(n, dtype=np.int64))
+            return kpart(pa.table({
+                "kind": pa.array([kind] * n, type=pa.string()),
+                "u": u, "v": v if v is not None else zero,
+                "label": label if label is not None else zero}))
+
         tagged_edges = edges.map_batches(
-            lambda t: kpart(pa.table({"u": t.column("u").combine_chunks(),
-                                      "v": t.column("v").combine_chunks(),
-                                      "label": pa.nulls(t.num_rows, pa.int64())}),
-                            "u"),
+            lambda t: _tag("e", t.column("u").combine_chunks(),
+                           t.column("v").combine_chunks(), None, t.num_rows),
             batch_format="pyarrow")
         tagged_labels = labels.map_batches(
-            lambda t: kpart(pa.table({"u": t.column("v").combine_chunks(),
-                                      "v": pa.nulls(t.num_rows, pa.int64()),
-                                      "label": t.column("label").combine_chunks()}),
-                            "u"),
+            lambda t: _tag("l", t.column("v").combine_chunks(), None,
+                           t.column("label").combine_chunks(), t.num_rows),
             batch_format="pyarrow")
 
         def join_labels(g: pd.DataFrame) -> pa.Table:
-            lab = g[g["v"].isna()]
+            lab = g[g["kind"] == "l"]
             lmap = dict(zip(lab["u"].to_numpy(), lab["label"].to_numpy()))
-            e = g[g["v"].notna()]
+            e = g[g["kind"] == "e"]
             if e.empty:
                 return pa.table({"v": pa.array([], type=pa.int64()),
                                  "cand": pa.array([], type=pa.int64())})
@@ -839,21 +978,17 @@ def dup_clusters_distributed(pairs_ds, partitions: int = 64,
 
         # changed-count via a tiny keyed join (old vs new), same pattern
         old_tag = labels.map_batches(
-            lambda t: kpart(pa.table({"u": t.column("v").combine_chunks(),
-                                      "v": pa.nulls(t.num_rows, pa.int64()),
-                                      "label": t.column("label").combine_chunks()}),
-                            "u"),
+            lambda t: _tag("o", t.column("v").combine_chunks(), None,
+                           t.column("label").combine_chunks(), t.num_rows),
             batch_format="pyarrow")
         new_tag = new_labels.map_batches(
-            lambda t: kpart(pa.table({"u": t.column("v").combine_chunks(),
-                                      "v": t.column("v").combine_chunks(),
-                                      "label": t.column("label").combine_chunks()}),
-                            "u"),
+            lambda t: _tag("n", t.column("v").combine_chunks(), None,
+                           t.column("label").combine_chunks(), t.num_rows),
             batch_format="pyarrow")
 
         def count_changed(g: pd.DataFrame) -> pa.Table:
-            old = g[g["v"].isna()]
-            new = g[g["v"].notna()]
+            old = g[g["kind"] == "o"]
+            new = g[g["kind"] == "n"]
             omap = dict(zip(old["u"].to_numpy(), old["label"].to_numpy()))
             changed = int(sum(1 for u, l in zip(new["u"].to_numpy(),
                                                 new["label"].to_numpy())

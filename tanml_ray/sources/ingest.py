@@ -102,6 +102,15 @@ def read_any(path: str, **kwargs):
         return read_stata(path)
     if ext in (".sas7bdat", ".xpt"):
         return read_sas(path)
+    if ext == ".sav":
+        # reference utils/data_loader.py:135-142 reads SPSS via
+        # pyreadstat, which is absent in this environment — fail fast
+        # and name the dependency (the multimodal real-codec pattern)
+        # rather than misrouting the file into the delimited sniffer
+        raise ImportError(
+            "SPSS .sav support requires the 'pyreadstat' package, which "
+            "is not installed in this environment; install pyreadstat "
+            f"to read {path!r}")
 
     # unknown extension (.data/.names/.info UCI-style): bounded-head
     # dialect sniffing, reference order (comma/utf-8 → inferred sep →
@@ -127,8 +136,18 @@ def _sniff_delimited(path: str, probe_bytes: int = 64 << 10) -> tuple[str, str]:
     for encoding in ("utf-8", "latin-1"):
         try:
             text = head.decode(encoding)
-        except UnicodeDecodeError:
-            continue
+        except UnicodeDecodeError as e:
+            # a multibyte sequence straddling the probe boundary is NOT
+            # evidence the file isn't utf-8 — trim the incomplete tail
+            # (≤3 bytes) and retry before falling through to latin-1,
+            # which would mojibake the whole driver-side read
+            if e.start >= len(head) - 3:
+                try:
+                    text = head[:e.start].decode(encoding)
+                except UnicodeDecodeError:
+                    continue
+            else:
+                continue
         first = text.splitlines()[0] if text.splitlines() else ""
         if "," in first:
             return ",", encoding

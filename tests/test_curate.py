@@ -50,6 +50,24 @@ class TestCurate:
         # written output readable and row-count consistent
         assert pq.read_table(out_dir).num_rows == 51
 
+    def test_distributed_keep_first_matches_driver(self, tmp_path):
+        """dig_driver_budget=0 forces the hash-partitioned semi-join
+        keep-first (the 100-TB path — no driver dict of dup digests);
+        surviving ids and stats must be identical to the driver path."""
+        from tanml_ray.pipelines.curate import curate_documents
+
+        drv, drv_stats = curate_documents(self._corpus(),
+                                          near_dup_threshold=0.6)
+        dist, dist_stats = curate_documents(self._corpus(),
+                                            near_dup_threshold=0.6,
+                                            dig_driver_budget=0)
+        ids_drv = sorted(r["doc_id"] for r in
+                         drv.select_columns(["doc_id"]).take_all())
+        ids_dist = sorted(r["doc_id"] for r in
+                          dist.select_columns(["doc_id"]).take_all())
+        assert ids_drv == ids_dist
+        assert drv_stats == dist_stats
+
     def test_lang_allowlist(self):
         import ray.data as rd
 

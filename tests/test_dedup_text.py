@@ -119,6 +119,59 @@ class TestDedupPipelines:
         p8 = minhash_lsh_pairs(rd.from_arrow(tbl).repartition(8), threshold=0.5)
         assert p1.to_pylist() == p8.to_pylist()
 
+    def test_oversize_bucket_not_skipped(self):
+        """A boilerplate-heavy cluster larger than bucket_cap must
+        contribute ALL its pairs (chunked sub-blocks), not silently
+        zero — the round-2 recall hole."""
+        import ray.data as rd
+
+        from tanml_ray.pipelines.dedup import minhash_lsh_pairs
+
+        boiler = ("identical boilerplate navigation header footer text "
+                  "repeated across every page of the site tonight") * 2
+        rows = [{"doc_id": i, "text": boiler} for i in range(120)]
+        rows += [{"doc_id": 1000 + i,
+                  "text": f"unique doc {i} " + " ".join(
+                      f"tk{i}_{j}" for j in range(25))} for i in range(10)]
+        ds = rd.from_arrow(pa.Table.from_pylist(rows)).repartition(4)
+        pairs = minhash_lsh_pairs(ds, threshold=0.8, bucket_cap=50)
+        got = {(r["id_a"], r["id_b"]) for r in pairs.to_pylist()}
+        want = {(a, b) for a in range(120) for b in range(a + 1, 120)}
+        assert got == want            # all 7140 pairs of the cluster
+        # identical output to the non-chunked path
+        big_cap = minhash_lsh_pairs(ds, threshold=0.8, bucket_cap=100_000)
+        assert pairs.to_pylist() == big_cap.to_pylist()
+
+    def test_fingerprint_oversize_bucket_not_skipped(self):
+        import ray.data as rd
+
+        from tanml_ray.pipelines.dedup import (
+            explode_fp_blocks,
+            fingerprint_near_dups,
+        )
+
+        fps = np.full(30, 0x0123456789ABCDEF, dtype=np.uint64)
+        ids = np.arange(1, 31, dtype=np.int64)
+        buckets = rd.from_arrow(explode_fp_blocks(ids, fps, 8))
+        pairs = fingerprint_near_dups(buckets, max_hamming=3,
+                                      bucket_cap=10).to_pylist()
+        got = {(r["id_a"], r["id_b"]) for r in pairs}
+        want = {(int(a), int(b)) for a in ids for b in ids if a < b}
+        assert got == want
+        assert all(r["hamming"] == 0 for r in pairs)
+
+    def test_distributed_verify_matches_driver_path(self):
+        """verify_driver_budget=0 forces the two-round hash-partitioned
+        shingle attach (no driver gather of shingle sets); output must
+        be identical to the driver verify."""
+        from tanml_ray.pipelines.dedup import minhash_lsh_pairs
+
+        ds = self._planted_ds()
+        fast = minhash_lsh_pairs(ds, threshold=0.5)
+        dist = minhash_lsh_pairs(ds, threshold=0.5, verify_driver_budget=0)
+        assert fast.to_pylist() == dist.to_pylist()
+        assert len(dist.to_pylist()) >= 1
+
     def test_distributed_prefilter_matches_driver_path(self):
         """sig_driver_budget=0 forces the fully-distributed two-round
         sig-attach prefilter (the 100-TB path, zero driver gather of

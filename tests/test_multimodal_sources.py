@@ -177,6 +177,29 @@ class TestReadAnyFallback:
         rows = read_any(str(p)).take_all()
         assert rows[0]["name"] == "rené"
 
+    def test_utf8_straddling_probe_boundary_stays_utf8(self, tmp_path):
+        """A multibyte char cut by the 64 KiB sniff head must NOT flip
+        the encoding decision to latin-1 (mojibake)."""
+        from tanml_ray.sources.ingest import _sniff_delimited
+
+        probe = 64 << 10
+        p = tmp_path / "big.data"
+        # byte `probe-1` is the FIRST byte of the 2-byte 'é' — the
+        # sniff head ends mid-character
+        body = (b"a,b\n" + b"c" * (probe - 1 - 4)
+                + "é,z\n1,2\n".encode("utf-8"))
+        p.write_bytes(body)
+        sep, enc = _sniff_delimited(str(p))
+        assert (sep, enc) == (",", "utf-8")
+
+    def test_sav_fails_fast_naming_dependency(self, tmp_path):
+        from tanml_ray.sources.ingest import read_any
+
+        p = tmp_path / "survey.sav"
+        p.write_bytes(b"$FL2@(#) SPSS DATA FILE fake header")
+        with pytest.raises(ImportError, match="pyreadstat"):
+            read_any(str(p))
+
     def test_unparseable_raises(self, tmp_path):
         from tanml_ray.sources.ingest import read_any
 
