@@ -109,6 +109,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_token_counts_documents": q.bpe_token_counts_documents,
         "curate_documents_stats": q.curate_documents_stats,
         "linear_fit_orders": q.linear_fit_orders,
+        "linear_cv_repeated_orders": q.linear_cv_repeated_orders,
+        "logistic_cv_repeated_orders": q.logistic_cv_repeated_orders,
+        "logistic_inference_orders": q.logistic_inference_orders,
     }
 
 
@@ -176,6 +179,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_impute_quantity": q.KNN_IMPUTE_SQL,
         "bpe_token_counts_documents": q.BPE_TOKEN_COUNTS_SQL,
         "linear_fit_orders": q.LINEAR_FIT_SQL,
+        "linear_cv_repeated_orders": q.LINEAR_CV_REPEATED_SQL,
         # langid / lsh-knn / minhash / simhash / logistic_cv (iterative
         # IRLS): not SQL-expressible → rows-only driver check; verified
         # in pytest instead.

@@ -123,28 +123,40 @@ def permutation_importance(ds, model: Any, feature_cols: list[str],
 # ---------------------------------------------------------------------------
 
 def logistic_cv(ds, x_cols: list[str], y_col: str, key_col: str,
-                k: int = 5, max_iter: int = 8) -> pa.Table:
-    """K-fold CV of the distributed IRLS logistic: fit on k−1 folds
-    (each fit is max_iter streaming passes over the train folds), score
-    the held-out fold through the scorer pool, report exact AUC +
-    accuracy@0.5 per fold. Fold = key % k (deterministic,
-    partition/retry-safe — same contract as linear_cv)."""
+                k: int = 5, max_iter: int = 8,
+                n_repeats: int = 1) -> pa.Table:
+    """(Repeated) K-fold CV of the distributed IRLS logistic: fit on
+    k−1 folds (each fit is max_iter streaming passes over the train
+    folds), score the held-out fold through the scorer pool, report
+    exact AUC + accuracy@0.5 per (repeat, fold). Fold =
+    repeated_fold(key, rep, k) (deterministic, partition/retry-safe —
+    repeat 0 is the engine-wide key % k contract; reference
+    ui/services/cv.py:37-48 Repeated*KFold). The x/y/key projection is
+    materialized ONCE up front, so the ~k·n_repeats·(max_iter+2)
+    passes the fits and scores need re-scan in-memory blocks instead
+    of re-reading the input each time."""
     from tanml_ray.pipelines.metrics import auc_exact
     from tanml_ray.pipelines.mlops import logistic_fit
+    from tanml_ray.pipelines.ranking import repeated_fold
+
+    proj_cols = list(dict.fromkeys(list(x_cols) + [y_col, key_col]))
+    base = ds.map_batches(lambda t: t.select(proj_cols),
+                          batch_format="pyarrow").materialize()
 
     rows = []
-    for f in range(k):
-        def in_fold(batch: pa.Table, fold=f, invert=False) -> pa.Table:
+    for rep, f in [(r, f) for r in range(n_repeats) for f in range(k)]:
+        def in_fold(batch: pa.Table, rep=rep, fold=f, invert=False) -> pa.Table:
             keys = batch.column(key_col).to_numpy(zero_copy_only=False)
-            m = (keys % k) == fold
+            m = repeated_fold(keys, rep, k) == fold
             if invert:
                 m = ~m
             return batch.filter(pa.array(m))
 
-        train = ds.map_batches(lambda b, fold=f: in_fold(b, fold, invert=True),
-                               batch_format="pyarrow")
-        test = ds.map_batches(lambda b, fold=f: in_fold(b, fold),
-                              batch_format="pyarrow")
+        train = base.map_batches(lambda b, rep=rep, fold=f:
+                                 in_fold(b, rep, fold, invert=True),
+                                 batch_format="pyarrow")
+        test = base.map_batches(lambda b, rep=rep, fold=f: in_fold(b, rep, fold),
+                                batch_format="pyarrow")
         fit = logistic_fit(train, x_cols, y_col, max_iter=max_iter)
         # stateless task scoring: the per-fold model is a tiny coef
         # vector, so a fresh actor pool per fold would cost more in
@@ -176,7 +188,8 @@ def logistic_cv(ds, x_cols: list[str], y_col: str, key_col: str,
                                                    batch_format="pyarrow")):
             n += r["n"]
             hit += r["hit"]
-        rows.append({"fold": f, "n_test": n, "auc": round(float(auc), 6),
+        rows.append({"rep": rep, "fold": f, "n_test": n,
+                     "auc": round(float(auc), 6),
                      "accuracy": round(hit / n, 6) if n else float("nan")})
     return pa.Table.from_pylist(rows)
 
@@ -192,7 +205,8 @@ def model_benchmark(ds, x_cols: list[str], y_col: str, key_col: str,
     out_rows = []
     log_rows = logistic_cv(ds, x_cols, y_col, key_col, k=k).to_pylist()
     for r in log_rows:
-        out_rows.append({"model": "logistic_irls", **r})
+        out_rows.append({"model": "logistic_irls",
+                         **{k_: v for k_, v in r.items() if k_ != "rep"}})
 
     # one-pass closed-form univariate linear on the first feature
     # (k-fold fit = total-sums − fold-sums; same algebra as linear_cv)

@@ -412,45 +412,93 @@ def mode_impute_value(ds, key_col: str, value_col: str, mod: int = 89) -> pa.Tab
 # pass computing the weighted Gram/score sums; 6-8 passes converge.
 # ---------------------------------------------------------------------------
 
+def _irls_pass(ds, x_cols: list[str], y_col: str,
+               beta: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """One streaming IRLS pass at `beta`: returns (XᵀWX, Xᵀ(y−μ))
+    summed over all blocks (W = μ(1−μ), the Fisher information
+    weights)."""
+    import ray
+
+    p = len(x_cols) + 1
+    bref = ray.put(beta.copy())
+
+    def step_partial(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        b = _ray.get(bref)
+        X = np.column_stack([np.ones(batch.num_rows),
+                             _matrix(batch, x_cols)])
+        y = batch.column(y_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        eta = X @ b
+        mu = 1.0 / (1.0 + np.exp(-eta))
+        w = mu * (1 - mu)
+        XtWX = X.T @ (X * w[:, None])
+        Xtz = X.T @ (y - mu)
+        return pa.Table.from_pylist([{
+            "xtwx": XtWX.ravel().tolist(), "xtz": Xtz.tolist()}])
+
+    H = np.zeros((p, p))
+    g = np.zeros(p)
+    for r in collect_pylist(ds.map_batches(step_partial, batch_format="pyarrow")):
+        H += np.asarray(r["xtwx"]).reshape(p, p)
+        g += np.asarray(r["xtz"])
+    return H, g
+
+
 def logistic_fit(ds, x_cols: list[str], y_col: str,
-                 max_iter: int = 8, tol: float = 1e-8) -> dict:
-    """Returns {coef: [...], intercept, odds_ratios, n_iter}."""
+                 max_iter: int = 8, tol: float = 1e-8,
+                 with_information: bool = False) -> dict:
+    """Returns {coef: [...], intercept, odds_ratios, n_iter};
+    with_information=True adds "information" — the Fisher information
+    matrix XᵀWX evaluated at the FINAL beta (one extra streaming pass),
+    the input to Wald standard errors (logistic_inference)."""
     p = len(x_cols) + 1
     beta = np.zeros(p)
 
     for it in range(max_iter):
-        import ray
-
-        bref = ray.put(beta.copy())
-
-        def step_partial(batch: pa.Table) -> pa.Table:
-            import ray as _ray
-
-            b = _ray.get(bref)
-            X = np.column_stack([np.ones(batch.num_rows),
-                                 _matrix(batch, x_cols)])
-            y = batch.column(y_col).to_numpy(zero_copy_only=False).astype(np.float64)
-            eta = X @ b
-            mu = 1.0 / (1.0 + np.exp(-eta))
-            w = mu * (1 - mu)
-            XtWX = X.T @ (X * w[:, None])
-            Xtz = X.T @ (y - mu)
-            return pa.Table.from_pylist([{
-                "xtwx": XtWX.ravel().tolist(), "xtz": Xtz.tolist()}])
-
-        H = np.zeros((p, p))
-        g = np.zeros(p)
-        for r in collect_pylist(ds.map_batches(step_partial, batch_format="pyarrow")):
-            H += np.asarray(r["xtwx"]).reshape(p, p)
-            g += np.asarray(r["xtz"])
+        H, g = _irls_pass(ds, x_cols, y_col, beta)
         delta = np.linalg.solve(H + 1e-10 * np.eye(p), g)
         beta = beta + delta
         if float(np.abs(delta).max()) < tol:
             break
-    return {"intercept": float(beta[0]),
-            "coef": beta[1:].tolist(),
-            "odds_ratios": np.exp(beta[1:]).tolist(),
-            "n_iter": it + 1}
+    out = {"intercept": float(beta[0]),
+           "coef": beta[1:].tolist(),
+           "odds_ratios": np.exp(beta[1:]).tolist(),
+           "n_iter": it + 1}
+    if with_information:
+        H, _ = _irls_pass(ds, x_cols, y_col, beta)
+        out["information"] = H
+    return out
+
+
+def logistic_inference(ds, x_cols: list[str], y_col: str,
+                       max_iter: int = 8) -> pa.Table:
+    """Per-coefficient inference table — the reference's logistic
+    summary semantics (ui/views/evaluation/tabs/inference.py:111-115:
+    odds ratios + coefficient p-values): Wald std errors from the
+    inverse Fisher information at the IRLS optimum, z = β/se,
+    two-sided normal p-value, odds ratio exp(β). Returns
+    (feature, coef, std_err, z, p_value, odds_ratio) — intercept row
+    first, then x_cols in call order."""
+    import math
+
+    fit = logistic_fit(ds, x_cols, y_col, max_iter=max_iter,
+                       with_information=True)
+    beta = np.concatenate([[fit["intercept"]], np.asarray(fit["coef"])])
+    cov = np.linalg.inv(fit["information"])
+    se = np.sqrt(np.maximum(np.diag(cov), 0.0))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        z = np.where(se > 0, beta / se, np.inf * np.sign(beta))
+    pvals = np.array([math.erfc(abs(zz) / math.sqrt(2.0)) for zz in z])
+    names = ["(intercept)"] + list(x_cols)
+    return pa.table({
+        "feature": pa.array(names, type=pa.string()),
+        "coef": pa.array(np.round(beta, 6), type=pa.float64()),
+        "std_err": pa.array(np.round(se, 6), type=pa.float64()),
+        "z": pa.array(np.round(z, 6), type=pa.float64()),
+        "p_value": pa.array(np.round(pvals, 6), type=pa.float64()),
+        "odds_ratio": pa.array(np.round(np.exp(beta), 6), type=pa.float64()),
+    })
 
 
 def linear_fit(ds, x_cols: list[str], y_col: str,

@@ -1092,6 +1092,67 @@ def linear_cv_orders(sf_dir: str) -> pa.Table:
     return pa.Table.from_pylist(rows)
 
 
+def linear_cv_repeated_orders(sf_dir: str) -> pa.Table:
+    """Repeated K-fold CV (reference ui/services/cv.py:37-48
+    Repeated*KFold semantics, deterministic prime-modulus re-keying
+    per repeat) — per-(rep, fold) rows, full SQL oracle."""
+    from tanml_ray.pipelines.ranking import linear_cv_repeated
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_totalprice"])
+
+    def derive(batch: pa.Table) -> pa.Table:
+        days = (batch.column("o_orderdate").cast(pa.date32()).cast(pa.int32())
+                .to_numpy(zero_copy_only=False))
+        return pa.table({"o_orderkey": batch.column("o_orderkey"),
+                         "x": pa.array(days.astype(np.float64), type=pa.float64()),
+                         "y": batch.column("o_totalprice")})
+
+    out = linear_cv_repeated(ds.map_batches(derive, batch_format="pyarrow"),
+                             "x", "y", "o_orderkey", k=4, n_repeats=3)
+    rows = [{"rep": r["rep"], "fold": r["fold"], "n_test": r["n_test"],
+             "rmse": float(np.round(r["rmse"], 2)), "r2": _round6(r["r2"])}
+            for r in out.to_pylist()]
+    return pa.Table.from_pylist(rows)
+
+
+LINEAR_CV_REPEATED_SQL = """
+WITH reps AS (
+  SELECT CAST(r AS BIGINT) AS rep FROM range(0, 3) t(r)
+), p AS (
+  SELECT rep,
+         CASE WHEN rep = 0 THEN o_orderkey % 4
+              ELSE ((o_orderkey % 1000003) * (48271*rep + 12345)) % 1000003 % 4
+         END AS fold,
+         CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS DOUBLE) AS x,
+         o_totalprice AS y
+  FROM orders, reps
+), fs AS (
+  SELECT rep, fold, CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x*y) AS sxy, sum(x*x) AS sxx, sum(y*y) AS syy
+  FROM p GROUP BY rep, fold
+), tot AS (
+  SELECT rep, sum(n) AS n, sum(sx) AS sx, sum(sy) AS sy, sum(sxy) AS sxy,
+         sum(sxx) AS sxx, sum(syy) AS syy
+  FROM fs GROUP BY rep
+), fit AS (
+  SELECT f.rep, f.fold, f.n AS n_te, f.sx AS sx_te, f.sy AS sy_te,
+         f.sxy AS sxy_te, f.sxx AS sxx_te, f.syy AS syy_te,
+         ((t.n - f.n) * (t.sxy - f.sxy) - (t.sx - f.sx) * (t.sy - f.sy))
+         / ((t.n - f.n) * (t.sxx - f.sxx) - (t.sx - f.sx) * (t.sx - f.sx)) AS b,
+         ((t.sy - f.sy) - ((t.n - f.n) * (t.sxy - f.sxy) - (t.sx - f.sx) * (t.sy - f.sy))
+          / ((t.n - f.n) * (t.sxx - f.sxx) - (t.sx - f.sx) * (t.sx - f.sx)) * (t.sx - f.sx))
+         / (t.n - f.n) AS a
+  FROM fs f JOIN tot t ON f.rep = t.rep
+)
+SELECT rep, CAST(fold AS BIGINT) AS fold, CAST(n_te AS BIGINT) AS n_test,
+       round(sqrt(greatest(syy_te + n_te*a*a + b*b*sxx_te - 2*a*sy_te
+                           - 2*b*sxy_te + 2*a*b*sx_te, 0) / n_te), 2) AS rmse,
+       round(1 - (syy_te + n_te*a*a + b*b*sxx_te - 2*a*sy_te - 2*b*sxy_te
+                  + 2*a*b*sx_te) / (syy_te - sy_te*sy_te / n_te), 6) AS r2
+FROM fit ORDER BY rep, fold
+"""
+
+
 LINEAR_CV_SQL = """
 WITH p AS (
   SELECT o_orderkey % 5 AS fold,
@@ -1978,6 +2039,51 @@ def logistic_cv_orders(sf_dir: str) -> pa.Table:
 
     return logistic_cv(ds.map_batches(derive, batch_format="pyarrow"),
                        ["x1", "x2"], "label", "o_orderkey", k=3, max_iter=6)
+
+
+def _orders_logistic_features(sf_dir: str):
+    """Shared (x1, x2, label, o_orderkey) projection for the logistic
+    family queries (same derivation as logistic_cv_orders)."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus",
+                                  "o_orderdate", "o_totalprice"])
+
+    def derive(batch: pa.Table) -> pa.Table:
+        y = pc.cast(pc.equal(batch.column("o_orderstatus"), "F"), pa.int64())
+        days = (batch.column("o_orderdate").cast(pa.date32()).cast(pa.int32())
+                .to_numpy(zero_copy_only=False))
+        return pa.table({
+            "o_orderkey": batch.column("o_orderkey"),
+            "x1": pa.array(days.astype(np.float64) / 1000.0, type=pa.float64()),
+            "x2": pc.divide(pc.cast(batch.column("o_totalprice"), pa.float64()),
+                            pa.scalar(100000.0, type=pa.float64())),
+            "label": y,
+        })
+
+    return ds.map_batches(derive, batch_format="pyarrow")
+
+
+def logistic_cv_repeated_orders(sf_dir: str) -> pa.Table:
+    """Repeated K-fold logistic CV + the reference's distribution
+    roll-up (cv.py:205-222): per-(rep, fold) AUC/accuracy rows from 2
+    repeats × 3 folds. Rows-only check (IRLS is iterative, not
+    SQL-expressible); the fold mechanics share the SQL-oracled
+    linear_cv_repeated_orders re-keying."""
+    from tanml_ray.pipelines.explain import logistic_cv
+
+    return logistic_cv(_orders_logistic_features(sf_dir),
+                       ["x1", "x2"], "label", "o_orderkey",
+                       k=3, max_iter=6, n_repeats=2)
+
+
+def logistic_inference_orders(sf_dir: str) -> pa.Table:
+    """Per-coefficient Wald inference table (odds ratios, z, p —
+    reference ui/views/evaluation/tabs/inference.py:111-115). Rows-only
+    check (iterative IRLS fit); the Wald algebra is pytest-verified
+    against a driver-side numpy IRLS in tests/test_logistic.py."""
+    from tanml_ray.pipelines.mlops import logistic_inference
+
+    return logistic_inference(_orders_logistic_features(sf_dir),
+                              ["x1", "x2"], "label", max_iter=6)
 
 
 # ---------------------------------------------------------------------------

@@ -48,32 +48,49 @@ def knn_cosine(ds, queries: dict[int, np.ndarray], k: int = 10,
 
         qids_l, qmat_l = _ray.get(ref)
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        if batch.num_rows == 0:
+            return pa.table({"query_id": pa.array([], type=pa.int64()),
+                             "vec_id": pa.array([], type=pa.int64()),
+                             "sim": pa.array([], type=pa.float64())})
         vecs = _normalize(_batch_matrix(batch, vec_col))
         sims = qmat_l @ vecs.T                      # (n_q, batch)
-        rows = {"query_id": [], "vec_id": [], "sim": []}
+        # fully vectorized across queries: axis-1 argpartition + one
+        # take_along_axis emit (the self row, if present, rides along
+        # as the +1 extra and is dropped at the driver merge)
         top = min(k + (1 if exclude_self else 0), sims.shape[1])
-        for qi, qid in enumerate(qids_l):
-            idx = np.argpartition(-sims[qi], top - 1)[:top]
-            for j in idx:
-                if exclude_self and int(ids[j]) == qid:
-                    continue
-                rows["query_id"].append(qid)
-                rows["vec_id"].append(int(ids[j]))
-                rows["sim"].append(float(sims[qi, j]))
-        return pa.table({"query_id": pa.array(rows["query_id"], type=pa.int64()),
-                         "vec_id": pa.array(rows["vec_id"], type=pa.int64()),
-                         "sim": pa.array(rows["sim"], type=pa.float64())})
+        idx = np.argpartition(-sims, top - 1, axis=1)[:, :top]
+        qcol = np.repeat(np.asarray(qids_l, dtype=np.int64), top)
+        return pa.table({"query_id": pa.array(qcol, type=pa.int64()),
+                         "vec_id": pa.array(ids[idx].ravel(), type=pa.int64()),
+                         "sim": pa.array(np.take_along_axis(sims, idx, axis=1)
+                                         .ravel(), type=pa.float64())})
 
     partials = ds.map_batches(local_topk, batch_format="pyarrow")
-    df = pd.DataFrame(collect_pylist(partials))
-    out_rows = []
-    for qid, g in df.groupby("query_id"):
-        g = g.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
-        for _, r in g.iterrows():
-            out_rows.append({"query_id": int(qid), "vec_id": int(r["vec_id"]),
-                             "sim": round(float(r["sim"]), 6)})
-    out_rows.sort(key=lambda r: (r["query_id"], -r["sim"], r["vec_id"]))
-    return pa.Table.from_pylist(out_rows)
+    return _merge_topk(collect_pylist(partials), k, exclude_self=exclude_self)
+
+
+def _merge_topk(rows_all: list[dict], k: int, exclude_self: bool) -> pa.Table:
+    """Driver merge of per-block top-k partials: one vectorized sort +
+    per-query head(k), no Python row loop."""
+    if not rows_all:
+        return pa.table({"query_id": pa.array([], type=pa.int64()),
+                         "vec_id": pa.array([], type=pa.int64()),
+                         "sim": pa.array([], type=pa.float64())})
+    df = pd.DataFrame(rows_all)
+    if exclude_self:
+        df = df[df["vec_id"] != df["query_id"]]
+    # select by RAW sim (ties by vec_id), then emit rounded values and
+    # order by the rounded sim — the same two-step the oracle's
+    # round(…, 6) ordering implies
+    df = (df.sort_values(["query_id", "sim", "vec_id"],
+                         ascending=[True, False, True], kind="mergesort")
+          .groupby("query_id", sort=True).head(k).copy())
+    df["sim"] = np.round(df["sim"].to_numpy(dtype=np.float64), 6)
+    df = df.sort_values(["query_id", "sim", "vec_id"],
+                        ascending=[True, False, True], kind="mergesort")
+    return pa.table({"query_id": pa.array(df["query_id"].to_numpy(dtype=np.int64)),
+                     "vec_id": pa.array(df["vec_id"].to_numpy(dtype=np.int64)),
+                     "sim": pa.array(df["sim"].to_numpy(), type=pa.float64())})
 
 
 def lsh_project_bucket(vecs: np.ndarray, planes: np.ndarray) -> np.ndarray:
@@ -121,43 +138,32 @@ def knn_cosine_lsh(ds, queries: dict[int, np.ndarray], k: int = 10,
 
         qids_l, qmat_l, planes_l, probes_l = _ray.get(ref)
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        if batch.num_rows == 0:
+            return pa.table({"query_id": pa.array([], type=pa.int64()),
+                             "vec_id": pa.array([], type=pa.int64()),
+                             "sim": pa.array([], type=pa.float64())})
         vecs = _normalize(_batch_matrix(batch, vec_col))
         buckets = lsh_project_bucket(vecs, planes_l)
-        rows = {"query_id": [], "vec_id": [], "sim": []}
-        for qi, qid in enumerate(qids_l):
-            mask = np.isin(buckets, list(probes_l[qi]))
-            if not mask.any():
-                continue
-            sub = vecs[mask]
-            sub_ids = ids[mask]
-            sims = qmat_l[qi] @ sub.T
-            top = min(k + 1, sims.size)
-            idx = np.argpartition(-sims, top - 1)[:top]
-            for j in idx:
-                if int(sub_ids[j]) == qid:
-                    continue
-                rows["query_id"].append(qid)
-                rows["vec_id"].append(int(sub_ids[j]))
-                rows["sim"].append(float(sims[j]))
-        return pa.table({"query_id": pa.array(rows["query_id"], type=pa.int64()),
-                         "vec_id": pa.array(rows["vec_id"], type=pa.int64()),
-                         "sim": pa.array(rows["sim"], type=pa.float64())})
+        # one matmul for ALL queries; non-probed candidates masked to
+        # -inf so the axis-1 argpartition is uniform across queries
+        # (the per-query work is one vectorized isin, not a Python
+        # loop over hits)
+        sims = qmat_l @ vecs.T                      # (n_q, batch)
+        for qi in range(len(qids_l)):
+            sims[qi, ~np.isin(buckets, list(probes_l[qi]))] = -np.inf
+        top = min(k + 1, sims.shape[1])
+        idx = np.argpartition(-sims, top - 1, axis=1)[:, :top]
+        got = np.take_along_axis(sims, idx, axis=1)
+        valid = np.isfinite(got)
+        qcol = np.repeat(np.asarray(qids_l, dtype=np.int64), top)[valid.ravel()]
+        return pa.table({"query_id": pa.array(qcol, type=pa.int64()),
+                         "vec_id": pa.array(ids[idx].ravel()[valid.ravel()],
+                                            type=pa.int64()),
+                         "sim": pa.array(got.ravel()[valid.ravel()],
+                                         type=pa.float64())})
 
     partials = ds.map_batches(local_topk, batch_format="pyarrow")
-    rows_all = collect_pylist(partials)
-    if not rows_all:
-        return pa.table({"query_id": pa.array([], type=pa.int64()),
-                         "vec_id": pa.array([], type=pa.int64()),
-                         "sim": pa.array([], type=pa.float64())})
-    df = pd.DataFrame(rows_all)
-    out_rows = []
-    for qid, g in df.groupby("query_id"):
-        g = g.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
-        for _, r in g.iterrows():
-            out_rows.append({"query_id": int(qid), "vec_id": int(r["vec_id"]),
-                             "sim": round(float(r["sim"]), 6)})
-    out_rows.sort(key=lambda r: (r["query_id"], -r["sim"], r["vec_id"]))
-    return pa.Table.from_pylist(out_rows)
+    return _merge_topk(collect_pylist(partials), k, exclude_self=True)
 
 
 # ---------------------------------------------------------------------------

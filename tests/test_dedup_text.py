@@ -279,6 +279,38 @@ class TestSimilarity:
         order = [int(ids[i]) for i in np.argsort(-sims) if ids[i] != 0][:5]
         assert [r["vec_id"] for r in out] == order
 
+    def test_many_queries_vectorized(self):
+        """500 queries in one call: the per-batch work must be one
+        axis-1 argpartition, not a Python loop per query — and every
+        query's top-k must match the numpy brute force exactly."""
+        import time
+
+        import ray.data as rd
+
+        from tanml_ray.pipelines.similarity import knn_cosine
+
+        rng = np.random.default_rng(7)
+        vecs = rng.standard_normal((800, 24))
+        ids = np.arange(800)
+        t = pa.table({"vec_id": pa.array(ids, type=pa.int64()),
+                      "embedding": pa.array([v.astype(np.float32) for v in vecs],
+                                            type=pa.list_(pa.float32()))})
+        ds = rd.from_arrow(t).repartition(4)
+        qs = {int(i): vecs[i] for i in range(500)}
+        t0 = time.monotonic()
+        out = knn_cosine(ds, qs, k=5).to_pylist()
+        assert time.monotonic() - t0 < 60
+        assert len(out) == 500 * 5
+        # exact check on a sample of queries against brute force
+        fvecs = np.stack([np.asarray(
+            r, dtype=np.float64) for r in t.column("embedding").to_pylist()])
+        norm = fvecs / np.linalg.norm(fvecs, axis=1, keepdims=True)
+        for qid in (0, 123, 499):
+            sims = norm[qid] @ norm.T
+            want = [int(i) for i in np.argsort(-sims) if i != qid][:5]
+            got = [r["vec_id"] for r in out if r["query_id"] == qid]
+            assert got == want, qid
+
     def test_lsh_recall_on_clustered_vectors(self):
         """LSH must recover true neighbors when structure exists: 10
         tight clusters, query = a member → top-k are clustermates."""

@@ -94,6 +94,28 @@ class TestLogisticCVBenchmark:
             assert r["auc"] > 0.85          # separable-ish signal
             assert 0.7 < r["accuracy"] <= 1.0
 
+    def test_logistic_cv_repeated(self):
+        """n_repeats=2 yields 2·k rows; repeat 0 equals the single-run
+        folds (affine map reduces to key % k) and repeat 1 partitions
+        differently but stays in the plausible metric band."""
+        from tanml_ray.pipelines.explain import logistic_cv
+        from tanml_ray.pipelines.ranking import cv_summary
+
+        tbl = self._tbl(n=3000)
+        out = logistic_cv(_ds(tbl), ["x1", "x2"], "y", "k",
+                          k=3, max_iter=6, n_repeats=2).to_pylist()
+        assert [(r["rep"], r["fold"]) for r in out] == \
+            [(0, 0), (0, 1), (0, 2), (1, 0), (1, 1), (1, 2)]
+        single = logistic_cv(_ds(tbl), ["x1", "x2"], "y", "k",
+                             k=3, max_iter=6).to_pylist()
+        assert [r for r in out if r["rep"] == 0] == single
+        for rep in (0, 1):
+            assert sum(r["n_test"] for r in out if r["rep"] == rep) == 3000
+        for r in out:
+            assert r["auc"] > 0.8
+        s = cv_summary(pa.Table.from_pylist(out), metric="auc")
+        assert s["p05"] <= s["p50"] <= s["p95"]
+
     def test_model_benchmark_shape_and_order(self):
         from tanml_ray.pipelines.explain import model_benchmark
 

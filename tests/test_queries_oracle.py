@@ -31,6 +31,8 @@ FAST_QUERIES = [
     "kendall_sample_lineitem", "knn_impute_quantity",
     "permutation_importance_orders", "linear_fit_orders",
     "bpe_token_counts_documents",
+    # round-3 families
+    "linear_cv_repeated_orders",
 ]
 
 

@@ -82,3 +82,38 @@ class TestRanking:
         s = cv_summary(out)
         assert 0.9 < s["mean"] < 1.1  # noise σ=1
         assert s["std"] < 0.1
+
+    def test_linear_cv_repeated(self):
+        """Repeat 0 must reproduce plain linear_cv (key % k); every
+        (rep, fold) row must match a direct numpy refit under the same
+        affine re-keying; the distribution roll-up covers percentiles."""
+        from tanml_ray.pipelines.ranking import (
+            cv_summary,
+            linear_cv,
+            linear_cv_repeated,
+            repeated_fold,
+        )
+
+        rng = np.random.default_rng(3)
+        n = 4000
+        key = np.arange(n)
+        x = rng.normal(5, 2, n)
+        y = 1.5 * x - 3 + rng.normal(0, 1, n)
+        tbl = pa.table({"k": key, "x": x, "y": y})
+        out = linear_cv_repeated(_ds_from(tbl), "x", "y", "k",
+                                 k=4, n_repeats=3).to_pylist()
+        assert len(out) == 12
+        plain = linear_cv(_ds_from(tbl), "x", "y", "k", k=4).to_pylist()
+        rep0 = [{k_: v for k_, v in r.items() if k_ != "rep"}
+                for r in out if r["rep"] == 0]
+        for a, b in zip(rep0, plain):
+            assert a["fold"] == b["fold"] and a["n_test"] == b["n_test"]
+            assert a["rmse"] == pytest.approx(b["rmse"], rel=1e-12)
+        for r in out:
+            te = repeated_fold(key, r["rep"], 4) == r["fold"]
+            b, a = np.polyfit(x[~te], y[~te], 1)
+            rmse = np.sqrt((((a + b * x[te]) - y[te]) ** 2).mean())
+            assert r["rmse"] == pytest.approx(rmse, rel=1e-6), (r["rep"], r["fold"])
+        s = cv_summary(pa.Table.from_pylist(out))
+        assert s["p05"] <= s["p50"] <= s["p95"]
+        assert 0.9 < s["mean"] < 1.1
