@@ -58,6 +58,52 @@ def _scaling_main() -> None:
     }))
 
 
+def _ab_main(rev: str) -> None:
+    """Interleaved A/B against another git rev: `python bench.py --ab
+    <rev>`. The host is shared/noisy with ~10-20 min load oscillations,
+    so a lone BENCH line can't prove a regression; interleaving HEAD
+    and <rev> runs in adjacent windows and taking per-leg minima is the
+    only trustworthy like-for-like signal (PERF_NOTES round-2
+    methodology, now committed as a harness). The rev runs from a
+    detached git worktree under /tmp (created once, reused)."""
+    repo = os.path.dirname(os.path.abspath(__file__))
+    safe = rev.replace("/", "_")
+    wt = f"/tmp/tanml_ab_{safe}"
+    if not os.path.isdir(wt):
+        subprocess.run(["git", "-C", repo, "worktree", "add", "--detach",
+                        wt, rev], check=True,
+                       capture_output=True, text=True)
+    pairs = int(os.environ.get("GRAFT_AB_PAIRS", "3"))
+
+    def run(path: str) -> dict:
+        env = dict(os.environ, PYTHONPATH=path)
+        out = subprocess.run([sys.executable, os.path.join(path, "bench.py")],
+                             env=env, capture_output=True, text=True,
+                             check=True, cwd=path).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    run(repo)  # warm-up: heats page cache + synthesizes fixtures
+    head_runs, rev_runs = [], []
+    for _ in range(pairs):
+        rev_runs.append(run(wt))
+        head_runs.append(run(repo))
+
+    def best(runs: list[dict]) -> tuple[float, dict[str, float]]:
+        per = {k: min(r["queries"][k] for r in runs if k in r["queries"])
+               for k in runs[0]["queries"]}
+        return min(r["value"] for r in runs), per
+
+    head_tot, head_q = best(head_runs)
+    rev_tot, rev_q = best(rev_runs)
+    print(json.dumps({
+        "metric": "ab_suite_sec", "unit": "sec", "pairs": pairs,
+        "head_sec": head_tot, f"{rev}_sec": rev_tot,
+        "head_over_rev": round(head_tot / rev_tot, 3),
+        "head_queries": head_q, f"{rev}_queries": rev_q,
+        "protocol": "interleaved min-of-pairs, fresh ray.init per run",
+    }))
+
+
 def main() -> None:
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
@@ -156,5 +202,7 @@ def main() -> None:
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         _scaling_main()
+    elif "--ab" in sys.argv:
+        _ab_main(sys.argv[sys.argv.index("--ab") + 1])
     else:
         main()

@@ -234,13 +234,15 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
         out_a, out_b = [], []
         start = 0
         for end in np.flatnonzero(np.diff(key)).tolist() + [len(key) - 1]:
-            u = np.unique(ids[start:end + 1])
-            # every bucket contributes ALL its pairs — oversize buckets
-            # stream through chunked sub-blocks instead of being
-            # (silently) dropped
-            for a, b in _bucket_pairs(u, bucket_cap):
-                out_a.append(a)
-                out_b.append(b)
+            # singleton buckets (the vast majority) skip before any
+            # np.unique/generator work; every size≥2 bucket contributes
+            # ALL its pairs — oversize buckets stream through chunked
+            # sub-blocks instead of being (silently) dropped
+            if end > start:
+                u = np.unique(ids[start:end + 1])
+                for a, b in _bucket_pairs(u, bucket_cap):
+                    out_a.append(a)
+                    out_b.append(b)
             start = end + 1
         if not out_a:
             return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
@@ -573,6 +575,9 @@ def fingerprint_near_dups(buckets, max_hamming: int = 3,
         start = 0
         for end in np.flatnonzero(np.diff(key)).tolist() + [len(key) - 1]:
             size = end - start + 1
+            if size < 2:          # singleton fast-skip
+                start = end + 1
+                continue
             seg_ids = ids[start:end + 1]
             seg_fps = fps[start:end + 1]
             for ia, ib in _bucket_pairs(np.arange(size, dtype=np.int64),
