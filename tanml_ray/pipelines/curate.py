@@ -220,14 +220,38 @@ def curate_documents(ds, text_col: str = "text", id_col: str = "doc_id",
     n2 = count_of(deduped)
     stats["dropped_exact_dup"] = n1 - n2
 
-    # -- 3. near-dup dedup: MinHash pairs → clusters → keep-first
-    pairs = minhash_lsh_pairs(deduped, text_col=text_col, id_col=id_col,
-                              threshold=near_dup_threshold)
-    stats["near_dup_pairs"] = pairs.num_rows
-    curated = dedup_keep_list(deduped, pairs, id_col=id_col).materialize()
+    # -- 3. near-dup dedup: MinHash pairs → clusters → keep-first.
+    # SIZE-ADAPTIVE like stage 2: the pair set is produced as a Dataset
+    # and only collected to the driver while it fits `dig_driver_budget`
+    # (~24 B/pair); past the budget — heavy-boilerplate crawls produce
+    # corpus-scaled pair sets — clustering runs as distributed min-label
+    # propagation and the keep-first filter as a partitioned anti-join,
+    # with nothing pair- or drop-set-sized on the driver.
+    pairs_ds = minhash_lsh_pairs(deduped, text_col=text_col, id_col=id_col,
+                                 threshold=near_dup_threshold,
+                                 as_dataset=True).materialize()
+    n_pairs = pairs_ds.count()
+    stats["near_dup_pairs"] = n_pairs
+    if n_pairs == 0:
+        curated = deduped
+        stats["near_dup_clusters"] = 0
+    elif n_pairs * 24 <= dig_driver_budget:
+        pairs = pa.Table.from_pylist(collect_pylist(pairs_ds))
+        curated = dedup_keep_list(deduped, pairs, id_col=id_col).materialize()
+        stats["near_dup_clusters"] = len({r for r in dup_clusters(pairs).values()})
+    else:
+        from tanml_ray.pipelines.dedup import (
+            drop_keys_from_labels,
+            dup_clusters_distributed,
+        )
+        from tanml_ray.pipelines.join import partitioned_anti_join
+
+        labels = dup_clusters_distributed(pairs_ds, collect=False).materialize()
+        curated = partitioned_anti_join(
+            deduped, drop_keys_from_labels(labels, id_col), id_col).materialize()
+        stats["near_dup_clusters"] = int(labels.groupby("root").count().count())
     n3 = count_of(curated)
     stats["dropped_near_dup"] = n2 - n3
-    stats["near_dup_clusters"] = len({r for r in dup_clusters(pairs).values()})
 
     # -- 4. token accounting over the surviving corpus
     def token_partial(batch: pa.Table) -> pa.Table:

@@ -154,7 +154,8 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
                       bucket_partitions: int = 64,
                       sig_driver_budget: int = 256 << 20,
                       verify_driver_budget: int = 256 << 20,
-                      bucket_cap: int = 1000) -> pa.Table:
+                      bucket_cap: int = 1000,
+                      as_dataset: bool = False) -> pa.Table:
     """MinHash+LSH near-dup pairs, verified with exact Jaccard ≥ threshold.
 
     Pipeline (only signatures/buckets shuffle — never text, and the
@@ -264,6 +265,10 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
         # budget-bounded sig matrix (searchsorted pair lookups)
         cand_df = pd.DataFrame(collect_pylist(cand))
         if cand_df.empty:
+            if as_dataset:
+                import ray.data as _rd
+
+                return _rd.from_arrow(empty_result)
             return empty_result
         cand_df = cand_df.drop_duplicates()
         all_ids: list[np.ndarray] = []
@@ -288,7 +293,8 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
         return _minhash_exact_verify(ds, survivors, text_col, id_col,
                                      shingle_k, threshold, empty_result,
                                      driver_budget=verify_driver_budget,
-                                     partitions=bucket_partitions)
+                                     partitions=bucket_partitions,
+                                     as_dataset=as_dataset)
 
     # --- distributed est-Jaccard prefilter: two sig-attach rounds.
     # The sig table hash-partitions by id ONCE (same key both rounds);
@@ -373,14 +379,16 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
     return _minhash_exact_verify(ds, survivors, text_col, id_col,
                                  shingle_k, threshold, empty_result,
                                  driver_budget=verify_driver_budget,
-                                 partitions=bucket_partitions)
+                                 partitions=bucket_partitions,
+                                 as_dataset=as_dataset)
 
 
 def _minhash_exact_verify(ds, survivors, text_col: str, id_col: str,
                           shingle_k: int, threshold: float,
                           empty_result: pa.Table,
                           driver_budget: int = 256 << 20,
-                          partitions: int = 64) -> pa.Table:
+                          partitions: int = 64,
+                          as_dataset: bool = False) -> pa.Table:
     """Exact-Jaccard verify of prefilter survivors: targeted shingle
     fetch of only the surviving ids (the pair set is output-bounded,
     but each shingle set is O(doc length)). SIZE-ADAPTIVE like the
@@ -392,8 +400,10 @@ def _minhash_exact_verify(ds, survivors, text_col: str, id_col: str,
     so no shingle blob ever sits on the driver. Both paths are exact
     and produce identical rows. The needed-id set broadcasts via
     ray.put (a closure capture would re-ship it with every task)."""
+    import ray.data as _rd_mod
+
     if not survivors:
-        return empty_result
+        return _rd_mod.from_arrow(empty_result) if as_dataset else empty_result
     import ray as _ray_mod
 
     need_ref = _ray_mod.put(np.unique(np.array(survivors, dtype=np.int64)))
@@ -429,7 +439,8 @@ def _minhash_exact_verify(ds, survivors, text_col: str, id_col: str,
                 j = jaccard(sh[a], sh[b])
                 if j >= threshold:
                     rows.append({"id_a": a, "id_b": b, "jaccard": round(j, 6)})
-        return pa.Table.from_pylist(rows) if rows else empty_result
+        out = pa.Table.from_pylist(rows) if rows else empty_result
+        return _rd_mod.from_arrow(out) if as_dataset else out
 
     # --- distributed verify: two partitioned shingle-attach rounds
     import ray.data as rd
@@ -508,6 +519,10 @@ def _minhash_exact_verify(ds, survivors, text_col: str, id_col: str,
     verified = (sh_tag.union(round1)
                 .groupby("jpart").map_groups(attach_b_and_jaccard,
                                              batch_format="pandas"))
+    if as_dataset:
+        # each pair occurs exactly once (the survivor set is deduped
+        # before the attach rounds) — no driver collect needed
+        return verified
     rows = sorted(collect_pylist(verified),
                   key=lambda r: (r["id_a"], r["id_b"]))
     return pa.Table.from_pylist(rows) if rows else empty_result
@@ -893,7 +908,8 @@ def dup_clusters(pairs: "pa.Table | list[tuple[int, int]]") -> dict[int, int]:
 
 
 def dup_clusters_distributed(pairs_ds, partitions: int = 64,
-                             max_rounds: int = 50) -> "pa.Table":
+                             max_rounds: int = 50,
+                             collect: bool = True) -> "pa.Table":
     """Distributed connected components over a near-dup pair Dataset:
     iterative MIN-label propagation (the at-scale alternative to the
     driver union-find — O(component diameter) rounds, each round one
@@ -1012,15 +1028,52 @@ def dup_clusters_distributed(pairs_ds, partitions: int = 64,
             f"({changed} labels still changing) — a component's diameter "
             "exceeds max_rounds; raise max_rounds (rounds are O(diameter))")
 
+    if not collect:
+        # the labels stay a Dataset — at 10¹²-row scale the (id, root)
+        # table is corpus-dup-rate-sized and must never sit on the
+        # driver (feeds partitioned_anti_join / keep-first filtering)
+        return labels.map_batches(
+            lambda t: pa.table({"id": t.column("v").combine_chunks(),
+                                "root": t.column("label").combine_chunks()}),
+            batch_format="pyarrow")
     out = sorted(collect_pylist(labels), key=lambda r: r["v"])
     return pa.table({"id": pa.array([r["v"] for r in out], type=pa.int64()),
                      "root": pa.array([r["label"] for r in out], type=pa.int64())})
 
 
+def drop_keys_from_labels(labels_ds, id_col: str = "doc_id"):
+    """(id, root) labels Dataset → Dataset of the ids to DROP
+    (root ≠ id), renamed to `id_col` for partitioned_anti_join."""
+    def drops(t: pa.Table) -> pa.Table:
+        ids = t.column("id").to_numpy(zero_copy_only=False)
+        roots = t.column("root").to_numpy(zero_copy_only=False)
+        return pa.table({id_col: pa.array(ids[ids != roots], type=pa.int64())})
+
+    return labels_ds.map_batches(drops, batch_format="pyarrow")
+
+
+def dedup_keep_list_distributed(ds, pairs_ds, id_col: str = "doc_id",
+                                partitions: int = 64):
+    """Near-dup keep-first filter with NOTHING dup-rate-sized on the
+    driver: distributed connected components label every paired id
+    with its cluster's min id, the drop set (root ≠ id) stays a
+    Dataset, and the corpus filters through a hash-partitioned
+    anti-join. This is the 10¹²-row shape — web crawls commonly run
+    30%+ near-dup, so the drop set scales with the corpus and the
+    broadcast path (dedup_keep_list) stops fitting the driver."""
+    from tanml_ray.pipelines.join import partitioned_anti_join
+
+    labels = dup_clusters_distributed(pairs_ds, partitions=partitions,
+                                      collect=False)
+    return partitioned_anti_join(ds, drop_keys_from_labels(labels, id_col),
+                                 id_col, partitions=partitions)
+
+
 def dedup_keep_list(ds, pairs: pa.Table, id_col: str = "doc_id"):
     """Near-dup-aware keep filter: drop every id whose cluster root is
     not itself (keep-first-per-cluster). Returns the filtered Dataset —
-    the drop set broadcasts; the data never shuffles."""
+    the drop set broadcasts; the data never shuffles. For drop sets
+    past driver memory use dedup_keep_list_distributed."""
     import ray
 
     clusters = dup_clusters(pairs)

@@ -196,6 +196,65 @@ def asof_join(left_ds, right_ds, key: str, ts_col: str,
                                               batch_format="pandas")
 
 
+def partitioned_anti_join(ds, keys_ds, key_col: str,
+                          partitions: int = 64):
+    """Fully-distributed anti-join on an int64 key: keep ds rows whose
+    `key_col` does NOT appear in `keys_ds` (a Dataset with an int64
+    `key_col` column). Both sides hash-partition by key and the
+    membership test happens inside each group — NOTHING key-set-sized
+    ever touches the driver, unlike bloom_semi_join (driver key array)
+    or a ray.put drop-set broadcast. This is the 10¹²-row shape for
+    key sets that scale with the corpus (e.g. near-dup drop lists at
+    30%+ dup rates). One shuffle of ds is the price; callers with a
+    provably bounded key set should prefer the broadcast path."""
+    schema = ds.schema()
+    corpus_fields = list(zip(schema.names, schema.types))
+    helper = ["__jpart", "__kind"]
+
+    def _part(ids: np.ndarray) -> np.ndarray:
+        return (pd.util.hash_array(ids.astype(np.int64))
+                % np.uint64(partitions)).astype(np.int32)
+
+    def tag_corpus(batch: pa.Table) -> pa.Table:
+        ids = batch.column(key_col).to_numpy(zero_copy_only=False)
+        cols = {name: batch.column(name).combine_chunks()
+                for name, _ in corpus_fields}
+        cols["__jpart"] = pa.array(_part(ids), type=pa.int32())
+        cols["__kind"] = pa.array(["c"] * batch.num_rows, type=pa.string())
+        return pa.table(cols)
+
+    def tag_keys(batch: pa.Table) -> pa.Table:
+        ids = batch.column(key_col).to_numpy(zero_copy_only=False)
+        n = len(ids)
+        cols = {name: (pa.array(ids, type=pa.int64()) if name == key_col
+                       else pa.nulls(n, type=typ))
+                for name, typ in corpus_fields}
+        cols["__jpart"] = pa.array(_part(ids), type=pa.int32())
+        cols["__kind"] = pa.array(["k"] * n, type=pa.string())
+        return pa.table(cols)
+
+    tagged = (ds.map_batches(tag_corpus, batch_format="pyarrow")
+              .union(keys_ds.map_batches(tag_keys, batch_format="pyarrow")))
+
+    def anti_group(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        is_key = _pc.equal(g.column("__kind"), "k")
+        drop = np.unique(g.filter(is_key).column(key_col)
+                         .to_numpy(zero_copy_only=False).astype(np.int64))
+        corpus = g.filter(_pc.invert(is_key))
+        ids = corpus.column(key_col).to_numpy(zero_copy_only=False)
+        if drop.size:
+            pos = np.searchsorted(drop, ids)
+            pos[pos == len(drop)] = 0
+            keep = drop[pos] != ids
+            corpus = corpus.filter(pa.array(keep))
+        return corpus.drop_columns(helper)
+
+    return tagged.groupby("__jpart").map_groups(anti_group,
+                                                batch_format="pyarrow")
+
+
 def bloom_semi_join(large_ds, key_values: "np.ndarray", key: str,
                     fp_rate: float = 0.01, exact: bool = True,
                     anti: bool = False):

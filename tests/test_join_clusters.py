@@ -86,6 +86,63 @@ class TestDedupKeepList:
         # clusters {1,2,3} keep 1; {7,8} keep 7
         assert kept == [0, 1, 4, 5, 6, 7, 9]
 
+    def test_distributed_matches_broadcast(self):
+        """dedup_keep_list_distributed (CC labels + partitioned
+        anti-join, nothing drop-set-sized on the driver) must keep
+        exactly the rows the broadcast path keeps."""
+        import ray.data as rd
+
+        from tanml_ray.pipelines.dedup import dedup_keep_list_distributed
+
+        tbl = pa.table({"doc_id": list(range(40)),
+                        "text": [f"doc {i}" for i in range(40)]})
+        pairs = pa.table({"id_a": [1, 2, 7, 20, 21, 30],
+                          "id_b": [2, 3, 8, 21, 22, 31],
+                          "jaccard": [0.9] * 6})
+        want = sorted(r["doc_id"] for r in collect_pylist(
+            dedup_keep_list(_ds(tbl, 4), pairs)))
+        got_rows = collect_pylist(dedup_keep_list_distributed(
+            _ds(tbl, 4), rd.from_arrow(pairs)))
+        got = sorted(r["doc_id"] for r in got_rows)
+        assert got == want
+        assert all(r["text"] == f"doc {r['doc_id']}" for r in got_rows)
+
+
+class TestPartitionedAntiJoin:
+    def test_matches_python_set_filter(self):
+        import ray.data as rd
+
+        from tanml_ray.pipelines.join import partitioned_anti_join
+
+        rng = np.random.default_rng(13)
+        ids = np.arange(500)
+        tbl = pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                        "payload": [f"row {i}" for i in ids]})
+        drop = rng.choice(500, 120, replace=False).astype(np.int64)
+        # key Dataset with duplicates + keys absent from the corpus
+        keys = np.concatenate([drop, drop[:30], np.array([9999, 10101])])
+        keys_ds = rd.from_arrow(pa.table({"doc_id": pa.array(keys,
+                                                             type=pa.int64())}))
+        out = collect_pylist(partitioned_anti_join(_ds(tbl, 5), keys_ds,
+                                                   "doc_id", partitions=8))
+        got = sorted(r["doc_id"] for r in out)
+        want = sorted(set(ids.tolist()) - set(drop.tolist()))
+        assert got == want
+        # non-key columns survive intact
+        assert all(r["payload"] == f"row {r['doc_id']}" for r in out)
+
+    def test_empty_key_set_keeps_all(self):
+        import ray.data as rd
+
+        from tanml_ray.pipelines.join import partitioned_anti_join
+
+        tbl = pa.table({"doc_id": pa.array([1, 2, 3], type=pa.int64())})
+        keys_ds = rd.from_arrow(pa.table({"doc_id": pa.array([],
+                                                             type=pa.int64())}))
+        out = sorted(r["doc_id"] for r in collect_pylist(
+            partitioned_anti_join(_ds(tbl, 2), keys_ds, "doc_id")))
+        assert out == [1, 2, 3]
+
 
 class TestBloomFilter:
     def test_no_false_negatives_and_bounded_fp(self):
