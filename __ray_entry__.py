@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "leakage_overlap_documents": q.leakage_overlap_documents,
         "knn_cosine_embeddings": q.knn_cosine_embeddings,
         "knn_cosine_lsh_embeddings": q.knn_cosine_lsh_embeddings,
+        "knn_cosine_ivf_embeddings": q.knn_cosine_ivf_embeddings,
         "embedding_near_dup_pairs": q.embedding_near_dup_pairs,
         "exact_dedup_documents": q.exact_dedup_documents,
         "minhash_near_dup_documents": q.minhash_near_dup_documents,

@@ -697,6 +697,26 @@ def knn_cosine_lsh_embeddings(sf_dir: str) -> pa.Table:
                           n_bits=6, multiprobe=2)
 
 
+def knn_cosine_ivf_embeddings(sf_dir: str) -> pa.Table:
+    """Approximate IVF top-k over a centroid-partitioned index built
+    under /tmp — rows-only check (recall vs exact is the pytest
+    contract, tests/test_dedup_text.py TestIvfIndexedKnn)."""
+    import os
+
+    from tanml_ray.pipelines.similarity import (
+        build_ivf_index,
+        knn_cosine_ivf_indexed,
+    )
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    tag = sf_dir.rstrip("/").split("/")[-1]
+    idx = f"/tmp/tanml_ivf_{tag}"
+    if not os.path.exists(os.path.join(idx, "_ivf_meta.json")):
+        build_ivf_index(ds, idx)
+    return knn_cosine_ivf_indexed(idx, _query_vectors(sf_dir, _KNN_QUERY_IDS),
+                                  k=10, n_probe=6)
+
+
 def embedding_near_dup_pairs(sf_dir: str) -> pa.Table:
     from tanml_ray.pipelines.dedup import embedding_near_dups
 

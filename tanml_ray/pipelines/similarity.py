@@ -200,6 +200,90 @@ def build_lsh_index(ds, out_dir: str, n_bits: int = 8, seed: int = 42,
     return out_dir
 
 
+def build_ivf_index(ds, out_dir: str, n_centroids: int | None = None,
+                    id_col: str = "vec_id", vec_col: str = "embedding") -> str:
+    """IVF index: deterministic Lloyd centroids (shared with the
+    embedding near-dup pipeline, dedup._kmeans_unit_vectors — no RNG,
+    partition-order independent) + one streaming pass writing
+    hive-partitioned parquet `out_dir/cell=<c>/…` keyed by each
+    vector's nearest centroid. The centroid matrix persists next to the
+    data, so the index is self-describing and resumable. This is the
+    second scale path next to the LSH-bucketed index: IVF adapts its
+    partitioning to the data's cluster structure (LSH planes are
+    data-oblivious), which probes fewer candidates on clustered
+    corpora."""
+    import json
+    import os
+
+    import ray
+
+    from tanml_ray.pipelines.dedup import _kmeans_unit_vectors
+
+    src = ds.select_columns([id_col, vec_col]).materialize()
+    n = src.count()
+    k = n_centroids or max(2, int(np.sqrt(max(n, 4))))
+    centers = _kmeans_unit_vectors(src, id_col, vec_col, k)
+    cref = ray.put(centers)
+
+    def add_cell(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        C = _ray.get(cref)
+        if batch.num_rows == 0:
+            return batch.append_column("cell", pa.array([], type=pa.int64()))
+        vecs = _normalize(_batch_matrix(batch, vec_col))
+        d = ((vecs ** 2).sum(axis=1, keepdims=True)
+             + (C ** 2).sum(axis=1)[None, :] - 2.0 * (vecs @ C.T))
+        return batch.append_column(
+            "cell", pa.array(d.argmin(axis=1).astype(np.int64), type=pa.int64()))
+
+    os.makedirs(out_dir, exist_ok=True)
+    src.map_batches(add_cell, batch_format="pyarrow").write_parquet(
+        out_dir, partition_cols=["cell"])
+    np.save(os.path.join(out_dir, "_ivf_centroids.npy"), centers)
+    with open(os.path.join(out_dir, "_ivf_meta.json"), "w") as f:
+        json.dump({"n_centroids": int(k), "id_col": id_col,
+                   "vec_col": vec_col}, f)
+    return out_dir
+
+
+def knn_cosine_ivf_indexed(index_dir: str, queries: dict[int, np.ndarray],
+                           k: int = 10, n_probe: int = 4) -> pa.Table:
+    """Approximate top-k over a build_ivf_index layout: each query
+    probes only its `n_probe` nearest centroid cells; the union of
+    probe cells is read via PATH-level partition pruning (same
+    mechanism as the LSH index — Ray's fragment filter can't see hive
+    partition fields), so scan cost is O(probed cells), not O(corpus).
+    Recall vs knn_cosine is the pytest contract; raise n_probe to trade
+    scan for recall."""
+    import json
+    import os
+
+    import ray.data as rd
+
+    with open(os.path.join(index_dir, "_ivf_meta.json")) as f:
+        meta = json.load(f)
+    centers = np.load(os.path.join(index_dir, "_ivf_centroids.npy"))
+    qids = sorted(queries)
+    qmat = _normalize(np.stack([np.asarray(queries[q], dtype=np.float64)
+                                for q in qids]))
+    d = ((qmat ** 2).sum(axis=1, keepdims=True)
+         + (centers ** 2).sum(axis=1)[None, :] - 2.0 * (qmat @ centers.T))
+    probe = min(n_probe, centers.shape[0])
+    cells = {int(c) for row in np.argpartition(d, probe - 1, axis=1)[:, :probe]
+             for c in row}
+    paths = [os.path.join(p, f)
+             for c in sorted(cells)
+             if os.path.isdir(p := os.path.join(index_dir, f"cell={c}"))
+             for f in sorted(os.listdir(p)) if f.endswith(".parquet")]
+    if not paths:
+        return pa.table({"query_id": pa.array([], type=pa.int64()),
+                         "vec_id": pa.array([], type=pa.int64()),
+                         "sim": pa.array([], type=pa.float64())})
+    return knn_cosine(rd.read_parquet(paths), queries, k=k,
+                      id_col=meta["id_col"], vec_col=meta["vec_col"])
+
+
 def knn_cosine_lsh_indexed(index_dir: str, queries: dict[int, np.ndarray],
                            k: int = 10, multiprobe: int = 1) -> pa.Table:
     """Approximate top-k over a build_lsh_index layout: ONLY the probe

@@ -394,6 +394,70 @@ class TestLshIndexedKnn:
         assert 0 < pruned.count() < len(vecs)
 
 
+@pytest.mark.usefixtures("ray_session")
+class TestIvfIndexedKnn:
+    def test_ivf_index_prunes_and_recalls(self, tmp_path):
+        """build_ivf_index writes hive-partitioned parquet by nearest
+        centroid; the indexed query reads ONLY probe cells and still
+        recovers the true neighbors of clustered vectors."""
+        import os
+
+        import ray.data as rd
+
+        from tanml_ray.pipelines.similarity import (
+            build_ivf_index,
+            knn_cosine,
+            knn_cosine_ivf_indexed,
+        )
+
+        rng = np.random.default_rng(17)
+        centers = rng.standard_normal((8, 32)) * 5
+        vecs = np.vstack([c + rng.standard_normal((50, 32)) * 0.3
+                          for c in centers])
+        ids = np.arange(len(vecs))
+        t = pa.table({"vec_id": pa.array(ids, type=pa.int64()),
+                      "embedding": pa.array([v.astype(np.float32) for v in vecs],
+                                            type=pa.list_(pa.float32()))})
+        idx_dir = str(tmp_path / "ivf_index")
+        build_ivf_index(rd.from_arrow(t).repartition(4), idx_dir,
+                        n_centroids=16)
+        parts = [d for d in os.listdir(idx_dir) if d.startswith("cell=")]
+        assert len(parts) >= 2
+
+        qs = {0: vecs[0], 50: vecs[50], 200: vecs[200]}
+        exact = knn_cosine(rd.from_arrow(t), qs, k=10).to_pylist()
+        approx = knn_cosine_ivf_indexed(idx_dir, qs, k=10,
+                                        n_probe=4).to_pylist()
+        for qid in qs:
+            e = {r["vec_id"] for r in exact if r["query_id"] == qid}
+            a = {r["vec_id"] for r in approx if r["query_id"] == qid}
+            assert len(e & a) / len(e) >= 0.8, qid
+
+    def test_deterministic_layout(self, tmp_path):
+        """Same input → identical centroids and cell assignment
+        regardless of partitioning (no RNG anywhere)."""
+        import ray.data as rd
+
+        from tanml_ray.pipelines.similarity import (
+            build_ivf_index,
+            knn_cosine_ivf_indexed,
+        )
+
+        rng = np.random.default_rng(3)
+        vecs = rng.standard_normal((120, 16))
+        t = pa.table({"vec_id": pa.array(np.arange(120), type=pa.int64()),
+                      "embedding": pa.array([v.astype(np.float32) for v in vecs],
+                                            type=pa.list_(pa.float32()))})
+        d1 = str(tmp_path / "i1")
+        d2 = str(tmp_path / "i2")
+        build_ivf_index(rd.from_arrow(t).repartition(1), d1, n_centroids=6)
+        build_ivf_index(rd.from_arrow(t).repartition(7), d2, n_centroids=6)
+        qs = {5: vecs[5], 77: vecs[77]}
+        a = knn_cosine_ivf_indexed(d1, qs, k=5).to_pylist()
+        b = knn_cosine_ivf_indexed(d2, qs, k=5).to_pylist()
+        assert a == b
+
+
 class TestTextAnalysis:
     def test_normalize_and_fingerprint(self):
         assert normalize_text("  Hello   WORLD \n") == "hello world"
