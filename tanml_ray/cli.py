@@ -67,6 +67,9 @@ def main(argv: list[str] | None = None) -> int:
     cu.add_argument("--near-dup-threshold", type=float, default=0.8)
     cu.add_argument("--langs", default=None,
                     help="comma-separated language allow-list")
+    cu.add_argument("--resumable", action="store_true",
+                    help="checkpoint the per-file quality stage under "
+                         "--out (reruns skip finished input shards)")
 
     args = p.parse_args(argv)
 
@@ -129,14 +132,22 @@ def main(argv: list[str] | None = None) -> int:
 
             from tanml_ray.pipelines.curate import curate_documents
 
-            ds = rd.read_parquet(args.input)
             langs = (set(args.langs.split(",")) if args.langs else None)
-            _, stats = curate_documents(ds, text_col=args.text_col,
-                                        id_col=args.id_col,
-                                        min_tokens=args.min_tokens,
-                                        allowed_langs=langs,
-                                        near_dup_threshold=args.near_dup_threshold,
-                                        out_dir=args.out)
+            if args.resumable:
+                from tanml_ray.pipelines.curate import run_resumable_curation
+
+                stats = run_resumable_curation(
+                    args.input, args.out, text_col=args.text_col,
+                    id_col=args.id_col, min_tokens=args.min_tokens,
+                    allowed_langs=langs,
+                    near_dup_threshold=args.near_dup_threshold)
+            else:
+                ds = rd.read_parquet(args.input)
+                _, stats = curate_documents(
+                    ds, text_col=args.text_col, id_col=args.id_col,
+                    min_tokens=args.min_tokens, allowed_langs=langs,
+                    near_dup_threshold=args.near_dup_threshold,
+                    out_dir=args.out)
             print(json.dumps(stats, default=str))
     except Exception as e:  # surface a one-line JSON error, not a traceback
         import traceback

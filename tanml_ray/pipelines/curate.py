@@ -34,6 +34,27 @@ import pyarrow.compute as pc
 from tanml_ray.functions.collect import collect_pylist
 
 
+def quality_filter_batch(batch: pa.Table, text_col: str, id_col: str,
+                         min_tokens: int, max_tokens: int,
+                         min_quality: float,
+                         allowed_langs: set[str] | None) -> pa.Table:
+    """Fused quality + language keep filter over one Arrow batch —
+    row-local (no cross-row state), so it is the per-file resumable
+    unit of run_resumable_curation as well as stage 1 of
+    curate_documents."""
+    from tanml_ray.stages.text import langid_of, quality_batch
+
+    q = quality_batch(batch, text_col=text_col, id_col=id_col)
+    n_tok = q.column("n_tokens").to_numpy(zero_copy_only=False)
+    score = q.column("quality_score").to_numpy(zero_copy_only=False)
+    ok = (n_tok >= min_tokens) & (n_tok <= max_tokens) & (score >= min_quality)
+    if allowed_langs is not None:
+        texts = batch.column(text_col).to_pylist()
+        langs = np.array([langid_of(t or "")[0] for t in texts], dtype=object)
+        ok &= np.isin(langs, list(allowed_langs))
+    return batch.filter(pa.array(ok))
+
+
 def _content_digest(text: str) -> bytes:
     """16-byte blake2b content digest. 128 bits makes CHANCE collisions
     impossible at 10¹² docs, and blake2b (unlike md5) is collision-
@@ -116,7 +137,8 @@ def curate_documents(ds, text_col: str = "text", id_col: str = "doc_id",
                      near_dup_threshold: float = 0.8,
                      out_dir: str | None = None,
                      num_output_files: int = 8,
-                     dig_driver_budget: int = 256 << 20) -> tuple[Any, dict[str, Any]]:
+                     dig_driver_budget: int = 256 << 20,
+                     assume_quality_filtered: bool = False) -> tuple[Any, dict[str, Any]]:
     """Returns (curated Dataset, stats dict). Stats account for every
     dropped row by stage — a curation run that can't say where rows
     went is not auditable."""
@@ -127,7 +149,6 @@ def curate_documents(ds, text_col: str = "text", id_col: str = "doc_id",
         dup_clusters,
         minhash_lsh_pairs,
     )
-    from tanml_ray.stages.text import langid_of, quality_batch
 
     stats: dict[str, Any] = {}
 
@@ -140,19 +161,17 @@ def curate_documents(ds, text_col: str = "text", id_col: str = "doc_id",
     # -- 1. quality + langid filter (one fused pass; per-row langid is
     # the tokenizer-bound part, vectorized counts come from
     # quality_batch's Arrow kernels)
-    def keep_quality(batch: pa.Table) -> pa.Table:
-        q = quality_batch(batch, text_col=text_col, id_col=id_col)
-        n_tok = q.column("n_tokens").to_numpy(zero_copy_only=False)
-        score = q.column("quality_score").to_numpy(zero_copy_only=False)
-        ok = (n_tok >= min_tokens) & (n_tok <= max_tokens) & (score >= min_quality)
-        if allowed_langs is not None:
-            texts = batch.column(text_col).to_pylist()
-            langs = np.array([langid_of(t or "")[0] for t in texts], dtype=object)
-            ok &= np.isin(langs, list(allowed_langs))
-        return batch.filter(pa.array(ok))
+    if assume_quality_filtered:
+        filtered = ds
+        n1 = n0
+    else:
+        def keep_quality(batch: pa.Table) -> pa.Table:
+            return quality_filter_batch(batch, text_col, id_col, min_tokens,
+                                        max_tokens, min_quality, allowed_langs)
 
-    filtered = ds.map_batches(keep_quality, batch_format="pyarrow").materialize()
-    n1 = count_of(filtered)
+        filtered = ds.map_batches(keep_quality,
+                                  batch_format="pyarrow").materialize()
+        n1 = count_of(filtered)
     stats["dropped_quality_or_lang"] = n0 - n1
 
     # -- 2. exact dedup: keep min-id per content digest. The key is a
@@ -275,3 +294,109 @@ def curate_documents(ds, text_col: str = "text", id_col: str = "doc_id",
         curated.repartition(num_output_files).write_parquet(out_dir)
         stats["out_dir"] = out_dir
     return curated, stats
+
+
+def run_resumable_curation(input_dir: str, out_dir: str,
+                           text_col: str = "text", id_col: str = "doc_id",
+                           min_tokens: int = 5, max_tokens: int = 100_000,
+                           min_quality: float = 0.0,
+                           allowed_langs: set[str] | None = None,
+                           near_dup_threshold: float = 0.8,
+                           num_output_files: int = 8,
+                           dig_driver_budget: int = 256 << 20,
+                           wave_size: int = 16) -> dict[str, Any]:
+    """Resumable curation over a directory of parquet shards, mirroring
+    run_resumable_validation's checkpoint contract (state/checkpoint.py):
+
+      - stage 1 (quality + langid filter) is ROW-LOCAL, so the input
+        file is its natural resume unit: each file's survivors are
+        written to ``out_dir/stage1/<pid>.parquet`` and marked done in
+        the lineage-guarded manifest — a rerun skips finished files
+        (at 100 TB this is the dominant text-processing cost).
+      - stage 2 (global exact + near dedup, token accounting, final
+        partitioned write) is a SHUFFLE and has no mid-stage checkpoint
+        (same documented limitation as validation's global uniqueness);
+        it recomputes from the stage-1 outputs, never from raw input.
+
+    Stage-1 files process as one Ray task per file (read → vectorized
+    filter → write; no shuffle, driver only coordinates the wave and
+    the manifest). Returns the curation stats dict plus
+    lineage/resume accounting.
+    """
+    import os
+
+    import ray
+    import ray.data as rd
+
+    from tanml_ray.state.checkpoint import Manifest, lineage_id
+
+    files = sorted(os.path.join(input_dir, f) for f in os.listdir(input_dir)
+                   if f.endswith(".parquet"))
+    if not files:
+        raise ValueError(f"no parquet files under {input_dir!r}")
+    config = {"text_col": text_col, "id_col": id_col,
+              "min_tokens": min_tokens, "max_tokens": max_tokens,
+              "min_quality": min_quality,
+              "allowed_langs": sorted(allowed_langs) if allowed_langs else None,
+              "stage": "curate_v1"}
+    lid = lineage_id(files, config)
+    stage1_dir = os.path.join(out_dir, "stage1")
+    os.makedirs(stage1_dir, exist_ok=True)
+    manifest = Manifest.load_or_create(os.path.join(out_dir, "manifest.json"),
+                                       lid)
+
+    @ray.remote
+    def filter_file(path: str, dest: str) -> tuple[int, int]:
+        import pyarrow.parquet as _pq
+
+        t = _pq.read_table(path)
+        kept = quality_filter_batch(t, text_col, id_col, min_tokens,
+                                    max_tokens, min_quality, allowed_langs)
+        tmp = dest + ".tmp"
+        _pq.write_table(kept, tmp)
+        os.replace(tmp, dest)
+        return t.num_rows, kept.num_rows
+
+    todo = [f for f in files if not manifest.done(os.path.basename(f))]
+    processed = 0
+    for w in range(0, len(todo), wave_size):
+        wave = todo[w:w + wave_size]
+        futs = {os.path.basename(f): filter_file.remote(
+            f, os.path.join(stage1_dir, os.path.basename(f))) for f in wave}
+        for pid, fut in futs.items():
+            rows_in, rows_kept = ray.get(fut)
+            manifest.mark_done(pid, rows_in=rows_in, rows_kept=rows_kept)
+            processed += 1
+        manifest.save()
+
+    rows_in = sum(p.get("rows_in", 0) for p in manifest.partitions.values())
+    rows_kept = sum(p.get("rows_kept", 0) for p in manifest.partitions.values())
+
+    stage1_files = [os.path.join(stage1_dir, os.path.basename(f))
+                    for f in files]
+    # idempotent final write: Ray's write_parquet APPENDS into an
+    # existing directory, so a rerun would double the output — write to
+    # a tmp dir and swap it in atomically once stage 2 completes
+    import shutil
+
+    final_dir = os.path.join(out_dir, "curated")
+    tmp_dir = final_dir + ".tmp"
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    curated, stats = curate_documents(
+        rd.read_parquet(stage1_files),
+        text_col=text_col, id_col=id_col,
+        near_dup_threshold=near_dup_threshold,
+        out_dir=tmp_dir,
+        num_output_files=num_output_files,
+        dig_driver_budget=dig_driver_budget,
+        assume_quality_filtered=True)
+    shutil.rmtree(final_dir, ignore_errors=True)
+    os.replace(tmp_dir, final_dir)
+    stats["out_dir"] = final_dir
+    stats["input_rows"] = rows_in
+    stats["dropped_quality_or_lang"] = rows_in - rows_kept
+    stats["lineage_id"] = lid
+    stats["partitions"] = len(files)
+    stats["processed_partitions"] = processed
+    stats["skipped_partitions"] = len(files) - len(todo)
+    return stats

@@ -68,6 +68,48 @@ class TestCurate:
         assert ids_drv == ids_dist
         assert drv_stats == dist_stats
 
+    def test_resumable_curation(self, tmp_path):
+        """First run processes every input shard; a rerun skips all of
+        them (stage-1 checkpoint) and reproduces identical stats; the
+        final output matches the non-resumable pipeline on the same
+        corpus."""
+        import pyarrow.parquet as pq
+
+        from tanml_ray.pipelines.curate import (
+            curate_documents,
+            run_resumable_curation,
+        )
+
+        corpus = self._corpus().materialize()
+        in_dir = tmp_path / "in"
+        in_dir.mkdir()
+        rows = corpus.take_all()
+        import pyarrow as pa_
+
+        for i in range(3):
+            pq.write_table(pa_.Table.from_pylist(rows[i::3]),
+                           str(in_dir / f"shard{i}.parquet"))
+
+        out_dir = str(tmp_path / "out")
+        s1 = run_resumable_curation(str(in_dir), out_dir,
+                                    near_dup_threshold=0.6, wave_size=2)
+        assert s1["processed_partitions"] == 3 and s1["skipped_partitions"] == 0
+        assert s1["input_rows"] == 55
+        # rerun: everything checkpointed, stage 1 skipped entirely
+        s2 = run_resumable_curation(str(in_dir), out_dir,
+                                    near_dup_threshold=0.6, wave_size=2)
+        assert s2["processed_partitions"] == 0 and s2["skipped_partitions"] == 3
+        acct = {"processed_partitions", "skipped_partitions"}
+        assert {k: v for k, v in s1.items() if k not in acct} \
+            == {k: v for k, v in s2.items() if k not in acct}
+        # same numbers as the non-resumable pipeline on the same corpus
+        _, want = curate_documents(self._corpus(), near_dup_threshold=0.6)
+        for k in ("input_rows", "dropped_quality_or_lang",
+                  "dropped_exact_dup", "dropped_near_dup", "output_rows",
+                  "output_ws_tokens", "near_dup_clusters"):
+            assert s1[k] == want[k], k
+        assert pq.read_table(f"{out_dir}/curated").num_rows == want["output_rows"]
+
     def test_lang_allowlist(self):
         import ray.data as rd
 
