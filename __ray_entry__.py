@@ -111,6 +111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate_documents_stats": q.curate_documents_stats,
         "linear_fit_orders": q.linear_fit_orders,
         "linear_cv_repeated_orders": q.linear_cv_repeated_orders,
+        "order_shipweek_counts": q.order_shipweek_counts,
         "logistic_cv_repeated_orders": q.logistic_cv_repeated_orders,
         "logistic_inference_orders": q.logistic_inference_orders,
     }
@@ -181,6 +182,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_token_counts_documents": q.BPE_TOKEN_COUNTS_SQL,
         "linear_fit_orders": q.LINEAR_FIT_SQL,
         "linear_cv_repeated_orders": q.LINEAR_CV_REPEATED_SQL,
+        "order_shipweek_counts": q.RANGE_JOIN_SQL,
         # langid / lsh-knn / minhash / simhash / logistic_cv (iterative
         # IRLS): not SQL-expressible → rows-only driver check; verified
         # in pytest instead.

@@ -196,6 +196,86 @@ def asof_join(left_ds, right_ds, key: str, ts_col: str,
                                               batch_format="pandas")
 
 
+def range_join_count(left_ds, right_ds, left_day_col: str,
+                     right_day_col: str, left_key_col: str,
+                     window_days: int,
+                     out_count_col: str = "n"):
+    """Distributed RANGE (band) join, aggregated: for every left row,
+    count right rows whose day ∈ [left_day, left_day + window_days).
+    LEFT-join semantics — every left key appears, zero-count included.
+
+    Shape (no all-pairs comparison, no driver state): day axis buckets
+    at width = window_days, so each left window overlaps AT MOST TWO
+    buckets; left rows replicate to their ≤2 buckets, right rows route
+    to exactly one, and within each bucket group the count is two
+    vectorized searchsorted calls against the bucket's sorted right
+    days (right rows outside the bucket are in other groups, which
+    clips each partial count to the bucket automatically — partials
+    then Sum per left key). Total shuffle volume: ≤2 rows per left row
+    + 1 per right row, never a joined row set."""
+    import pyarrow.compute as _pc
+    from ray.data.aggregate import Sum
+
+    B = int(window_days)
+    if B < 1:
+        raise ValueError("window_days must be ≥ 1")
+
+    def _days(col: "pa.ChunkedArray") -> np.ndarray:
+        t = col.type
+        if pa.types.is_timestamp(t):
+            per_day = {"s": 86_400, "ms": 86_400_000,
+                       "us": 86_400_000_000, "ns": 86_400_000_000_000}[t.unit]
+            return (_pc.cast(col, pa.int64()).to_numpy(zero_copy_only=False)
+                    // per_day)
+        return _pc.cast(_pc.cast(col, pa.date32()), pa.int32()) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+
+    def left_rows(batch: pa.Table) -> pa.Table:
+        start = _days(batch.column(left_day_col))
+        keys = batch.column(left_key_col).to_numpy(zero_copy_only=False)
+        b0 = start // B
+        b1 = (start + B - 1) // B          # window end-1 bucket
+        two = b1 != b0
+        bkt = np.concatenate([b0, b1[two]])
+        k = np.concatenate([keys, keys[two]])
+        s = np.concatenate([start, start[two]])
+        return pa.table({"bucket": pa.array(bkt, type=pa.int64()),
+                         "kind": pa.array(["l"] * len(bkt), type=pa.string()),
+                         "key": pa.array(k, type=pa.int64()),
+                         "day": pa.array(s, type=pa.int64())})
+
+    def right_rows(batch: pa.Table) -> pa.Table:
+        d = _days(batch.column(right_day_col))
+        return pa.table({"bucket": pa.array(d // B, type=pa.int64()),
+                         "kind": pa.array(["r"] * len(d), type=pa.string()),
+                         "key": pa.array(np.zeros(len(d), dtype=np.int64)),
+                         "day": pa.array(d, type=pa.int64())})
+
+    tagged = (left_ds.map_batches(left_rows, batch_format="pyarrow")
+              .union(right_ds.map_batches(right_rows, batch_format="pyarrow")))
+
+    def count_group(g: pd.DataFrame) -> pa.Table:
+        left = g[g["kind"] == "l"]
+        if left.empty:
+            return pa.table({"key": pa.array([], type=pa.int64()),
+                             "n": pa.array([], type=pa.int64())})
+        rdays = np.sort(g[g["kind"] == "r"]["day"].to_numpy(dtype=np.int64))
+        start = left["day"].to_numpy(dtype=np.int64)
+        n = (np.searchsorted(rdays, start + B, side="left")
+             - np.searchsorted(rdays, start, side="left"))
+        return pa.table({"key": pa.array(left["key"].to_numpy(dtype=np.int64)),
+                         "n": pa.array(n.astype(np.int64))})
+
+    out = (tagged.groupby("bucket").map_groups(count_group,
+                                               batch_format="pandas")
+           .groupby("key").aggregate(Sum("n", alias_name=out_count_col)))
+    return out.map_batches(
+        lambda t: pa.table({left_key_col: t.column("key").combine_chunks(),
+                            out_count_col: t.column(out_count_col)
+                            .cast(pa.int64()).combine_chunks()}),
+        batch_format="pyarrow")
+
+
 def partitioned_anti_join(ds, keys_ds, key_col: str,
                           partitions: int = 64):
     """Fully-distributed anti-join on an int64 key: keep ds rows whose

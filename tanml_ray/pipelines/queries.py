@@ -1112,6 +1112,33 @@ def linear_cv_orders(sf_dir: str) -> pa.Table:
     return pa.Table.from_pylist(rows)
 
 
+def order_shipweek_counts(sf_dir: str) -> pa.Table:
+    """RANGE (band) join: per order, how many lineitem rows (any order)
+    shipped within [o_orderdate, o_orderdate + 7 days). Bucketed
+    replication + per-bucket searchsorted — never a joined row set
+    (pipelines/join.py range_join_count). Full SQL oracle."""
+    from tanml_ray.pipelines.join import range_join_count
+
+    left = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+    right = _read(sf_dir, "lineitem", ["l_shipdate"])
+    out = range_join_count(left, right, "o_orderdate", "l_shipdate",
+                           "o_orderkey", window_days=7,
+                           out_count_col="n_shipped")
+    return out.sort("o_orderkey")
+
+
+RANGE_JOIN_SQL = """
+SELECT o.o_orderkey,
+       CAST(count(l.l_shipdate) AS BIGINT) AS n_shipped
+FROM orders o
+LEFT JOIN lineitem l
+  ON CAST(l.l_shipdate AS DATE) >= CAST(o.o_orderdate AS DATE)
+ AND CAST(l.l_shipdate AS DATE) < CAST(o.o_orderdate AS DATE) + 7
+GROUP BY o.o_orderkey
+ORDER BY o.o_orderkey
+"""
+
+
 def linear_cv_repeated_orders(sf_dir: str) -> pa.Table:
     """Repeated K-fold CV (reference ui/services/cv.py:37-48
     Repeated*KFold semantics, deterministic prime-modulus re-keying

@@ -108,6 +108,59 @@ class TestDedupKeepList:
         assert all(r["text"] == f"doc {r['doc_id']}" for r in got_rows)
 
 
+class TestRangeJoinCount:
+    def test_matches_bruteforce_with_zero_counts(self):
+        """Window counting vs an O(n·m) python oracle; left rows with
+        no matches must still appear (LEFT semantics, n=0); windows
+        straddling bucket boundaries count across both buckets."""
+        import datetime as dt
+
+        import ray.data as rd
+
+        from tanml_ray.pipelines.join import range_join_count
+
+        rng = np.random.default_rng(5)
+        base = dt.date(2020, 1, 1)
+        left_days = rng.integers(0, 60, 80)
+        right_days = rng.integers(0, 40, 300)   # left days 40+ get zero
+        left = pa.table({"k": pa.array(np.arange(80), type=pa.int64()),
+                         "d": pa.array([base + dt.timedelta(int(x))
+                                        for x in left_days], type=pa.date32())})
+        right = pa.table({"d": pa.array(
+            [dt.datetime(2020, 1, 1, 12) + dt.timedelta(int(x))
+             for x in right_days], type=pa.timestamp("us"))})
+        out = {r["k"]: r["n"] for r in collect_pylist(range_join_count(
+            _ds(left, 4), _ds(right, 3), "d", "d", "k", window_days=7))}
+        for i, ld in enumerate(left_days):
+            want = int(((right_days >= ld) & (right_days < ld + 7)).sum())
+            assert out[i] == want, i
+        assert len(out) == 80
+        assert any(v == 0 for v in out.values())
+
+    def test_partition_invariance(self):
+        import datetime as dt
+
+        import ray.data as rd
+
+        from tanml_ray.pipelines.join import range_join_count
+
+        base = dt.date(2021, 3, 1)
+        left = pa.table({"k": pa.array([1, 2, 3], type=pa.int64()),
+                         "d": pa.array([base, base + dt.timedelta(10),
+                                        base + dt.timedelta(20)],
+                                       type=pa.date32())})
+        right = pa.table({"d": pa.array(
+            [base + dt.timedelta(i) for i in range(25)], type=pa.date32())})
+        a = sorted(collect_pylist(range_join_count(
+            _ds(left, 1), _ds(right, 1), "d", "d", "k", 7)),
+            key=lambda r: r["k"])
+        b = sorted(collect_pylist(range_join_count(
+            _ds(left, 3), _ds(right, 6), "d", "d", "k", 7)),
+            key=lambda r: r["k"])
+        assert a == b
+        assert [r["n"] for r in a] == [7, 7, 5]
+
+
 class TestPartitionedAntiJoin:
     def test_matches_python_set_filter(self):
         import ray.data as rd

@@ -32,7 +32,7 @@ FAST_QUERIES = [
     "permutation_importance_orders", "linear_fit_orders",
     "bpe_token_counts_documents",
     # round-3 families
-    "linear_cv_repeated_orders",
+    "linear_cv_repeated_orders", "order_shipweek_counts",
 ]
 
 
