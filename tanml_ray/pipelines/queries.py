@@ -1112,6 +1112,41 @@ def linear_cv_orders(sf_dir: str) -> pa.Table:
     return pa.Table.from_pylist(rows)
 
 
+def tfidf_top_terms_documents(sf_dir: str) -> pa.Table:
+    """Per-doc top-3 TF-IDF terms (smoothed sklearn idf, raw-count tf)
+    — full SQL oracle; the Ray side is two streaming passes with one
+    (term, partial_df) shuffle (stages/text.py tfidf_top_terms)."""
+    from tanml_ray.stages.text import tfidf_top_terms
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return tfidf_top_terms(ds, top_k=3)
+
+
+TFIDF_SQL = """
+WITH toks AS (
+  SELECT doc_id, t.term
+  FROM documents, UNNEST(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t(term)
+  WHERE t.term <> ''
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+), df AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term
+), n AS (
+  SELECT count(*) AS n FROM documents
+), scored AS (
+  SELECT tf.doc_id, tf.term,
+         tf.tf * (ln((n.n + 1.0) / (df.df + 1.0)) + 1.0) AS s
+  FROM tf JOIN df USING (term), n
+), ranked AS (
+  SELECT doc_id, term, s,
+         row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, term) AS rnk
+  FROM scored
+)
+SELECT doc_id, CAST(rnk AS BIGINT) AS rank, term, round(s, 6) AS tfidf
+FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rank
+"""
+
+
 def order_shipweek_counts(sf_dir: str) -> pa.Table:
     """RANGE (band) join: per order, how many lineitem rows (any order)
     shipped within [o_orderdate, o_orderdate + 7 days). Bucketed

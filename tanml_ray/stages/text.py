@@ -195,3 +195,90 @@ def winnow_batch(batch: pa.Table, text_col: str = "text",
     return pa.table({id_col: batch.column(id_col),
                      "fingerprints": pa.array(blobs, type=pa.binary()),
                      "n_fingerprints": pa.array(counts, type=pa.int64())})
+
+
+_TFIDF_TOKEN_RE = re.compile(r"[a-z0-9]+")
+
+
+def tfidf_top_terms(ds, text_col: str = "text", id_col: str = "doc_id",
+                    top_k: int = 3,
+                    df_driver_budget: int = 256 << 20) -> "pa.Table":
+    """Distributed TF-IDF with per-doc top-k terms — the classic text
+    featurization a quality-classifier pipeline needs. Two streaming
+    passes:
+
+      1. document frequencies: per-batch partial df (distinct docs per
+         term within the batch) pre-aggregates before ONE groupby(term)
+         — the only shuffle, moving (term, partial_df) rows, never
+         tokens per occurrence.
+      2. per-doc tf·idf: the df table broadcasts via ray.put (VOCAB-
+         bounded — a web-scale vocabulary at ~10⁷ distinct terms × 16 B
+         is well under the budget; the guard raises past
+         `df_driver_budget` rather than silently degrading) and each
+         batch scores its docs locally, keeping only top_k terms per
+         doc (score desc, term asc — deterministic).
+
+    idf = ln((N+1)/(df+1)) + 1 (smoothed, sklearn's formula); tf is the
+    raw in-doc count, so every number is integer-derived and the SQL
+    oracle (queries.TFIDF_SQL) reproduces it bit-for-bit. Returns
+    (doc_id, rank, term, tfidf) sorted by (doc_id, rank)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from tanml_ray.functions.collect import collect_pylist
+
+    N = ds.count()
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        texts = batch.column(text_col).to_pylist()
+        c: Counter = Counter()
+        for t in texts:
+            if t:
+                c.update(set(_TFIDF_TOKEN_RE.findall(t.lower())))
+        return pa.table({"term": pa.array(list(c.keys()), type=pa.string()),
+                         "df": pa.array(list(c.values()), type=pa.int64())})
+
+    df_ds = (ds.map_batches(df_partial, batch_format="pyarrow")
+             .groupby("term").aggregate(Sum("df", alias_name="df"))
+             .materialize())
+    if df_ds.size_bytes() > df_driver_budget:
+        raise ValueError(
+            f"vocabulary table {df_ds.size_bytes()} B exceeds "
+            f"df_driver_budget={df_driver_budget}; raise the budget or "
+            "pre-filter the vocabulary (min_df)")
+    df_map: dict[str, int] = {}
+    for r in collect_pylist(df_ds):
+        df_map[r["term"]] = r["df"]
+    ref = ray.put(df_map)
+
+    def topk(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        import ray as _ray
+
+        dfm = _ray.get(ref)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        texts = batch.column(text_col).to_pylist()
+        out = {"doc_id": [], "rank": [], "term": [], "tfidf": []}
+        for i, t in enumerate(texts):
+            if not t:
+                continue
+            tf = Counter(_TFIDF_TOKEN_RE.findall(t.lower()))
+            scored = sorted(
+                ((-cnt * (np.log((N + 1.0) / (dfm[w] + 1.0)) + 1.0), w)
+                 for w, cnt in tf.items()))
+            for rank, (neg_s, w) in enumerate(scored[:top_k], 1):
+                out["doc_id"].append(int(ids[i]))
+                out["rank"].append(rank)
+                out["term"].append(w)
+                out["tfidf"].append(round(-neg_s, 6))
+        return pa.table({"doc_id": pa.array(out["doc_id"], type=pa.int64()),
+                         "rank": pa.array(out["rank"], type=pa.int64()),
+                         "term": pa.array(out["term"], type=pa.string()),
+                         "tfidf": pa.array(out["tfidf"], type=pa.float64())})
+
+    rows = sorted(collect_pylist(ds.map_batches(topk, batch_format="pyarrow")),
+                  key=lambda r: (r["doc_id"], r["rank"]))
+    return pa.Table.from_pylist(rows)
