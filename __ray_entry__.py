@@ -113,6 +113,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "linear_cv_repeated_orders": q.linear_cv_repeated_orders,
         "order_shipweek_counts": q.order_shipweek_counts,
         "tfidf_top_terms_documents": q.tfidf_top_terms_documents,
+        "linear_cv_repeated_summary_orders": q.linear_cv_repeated_summary_orders,
         "logistic_cv_repeated_orders": q.logistic_cv_repeated_orders,
         "logistic_inference_orders": q.logistic_inference_orders,
     }
@@ -185,6 +186,7 @@ def oracle_sql() -> dict[str, str]:
         "linear_cv_repeated_orders": q.LINEAR_CV_REPEATED_SQL,
         "order_shipweek_counts": q.RANGE_JOIN_SQL,
         "tfidf_top_terms_documents": q.TFIDF_SQL,
+        "linear_cv_repeated_summary_orders": q.LINEAR_CV_REPEATED_SUMMARY_SQL,
         # langid / lsh-knn / minhash / simhash / logistic_cv (iterative
         # IRLS): not SQL-expressible → rows-only driver check; verified
         # in pytest instead.

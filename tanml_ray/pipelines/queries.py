@@ -1235,6 +1235,49 @@ FROM fit ORDER BY rep, fold
 """
 
 
+def linear_cv_repeated_summary_orders(sf_dir: str) -> pa.Table:
+    """The reference's CV distribution roll-up (ui/services/cv.py:
+    205-222: mean/std/min/max/p05/p50/p95 over all folds×repeats) as a
+    one-row SQL-oracled summary of the repeated-CV rmse values."""
+    from tanml_ray.pipelines.ranking import linear_cv_repeated
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_totalprice"])
+
+    def derive(batch: pa.Table) -> pa.Table:
+        days = (batch.column("o_orderdate").cast(pa.date32()).cast(pa.int32())
+                .to_numpy(zero_copy_only=False))
+        return pa.table({"o_orderkey": batch.column("o_orderkey"),
+                         "x": pa.array(days.astype(np.float64), type=pa.float64()),
+                         "y": batch.column("o_totalprice")})
+
+    out = linear_cv_repeated(ds.map_batches(derive, batch_format="pyarrow"),
+                             "x", "y", "o_orderkey", k=4, n_repeats=3)
+    vals = np.round(np.asarray(out.column("rmse").to_pylist()), 2)
+    return pa.Table.from_pylist([{
+        "n_folds": int(vals.size),
+        "mean": _round6(float(vals.mean())),
+        "std": _round6(float(vals.std(ddof=1))),
+        "min": _round6(float(vals.min())),
+        "max": _round6(float(vals.max())),
+        "p05": _round6(float(np.percentile(vals, 5))),
+        "p50": _round6(float(np.percentile(vals, 50))),
+        "p95": _round6(float(np.percentile(vals, 95))),
+    }])
+
+
+LINEAR_CV_REPEATED_SUMMARY_SQL = f"""
+SELECT CAST(count(*) AS BIGINT) AS n_folds,
+       round(avg(rmse), 6) AS mean,
+       round(stddev_samp(rmse), 6) AS std,
+       round(min(rmse), 6) AS "min",
+       round(max(rmse), 6) AS "max",
+       round(quantile_cont(rmse, 0.05), 6) AS p05,
+       round(quantile_cont(rmse, 0.50), 6) AS p50,
+       round(quantile_cont(rmse, 0.95), 6) AS p95
+FROM ({{inner}}) per
+""".replace("{inner}", LINEAR_CV_REPEATED_SQL)
+
+
 LINEAR_CV_SQL = """
 WITH p AS (
   SELECT o_orderkey % 5 AS fold,

@@ -33,7 +33,7 @@ FAST_QUERIES = [
     "bpe_token_counts_documents",
     # round-3 families
     "linear_cv_repeated_orders", "order_shipweek_counts",
-    "tfidf_top_terms_documents",
+    "tfidf_top_terms_documents", "linear_cv_repeated_summary_orders",
 ]
 
 
