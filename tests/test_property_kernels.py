@@ -186,3 +186,40 @@ def test_winnow_fingerprints_total_and_deterministic(text):
     assert winnow_similarity(text, text) == 1.0
     s = winnow_similarity(text, text + " suffix words added")
     assert 0.0 <= s <= 1.0
+
+
+@settings(max_examples=40, deadline=None)
+@given(k=st.integers(2, 12), rep=st.integers(0, 6),
+       start=st.integers(0, 10**9))
+def test_repeated_fold_properties(k, rep, start):
+    """Deterministic, complete (every fold hit on a dense key range),
+    and roughly balanced; repeat 0 must equal key % k exactly."""
+    from tanml_ray.pipelines.ranking import repeated_fold
+
+    keys = np.arange(start, start + 4000, dtype=np.int64)
+    f = repeated_fold(keys, rep, k)
+    assert np.array_equal(f, repeated_fold(keys, rep, k))
+    assert f.min() >= 0 and f.max() < k
+    if rep == 0:
+        assert np.array_equal(f, keys % k)
+    _, counts = np.unique(f, return_counts=True)
+    assert counts.size == k                    # every fold non-empty
+    assert counts.max() <= 3 * (4000 // k)     # no collapsed assignment
+
+
+def test_repeated_fold_repartitions_between_repeats():
+    """Different repeats must produce genuinely different SPLITS (not a
+    relabeling): some key pair co-foldered at rep r is separated at
+    rep r+1."""
+    from tanml_ray.pipelines.ranking import repeated_fold
+
+    keys = np.arange(5000, dtype=np.int64)
+    for k in (3, 4, 5):
+        for r in (0, 1, 2):
+            a = repeated_fold(keys, r, k)
+            b = repeated_fold(keys, r + 1, k)
+            # keys sharing a fold at rep r must not all share one at
+            # rep r+1 — otherwise the repeat is a mere relabeling of
+            # the same split
+            members = np.flatnonzero(a == a[0])
+            assert np.unique(b[members]).size > 1, (k, r)
