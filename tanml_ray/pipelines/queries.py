@@ -323,6 +323,82 @@ FROM events GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def daily_active_users_events(sf_dir: str) -> pa.Table:
+    """Grouped DISTINCT count (daily active users): per-batch
+    (day, user) dedupe is the combiner — the shuffle moves unique
+    pairs, never raw events — then one bounded groupby(day) counts
+    uniques per group. Full SQL oracle."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", ["ts", "user_id"])
+
+    def local(batch: pa.Table) -> pd.DataFrame:
+        day = pc.floor_temporal(batch.column("ts"), unit="day")
+        df = pd.DataFrame({"day": day.to_numpy(zero_copy_only=False),
+                           "user_id": batch.column("user_id")
+                           .to_numpy(zero_copy_only=False)})
+        return df.drop_duplicates()
+
+    def dau_of_day(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"day": [g["day"].iloc[0]],
+                             "dau": [int(g["user_id"].nunique())]})
+
+    agg = (ds.map_batches(local, batch_format="pyarrow")
+           .groupby("day").map_groups(dau_of_day, batch_format="pandas"))
+    rows = [{"day": pd.Timestamp(r["day"]), "dau": r["dau"]}
+            for r in collect_pylist(agg)]
+    rows.sort(key=lambda r: r["day"])
+    return pa.Table.from_pylist(rows)
+
+
+DAU_SQL = """
+SELECT date_trunc('day', ts) AS day,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
+def price_quantiles_by_priority(sf_dir: str) -> pa.Table:
+    """Per-group EXACT quantiles (p25/p50/p75/p95 of o_totalprice by
+    o_orderpriority): integerized micro-money sorts within each
+    bounded group; linear-interpolation percentiles match DuckDB's
+    quantile_cont bit-for-bit on the integer grid. (The unbounded-
+    cardinality scale path is the t-digest sketch, kernels/tdigest.py
+    — this exact kernel is the oracle anchor.) Full SQL oracle."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+
+    def local(batch: pa.Table) -> pd.DataFrame:
+        u = np.rint(batch.column("o_totalprice")
+                    .to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        return pd.DataFrame({"pri": batch.column("o_orderpriority").to_pylist(),
+                             "cents": u})
+
+    def q_of_group(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(g["cents"].to_numpy(dtype=np.int64)).astype(np.float64)
+        qs = {f"p{int(p*100):02d}": round(float(np.percentile(v, p * 100)
+                                                / 100.0), 6)
+              for p in (0.25, 0.50, 0.75, 0.95)}
+        return pd.DataFrame([{"o_orderpriority": g["pri"].iloc[0],
+                              "n": int(len(v)), **qs}])
+
+    out = (ds.map_batches(local, batch_format="pyarrow")
+           .groupby("pri").map_groups(q_of_group, batch_format="pandas"))
+    rows = sorted(collect_pylist(out), key=lambda r: r["o_orderpriority"])
+    return pa.Table.from_pylist(rows)
+
+
+GROUP_QUANTILES_SQL = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+       round(quantile_cont(CAST(round(o_totalprice*100) AS BIGINT), 0.25) / 100.0, 6) AS p25,
+       round(quantile_cont(CAST(round(o_totalprice*100) AS BIGINT), 0.50) / 100.0, 6) AS p50,
+       round(quantile_cont(CAST(round(o_totalprice*100) AS BIGINT), 0.75) / 100.0, 6) AS p75,
+       round(quantile_cont(CAST(round(o_totalprice*100) AS BIGINT), 0.95) / 100.0, 6) AS p95
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
 # J3: referential constraint as broadcast anti-join (violations table).
 # Allowed set deliberately restricted so real violations exist.
 REF_ALLOWED_LANGS = ("en", "es", "zh")

@@ -34,6 +34,7 @@ FAST_QUERIES = [
     # round-3 families
     "linear_cv_repeated_orders", "order_shipweek_counts",
     "tfidf_top_terms_documents", "linear_cv_repeated_summary_orders",
+    "daily_active_users_events", "price_quantiles_by_priority",
 ]
 
 
