@@ -562,7 +562,8 @@ def explode_fp_blocks(ids: np.ndarray, fps: np.ndarray,
 
 
 def fingerprint_near_dups(buckets, max_hamming: int = 3,
-                          bucket_cap: int = 1000) -> pa.Table:
+                          bucket_cap: int = 1000,
+                          as_dataset: bool = False) -> pa.Table:
     """Near-dup pairs over ANY 64-bit-fingerprint block-bucket stream
     (explode_fp_blocks output): candidates share at least one of 4
     16-bit blocks (guarantees recall for Hamming distance ≤ 3 by
@@ -616,6 +617,16 @@ def fingerprint_near_dups(buckets, max_hamming: int = 3,
 
     cand = buckets.groupby("bpart").map_groups(pairs_of_partition,
                                                batch_format="pandas")
+    if as_dataset:
+        # cross-band duplicate collapse as a distributed groupby — the
+        # matching-pair set scales with the corpus dup rate on
+        # image/audio crawls, so it must never be forced through a
+        # driver dict (the hamming value is identical for every copy
+        # of a pair, so Min is a pure dedup)
+        from ray.data.aggregate import Min
+
+        return (cand.groupby(["id_a", "id_b"])
+                .aggregate(Min("hamming", alias_name="hamming")))
     seen: dict[tuple[int, int], int] = {}
     for r in collect_pylist(cand):
         seen[(int(r["id_a"]), int(r["id_b"]))] = int(r["hamming"])
@@ -629,7 +640,8 @@ def fingerprint_near_dups(buckets, max_hamming: int = 3,
 def simhash_near_dups(ds, text_col: str = "text", id_col: str = "doc_id",
                       max_hamming: int = 3,
                       bucket_partitions: int = 64,
-                      bucket_cap: int = 1000) -> pa.Table:
+                      bucket_cap: int = 1000,
+                      as_dataset: bool = False) -> pa.Table:
     """SimHash near-dup pairs over a text column: Charikar 64-bit
     fingerprints per doc, then the generic fingerprint_near_dups
     block-bucket machinery (shared with image pHash dedup)."""
@@ -651,7 +663,8 @@ def simhash_near_dups(ds, text_col: str = "text", id_col: str = "doc_id",
 
     buckets = ds.map_batches(fp_batch, batch_format="pyarrow")
     return fingerprint_near_dups(buckets, max_hamming=max_hamming,
-                                 bucket_cap=bucket_cap)
+                                 bucket_cap=bucket_cap,
+                                 as_dataset=as_dataset)
 
 
 def _normalize_batch(batch: pa.Table, id_col: str, vec_col: str):
@@ -721,7 +734,8 @@ def _kmeans_unit_vectors(ds, id_col: str, vec_col: str, k: int,
 
 def embedding_near_dups(ds, threshold: float = 0.95,
                         id_col: str = "vec_id", vec_col: str = "embedding",
-                        n_centroids: int | None = None) -> pa.Table:
+                        n_centroids: int | None = None,
+                        as_dataset: bool = False) -> pa.Table:
     """Embedding-cosine near-dup pairs (sim ≥ threshold, id_a < id_b) —
     IVF/centroid-bucketed with GUARANTEED recall 1.0, so it backs the
     threshold-exact SQL oracle directly.
@@ -747,13 +761,23 @@ def embedding_near_dups(ds, threshold: float = 0.95,
 
     r = float(np.sqrt(max(0.0, 2.0 - 2.0 * threshold)))
     if threshold < 0.75:
-        return embedding_near_dups_exact(ds, threshold=threshold,
-                                         id_col=id_col, vec_col=vec_col)
+        t = embedding_near_dups_exact(ds, threshold=threshold,
+                                      id_col=id_col, vec_col=vec_col)
+        if as_dataset:
+            import ray.data as _rd
+
+            return _rd.from_arrow(t)
+        return t
     N = ds.count()
     if N == 0:
-        return pa.table({"id_a": pa.array([], type=pa.int64()),
-                         "id_b": pa.array([], type=pa.int64()),
-                         "sim": pa.array([], type=pa.float64())})
+        t = pa.table({"id_a": pa.array([], type=pa.int64()),
+                      "id_b": pa.array([], type=pa.int64()),
+                      "sim": pa.array([], type=pa.float64())})
+        if as_dataset:
+            import ray.data as _rd
+
+            return _rd.from_arrow(t)
+        return t
     k = n_centroids or max(2, int(np.sqrt(N)))
     src = ds.select_columns([id_col, vec_col]).materialize()
     centers = _kmeans_unit_vectors(src, id_col, vec_col, k)
@@ -799,6 +823,15 @@ def embedding_near_dups(ds, threshold: float = 0.95,
                                          type=pa.float64())})
 
     out = rows_ds.groupby("cell").map_groups(pairs_in_cell, batch_format="pandas")
+    if as_dataset:
+        # the ≤2-cell duplicates collapse as a distributed groupby (the
+        # rounded sim is identical in both cells, so Min is a pure
+        # dedup) — matching pairs scale with the corpus dup rate, so
+        # the Dataset form must never route through a driver dict
+        from ray.data.aggregate import Min
+
+        return (out.groupby(["id_a", "id_b"])
+                .aggregate(Min("sim", alias_name="sim")))
     best: dict[tuple[int, int], float] = {}
     for rr_ in collect_pylist(out):
         best.setdefault((int(rr_["id_a"]), int(rr_["id_b"])), float(rr_["sim"]))

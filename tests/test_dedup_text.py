@@ -172,6 +172,21 @@ class TestDedupPipelines:
         assert fast.to_pylist() == dist.to_pylist()
         assert len(dist.to_pylist()) >= 1
 
+    def test_as_dataset_pair_outputs_match_driver(self):
+        """The Dataset-returning variants (distributed cross-band /
+        cross-cell dedup, no driver dict) must contain exactly the
+        driver-path pairs."""
+        from tanml_ray.pipelines.dedup import simhash_near_dups
+
+        ds = self._planted_ds()
+        table = simhash_near_dups(ds, max_hamming=6)
+        dset = simhash_near_dups(ds, max_hamming=6, as_dataset=True)
+        got = sorted((r["id_a"], r["id_b"], r["hamming"])
+                     for r in dset.take_all())
+        want = sorted((r["id_a"], r["id_b"], r["hamming"])
+                      for r in table.to_pylist())
+        assert got == want and len(got) >= 1
+
     def test_distributed_prefilter_matches_driver_path(self):
         """sig_driver_budget=0 forces the fully-distributed two-round
         sig-attach prefilter (the 100-TB path, zero driver gather of
@@ -227,6 +242,17 @@ class TestEmbeddingNearDup:
         exact = embedding_near_dups_exact(ds, threshold=0.95).to_pylist()
         assert len(exact) >= 25  # planted pairs actually exceed 0.95
         assert ivf == exact
+
+    def test_as_dataset_matches_table_path(self):
+        from tanml_ray.pipelines.dedup import embedding_near_dups
+
+        ds = self._planted_vectors(n_noise=150, n_planted=10)
+        table = embedding_near_dups(ds, threshold=0.95)
+        dset = embedding_near_dups(ds, threshold=0.95, as_dataset=True)
+        got = sorted((r["id_a"], r["id_b"], r["sim"]) for r in dset.take_all())
+        want = sorted((r["id_a"], r["id_b"], r["sim"])
+                      for r in table.to_pylist())
+        assert got == want and len(got) >= 5
 
     def test_low_threshold_routes_to_exact(self):
         from tanml_ray.pipelines.dedup import (
