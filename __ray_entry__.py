@@ -115,6 +115,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_terms_documents": q.tfidf_top_terms_documents,
         "linear_cv_repeated_summary_orders": q.linear_cv_repeated_summary_orders,
         "daily_active_users_events": q.daily_active_users_events,
+        "pivot_priority_status_orders": q.pivot_priority_status_orders,
         "price_quantiles_by_priority": q.price_quantiles_by_priority,
         "logistic_cv_repeated_orders": q.logistic_cv_repeated_orders,
         "logistic_inference_orders": q.logistic_inference_orders,
@@ -190,6 +191,7 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_top_terms_documents": q.TFIDF_SQL,
         "linear_cv_repeated_summary_orders": q.LINEAR_CV_REPEATED_SUMMARY_SQL,
         "daily_active_users_events": q.DAU_SQL,
+        "pivot_priority_status_orders": q.PIVOT_SQL,
         "price_quantiles_by_priority": q.GROUP_QUANTILES_SQL,
         # langid / lsh-knn / minhash / simhash / logistic_cv (iterative
         # IRLS): not SQL-expressible → rows-only driver check; verified

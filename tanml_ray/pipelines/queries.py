@@ -323,6 +323,43 @@ FROM events GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def pivot_priority_status_orders(sf_dir: str) -> pa.Table:
+    """Pivot/crosstab: order counts by priority (rows) × status
+    (columns). Per-batch pandas crosstab partials pre-aggregate, one
+    tiny groupby ships (priority, status, n) rows, and the bounded
+    category matrix assembles on the driver (a pivot's output is
+    category²-bounded by definition). Full SQL oracle."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_orderstatus"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({"pri": batch.column("o_orderpriority").to_pylist(),
+                           "st": batch.column("o_orderstatus").to_pylist()})
+        g = df.groupby(["pri", "st"], as_index=False).size()
+        return g.rename(columns={"size": "n"})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby(["pri", "st"]).aggregate(Sum("n", alias_name="n")))
+    cells = {(r["pri"], r["st"]): r["n"] for r in collect_pylist(agg)}
+    pris = sorted({p for p, _ in cells})
+    stats = sorted({s for _, s in cells})
+    rows = [{"o_orderpriority": p,
+             **{f"n_{s}": int(cells.get((p, s), 0)) for s in stats}}
+            for p in pris]
+    return pa.Table.from_pylist(rows)
+
+
+PIVOT_SQL = """
+SELECT o_orderpriority,
+       CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_F,
+       CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_O,
+       CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_P
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
 def daily_active_users_events(sf_dir: str) -> pa.Table:
     """Grouped DISTINCT count (daily active users): per-batch
     (day, user) dedupe is the combiner — the shuffle moves unique

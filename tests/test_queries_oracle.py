@@ -35,6 +35,7 @@ FAST_QUERIES = [
     "linear_cv_repeated_orders", "order_shipweek_counts",
     "tfidf_top_terms_documents", "linear_cv_repeated_summary_orders",
     "daily_active_users_events", "price_quantiles_by_priority",
+    "pivot_priority_status_orders",
 ]
 
 
