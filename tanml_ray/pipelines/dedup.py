@@ -31,6 +31,7 @@ from tanml_ray.functions.collect import collect_pylist
 _MINHASH_SEED_A = 0x9E3779B97F4A7C15
 _MINHASH_SEED_B = 0xC2B2AE3D27D4EB4F
 _U64 = np.uint64(0xFFFFFFFFFFFFFFFF)
+_OVERSIZE_WARNED = False  # once-per-process oversize-bucket notice
 
 
 def _perm_coeffs(num_perm: int) -> tuple[np.ndarray, np.ndarray]:
@@ -139,6 +140,16 @@ def _bucket_pairs(u: np.ndarray, cap: int):
         ia, ib = np.triu_indices(n, k=1)
         yield u[ia], u[ib]
         return
+    global _OVERSIZE_WARNED
+    if not _OVERSIZE_WARNED:
+        _OVERSIZE_WARNED = True
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "LSH bucket of %d ids exceeds bucket_cap=%d — processing in "
+            "chunked sub-blocks (exact, but O(bucket²) work in one "
+            "task); pre-collapse exact duplicates upstream to bound "
+            "bucket sizes (pipelines/curate.py does)", n, cap)
     for ci in range(0, n, cap):
         a = u[ci:ci + cap]
         ia, ib = np.triu_indices(a.size, k=1)
