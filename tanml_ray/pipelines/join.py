@@ -199,7 +199,8 @@ def asof_join(left_ds, right_ds, key: str, ts_col: str,
 def range_join_count(left_ds, right_ds, left_day_col: str,
                      right_day_col: str, left_key_col: str,
                      window_days: int,
-                     out_count_col: str = "n"):
+                     out_count_col: str = "n",
+                     salt: int = 1):
     """Distributed RANGE (band) join, aggregated: for every left row,
     count right rows whose day ∈ [left_day, left_day + window_days).
     LEFT-join semantics — every left key appears, zero-count included.
@@ -212,13 +213,23 @@ def range_join_count(left_ds, right_ds, left_day_col: str,
     days (right rows outside the bucket are in other groups, which
     clips each partial count to the bucket automatically — partials
     then Sum per left key). Total shuffle volume: ≤2 rows per left row
-    + 1 per right row, never a joined row set."""
+    + 1 per right row, never a joined row set.
+
+    Skew: all rows of one time bucket land in one group — a crawl
+    hotspot week can dominate. `salt` > 1 splits each bucket into
+    `salt` sub-groups (right rows route to hash(day-ordinal) % salt,
+    left rows replicate to ALL sub-groups; partial counts still Sum
+    exactly), spreading a hot bucket over `salt` tasks at the cost of
+    salt× left replication."""
     import pyarrow.compute as _pc
     from ray.data.aggregate import Sum
 
     B = int(window_days)
     if B < 1:
         raise ValueError("window_days must be ≥ 1")
+    S = int(salt)
+    if S < 1:
+        raise ValueError("salt must be ≥ 1")
 
     def _days(col: "pa.ChunkedArray") -> np.ndarray:
         t = col.type
@@ -239,14 +250,23 @@ def range_join_count(left_ds, right_ds, left_day_col: str,
         bkt = np.concatenate([b0, b1[two]])
         k = np.concatenate([keys, keys[two]])
         s = np.concatenate([start, start[two]])
-        return pa.table({"bucket": pa.array(bkt, type=pa.int64()),
-                         "kind": pa.array(["l"] * len(bkt), type=pa.string()),
-                         "key": pa.array(k, type=pa.int64()),
-                         "day": pa.array(s, type=pa.int64())})
+        # replicate to every salt sub-group of each bucket
+        n = len(bkt)
+        grp = (np.repeat(bkt * S, S)
+               + np.tile(np.arange(S, dtype=np.int64), n))
+        return pa.table({"bucket": pa.array(grp, type=pa.int64()),
+                         "kind": pa.array(["l"] * (n * S), type=pa.string()),
+                         "key": pa.array(np.repeat(k, S), type=pa.int64()),
+                         "day": pa.array(np.repeat(s, S), type=pa.int64())})
 
     def right_rows(batch: pa.Table) -> pa.Table:
         d = _days(batch.column(right_day_col))
-        return pa.table({"bucket": pa.array(d // B, type=pa.int64()),
+        # sub-group assignment is load-balancing only: ANY assignment
+        # yields the same summed counts, so a simple round-robin within
+        # the batch is deterministic enough (task retries replay the
+        # same batch)
+        sub = np.arange(len(d), dtype=np.int64) % S
+        return pa.table({"bucket": pa.array((d // B) * S + sub, type=pa.int64()),
                          "kind": pa.array(["r"] * len(d), type=pa.string()),
                          "key": pa.array(np.zeros(len(d), dtype=np.int64)),
                          "day": pa.array(d, type=pa.int64())})

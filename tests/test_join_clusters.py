@@ -137,6 +137,32 @@ class TestRangeJoinCount:
         assert len(out) == 80
         assert any(v == 0 for v in out.values())
 
+    def test_salted_matches_unsalted(self):
+        """salt>1 spreads a hot bucket over sub-groups; summed partial
+        counts must equal the unsalted output exactly."""
+        import datetime as dt
+
+        import ray.data as rd
+
+        from tanml_ray.pipelines.join import range_join_count
+
+        rng = np.random.default_rng(9)
+        base = dt.date(2022, 6, 1)
+        left = pa.table({"k": pa.array(np.arange(50), type=pa.int64()),
+                         "d": pa.array([base + dt.timedelta(int(x))
+                                        for x in rng.integers(0, 30, 50)],
+                                       type=pa.date32())})
+        right = pa.table({"d": pa.array([base + dt.timedelta(int(x))
+                                         for x in rng.integers(0, 30, 400)],
+                                        type=pa.date32())})
+        plain = sorted(collect_pylist(range_join_count(
+            _ds(left, 3), _ds(right, 4), "d", "d", "k", 7)),
+            key=lambda r: r["k"])
+        salted = sorted(collect_pylist(range_join_count(
+            _ds(left, 3), _ds(right, 4), "d", "d", "k", 7, salt=4)),
+            key=lambda r: r["k"])
+        assert plain == salted
+
     def test_partition_invariance(self):
         import datetime as dt
 
