@@ -395,6 +395,48 @@ FROM events GROUP BY 1 ORDER BY 1
 """
 
 
+def daily_active_users_hll_events(sf_dir: str) -> pa.Table:
+    """The SKETCH-based scale path beside daily_active_users_events:
+    per-batch HLL register partials per day (one 2^p-byte blob per
+    (batch, day) — never user ids) merge under one bounded
+    groupby(day). At 10¹² rows the exact path's unique-pair shuffle
+    scales with distinct (day, user) pairs; this one ships a constant
+    ~4 KB per day per block. Rows-only driver check; the ±2% accuracy
+    contract vs the exact count is pytest-enforced
+    (tests/test_kernels.py pattern)."""
+    import pandas as pd
+
+    from tanml_ray.kernels.hll import HyperLogLog
+
+    ds = _read(sf_dir, "events", ["ts", "user_id"])
+    P = 12
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        day = pc.floor_temporal(batch.column("ts"), unit="day") \
+            .to_numpy(zero_copy_only=False)
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        rows = []
+        for d in np.unique(day):
+            h = HyperLogLog(p=P)
+            h.update(uid[day == d])
+            rows.append({"day": d, "regs": h.to_state()[1]})
+        return pd.DataFrame(rows)
+
+    def merge_day(g: pd.DataFrame) -> pd.DataFrame:
+        h = HyperLogLog(p=P)
+        for blob in g["regs"]:
+            h.merge(HyperLogLog.from_state((P, blob)))
+        return pd.DataFrame([{"day": g["day"].iloc[0],
+                              "dau_approx": int(h.estimate())}])
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("day").map_groups(merge_day, batch_format="pandas"))
+    rows = [{"day": pd.Timestamp(r["day"]), "dau_approx": r["dau_approx"]}
+            for r in collect_pylist(agg)]
+    rows.sort(key=lambda r: r["day"])
+    return pa.Table.from_pylist(rows)
+
+
 def price_quantiles_by_priority(sf_dir: str) -> pa.Table:
     """Per-group EXACT quantiles (p25/p50/p75/p95 of o_totalprice by
     o_orderpriority): integerized micro-money sorts within each

@@ -61,6 +61,21 @@ def oracle_con(sf_dir):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_hll_dau_within_tolerance(sf_dir, oracle_con):
+    """The grouped-HLL sketch path must track the exact grouped
+    distinct count within its ±~1.6% standard error (5% test bound)."""
+    import __ray_entry__ as entry
+
+    approx = entry.queries()["daily_active_users_hll_events"](sf_dir)
+    exact = entry.queries()["daily_active_users_events"](sf_dir)
+    a = {r["day"]: r["dau_approx"] for r in approx.to_pylist()}
+    e = {r["day"]: r["dau"] for r in exact.to_pylist()}
+    assert set(a) == set(e) and len(e) >= 5
+    for day, n in e.items():
+        assert abs(a[day] - n) <= max(2, 0.05 * n), (day, a[day], n)
+
+
+@pytest.mark.usefixtures("ray_session")
 @pytest.mark.parametrize("name", FAST_QUERIES)
 def test_query_matches_oracle(name, sf_dir, oracle_con):
     import __ray_entry__ as entry
