@@ -249,7 +249,8 @@ class ImagePhashStage:
 
 def image_near_dups(ds, max_hamming: int = 6, image_col: str = "image",
                     id_col: str = "id", concurrency: int = 2,
-                    batch_size: int = 256) -> pa.Table:
+                    batch_size: int = 256,
+                    as_dataset: bool = False) -> pa.Table:
     """Distributed image near-dup pairs: pHash per image in an
     actor-pool stage (small batch_size — each decoded row is w·h bytes
     on the heap), then the same coarse-bucket + vectorized-Hamming
@@ -262,7 +263,8 @@ def image_near_dups(ds, max_hamming: int = 6, image_col: str = "image",
         fn_constructor_kwargs={"image_col": image_col, "id_col": id_col},
         batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency)
-    return fingerprint_near_dups(buckets, max_hamming=max_hamming)
+    return fingerprint_near_dups(buckets, max_hamming=max_hamming,
+                             as_dataset=as_dataset)
 
 
 # -- audio fingerprint dedup ------------------------------------------------
@@ -321,7 +323,8 @@ class AudioFingerprintStage:
 
 def audio_near_dups(ds, max_hamming: int = 6, audio_col: str = "audio",
                     id_col: str = "id", concurrency: int = 2,
-                    batch_size: int = 256) -> pa.Table:
+                    batch_size: int = 256,
+                    as_dataset: bool = False) -> pa.Table:
     """Distributed audio near-dup pairs via the shared fingerprint
     candidate machinery (same shape as image_near_dups)."""
     from tanml_ray.pipelines.dedup import fingerprint_near_dups
@@ -331,4 +334,5 @@ def audio_near_dups(ds, max_hamming: int = 6, audio_col: str = "audio",
         fn_constructor_kwargs={"audio_col": audio_col, "id_col": id_col},
         batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency)
-    return fingerprint_near_dups(buckets, max_hamming=max_hamming)
+    return fingerprint_near_dups(buckets, max_hamming=max_hamming,
+                             as_dataset=as_dataset)
