@@ -61,6 +61,43 @@ def broadcast_join(large_ds, small_table: pa.Table, key: str,
     return large_ds.map_batches(probe, batch_format="pyarrow")
 
 
+def auto_join(left_ds, right_ds, key: str, how: str = "inner",
+              broadcast_budget: int = 64 << 20, buckets: int = 32):
+    """Size-based join strategy selection (the planner the module
+    docstring promises): if either side's materialized size fits
+    `broadcast_budget`, that side ships once via ray.put and the other
+    streams through broadcast_join (no shuffle); otherwise both sides
+    exchange through partitioned_join. Broadcasting the RIGHT side
+    preserves left/inner semantics directly; a small LEFT side only
+    swaps for `inner` (symmetric) — an outer-preserving small left
+    still routes to the partitioned path. Column semantics match the
+    underlying joins (_x/_y suffixes on overlapping non-key columns,
+    with _x = left side in every path)."""
+    from tanml_ray.functions.collect import collect_table
+
+    r_small = right_ds.materialize()
+    if r_small.size_bytes() <= broadcast_budget:
+        return broadcast_join(left_ds, collect_table(r_small), key, how=how)
+    l_small = left_ds.materialize()
+    if how == "inner" and l_small.size_bytes() <= broadcast_budget:
+        # swap sides, then restore _x/_y orientation (left == _x)
+        out = broadcast_join(r_small, collect_table(l_small), key, how="inner")
+
+        def unswap(t: pa.Table) -> pa.Table:
+            names = []
+            for n in t.column_names:
+                if n.endswith("_x"):
+                    names.append(n[:-2] + "_y")
+                elif n.endswith("_y"):
+                    names.append(n[:-2] + "_x")
+                else:
+                    names.append(n)
+            return t.rename_columns(names)
+
+        return out.map_batches(unswap, batch_format="pyarrow")
+    return partitioned_join(l_small, r_small, key, buckets=buckets, how=how)
+
+
 def partitioned_join(left_ds, right_ds, key: str, buckets: int = 32,
                      how: str = "inner"):
     """Explicit partitioned hash join of two Datasets on `key`.

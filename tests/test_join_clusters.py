@@ -108,6 +108,53 @@ class TestDedupKeepList:
         assert all(r["text"] == f"doc {r['doc_id']}" for r in got_rows)
 
 
+class TestAutoJoin:
+    def _sides(self):
+        left = pa.table({"k": pa.array([1, 2, 2, 3, 5], type=pa.int64()),
+                         "a": ["p", "q", "r", "s", "t"]})
+        right = pa.table({"k": pa.array([2, 3, 3, 4], type=pa.int64()),
+                          "b": [10, 20, 30, 40]})
+        return left, right
+
+    def _norm(self, rows):
+        return sorted(tuple(sorted(r.items())) for r in rows)
+
+    def test_all_strategies_agree(self):
+        from tanml_ray.pipelines.join import auto_join, partitioned_join
+
+        left, right = self._sides()
+        want = self._norm(collect_pylist(
+            partitioned_join(_ds(left, 2), _ds(right, 2), "k")))
+        # small right → broadcast path
+        bc = self._norm(collect_pylist(
+            auto_join(_ds(left, 2), _ds(right, 2), "k")))
+        # small left, inner → swapped broadcast path
+        sw = self._norm(collect_pylist(
+            auto_join(_ds(left, 2), _ds(right, 2), "k",
+                      broadcast_budget=0 if False else 1 << 30)))
+        # budget 0 → partitioned path
+        pj = self._norm(collect_pylist(
+            auto_join(_ds(left, 2), _ds(right, 2), "k", broadcast_budget=0)))
+        assert bc == want and sw == want and pj == want
+
+    def test_swapped_small_left_inner(self):
+        """Force the swap: right over budget, left under it — the _x/_y
+        orientation must still be left == _x."""
+        from tanml_ray.pipelines.join import auto_join, partitioned_join
+
+        left = pa.table({"k": pa.array([1, 2], type=pa.int64()),
+                         "v": ["a", "b"]})
+        right = pa.table({"k": pa.array(np.arange(2000) % 3, type=pa.int64()),
+                          "v": [f"r{i}" for i in range(2000)]})
+        budget = _ds(left, 1).materialize().size_bytes() + 1
+        want = self._norm(collect_pylist(
+            partitioned_join(_ds(left, 1), _ds(right, 2), "k")))
+        got = self._norm(collect_pylist(
+            auto_join(_ds(left, 1), _ds(right, 2), "k",
+                      broadcast_budget=budget)))
+        assert got == want and len(got) > 0
+
+
 class TestRangeJoinCount:
     def test_matches_bruteforce_with_zero_counts(self):
         """Window counting vs an O(n·m) python oracle; left rows with
