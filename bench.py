@@ -67,16 +67,23 @@ def _ab_main(rev: str) -> None:
     methodology, now committed as a harness). The rev runs from a
     detached git worktree under /tmp (created once, reused)."""
     repo = os.path.dirname(os.path.abspath(__file__))
-    safe = rev.replace("/", "_")
-    wt = f"/tmp/tanml_ab_{safe}"
+    # resolve symbolic revs (branch/tag) to a SHA so the worktree cache
+    # can never silently serve a stale snapshot after the ref moves
+    sha = subprocess.run(["git", "-C", repo, "rev-parse", rev],
+                         check=True, capture_output=True,
+                         text=True).stdout.strip()
+    wt = f"/tmp/tanml_ab_{sha[:12]}"
     if not os.path.isdir(wt):
         subprocess.run(["git", "-C", repo, "worktree", "add", "--detach",
-                        wt, rev], check=True,
+                        wt, sha], check=True,
                        capture_output=True, text=True)
     pairs = int(os.environ.get("GRAFT_AB_PAIRS", "3"))
 
     def run(path: str) -> dict:
-        env = dict(os.environ, PYTHONPATH=path)
+        # pin GRAFT_BENCH_RUNS=1: HEAD's bench runs the suite twice by
+        # default while older revs run it once — an asymmetric
+        # best-of-N would bias every A/B toward HEAD
+        env = dict(os.environ, PYTHONPATH=path, GRAFT_BENCH_RUNS="1")
         out = subprocess.run([sys.executable, os.path.join(path, "bench.py")],
                              env=env, capture_output=True, text=True,
                              check=True, cwd=path).stdout

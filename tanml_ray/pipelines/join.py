@@ -80,19 +80,19 @@ def auto_join(left_ds, right_ds, key: str, how: str = "inner",
         return broadcast_join(left_ds, collect_table(r_small), key, how=how)
     l_small = left_ds.materialize()
     if how == "inner" and l_small.size_bytes() <= broadcast_budget:
-        # swap sides, then restore _x/_y orientation (left == _x)
+        # swap sides, then restore _x/_y orientation (left == _x) — but
+        # ONLY on columns the join actually suffixed (overlapping
+        # non-key names on both sides); a pre-existing user column that
+        # happens to end in _x/_y must pass through untouched
+        overlap = ((set(l_small.schema().names)
+                    & set(r_small.schema().names)) - {key})
+        swapped = {f"{c}_x": f"{c}_y" for c in overlap}
+        swapped.update({f"{c}_y": f"{c}_x" for c in overlap})
         out = broadcast_join(r_small, collect_table(l_small), key, how="inner")
 
         def unswap(t: pa.Table) -> pa.Table:
-            names = []
-            for n in t.column_names:
-                if n.endswith("_x"):
-                    names.append(n[:-2] + "_y")
-                elif n.endswith("_y"):
-                    names.append(n[:-2] + "_x")
-                else:
-                    names.append(n)
-            return t.rename_columns(names)
+            return t.rename_columns([swapped.get(n, n)
+                                     for n in t.column_names])
 
         return out.map_batches(unswap, batch_format="pyarrow")
     return partitioned_join(l_small, r_small, key, buckets=buckets, how=how)

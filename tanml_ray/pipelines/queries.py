@@ -344,7 +344,11 @@ def pivot_priority_status_orders(sf_dir: str) -> pa.Table:
            .groupby(["pri", "st"]).aggregate(Sum("n", alias_name="n")))
     cells = {(r["pri"], r["st"]): r["n"] for r in collect_pylist(agg)}
     pris = sorted({p for p, _ in cells})
-    stats = sorted({s for _, s in cells})
+    # the column set is PINNED (TPC-H's three order statuses, matching
+    # PIVOT_SQL) — deriving it from observed values would make the
+    # output schema data-dependent and break on a slice where one
+    # status is absent
+    stats = ["F", "O", "P"]
     rows = [{"o_orderpriority": p,
              **{f"n_{s}": int(cells.get((p, s), 0)) for s in stats}}
             for p in pris]
@@ -864,8 +868,13 @@ def knn_cosine_ivf_embeddings(sf_dir: str) -> pa.Table:
     )
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    # cache key carries the source file's identity (size + mtime_ns),
+    # so a regenerated embeddings table — or another sf dir sharing a
+    # basename — can never serve a stale index; the atomic build means
+    # a present _ivf_meta.json implies a complete index
+    st = os.stat(f"{sf_dir}/embeddings.parquet")
     tag = sf_dir.rstrip("/").split("/")[-1]
-    idx = f"/tmp/tanml_ivf_{tag}"
+    idx = f"/tmp/tanml_ivf_{tag}_{st.st_size}_{st.st_mtime_ns}"
     if not os.path.exists(os.path.join(idx, "_ivf_meta.json")):
         build_ivf_index(ds, idx)
     return knn_cosine_ivf_indexed(idx, _query_vectors(sf_dir, _KNN_QUERY_IDS),

@@ -102,12 +102,15 @@ def repeated_fold(keys: np.ndarray, rep: int, k: int) -> np.ndarray:
     same way). Trivially SQL-expressible, so repeated CV stays fully
     oracle-able. Fold granularity is key % P — ~10⁶ equivalence
     classes, ample balance at any scale; max intermediate
-    (P−1)·(48271·r+12345) stays int64-safe through r ≈ 10⁸."""
+    (P−1)·(48271·r+12345) stays int64-safe through r ≈ 10⁸, and a
+    multiplier that hits ≡ 0 mod P (first at rep 568583) is normalized
+    to 1 so no repeat can ever collapse to a single fold."""
     keys = keys.astype(np.int64)
     if rep == 0:
         return (keys % k).astype(np.int64)
     P = REPEAT_FOLD_PRIME
-    return (((keys % P) * (48271 * rep + 12345)) % P % k).astype(np.int64)
+    m = (48271 * rep + 12345) % P or 1
+    return (((keys % P) * m) % P % k).astype(np.int64)
 
 
 def linear_cv_repeated(ds, x_col: str, y_col: str, key_col: str,

@@ -219,6 +219,8 @@ def build_ivf_index(ds, out_dir: str, n_centroids: int | None = None,
 
     from tanml_ray.pipelines.dedup import _kmeans_unit_vectors
 
+    import shutil
+
     src = ds.select_columns([id_col, vec_col]).materialize()
     n = src.count()
     k = n_centroids or max(2, int(np.sqrt(max(n, 4))))
@@ -237,13 +239,22 @@ def build_ivf_index(ds, out_dir: str, n_centroids: int | None = None,
         return batch.append_column(
             "cell", pa.array(d.argmin(axis=1).astype(np.int64), type=pa.int64()))
 
-    os.makedirs(out_dir, exist_ok=True)
+    # ATOMIC build: write into a tmp dir and os.replace it in. Ray's
+    # write_parquet APPENDS into existing directories, so building in
+    # place would let an interrupted run silently double every vector
+    # on the rebuild (the same hazard curate's resumable final write
+    # guards against).
+    tmp_dir = out_dir + ".tmp"
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    os.makedirs(tmp_dir, exist_ok=True)
     src.map_batches(add_cell, batch_format="pyarrow").write_parquet(
-        out_dir, partition_cols=["cell"])
-    np.save(os.path.join(out_dir, "_ivf_centroids.npy"), centers)
-    with open(os.path.join(out_dir, "_ivf_meta.json"), "w") as f:
+        tmp_dir, partition_cols=["cell"])
+    np.save(os.path.join(tmp_dir, "_ivf_centroids.npy"), centers)
+    with open(os.path.join(tmp_dir, "_ivf_meta.json"), "w") as f:
         json.dump({"n_centroids": int(k), "id_col": id_col,
                    "vec_col": vec_col}, f)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.replace(tmp_dir, out_dir)
     return out_dir
 
 

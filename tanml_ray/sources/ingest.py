@@ -140,8 +140,12 @@ def _sniff_delimited(path: str, probe_bytes: int = 64 << 10) -> tuple[str, str]:
             # a multibyte sequence straddling the probe boundary is NOT
             # evidence the file isn't utf-8 — trim the incomplete tail
             # (≤3 bytes) and retry before falling through to latin-1,
-            # which would mojibake the whole driver-side read
-            if e.start >= len(head) - 3:
+            # which would mojibake the whole driver-side read. Only
+            # when the head was actually CUT by the probe: a file that
+            # itself ends mid-character is genuinely invalid utf-8 and
+            # must keep falling through (classifying it utf-8 would
+            # crash the full read instead).
+            if len(head) == probe_bytes and e.start >= len(head) - 3:
                 try:
                     text = head[:e.start].decode(encoding)
                 except UnicodeDecodeError:

@@ -459,6 +459,26 @@ class TestIvfIndexedKnn:
             a = {r["vec_id"] for r in approx if r["query_id"] == qid}
             assert len(e & a) / len(e) >= 0.8, qid
 
+    def test_rebuild_replaces_not_appends(self, tmp_path):
+        """Building twice into the same dir must REPLACE the index
+        (atomic tmp+rename), not append — Ray's write_parquet appends
+        into existing dirs, which would double every vector."""
+        import pyarrow.parquet as pq
+
+        import ray.data as rd
+
+        from tanml_ray.pipelines.similarity import build_ivf_index
+
+        rng = np.random.default_rng(8)
+        vecs = rng.standard_normal((80, 8))
+        t = pa.table({"vec_id": pa.array(np.arange(80), type=pa.int64()),
+                      "embedding": pa.array([v.astype(np.float32) for v in vecs],
+                                            type=pa.list_(pa.float32()))})
+        idx = str(tmp_path / "idx")
+        build_ivf_index(rd.from_arrow(t), idx, n_centroids=4)
+        build_ivf_index(rd.from_arrow(t), idx, n_centroids=4)
+        assert pq.read_table(idx).num_rows == 80
+
     def test_deterministic_layout(self, tmp_path):
         """Same input → identical centroids and cell assignment
         regardless of partitioning (no RNG anywhere)."""

@@ -128,14 +128,13 @@ class TestAutoJoin:
         # small right → broadcast path
         bc = self._norm(collect_pylist(
             auto_join(_ds(left, 2), _ds(right, 2), "k")))
-        # small left, inner → swapped broadcast path
-        sw = self._norm(collect_pylist(
-            auto_join(_ds(left, 2), _ds(right, 2), "k",
-                      broadcast_budget=0 if False else 1 << 30)))
         # budget 0 → partitioned path
         pj = self._norm(collect_pylist(
             auto_join(_ds(left, 2), _ds(right, 2), "k", broadcast_budget=0)))
-        assert bc == want and sw == want and pj == want
+        assert bc == want and pj == want
+        # (the swapped small-left path is exercised by
+        # test_swapped_small_left_inner, which sizes the budget
+        # between the two sides)
 
     def test_swapped_small_left_inner(self):
         """Force the swap: right over budget, left under it — the _x/_y
@@ -153,6 +152,20 @@ class TestAutoJoin:
             auto_join(_ds(left, 1), _ds(right, 2), "k",
                       broadcast_budget=budget)))
         assert got == want and len(got) > 0
+
+    def test_swap_leaves_non_collision_suffix_columns_alone(self):
+        """A user column named 'pos_x' that does NOT collide across
+        sides must survive the swapped path unrenamed."""
+        from tanml_ray.pipelines.join import auto_join
+
+        left = pa.table({"k": pa.array([1, 2], type=pa.int64()),
+                         "pos_x": [7, 8]})
+        right = pa.table({"k": pa.array(np.arange(2000) % 3, type=pa.int64()),
+                          "w": np.arange(2000)})
+        budget = _ds(left, 1).materialize().size_bytes() + 1
+        rows = collect_pylist(auto_join(_ds(left, 1), _ds(right, 2), "k",
+                                        broadcast_budget=budget))
+        assert rows and all("pos_x" in r and "pos_y" not in r for r in rows)
 
 
 class TestRangeJoinCount:

@@ -192,6 +192,17 @@ class TestReadAnyFallback:
         sep, enc = _sniff_delimited(str(p))
         assert (sep, enc) == (",", "utf-8")
 
+    def test_whole_file_truncated_utf8_falls_back(self, tmp_path):
+        """A file that itself ends mid-multibyte-char is NOT probe
+        truncation — it must fall through to latin-1 (classifying it
+        utf-8 would crash the full read later)."""
+        from tanml_ray.sources.ingest import _sniff_delimited
+
+        p = tmp_path / "cut.data"
+        p.write_bytes(b"a,b\n1,2\n" + "é".encode("utf-8")[:1])
+        sep, enc = _sniff_delimited(str(p))
+        assert (sep, enc) == (",", "latin-1")
+
     def test_sav_fails_fast_naming_dependency(self, tmp_path):
         from tanml_ray.sources.ingest import read_any
 
