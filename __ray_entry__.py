@@ -117,6 +117,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "daily_active_users_events": q.daily_active_users_events,
         "pivot_priority_status_orders": q.pivot_priority_status_orders,
         "daily_active_users_hll_events": q.daily_active_users_hll_events,
+        "price_quantiles_by_priority_tdigest": q.price_quantiles_by_priority_tdigest,
         "price_quantiles_by_priority": q.price_quantiles_by_priority,
         "logistic_cv_repeated_orders": q.logistic_cv_repeated_orders,
         "logistic_inference_orders": q.logistic_inference_orders,

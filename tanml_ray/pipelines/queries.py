@@ -472,6 +472,55 @@ def price_quantiles_by_priority(sf_dir: str) -> pa.Table:
     return pa.Table.from_pylist(rows)
 
 
+def price_quantiles_by_priority_tdigest(sf_dir: str) -> pa.Table:
+    """The SKETCH path beside price_quantiles_by_priority: per-batch
+    per-group t-digest partials (bounded centroid state per (block,
+    group) — never raw values) merge under one bounded groupby. At
+    unbounded group cardinality the exact path's per-group sort stops
+    fitting a task; this one ships ~KB-sized digests. Rows-only driver
+    check; the ±2% accuracy contract vs the exact SQL-oracled path is
+    pytest-enforced."""
+    import pandas as pd
+
+    from tanml_ray.kernels.tdigest import TDigest
+
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        pri = np.asarray(batch.column("o_orderpriority").to_pylist(),
+                         dtype=object)
+        val = batch.column("o_totalprice").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        rows = []
+        import pickle
+
+        for p in np.unique(pri):
+            d = TDigest()
+            d.update(val[pri == p])
+            rows.append({"pri": str(p), "state": pickle.dumps(d.to_state())})
+        return pd.DataFrame(rows)
+
+    def merge_group(g: pd.DataFrame) -> pd.DataFrame:
+        import pickle
+
+        from tanml_ray.kernels.tdigest import TDigest as TD
+
+        d = None
+        for blob in g["state"]:
+            o = TD.from_state(pickle.loads(blob))
+            d = o if d is None else d.merge(o)
+        return pd.DataFrame([{
+            "o_orderpriority": g["pri"].iloc[0],
+            "n": int(round(d.n)),
+            **{f"p{int(q*100):02d}": round(float(d.quantile(q)), 6)
+               for q in (0.25, 0.50, 0.75, 0.95)}}])
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("pri").map_groups(merge_group, batch_format="pandas"))
+    rows = sorted(collect_pylist(out), key=lambda r: r["o_orderpriority"])
+    return pa.Table.from_pylist(rows)
+
+
 GROUP_QUANTILES_SQL = """
 SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
        round(quantile_cont(CAST(round(o_totalprice*100) AS BIGINT), 0.25) / 100.0, 6) AS p25,

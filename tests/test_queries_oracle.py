@@ -76,6 +76,24 @@ def test_hll_dau_within_tolerance(sf_dir, oracle_con):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_tdigest_group_quantiles_within_tolerance(sf_dir):
+    """The grouped t-digest sketch must track the exact per-group
+    quantiles within 2%."""
+    import __ray_entry__ as entry
+
+    approx = {r["o_orderpriority"]: r for r in entry.queries()[
+        "price_quantiles_by_priority_tdigest"](sf_dir).to_pylist()}
+    exact = {r["o_orderpriority"]: r for r in entry.queries()[
+        "price_quantiles_by_priority"](sf_dir).to_pylist()}
+    assert set(approx) == set(exact) and len(exact) >= 3
+    for pri, e in exact.items():
+        a = approx[pri]
+        assert a["n"] == e["n"]
+        for qk in ("p25", "p50", "p75", "p95"):
+            assert abs(a[qk] - e[qk]) <= 0.02 * e[qk], (pri, qk, a[qk], e[qk])
+
+
+@pytest.mark.usefixtures("ray_session")
 @pytest.mark.parametrize("name", FAST_QUERIES)
 def test_query_matches_oracle(name, sf_dir, oracle_con):
     import __ray_entry__ as entry
