@@ -121,6 +121,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_quantiles_by_priority": q.price_quantiles_by_priority,
         "logistic_cv_repeated_orders": q.logistic_cv_repeated_orders,
         "logistic_inference_orders": q.logistic_inference_orders,
+        "gopher_quality_documents": q.gopher_quality_documents,
+        "repetition_ngram_documents": q.repetition_ngram_documents,
+        "hot_ngram_documents": q.hot_ngram_documents,
+        "weighted_sample_documents": q.weighted_sample_documents,
     }
 
 
@@ -195,6 +199,10 @@ def oracle_sql() -> dict[str, str]:
         "daily_active_users_events": q.DAU_SQL,
         "pivot_priority_status_orders": q.PIVOT_SQL,
         "price_quantiles_by_priority": q.GROUP_QUANTILES_SQL,
+        "gopher_quality_documents": q.GOPHER_QUALITY_SQL,
+        "repetition_ngram_documents": q.REPETITION_NGRAM_SQL,
+        "hot_ngram_documents": q.HOT_NGRAM_SQL,
+        "weighted_sample_documents": q.WEIGHTED_SAMPLE_SQL,
         # langid / lsh-knn / minhash / simhash / logistic_cv (iterative
         # IRLS): not SQL-expressible → rows-only driver check; verified
         # in pytest instead.

@@ -2635,3 +2635,114 @@ SELECT CAST(n AS BIGINT) AS n,
                  / (syy - sy*sy/n), 6) AS r2
 FROM d
 """
+
+
+# ---------------------------------------------------------------------------
+# Web-text curation layer (pipelines/webtext.py): Gopher quality rules,
+# within-doc duplicate-n-gram repetition, corpus hot-n-gram boilerplate
+# coverage, deterministic weighted sampling. All four fully SQL-oracled.
+# ---------------------------------------------------------------------------
+
+def gopher_quality_documents(sf_dir: str) -> pa.Table:
+    from tanml_ray.pipelines.webtext import gopher_signals_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(gopher_signals_batch, batch_format="pyarrow")
+    rows = sorted(collect_pylist(out), key=lambda r: r["doc_id"])
+    return pa.Table.from_pylist(rows)
+
+
+GOPHER_QUALITY_SQL = """
+WITH sig AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_words,
+         CAST(len(regexp_extract_all(text, '\\S')) AS BIGINT) AS n_wordchars,
+         CAST(len(regexp_extract_all(text, '\\S*[A-Za-z]\\S*')) AS BIGINT) AS n_alpha_words,
+         CAST(len(regexp_extract_all(text, '\\b(the|and|of|to|in|is|that|for|was|on)\\b')) AS BIGINT) AS stop_hits
+  FROM documents)
+SELECT doc_id, n_words,
+       round(n_wordchars / CAST(greatest(n_words, 1) AS DOUBLE), 6) AS mean_word_len,
+       round(n_alpha_words / CAST(greatest(n_words, 1) AS DOUBLE), 6) AS alpha_word_frac,
+       stop_hits,
+       CAST(CASE WHEN n_words BETWEEN 50 AND 100000
+                  AND n_wordchars / CAST(greatest(n_words, 1) AS DOUBLE) BETWEEN 3.0 AND 10.0
+                  AND n_alpha_words / CAST(greatest(n_words, 1) AS DOUBLE) > 0.80
+                  AND stop_hits >= 2
+            THEN 1 ELSE 0 END AS BIGINT) AS gopher_pass
+FROM sig ORDER BY doc_id
+"""
+
+
+def repetition_ngram_documents(sf_dir: str) -> pa.Table:
+    from tanml_ray.pipelines.webtext import dup_ngram_stats_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(dup_ngram_stats_batch, batch_format="pyarrow")
+    rows = sorted(collect_pylist(out), key=lambda r: r["doc_id"])
+    return pa.Table.from_pylist(rows)
+
+
+REPETITION_NGRAM_SQL = """
+WITH docs AS (
+  SELECT doc_id, regexp_extract_all(text, '\\S+') AS ws FROM documents),
+idx AS (
+  SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i FROM docs),
+tg AS (
+  SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g FROM idx),
+cnt AS (
+  SELECT doc_id, g, count(*) AS c FROM tg GROUP BY doc_id, g)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup_grams,
+       round(sum(CASE WHEN c > 1 THEN c ELSE 0 END) / CAST(sum(c) AS DOUBLE), 6) AS dup_frac
+FROM cnt GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def hot_ngram_documents(sf_dir: str) -> pa.Table:
+    from tanml_ray.pipelines.webtext import hot_ngram_coverage
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return hot_ngram_coverage(ds, n=3, min_df_frac=0.05)
+
+
+HOT_NGRAM_SQL = """
+WITH docs AS (
+  SELECT doc_id, regexp_extract_all(text, '\\S+') AS ws FROM documents),
+idx AS (
+  SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i FROM docs),
+tg AS (
+  SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g FROM idx),
+hot AS (
+  SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS df FROM tg GROUP BY g)
+  WHERE df >= greatest(2, CAST(ceil(0.05 * (SELECT count(*) FROM documents)) AS BIGINT)))
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN g IN (SELECT g FROM hot) THEN 1 ELSE 0 END) AS BIGINT) AS hot_grams,
+       round(sum(CASE WHEN g IN (SELECT g FROM hot) THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS hot_frac
+FROM tg GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def weighted_sample_documents(sf_dir: str) -> pa.Table:
+    from tanml_ray.pipelines.webtext import weighted_sample_per_group
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    return weighted_sample_per_group(ds, k=3, weight_col="n_chars",
+                                     group_col="lang", id_col="doc_id")
+
+
+WEIGHTED_SAMPLE_SQL = """
+WITH keyed AS (
+  SELECT lang, doc_id, n_chars,
+         -ln(((md5_number_lower(CAST(doc_id AS VARCHAR)) >> 11) + 0.5)
+             / 9007199254740992.0) / n_chars AS skey
+  FROM documents)
+SELECT lang,
+       CAST(row_number() OVER (PARTITION BY lang ORDER BY skey, doc_id) AS BIGINT) AS rank,
+       doc_id, n_chars, round(skey, 6) AS priority
+FROM keyed
+QUALIFY rank <= 3
+ORDER BY lang, rank
+"""

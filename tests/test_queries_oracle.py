@@ -36,6 +36,9 @@ FAST_QUERIES = [
     "tfidf_top_terms_documents", "linear_cv_repeated_summary_orders",
     "daily_active_users_events", "price_quantiles_by_priority",
     "pivot_priority_status_orders",
+    # round-3 webtext layer
+    "gopher_quality_documents", "repetition_ngram_documents",
+    "hot_ngram_documents", "weighted_sample_documents",
 ]
 
 

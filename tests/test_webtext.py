@@ -1,0 +1,119 @@
+"""Unit/property tests for the web-text curation layer
+(pipelines/webtext.py): Gopher signals, duplicate-n-gram repetition,
+hot-n-gram boilerplate coverage, weighted sampling. The SQL-oracle
+equivalence of all four queries is covered by test_queries_oracle.py;
+these tests pin the operator semantics on hand-built corpora."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from tanml_ray.pipelines.webtext import (
+    dup_ngram_stats_batch,
+    gopher_signals_batch,
+    hot_ngram_coverage,
+    weighted_sample_per_group,
+    _md5_uniform,
+    _word_ngrams,
+)
+
+
+def _tbl(texts, ids=None):
+    ids = ids if ids is not None else list(range(1, len(texts) + 1))
+    return pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                     "text": pa.array(texts, type=pa.string())})
+
+
+def test_gopher_signals_flags():
+    good = " ".join(["the quick brown fox jumps over and of to in"] * 6)  # 60 words
+    short = "the cat sat on the mat"                      # < 50 words
+    symbols = " ".join(["@#$% ^&*( )!~= ++-- ::;; <<>>"] * 12)  # no alpha words
+    out = gopher_signals_batch(_tbl([good, short, symbols]))
+    rows = {r["doc_id"]: r for r in out.to_pylist()}
+    assert rows[1]["gopher_pass"] == 1
+    assert rows[1]["n_words"] == 60
+    assert rows[2]["gopher_pass"] == 0          # too short
+    assert rows[3]["gopher_pass"] == 0          # alpha_word_frac == 0
+    assert rows[3]["alpha_word_frac"] == 0.0
+    assert rows[1]["stop_hits"] >= 2
+
+
+def test_dup_ngram_fraction_exact():
+    # "a b c a b c a b" -> trigrams: abc bca cab abc bca cab -> every
+    # position duplicated -> dup_frac 1.0
+    rep = "a b c a b c a b"
+    uniq = "one two three four five"
+    out = dup_ngram_stats_batch(_tbl([rep, uniq]))
+    rows = {r["doc_id"]: r for r in out.to_pylist()}
+    assert rows[1]["n_grams"] == 6 and rows[1]["dup_grams"] == 6
+    assert rows[1]["dup_frac"] == 1.0
+    assert rows[2]["n_grams"] == 3 and rows[2]["dup_grams"] == 0
+    # a doc with < 3 words emits no row (oracle GROUP BY parity)
+    assert 3 not in {r["doc_id"] for r in
+                     dup_ngram_stats_batch(_tbl(["a b"], ids=[3])).to_pylist()}
+
+
+def test_word_ngrams_textual_identity():
+    assert _word_ngrams("x  y\tz w", 3) == ["x y z", "y z w"]
+    assert _word_ngrams("x y", 3) == []
+    assert _word_ngrams("", 3) == []
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hot_ngram_coverage_boilerplate():
+    import ray.data as rd
+
+    # 30 docs share one boilerplate trigram run; 5 docs are unique.
+    boiler = "all rights reserved " + "filler%d unique%d tail%d"
+    texts = [boiler % (i, i, i) for i in range(30)]
+    texts += [f"totally distinct words {i} here now {i}" for i in range(5)]
+    ds = rd.from_arrow(_tbl(texts))
+    out = hot_ngram_coverage(ds, n=3, min_df_frac=0.5).to_pylist()
+    rows = {r["doc_id"]: r for r in out}
+    # "all rights reserved" appears in 30/35 docs >= 50% -> hot; each
+    # boilerplate doc has 4 grams, exactly 1 of them hot.
+    assert rows[1]["hot_grams"] == 1 and rows[1]["n_grams"] == 4
+    assert rows[1]["hot_frac"] == 0.25
+    assert all(rows[i]["hot_grams"] == 0 for i in range(31, 36))
+
+
+def test_md5_uniform_range_and_determinism():
+    ids = np.arange(1, 2001, dtype=np.int64)
+    u = _md5_uniform(ids)
+    assert np.all((u > 0) & (u < 1))
+    assert np.array_equal(u, _md5_uniform(ids))
+    # roughly uniform: mean within 3 sigma of 0.5
+    assert abs(u.mean() - 0.5) < 3 * (1 / np.sqrt(12 * len(u)))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_weighted_sample_per_group_properties():
+    import ray.data as rd
+
+    rng = np.random.default_rng(7)
+    n = 400
+    tbl = pa.table({
+        "doc_id": pa.array(np.arange(n), type=pa.int64()),
+        "lang": pa.array(["en" if i % 2 else "de" for i in range(n)]),
+        "n_chars": pa.array(rng.integers(1, 10_000, n), type=pa.int64()),
+    })
+    ds = rd.from_arrow(tbl)
+    out = weighted_sample_per_group(ds, k=5, weight_col="n_chars",
+                                    group_col="lang").to_pylist()
+    assert len(out) == 10
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, rows in by_lang.items():
+        assert [r["rank"] for r in rows] == [1, 2, 3, 4, 5]
+    # determinism: identical second run, regardless of partitioning
+    out2 = weighted_sample_per_group(ds.repartition(7), k=5,
+                                     weight_col="n_chars",
+                                     group_col="lang").to_pylist()
+    assert out == out2
+    # weight sensitivity: the sampled docs' mean weight should exceed
+    # the population mean (priority = -ln(u)/w favors heavy docs)
+    samp_w = np.mean([r["n_chars"] for r in out])
+    assert samp_w > tbl.column("n_chars").to_numpy().mean()
