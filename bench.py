@@ -128,6 +128,14 @@ def main() -> None:
              ignore_reinit_error=True, logging_level="ERROR")
     from ray.data import DataContext
 
+    import logging
+
+    # keep the one JSON line findable: Ray Data's driver-side executor
+    # logs INFO per dataset plus cosmetic empty-block schema warnings
+    # (groupby partitions with no groups) that otherwise flood the tail.
+    # Must run AFTER the ray.data import — its dictConfig resets levels.
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
     ctx.execution_options.verbose_progress = False
