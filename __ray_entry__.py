@@ -125,6 +125,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_ngram_documents": q.repetition_ngram_documents,
         "hot_ngram_documents": q.hot_ngram_documents,
         "weighted_sample_documents": q.weighted_sample_documents,
+        "ngram_contamination_documents": q.ngram_contamination_documents,
+        "robust_scale_totalprice": q.robust_scale_totalprice,
     }
 
 
@@ -203,6 +205,8 @@ def oracle_sql() -> dict[str, str]:
         "repetition_ngram_documents": q.REPETITION_NGRAM_SQL,
         "hot_ngram_documents": q.HOT_NGRAM_SQL,
         "weighted_sample_documents": q.WEIGHTED_SAMPLE_SQL,
+        "ngram_contamination_documents": q.NGRAM_CONTAMINATION_SQL,
+        "robust_scale_totalprice": q.ROBUST_SCALE_SQL,
         # langid / lsh-knn / minhash / simhash / logistic_cv (iterative
         # IRLS): not SQL-expressible → rows-only driver check; verified
         # in pytest instead.

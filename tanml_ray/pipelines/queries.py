@@ -2746,3 +2746,97 @@ FROM keyed
 QUALIFY rank <= 3
 ORDER BY lang, rank
 """
+
+
+def ngram_contamination_documents(sf_dir: str) -> pa.Table:
+    """Benchmark decontamination: source='src0' docs play the eval set;
+    every other doc reports its 5-gram overlap with it."""
+    from tanml_ray.pipelines.webtext import ngram_contamination
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+    corpus = ds.filter(expr="source != 'src0'")
+    bench = ds.filter(expr="source == 'src0'")
+    return ngram_contamination(corpus, bench, n=5)
+
+
+NGRAM_CONTAMINATION_SQL = """
+WITH docs AS (
+  SELECT doc_id, source, regexp_extract_all(text, '\\S+') AS ws FROM documents),
+idx AS (
+  SELECT doc_id, source, ws, unnest(generate_series(1, len(ws) - 4)) AS i FROM docs),
+tg AS (
+  SELECT doc_id, source,
+         ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4] AS g
+  FROM idx),
+bench AS (SELECT DISTINCT g FROM tg WHERE source = 'src0')
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN g IN (SELECT g FROM bench) THEN 1 ELSE 0 END) AS BIGINT) AS hit_grams,
+       CAST(CASE WHEN sum(CASE WHEN g IN (SELECT g FROM bench) THEN 1 ELSE 0 END) > 0
+            THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+FROM tg WHERE source != 'src0'
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def robust_scale_totalprice(sf_dir: str) -> pa.Table:
+    """Robust scaling (x - median) / IQR of o_totalprice — the
+    sklearn RobustScaler transform as a distributed two-phase op:
+    phase 1 streams per-batch value-count partials on the integer
+    cents grid (bounded by the price grid, NOT the row count) through
+    one groupby Sum; the driver derives exact quantile_cont-parity
+    percentiles from the merged counts; phase 2 rescales every row in
+    a closure-broadcast map_batches. Full SQL oracle."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def vc_partial(batch: pa.Table) -> pa.Table:
+        u = np.rint(batch.column("o_totalprice")
+                    .to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        vals, cnts = np.unique(u, return_counts=True)
+        return pa.table({"cents": pa.array(vals, type=pa.int64()),
+                         "n": pa.array(cnts, type=pa.int64())})
+
+    vc = sorted(collect_pylist(
+        ds.map_batches(vc_partial, batch_format="pyarrow")
+        .groupby("cents").aggregate(Sum("n", alias_name="n"))),
+        key=lambda r: r["cents"])
+    vals = np.array([r["cents"] for r in vc], dtype=np.float64)
+    cnts = np.array([r["n"] for r in vc], dtype=np.int64)
+    cum = np.cumsum(cnts)
+    n = int(cum[-1])
+
+    def q_cont(q: float) -> float:
+        # linear-interpolation percentile over the EXPANDED sorted
+        # array, computed from counts — np.percentile/quantile_cont
+        # parity: v_lo + frac * (v_hi - v_lo)
+        h = (n - 1) * q
+        lo = int(np.floor(h))
+        hi = min(lo + 1, n - 1)
+        v_lo = float(vals[np.searchsorted(cum, lo + 1)])
+        v_hi = float(vals[np.searchsorted(cum, hi + 1)])
+        return (v_lo + (h - lo) * (v_hi - v_lo)) / 100.0
+
+    q1, med, q3 = q_cont(0.25), q_cont(0.50), q_cont(0.75)
+    iqr = q3 - q1
+
+    def scale(batch: pa.Table) -> pa.Table:
+        x = batch.column("o_totalprice").to_numpy(zero_copy_only=False)
+        return pa.table({"o_orderkey": batch.column("o_orderkey"),
+                         "scaled": pa.array(np.round((x - med) / iqr, 6))})
+
+    rows = sorted(collect_pylist(ds.map_batches(scale, batch_format="pyarrow")),
+                  key=lambda r: r["o_orderkey"])
+    return pa.Table.from_pylist(rows)
+
+
+ROBUST_SCALE_SQL = """
+WITH qs AS (
+  SELECT quantile_cont(CAST(round(o_totalprice*100) AS BIGINT), 0.25)/100.0 AS q1,
+         quantile_cont(CAST(round(o_totalprice*100) AS BIGINT), 0.50)/100.0 AS med,
+         quantile_cont(CAST(round(o_totalprice*100) AS BIGINT), 0.75)/100.0 AS q3
+  FROM orders)
+SELECT o_orderkey, round((o_totalprice - med) / (q3 - q1), 6) AS scaled
+FROM orders, qs ORDER BY o_orderkey
+"""

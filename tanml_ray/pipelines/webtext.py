@@ -210,6 +210,67 @@ def hot_ngram_coverage(ds, n: int = 3, min_df_frac: float = 0.05,
     return pa.Table.from_pylist(rows)
 
 
+def ngram_contamination(corpus_ds, benchmark_ds, n: int = 5,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        as_dataset: bool = False):
+    """Benchmark decontamination check (the GPT-3/PaLM n-gram overlap
+    rule): for every corpus document, count its n-gram positions that
+    also occur anywhere in the benchmark set; `contaminated` = at least
+    one overlapping n-gram (the published single-collision criterion).
+
+    Scale shape: the benchmark side is small BY DEFINITION (eval sets
+    are ~10^3-10^6 docs), so its distinct gram-hash set is built with
+    one streaming distinct pass and broadcast via ray.put; the corpus —
+    the 100-TB side — streams through one map_batches with a vectorized
+    np.isin per doc and never shuffles at all."""
+    import ray
+
+    from tanml_ray.functions.collect import collect_pylist
+
+    def bench_grams(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        hs: set[int] = set()
+        for t in texts:
+            grams = _word_ngrams(t, n)
+            if grams:
+                hs.update(_gram_hash64(grams).tolist())
+        return pa.table({"gh": pa.array(sorted(hs), type=pa.int64())})
+
+    gh_rows = collect_pylist(
+        benchmark_ds.map_batches(bench_grams, batch_format="pyarrow")
+        .groupby("gh").count().select_columns(["gh"]))
+    bench = np.sort(np.array([r["gh"] for r in gh_rows], dtype=np.int64))
+    bench_ref = ray.put(bench)
+
+    def check(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        bset = _ray.get(bench_ref)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        texts = batch.column(text_col).to_pylist()
+        out_id, out_n, out_hit, out_flag = [], [], [], []
+        for i, t in enumerate(texts):
+            grams = _word_ngrams(t, n)
+            if not grams:
+                continue
+            gh = _gram_hash64(grams)
+            hits = int(np.isin(gh, bset).sum())
+            out_id.append(int(ids[i]))
+            out_n.append(len(grams))
+            out_hit.append(hits)
+            out_flag.append(1 if hits > 0 else 0)
+        return pa.table({id_col: pa.array(out_id, type=pa.int64()),
+                         "n_grams": pa.array(out_n, type=pa.int64()),
+                         "hit_grams": pa.array(out_hit, type=pa.int64()),
+                         "contaminated": pa.array(out_flag, type=pa.int64())})
+
+    out = corpus_ds.map_batches(check, batch_format="pyarrow")
+    if as_dataset:
+        return out
+    rows = sorted(collect_pylist(out), key=lambda r: r[id_col])
+    return pa.Table.from_pylist(rows)
+
+
 # 2^53 — the uniform's mantissa grid; +0.5 keeps u strictly inside (0,1).
 _U53 = 9007199254740992.0
 

@@ -39,6 +39,7 @@ FAST_QUERIES = [
     # round-3 webtext layer
     "gopher_quality_documents", "repetition_ngram_documents",
     "hot_ngram_documents", "weighted_sample_documents",
+    "ngram_contamination_documents", "robust_scale_totalprice",
 ]
 
 

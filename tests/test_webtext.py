@@ -79,6 +79,27 @@ def test_hot_ngram_coverage_boilerplate():
     assert all(rows[i]["hot_grams"] == 0 for i in range(31, 36))
 
 
+@pytest.mark.usefixtures("ray_session")
+def test_ngram_contamination_planted():
+    import ray.data as rd
+
+    from tanml_ray.pipelines.webtext import ngram_contamination
+
+    bench = _tbl(["the secret eval answer is forty two exactly"], ids=[100])
+    corpus = _tbl([
+        "clean document with no overlap at all here",
+        "leaked copy the secret eval answer is forty two exactly wow",
+        "tiny",  # < 5 words -> no row
+    ])
+    out = ngram_contamination(rd.from_arrow(corpus), rd.from_arrow(bench),
+                              n=5).to_pylist()
+    rows = {r["doc_id"]: r for r in out}
+    assert rows[1]["contaminated"] == 0 and rows[1]["hit_grams"] == 0
+    # the leaked doc contains all 4 of the benchmark's 5-grams
+    assert rows[2]["contaminated"] == 1 and rows[2]["hit_grams"] == 4
+    assert 3 not in rows
+
+
 def test_md5_uniform_range_and_determinism():
     ids = np.arange(1, 2001, dtype=np.int64)
     u = _md5_uniform(ids)
