@@ -134,6 +134,9 @@ def curate_documents(ds, text_col: str = "text", id_col: str = "doc_id",
                      min_tokens: int = 5, max_tokens: int = 100_000,
                      min_quality: float = 0.0,
                      allowed_langs: set[str] | None = None,
+                     gopher_rules: bool = False,
+                     decontaminate_against=None,
+                     contamination_n: int = 5,
                      near_dup_threshold: float = 0.8,
                      out_dir: str | None = None,
                      num_output_files: int = 8,
@@ -166,13 +169,33 @@ def curate_documents(ds, text_col: str = "text", id_col: str = "doc_id",
         n1 = n0
     else:
         def keep_quality(batch: pa.Table) -> pa.Table:
-            return quality_filter_batch(batch, text_col, id_col, min_tokens,
-                                        max_tokens, min_quality, allowed_langs)
+            out = quality_filter_batch(batch, text_col, id_col, min_tokens,
+                                       max_tokens, min_quality, allowed_langs)
+            if gopher_rules:
+                from tanml_ray.pipelines.webtext import gopher_signals_batch
+
+                flags = gopher_signals_batch(out, text_col=text_col,
+                                             id_col=id_col)
+                out = out.filter(pc.equal(flags.column("gopher_pass"), 1))
+            return out
 
         filtered = ds.map_batches(keep_quality,
                                   batch_format="pyarrow").materialize()
         n1 = count_of(filtered)
     stats["dropped_quality_or_lang"] = n0 - n1
+
+    # -- 1b. optional benchmark decontamination (GPT-3-style n-gram
+    # overlap rule, webtext.decontaminate): one streaming keep-filter
+    # pass against the broadcast benchmark gram set.
+    if decontaminate_against is not None:
+        from tanml_ray.pipelines.webtext import decontaminate
+
+        filtered = decontaminate(filtered, decontaminate_against,
+                                 n=contamination_n,
+                                 text_col=text_col).materialize()
+        n1b = count_of(filtered)
+        stats["dropped_contaminated"] = n1 - n1b
+        n1 = n1b
 
     # -- 2. exact dedup: keep min-id per content digest. The key is a
     # 128-bit blake2b digest (16 raw bytes — half the shuffle/broadcast
@@ -287,7 +310,9 @@ def curate_documents(ds, text_col: str = "text", id_col: str = "doc_id",
     stats["output_ws_tokens"] = tokens
     assert rows == n3
     assert (stats["input_rows"] - stats["output_rows"]
-            == stats["dropped_quality_or_lang"] + stats["dropped_exact_dup"]
+            == stats["dropped_quality_or_lang"]
+            + stats.get("dropped_contaminated", 0)
+            + stats["dropped_exact_dup"]
             + stats["dropped_near_dup"])
 
     if out_dir:

@@ -271,6 +271,47 @@ def ngram_contamination(corpus_ds, benchmark_ds, n: int = 5,
     return pa.Table.from_pylist(rows)
 
 
+def decontaminate(corpus_ds, benchmark_ds, n: int = 5,
+                  text_col: str = "text"):
+    """Streaming decontamination FILTER: drop every corpus doc sharing
+    at least one word n-gram with the benchmark set (same rule as
+    ngram_contamination, fused into a single keep-filter pass so the
+    curation chain never materializes the flag table). Docs too short
+    to have an n-gram are kept — they cannot leak an n-gram."""
+    import ray
+
+    from tanml_ray.functions.collect import collect_pylist
+
+    def bench_grams(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        hs: set[int] = set()
+        for t in texts:
+            grams = _word_ngrams(t, n)
+            if grams:
+                hs.update(_gram_hash64(grams).tolist())
+        return pa.table({"gh": pa.array(sorted(hs), type=pa.int64())})
+
+    gh_rows = collect_pylist(
+        benchmark_ds.map_batches(bench_grams, batch_format="pyarrow")
+        .groupby("gh").count().select_columns(["gh"]))
+    bench = np.sort(np.array([r["gh"] for r in gh_rows], dtype=np.int64))
+    bench_ref = ray.put(bench)
+
+    def keep_clean(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        bset = _ray.get(bench_ref)
+        texts = batch.column(text_col).to_pylist()
+        keep = np.ones(len(texts), dtype=bool)
+        for i, t in enumerate(texts):
+            grams = _word_ngrams(t, n)
+            if grams and bool(np.isin(_gram_hash64(grams), bset).any()):
+                keep[i] = False
+        return batch.filter(pa.array(keep))
+
+    return corpus_ds.map_batches(keep_clean, batch_format="pyarrow")
+
+
 # 2^53 — the uniform's mantissa grid; +0.5 keeps u strictly inside (0,1).
 _U53 = 9007199254740992.0
 

@@ -127,3 +127,32 @@ class TestCurate:
         ids = {r["doc_id"] for r in curated.take_all()}
         assert ids == {1}
         assert stats["dropped_quality_or_lang"] == 1
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCurateWebtext:
+    def test_gopher_and_decontamination_stages(self):
+        import ray.data as rd
+
+        from tanml_ray.pipelines.curate import curate_documents
+
+        long_good = " ".join(
+            "the quick brown fox and the lazy dog of note".split() * 7)  # 63 w
+        leaked = ("prefix words here " +
+                  "the secret benchmark answer is exactly forty two " +
+                  " ".join("and the rest of the document is fine ok".split() * 6))
+        rows = [{"doc_id": 1, "text": long_good},
+                {"doc_id": 2, "text": leaked},
+                {"doc_id": 3, "text": "way too short to pass gopher"}]
+        bench = rd.from_arrow(pa.Table.from_pylist(
+            [{"doc_id": 99,
+              "text": "the secret benchmark answer is exactly forty two"}]))
+        curated, stats = curate_documents(
+            rd.from_arrow(pa.Table.from_pylist(rows)),
+            gopher_rules=True, decontaminate_against=bench,
+            contamination_n=5, near_dup_threshold=0.99)
+        ids = {r["doc_id"] for r in
+               curated.select_columns(["doc_id"]).take_all()}
+        assert ids == {1}
+        assert stats["dropped_quality_or_lang"] == 1      # doc 3: gopher
+        assert stats["dropped_contaminated"] == 1         # doc 2: leaked
