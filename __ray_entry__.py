@@ -127,6 +127,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample_documents": q.weighted_sample_documents,
         "ngram_contamination_documents": q.ngram_contamination_documents,
         "robust_scale_totalprice": q.robust_scale_totalprice,
+        "pii_scan_documents": q.pii_scan_documents,
     }
 
 
@@ -207,6 +208,7 @@ def oracle_sql() -> dict[str, str]:
         "weighted_sample_documents": q.WEIGHTED_SAMPLE_SQL,
         "ngram_contamination_documents": q.NGRAM_CONTAMINATION_SQL,
         "robust_scale_totalprice": q.ROBUST_SCALE_SQL,
+        "pii_scan_documents": q.PII_SCAN_SQL,
         # langid / lsh-knn / minhash / simhash / logistic_cv (iterative
         # IRLS): not SQL-expressible → rows-only driver check; verified
         # in pytest instead.

@@ -2840,3 +2840,90 @@ WITH qs AS (
 SELECT o_orderkey, round((o_totalprice - med) / (q3 - q1), 6) AS scaled
 FROM orders, qs ORDER BY o_orderkey
 """
+
+
+# ---------------------------------------------------------------------------
+# PII detection + redaction (functions/pii.py). The synthetic corpus has
+# no natural PII, so the query injects a deterministic contact line into
+# every third document (a pure function of doc_id, mirrored verbatim in
+# the SQL oracle) and then runs the real RE2 scan/redact kernels over it
+# — exercising true positives, true negatives, and the post-redaction
+# byte-length invariant against DuckDB's identical RE2 engine.
+# ---------------------------------------------------------------------------
+
+def pii_scan_documents(sf_dir: str) -> pa.Table:
+    from tanml_ray.functions.pii import pii_counts_batch, redact_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def inject(batch: pa.Table) -> pa.Table:
+        did = batch.column("doc_id")
+        s = lambda x: pc.cast(x, pa.string())
+        # build: ' contact user{id}@mail{id%7}.example.com ip
+        # 10.{id%256}.0.{id%100} phone 555-{100+id%900}-{1000+id%9000}'
+        contact = pc.binary_join_element_wise(
+            " contact user", s(did),
+            "@mail", s(pc.subtract(did, pc.multiply(pc.divide(did, 7), 7))),
+            ".example.com ip 10.",
+            s(pc.subtract(did, pc.multiply(pc.divide(did, 256), 256))),
+            ".0.",
+            s(pc.subtract(did, pc.multiply(pc.divide(did, 100), 100))),
+            " phone 555-",
+            s(pc.add(pc.subtract(did, pc.multiply(pc.divide(did, 900), 900)),
+                     100)),
+            "-",
+            s(pc.add(pc.subtract(did, pc.multiply(pc.divide(did, 9000), 9000)),
+                     1000)),
+            "")
+        third = pc.equal(pc.subtract(did, pc.multiply(pc.divide(did, 3), 3)), 0)
+        text2 = pc.if_else(
+            third,
+            pc.binary_join_element_wise(batch.column("text"), contact, ""),
+            batch.column("text"))
+        return pa.table({"doc_id": did, "text": text2})
+
+    injected = ds.map_batches(inject, batch_format="pyarrow")
+
+    def scan(batch: pa.Table) -> pa.Table:
+        counts = pii_counts_batch(batch, "text", "doc_id",
+                                  kinds=("email", "phone", "ipv4"))
+        red = redact_batch(batch, "text")
+        out = counts.append_column("redacted_len",
+                                   red.column("redacted_len"))
+        return out.filter(pc.greater(out.column("pii_total"), 0))
+
+    out = injected.map_batches(scan, batch_format="pyarrow")
+    rows = sorted(collect_pylist(out), key=lambda r: r["doc_id"])
+    return pa.Table.from_pylist(rows)
+
+
+PII_SCAN_SQL = r"""
+WITH injected AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN
+           text || ' contact user' || doc_id || '@mail' || (doc_id % 7)
+                || '.example.com ip 10.' || (doc_id % 256) || '.0.'
+                || (doc_id % 100) || ' phone 555-' || (100 + doc_id % 900)
+                || '-' || (1000 + doc_id % 9000)
+         ELSE text END AS text
+  FROM documents
+), scanned AS (
+  SELECT doc_id,
+    len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+    len(regexp_extract_all(text, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS n_phone,
+    len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ipv4,
+    length(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(text,
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+            '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+          '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g'),
+        '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')) AS redacted_len
+  FROM injected
+)
+SELECT doc_id, n_email, n_phone, n_ipv4,
+       n_email + n_phone + n_ipv4 AS pii_total, redacted_len
+FROM scanned WHERE n_email + n_phone + n_ipv4 > 0 ORDER BY doc_id
+"""
