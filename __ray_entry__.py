@@ -128,6 +128,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_contamination_documents": q.ngram_contamination_documents,
         "robust_scale_totalprice": q.robust_scale_totalprice,
         "pii_scan_documents": q.pii_scan_documents,
+        "domain_stats_documents": q.domain_stats_documents,
     }
 
 
@@ -209,6 +210,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_contamination_documents": q.NGRAM_CONTAMINATION_SQL,
         "robust_scale_totalprice": q.ROBUST_SCALE_SQL,
         "pii_scan_documents": q.PII_SCAN_SQL,
+        "domain_stats_documents": q.DOMAIN_STATS_SQL,
         # langid / lsh-knn / minhash / simhash / logistic_cv (iterative
         # IRLS): not SQL-expressible → rows-only driver check; verified
         # in pytest instead.

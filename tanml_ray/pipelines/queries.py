@@ -2927,3 +2927,48 @@ SELECT doc_id, n_email, n_phone, n_ipv4,
        n_email + n_phone + n_ipv4 AS pii_total, redacted_len
 FROM scanned WHERE n_email + n_phone + n_ipv4 > 0 ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Per-domain corpus composition (webtext.domain_stats). The documents
+# table has no url column, so the query derives one deterministically
+# (url = https://www.{source}.{lang}.example.org/doc/{doc_id}, mirrored
+# verbatim in the SQL) — the host extraction, www-strip, partial-count
+# shuffle and share/cap flagging are the real kernels under test.
+# ---------------------------------------------------------------------------
+
+def domain_stats_documents(sf_dir: str) -> pa.Table:
+    from tanml_ray.pipelines.webtext import domain_stats
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "lang"])
+
+    def with_url(batch: pa.Table) -> pa.Table:
+        url = pc.binary_join_element_wise(
+            "https://www.", batch.column("source"), ".",
+            batch.column("lang"), ".example.org/doc/",
+            pc.cast(batch.column("doc_id"), pa.string()), "")
+        return pa.table({"url": url})
+
+    return domain_stats(ds.map_batches(with_url, batch_format="pyarrow"),
+                        share_cap=0.01)
+
+
+DOMAIN_STATS_SQL = r"""
+WITH pages AS (
+  SELECT 'https://www.' || source || '.' || lang || '.example.org/doc/'
+         || doc_id AS url
+  FROM documents
+), hosts AS (
+  SELECT regexp_replace(regexp_extract(url, '^https?://([^/]+)', 1),
+                        '^www\.', '') AS domain
+  FROM pages
+), agg AS (
+  SELECT domain, count(*) AS n_pages FROM hosts GROUP BY domain
+)
+SELECT domain, n_pages,
+       round(n_pages / (SELECT CAST(sum(n_pages) AS DOUBLE) FROM agg), 6)
+         AS share,
+       n_pages / (SELECT CAST(sum(n_pages) AS DOUBLE) FROM agg) > 0.01
+         AS over_cap
+FROM agg ORDER BY domain
+"""

@@ -375,3 +375,55 @@ def weighted_sample_per_group(ds, k: int = 3, weight_col: str = "n_chars",
            .groupby(group_col).map_groups(merge_group, batch_format="pandas"))
     rows = sorted(collect_pylist(out), key=lambda r: (r[group_col], r["rank"]))
     return pa.Table.from_pylist(rows)
+
+
+# ---------------------------------------------------------------------------
+# Per-domain corpus composition (C4/RefinedWeb-style domain accounting):
+# extract the registered host from each url, aggregate page counts per
+# domain with a per-batch partial-count combiner, and flag domains whose
+# corpus share exceeds a cap (over-represented boilerplate farms).
+# ---------------------------------------------------------------------------
+
+_HOST_RE = r"^https?://(?P<host>[^/]+)"
+
+
+def extract_domain_batch(batch: pa.Table, url_col: str = "url") -> pa.Table:
+    """Vectorized host extraction (RE2) with a leading-``www.`` strip;
+    appends a ``domain`` string column."""
+    host = pc.struct_field(
+        pc.extract_regex(batch.column(url_col), _HOST_RE), "host")
+    host = pc.replace_substring_regex(host, r"^www\.", "")
+    return batch.append_column("domain", host)
+
+
+def domain_stats(ds, url_col: str = "url", share_cap: float = 0.01):
+    """Dataset → one row per domain: (domain, n_pages, share, over_cap).
+
+    Scale shape: the shuffle moves only (domain, partial_count) rows —
+    one per distinct domain per block, never urls — and the output is
+    bounded by the number of distinct domains. ``share`` needs the
+    corpus total, which is the sum of the same partials (no second
+    pass over the input).
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        d = extract_domain_batch(batch, url_col)
+        t = pa.table({"domain": d.column("domain"),
+                      "n": np.ones(d.num_rows, dtype=np.int64)})
+        g = pa.TableGroupBy(t, "domain").aggregate([("n", "sum")])
+        return pa.table({"domain": g.column("domain"),
+                         "n_pages": g.column("n_sum")})
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("domain").aggregate(Sum("n_pages", alias_name="n_pages"))
+
+    rows = agg.take_all()
+    total = sum(r["n_pages"] for r in rows)
+    out = []
+    for r in sorted(rows, key=lambda r: r["domain"]):
+        share = r["n_pages"] / total if total else 0.0
+        out.append({"domain": r["domain"], "n_pages": r["n_pages"],
+                    "share": round(share, 6),
+                    "over_cap": share > share_cap})
+    return pa.Table.from_pylist(out)

@@ -138,3 +138,30 @@ def test_weighted_sample_per_group_properties():
     # the population mean (priority = -ln(u)/w favors heavy docs)
     samp_w = np.mean([r["n_chars"] for r in out])
     assert samp_w > tbl.column("n_chars").to_numpy().mean()
+
+
+def test_extract_domain_batch():
+    from tanml_ray.pipelines.webtext import extract_domain_batch
+
+    t = pa.table({"url": [
+        "https://www.example.com/a/b", "http://sub.host.org/x",
+        "https://host.org", "https://www.www2.net/p?q=1",
+    ]})
+    d = extract_domain_batch(t).column("domain").to_pylist()
+    assert d == ["example.com", "sub.host.org", "host.org", "www2.net"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_domain_stats_counts_and_cap():
+    import ray.data as rd
+    from tanml_ray.pipelines.webtext import domain_stats
+
+    urls = (["https://big.com/%d" % i for i in range(90)]
+            + ["https://www.small.org/%d" % i for i in range(10)])
+    out = domain_stats(rd.from_arrow(pa.table({"url": urls})).repartition(5),
+                       share_cap=0.5).to_pylist()
+    assert out == [
+        {"domain": "big.com", "n_pages": 90, "share": 0.9, "over_cap": True},
+        {"domain": "small.org", "n_pages": 10, "share": 0.1,
+         "over_cap": False},
+    ]
