@@ -129,6 +129,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "robust_scale_totalprice": q.robust_scale_totalprice,
         "pii_scan_documents": q.pii_scan_documents,
         "domain_stats_documents": q.domain_stats_documents,
+        "retention_cohorts_events": q.retention_cohorts_events,
     }
 
 
@@ -211,6 +212,7 @@ def oracle_sql() -> dict[str, str]:
         "robust_scale_totalprice": q.ROBUST_SCALE_SQL,
         "pii_scan_documents": q.PII_SCAN_SQL,
         "domain_stats_documents": q.DOMAIN_STATS_SQL,
+        "retention_cohorts_events": q.RETENTION_SQL,
         # langid / lsh-knn / minhash / simhash / logistic_cv (iterative
         # IRLS): not SQL-expressible → rows-only driver check; verified
         # in pytest instead.

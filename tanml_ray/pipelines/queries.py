@@ -2972,3 +2972,56 @@ SELECT domain, n_pages,
          AS over_cap
 FROM agg ORDER BY domain
 """
+
+
+# ---------------------------------------------------------------------------
+# Retention cohort analysis over the events stream: cohort = a user's
+# first active day; cell (cohort, offset) = distinct users from that
+# cohort active `offset` days later. The canonical product-analytics
+# wide op — one shuffle keyed by user (per-batch (user, day) dedupe is
+# the combiner, so the exchange moves unique pairs, never raw events),
+# then a bounded (cohort, offset) count aggregate. Full SQL oracle.
+# ---------------------------------------------------------------------------
+
+def retention_cohorts_events(sf_dir: str) -> pa.Table:
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", ["ts", "user_id"])
+
+    def local(batch: pa.Table) -> pd.DataFrame:
+        day = pc.floor_temporal(batch.column("ts"), unit="day")
+        df = pd.DataFrame({"user_id": batch.column("user_id")
+                           .to_numpy(zero_copy_only=False),
+                           "day": day.to_numpy(zero_copy_only=False)})
+        return df.drop_duplicates()
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        days = g["day"].drop_duplicates()
+        cohort = days.min()
+        off = (days - cohort).dt.days.astype("int64")
+        return pd.DataFrame({"cohort": cohort, "day_offset": off})
+
+    # shuffle 1 (by user): derive each user's cohort + offsets;
+    # shuffle 2 is the small (cohort, offset) count — output-bounded.
+    cells = (ds.map_batches(local, batch_format="pyarrow")
+             .groupby("user_id").map_groups(per_user, batch_format="pandas")
+             .groupby(["cohort", "day_offset"]).count())
+    rows = [{"cohort": pd.Timestamp(r["cohort"]),
+             "day_offset": int(r["day_offset"]),
+             "n_users": int(r["count()"])}
+            for r in collect_pylist(cells)]
+    rows.sort(key=lambda r: (r["cohort"], r["day_offset"]))
+    return pa.Table.from_pylist(rows)
+
+
+RETENTION_SQL = """
+WITH activity AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+), firsts AS (
+  SELECT user_id, min(day) AS cohort FROM activity GROUP BY user_id
+)
+SELECT f.cohort, datediff('day', f.cohort, a.day) AS day_offset,
+       CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+FROM activity a JOIN firsts f USING (user_id)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
