@@ -130,6 +130,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_scan_documents": q.pii_scan_documents,
         "domain_stats_documents": q.domain_stats_documents,
         "retention_cohorts_events": q.retention_cohorts_events,
+        "percent_rank_orders": q.percent_rank_orders,
     }
 
 
@@ -213,6 +214,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_scan_documents": q.PII_SCAN_SQL,
         "domain_stats_documents": q.DOMAIN_STATS_SQL,
         "retention_cohorts_events": q.RETENTION_SQL,
+        "percent_rank_orders": q.PERCENT_RANK_SQL,
         # langid / lsh-knn / minhash / simhash / logistic_cv (iterative
         # IRLS): not SQL-expressible → rows-only driver check; verified
         # in pytest instead.

@@ -3025,3 +3025,60 @@ SELECT f.cohort, datediff('day', f.cohort, a.day) AS day_offset,
 FROM activity a JOIN firsts f USING (user_id)
 GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# Global window ranks without a global sort: percent_rank() and
+# cume_dist() over o_totalprice. Phase 1 streams per-batch value-count
+# partials on the integer cents grid through one bounded groupby (the
+# same shape robust_scale uses — the shuffle is grid-bounded, not
+# row-bounded); the driver turns merged counts into rank prefix sums;
+# phase 2 maps every row via np.searchsorted against the broadcast
+# grid. SQL window functions are the oracle (min-rank tie semantics on
+# both sides).
+# ---------------------------------------------------------------------------
+
+def percent_rank_orders(sf_dir: str) -> pa.Table:
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def vc_partial(batch: pa.Table) -> pa.Table:
+        u = np.rint(batch.column("o_totalprice")
+                    .to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        vals, cnts = np.unique(u, return_counts=True)
+        return pa.table({"cents": pa.array(vals, type=pa.int64()),
+                         "n": pa.array(cnts, type=pa.int64())})
+
+    vc = sorted(collect_pylist(
+        ds.map_batches(vc_partial, batch_format="pyarrow")
+        .groupby("cents").aggregate(Sum("n", alias_name="n"))),
+        key=lambda r: r["cents"])
+    vals = np.array([r["cents"] for r in vc], dtype=np.int64)
+    cnts = np.array([r["n"] for r in vc], dtype=np.int64)
+    cum = np.cumsum(cnts)
+    n = int(cum[-1])
+    below = cum - cnts          # rows strictly less than vals[i]
+    pr = below / (n - 1) if n > 1 else np.zeros_like(below, dtype=np.float64)
+    cd = cum / n
+
+    def rank_rows(batch: pa.Table) -> pa.Table:
+        u = np.rint(batch.column("o_totalprice")
+                    .to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        i = np.searchsorted(vals, u)
+        return pa.table({"o_orderkey": batch.column("o_orderkey"),
+                         "pct_rank": pa.array(np.round(pr[i], 6)),
+                         "cume_dist": pa.array(np.round(cd[i], 6))})
+
+    rows = sorted(collect_pylist(ds.map_batches(rank_rows,
+                                                batch_format="pyarrow")),
+                  key=lambda r: r["o_orderkey"])
+    return pa.Table.from_pylist(rows)
+
+
+PERCENT_RANK_SQL = """
+SELECT o_orderkey,
+       round(percent_rank() OVER (ORDER BY CAST(round(o_totalprice*100) AS BIGINT)), 6) AS pct_rank,
+       round(cume_dist() OVER (ORDER BY CAST(round(o_totalprice*100) AS BIGINT)), 6) AS cume_dist
+FROM orders ORDER BY o_orderkey
+"""
