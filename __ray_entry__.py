@@ -131,6 +131,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_stats_documents": q.domain_stats_documents,
         "retention_cohorts_events": q.retention_cohorts_events,
         "percent_rank_orders": q.percent_rank_orders,
+        "unpivot_orders": q.unpivot_orders,
     }
 
 
@@ -215,6 +216,7 @@ def oracle_sql() -> dict[str, str]:
         "domain_stats_documents": q.DOMAIN_STATS_SQL,
         "retention_cohorts_events": q.RETENTION_SQL,
         "percent_rank_orders": q.PERCENT_RANK_SQL,
+        "unpivot_orders": q.UNPIVOT_SQL,
         # langid / lsh-knn / minhash / simhash / logistic_cv (iterative
         # IRLS): not SQL-expressible → rows-only driver check; verified
         # in pytest instead.

@@ -3082,3 +3082,45 @@ SELECT o_orderkey,
        round(cume_dist() OVER (ORDER BY CAST(round(o_totalprice*100) AS BIGINT)), 6) AS cume_dist
 FROM orders ORDER BY o_orderkey
 """
+
+
+# ---------------------------------------------------------------------------
+# Unpivot / melt — the reshape inverse of pivot_priority_status_orders:
+# wide numeric columns → long (key, metric, value) rows. Pure per-batch
+# Arrow column stacking (each batch emits k stacked slices, zero
+# Python per row); no shuffle at all — the op is embarrassingly
+# parallel and output-bounded at k× input rows. SQL UNPIVOT oracle.
+# ---------------------------------------------------------------------------
+
+def unpivot_orders(sf_dir: str) -> pa.Table:
+    metrics = ["o_totalprice", "o_custkey"]
+    ds = _read(sf_dir, "orders", ["o_orderkey"] + metrics)
+
+    def melt(batch: pa.Table) -> pa.Table:
+        keys, names, vals = [], [], []
+        for m in metrics:
+            keys.append(batch.column("o_orderkey"))
+            names.append(pa.array([m] * batch.num_rows, type=pa.string()))
+            vals.append(pc.cast(batch.column(m), pa.float64()))
+        return pa.table({
+            "o_orderkey": pa.concat_arrays(
+                [c.combine_chunks() for c in keys]),
+            "metric": pa.concat_arrays(names),
+            "value": pa.concat_arrays(
+                [c.combine_chunks() for c in vals]),
+        })
+
+    rows = sorted(collect_pylist(ds.map_batches(melt, batch_format="pyarrow")),
+                  key=lambda r: (r["o_orderkey"], r["metric"]))
+    return pa.Table.from_pylist(rows)
+
+
+UNPIVOT_SQL = """
+SELECT o_orderkey, metric, value FROM (
+  SELECT o_orderkey, 'o_totalprice' AS metric,
+         CAST(o_totalprice AS DOUBLE) AS value FROM orders
+  UNION ALL
+  SELECT o_orderkey, 'o_custkey' AS metric,
+         CAST(o_custkey AS DOUBLE) AS value FROM orders
+) ORDER BY o_orderkey, metric
+"""
