@@ -132,6 +132,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "retention_cohorts_events": q.retention_cohorts_events,
         "percent_rank_orders": q.percent_rank_orders,
         "unpivot_orders": q.unpivot_orders,
+        "unigram_lm_ppl_documents": q.unigram_lm_ppl_documents,
+        "dedup_keep_best_documents": q.dedup_keep_best_documents,
     }
 
 
@@ -217,6 +219,8 @@ def oracle_sql() -> dict[str, str]:
         "retention_cohorts_events": q.RETENTION_SQL,
         "percent_rank_orders": q.PERCENT_RANK_SQL,
         "unpivot_orders": q.UNPIVOT_SQL,
+        "unigram_lm_ppl_documents": q.UNIGRAM_LM_SQL,
+        "dedup_keep_best_documents": q.DEDUP_KEEP_BEST_SQL,
         # langid / lsh-knn / minhash / simhash / logistic_cv (iterative
         # IRLS): not SQL-expressible → rows-only driver check; verified
         # in pytest instead.

@@ -1138,3 +1138,50 @@ def dedup_keep_list(ds, pairs: pa.Table, id_col: str = "doc_id"):
         return batch.filter(pa.array(mask))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def exact_dedup_keep_best(ds, text_col: str = "text", id_col: str = "doc_id",
+                          quality_col: str = "n_chars"):
+    """Quality-aware exact dedup (RefinedWeb-style): within each exact
+    content group keep the HIGHEST-quality document (max `quality_col`,
+    ties broken by min id) instead of keep-first. Returns the kept
+    (id, quality) rows sorted by id.
+
+    Scale shape: keyed on a 16-byte blake2b content digest (chance
+    collisions impossible at 10^12 docs; collision-resistant against
+    adversarial input, unlike md5 — see curate._content_digest). Each
+    batch pre-reduces to one candidate row per digest before the ONE
+    groupby(digest) shuffle, so the exchange moves (16 B digest, id,
+    quality) per distinct-content-per-block — never text. Output is the
+    kept set (streamed), nothing corpus-sized on the driver.
+
+    Reference anchor: duplicate detection semantics of
+    tanml/checks/data_quality/duplicates.py re-expressed as a
+    destructive quality-keeping selector.
+    """
+    import hashlib
+
+    def local_best(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        digs = [hashlib.blake2b(t.encode("utf-8"), digest_size=16).digest()
+                if t is not None else b"\x00" * 16 for t in texts]
+        df = pd.DataFrame({
+            "dig": digs,
+            "id": batch.column(id_col).to_numpy(zero_copy_only=False),
+            "q": batch.column(quality_col).to_numpy(zero_copy_only=False),
+        })
+        # best = max quality, tie min id: sort then take first per digest
+        df = df.sort_values(["dig", "q", "id"],
+                            ascending=[True, False, True])
+        df = df.drop_duplicates("dig", keep="first")
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def best_of_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["q", "id"], ascending=[False, True])
+        r = g.iloc[:1]
+        return pd.DataFrame({id_col: r["id"].to_numpy(dtype=np.int64),
+                             quality_col: r["q"].to_numpy(dtype=np.int64)})
+
+    return (ds.map_batches(local_best, batch_format="pyarrow")
+            .groupby("dig").map_groups(best_of_group, batch_format="pandas")
+            .sort(id_col))

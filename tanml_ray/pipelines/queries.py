@@ -3124,3 +3124,60 @@ SELECT o_orderkey, metric, value FROM (
          CAST(o_custkey AS DOUBLE) AS value FROM orders
 ) ORDER BY o_orderkey, metric
 """
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style unigram-LM perplexity quality scoring: train word counts
+# on the corpus (combiner-first shuffle), broadcast the vocab-bounded
+# LM, score every doc's add-one-smoothed nll/ppl. Full SQL oracle —
+# identical RE2 tokenization, identical smoothing arithmetic.
+# ---------------------------------------------------------------------------
+
+def unigram_lm_ppl_documents(sf_dir: str) -> pa.Table:
+    from tanml_ray.pipelines.webtext import unigram_lm_scores
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return unigram_lm_scores(ds)
+
+
+UNIGRAM_LM_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+), counts AS (
+  SELECT w, count(*) AS c FROM toks GROUP BY w
+), tot AS (
+  SELECT CAST(sum(c) AS DOUBLE) + count(*) AS denom FROM counts
+), scored AS (
+  SELECT t.doc_id, count(*) AS n_tokens,
+         -sum(ln((c.c + 1) / tot.denom)) / count(*) AS raw_nll
+  FROM toks t JOIN counts c ON t.w = c.w CROSS JOIN tot
+  GROUP BY t.doc_id
+)
+SELECT doc_id, n_tokens, round(raw_nll, 6) AS nll,
+       round(exp(raw_nll), 6) AS ppl
+FROM scored ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Quality-aware exact dedup: keep the best-quality doc per exact
+# content group (max n_chars, tie min doc_id) — RefinedWeb-style
+# selection instead of keep-first. Window-function SQL oracle.
+# ---------------------------------------------------------------------------
+
+def dedup_keep_best_documents(sf_dir: str) -> pa.Table:
+    from tanml_ray.pipelines.dedup import exact_dedup_keep_best
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+    return exact_dedup_keep_best(ds)
+
+
+DEDUP_KEEP_BEST_SQL = """
+SELECT doc_id, n_chars FROM (
+  SELECT doc_id, n_chars,
+         row_number() OVER (PARTITION BY text
+                            ORDER BY n_chars DESC, doc_id) AS rn
+  FROM documents
+) WHERE rn = 1 ORDER BY doc_id
+"""

@@ -30,6 +30,7 @@ Scale notes:
 from __future__ import annotations
 
 import hashlib
+import re
 
 import numpy as np
 import pyarrow as pa
@@ -427,3 +428,100 @@ def domain_stats(ds, url_col: str = "url", share_cap: float = 0.01):
                     "share": round(share, 6),
                     "over_cap": share > share_cap})
     return pa.Table.from_pylist(out)
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style unigram language-model quality scoring: train token
+# frequencies on the corpus itself (one combiner-first shuffle), then
+# score every document's add-one-smoothed negative log-likelihood and
+# perplexity. CCNet (Wenzek et al. 2020) buckets documents by LM
+# perplexity into head/middle/tail; the KenLM model is replaced by a
+# corpus-trained unigram LM so the whole operator is library-free and
+# SQL-oracle-exact.
+# ---------------------------------------------------------------------------
+
+_WS_TOKEN_RE = re.compile(r"\S+", re.ASCII)
+
+
+def unigram_lm_scores(ds, text_col: str = "text", id_col: str = "doc_id",
+                      counts_ds=None, lm_driver_budget: int = 256 << 20):
+    """Two streaming passes over the corpus:
+
+      1. **train** — per-batch token Counters pre-aggregate before ONE
+         ``groupby(word)`` shuffle moving (word, partial_count) rows;
+         the resulting count table is VOCAB-bounded and broadcasts via
+         ``ray.put`` (the guard raises past ``lm_driver_budget`` rather
+         than silently degrading — a web-scale vocabulary at ~10^7
+         types x ~24 B is well inside the budget).
+      2. **score** — each batch tokenizes its docs and sums precomputed
+         per-word log-probs; shuffle-free.
+
+    p(w) = (c(w)+1) / (T+V) with T = corpus token count, V = vocabulary
+    size (add-one smoothing); unseen words (only possible when scoring
+    with an external ``counts_ds``) get 1/(T+V). nll is the per-token
+    mean of -ln p(w); ppl = exp(nll). Tokenization is ASCII ``\\S+`` —
+    the same RE2 semantics DuckDB's ``regexp_split_to_array(text,
+    '\\s+')`` uses, so the oracle reproduces every number (round(6)
+    swallows float sum-order noise).
+
+    Returns (doc_id, n_tokens, nll, ppl) for docs with >= 1 token,
+    sorted by doc_id. Reference anchor: extends the quality-signal
+    surface of tanml/ui/services/profiling.py:22-43 to corpus-level LM
+    scoring (no reference analog — published CCNet semantics).
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    from tanml_ray.functions.collect import collect_pylist
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for t in batch.column(text_col).to_pylist():
+            if t:
+                c.update(_WS_TOKEN_RE.findall(t))
+        return pa.table({"word": pa.array(list(c.keys()), type=pa.string()),
+                         "c": pa.array(list(c.values()), type=pa.int64())})
+
+    src = counts_ds if counts_ds is not None else ds
+    counts = (src.map_batches(count_partial, batch_format="pyarrow")
+              .groupby("word").aggregate(Sum("c", alias_name="c"))
+              .materialize())
+    if counts.size_bytes() > lm_driver_budget:
+        raise ValueError(
+            f"unigram LM table {counts.size_bytes()} B exceeds "
+            f"lm_driver_budget={lm_driver_budget}; raise the budget or "
+            "pre-filter the vocabulary (min_count)")
+    rows = collect_pylist(counts)
+    T = float(sum(r["c"] for r in rows))
+    V = len(rows)
+    denom = T + V
+    logp = {r["word"]: float(np.log((r["c"] + 1.0) / denom)) for r in rows}
+    oov = float(np.log(1.0 / denom))
+    ref = ray.put(logp)
+
+    def score(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        lp = _ray.get(ref)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        out = {"doc_id": [], "n_tokens": [], "nll": [], "ppl": []}
+        for i, t in enumerate(batch.column(text_col).to_pylist()):
+            toks = _WS_TOKEN_RE.findall(t) if t else []
+            if not toks:
+                continue
+            s = 0.0
+            for w in toks:
+                s += lp.get(w, oov)
+            nll = -s / len(toks)
+            out["doc_id"].append(int(ids[i]))
+            out["n_tokens"].append(len(toks))
+            out["nll"].append(round(nll, 6))
+            out["ppl"].append(round(float(np.exp(nll)), 6))
+        return pa.table({"doc_id": pa.array(out["doc_id"], type=pa.int64()),
+                         "n_tokens": pa.array(out["n_tokens"], type=pa.int64()),
+                         "nll": pa.array(out["nll"], type=pa.float64()),
+                         "ppl": pa.array(out["ppl"], type=pa.float64())})
+
+    return ds.map_batches(score, batch_format="pyarrow").sort("doc_id")

@@ -590,3 +590,22 @@ class TestFingerprintBitExactness:
         for (a, b), h in got.items():
             want = int(fps[a - 1] ^ fps[b - 1]).bit_count()
             assert h == want, (a, b)
+
+
+def test_exact_dedup_keep_best_picks_max_quality_then_min_id():
+    import ray
+
+    from tanml_ray.pipelines.dedup import exact_dedup_keep_best
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5, 6], type=pa.int64()),
+        "text": pa.array(["x", "x", "x", "y", "y", "z"]),
+        "n_chars": pa.array([10, 30, 30, 5, 5, 7], type=pa.int64()),
+    })
+    # force multi-block input so the cross-block groupby path runs
+    ds = ray.data.from_arrow(t).repartition(3)
+    out = exact_dedup_keep_best(ds).take_all()
+    # "x": max quality 30 shared by ids 2,3 → min id 2
+    # "y": tie quality 5 → min id 4; "z": singleton id 6
+    assert [(r["doc_id"], r["n_chars"]) for r in out] == \
+        [(2, 30), (4, 5), (6, 7)]

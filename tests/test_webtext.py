@@ -165,3 +165,56 @@ def test_domain_stats_counts_and_cap():
         {"domain": "small.org", "n_pages": 10, "share": 0.1,
          "over_cap": False},
     ]
+
+
+def test_unigram_lm_scores_hand_computed():
+    import ray
+
+    from tanml_ray.pipelines.webtext import unigram_lm_scores
+
+    # corpus: "a a b" and "a c"  → counts a=3, b=1, c=1; T=5, V=3, denom=8
+    ds = ray.data.from_arrow(_tbl(["a a b", "a c"]))
+    out = unigram_lm_scores(ds).take_all()
+    denom = 8.0
+    lp = {"a": np.log(4 / denom), "b": np.log(2 / denom),
+          "c": np.log(2 / denom)}
+    nll1 = -(2 * lp["a"] + lp["b"]) / 3
+    nll2 = -(lp["a"] + lp["c"]) / 2
+    assert [r["doc_id"] for r in out] == [1, 2]
+    assert out[0]["n_tokens"] == 3 and out[1]["n_tokens"] == 2
+    assert out[0]["nll"] == round(nll1, 6)
+    assert out[1]["nll"] == round(nll2, 6)
+    assert out[0]["ppl"] == round(float(np.exp(nll1)), 6)
+
+
+def test_unigram_lm_external_counts_and_oov():
+    import ray
+
+    from tanml_ray.pipelines.webtext import unigram_lm_scores
+
+    train = ray.data.from_arrow(_tbl(["a a b"]))          # T=3, V=2, denom=5
+    score = ray.data.from_arrow(_tbl(["a zzz"]))          # zzz is OOV
+    out = unigram_lm_scores(score, counts_ds=train).take_all()
+    nll = -(np.log(3 / 5) + np.log(1 / 5)) / 2
+    assert len(out) == 1
+    assert out[0]["nll"] == round(nll, 6)
+
+
+def test_unigram_lm_budget_guard_raises():
+    import ray
+
+    from tanml_ray.pipelines.webtext import unigram_lm_scores
+
+    ds = ray.data.from_arrow(_tbl(["a b c d e f g h"]))
+    with pytest.raises(ValueError, match="lm_driver_budget"):
+        unigram_lm_scores(ds, lm_driver_budget=0).take_all()
+
+
+def test_unigram_lm_skips_empty_docs():
+    import ray
+
+    from tanml_ray.pipelines.webtext import unigram_lm_scores
+
+    ds = ray.data.from_arrow(_tbl(["a b", "", None]))
+    out = unigram_lm_scores(ds).take_all()
+    assert [r["doc_id"] for r in out] == [1]
