@@ -134,6 +134,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unpivot_orders": q.unpivot_orders,
         "unigram_lm_ppl_documents": q.unigram_lm_ppl_documents,
         "dedup_keep_best_documents": q.dedup_keep_best_documents,
+        "canonical_urls_documents": q.canonical_urls_documents,
     }
 
 
@@ -221,6 +222,7 @@ def oracle_sql() -> dict[str, str]:
         "unpivot_orders": q.UNPIVOT_SQL,
         "unigram_lm_ppl_documents": q.UNIGRAM_LM_SQL,
         "dedup_keep_best_documents": q.DEDUP_KEEP_BEST_SQL,
+        "canonical_urls_documents": q.CANONICAL_URLS_SQL,
         # langid / lsh-knn / minhash / simhash / logistic_cv (iterative
         # IRLS): not SQL-expressible → rows-only driver check; verified
         # in pytest instead.

@@ -3181,3 +3181,90 @@ SELECT doc_id, n_chars FROM (
   FROM documents
 ) WHERE rn = 1 ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization (webtext.canonicalize_url_batch). The documents
+# table has no url column, so a deliberately messy one is derived
+# deterministically from (doc_id, source, lang) — mixed-case scheme and
+# host, scheme-matched default ports, trailing slashes, utm_* tracking
+# params and fragments — mirrored verbatim in the SQL. The vectorized
+# RE2 rewrite chain is the kernel under test.
+# ---------------------------------------------------------------------------
+
+def canonical_urls_documents(sf_dir: str) -> pa.Table:
+    from tanml_ray.pipelines.webtext import canonicalize_url_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "lang"])
+
+    def with_url(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        srcs = batch.column("source").to_pylist()
+        langs = batch.column("lang").to_pylist()
+        urls = []
+        for i, s, lg in zip(ids, srcs, langs):
+            i = int(i)
+            scheme = "HTTP" if i % 2 == 0 else "https"
+            host = f"www.{s}" + (".Example.COM" if i % 4 == 0
+                                 else ".example.com")
+            port = ":80" if i % 6 == 0 else (":443" if i % 6 == 3 else "")
+            q = (f"?utm_source=feed&ref={lg}" if i % 3 == 0
+                 else "?utm_campaign=x" if i % 3 == 1 else "")
+            urls.append(scheme + "://" + host + port + f"/Doc/{i}"
+                        + ("/" if i % 5 == 0 else "") + q
+                        + ("#sec1" if i % 7 == 0 else ""))
+        return pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                         "url": pa.array(urls, type=pa.string())})
+
+    out = (ds.map_batches(with_url, batch_format="pyarrow")
+           .map_batches(canonicalize_url_batch, batch_format="pyarrow"))
+    rows = sorted(collect_pylist(out), key=lambda r: r["doc_id"])
+    return pa.Table.from_pylist(rows)
+
+
+CANONICAL_URLS_SQL = r"""
+WITH raw AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END
+         || '://www.' || source
+         || CASE WHEN doc_id % 4 = 0 THEN '.Example.COM'
+                 ELSE '.example.com' END
+         || CASE WHEN doc_id % 6 = 0 THEN ':80'
+                 WHEN doc_id % 6 = 3 THEN ':443' ELSE '' END
+         || '/Doc/' || doc_id
+         || CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END
+         || CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed&ref=' || lang
+                 WHEN doc_id % 3 = 1 THEN '?utm_campaign=x' ELSE '' END
+         || CASE WHEN doc_id % 7 = 0 THEN '#sec1' ELSE '' END AS url
+  FROM documents
+), p AS (
+  SELECT doc_id, url,
+         lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+           AS scheme,
+         lower(regexp_extract(url,
+               '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS hostport,
+         regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '')
+           AS rest0
+  FROM raw
+), q AS (
+  SELECT doc_id, url, scheme,
+         CASE WHEN scheme = 'http'
+              THEN regexp_replace(hostport, ':80$', '')
+              WHEN scheme = 'https'
+              THEN regexp_replace(hostport, ':443$', '')
+              ELSE hostport END AS host,
+         regexp_replace(regexp_replace(rest0, '#.*$', ''),
+                        '[?&]utm_[^&]*', '', 'g') AS rest1
+  FROM p
+), r AS (
+  SELECT doc_id, url, scheme, host,
+         regexp_replace(regexp_replace(regexp_replace(
+             rest1, '^([^?]*)&', '\1?'), '\?$', ''),
+             '^([^?]*[^/?])/$', '\1') AS rest2
+  FROM q
+)
+SELECT doc_id, url,
+       scheme || '://' || host || regexp_replace(rest2, '^/$', '')
+         AS canon_url
+FROM r ORDER BY doc_id
+"""

@@ -525,3 +525,49 @@ def unigram_lm_scores(ds, text_col: str = "text", id_col: str = "doc_id",
                          "ppl": pa.array(out["ppl"], type=pa.float64())})
 
     return ds.map_batches(score, batch_format="pyarrow").sort("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization — the first step of every web-corpus exact-dedup
+# chain (C4/CCNet dedupe on canonical URL before content hashing). One
+# fully vectorized RE2 rewrite chain per batch; the DuckDB oracle runs
+# the identical regex sequence, so every output byte is reproducible.
+# Rules (applied in order):
+#   1. scheme and host:port lowercase (path/query stay case-sensitive)
+#   2. default port stripped (:80 for http, :443 for https)
+#   3. fragment (#...) stripped
+#   4. utm_* tracking params removed; a dangling leading '&' is
+#      promoted to '?', a dangling trailing '?' dropped
+#   5. one trailing slash stripped when there is no query string
+#      (root '/' collapses to the bare authority)
+# ---------------------------------------------------------------------------
+
+_SCHEME_RE = r"^(?P<s>[A-Za-z][A-Za-z0-9+.-]*)://"
+_HOSTPORT_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://(?P<h>[^/?#]+)"
+
+
+def canonicalize_url_batch(batch: pa.Table, url_col: str = "url") -> pa.Table:
+    """Appends a ``canon_url`` column. Zero Python per row — every
+    step is an Arrow RE2 kernel (the same engine as the SQL oracle)."""
+    url = batch.column(url_col)
+    scheme = pc.utf8_lower(pc.struct_field(
+        pc.extract_regex(url, _SCHEME_RE), "s"))
+    hostport = pc.utf8_lower(pc.struct_field(
+        pc.extract_regex(url, _HOSTPORT_RE), "h"))
+    rest = pc.replace_substring_regex(
+        url, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", "")
+    host = pc.if_else(
+        pc.equal(scheme, "http"),
+        pc.replace_substring_regex(hostport, r":80$", ""),
+        pc.if_else(pc.equal(scheme, "https"),
+                   pc.replace_substring_regex(hostport, r":443$", ""),
+                   hostport))
+    rest = pc.replace_substring_regex(rest, r"#.*$", "")
+    rest = pc.replace_substring_regex(rest, r"[?&]utm_[^&]*", "")
+    rest = pc.replace_substring_regex(rest, r"^([^?]*)&", r"\1?",
+                                      max_replacements=1)
+    rest = pc.replace_substring_regex(rest, r"\?$", "")
+    rest = pc.replace_substring_regex(rest, r"^([^?]*[^/?])/$", r"\1")
+    rest = pc.replace_substring_regex(rest, r"^/$", "")
+    canon = pc.binary_join_element_wise(scheme, "://", host, rest, "")
+    return batch.append_column("canon_url", canon)

@@ -218,3 +218,31 @@ def test_unigram_lm_skips_empty_docs():
     ds = ray.data.from_arrow(_tbl(["a b", "", None]))
     out = unigram_lm_scores(ds).take_all()
     assert [r["doc_id"] for r in out] == [1]
+
+
+def test_canonicalize_url_rules():
+    from tanml_ray.pipelines.webtext import canonicalize_url_batch
+
+    cases = {
+        # scheme+host lowercase, default port strip, path case kept
+        "HTTP://WWW.Ex.COM:80/Doc/1": "http://www.ex.com/Doc/1",
+        "https://Ex.com:443/a": "https://ex.com/a",
+        # non-default port survives
+        "http://ex.com:8080/a": "http://ex.com:8080/a",
+        # :443 on http is NOT a default port
+        "http://ex.com:443/a": "http://ex.com:443/a",
+        # fragment stripped, root slash collapses
+        "https://ex.com/#frag": "https://ex.com",
+        # consecutive utm params, remnant '&' promoted to '?'
+        "https://ex.com/p?utm_a=1&utm_b=2&c=3": "https://ex.com/p?c=3",
+        # all params were utm → dangling '?' dropped
+        "https://ex.com/p?utm_a=1": "https://ex.com/p",
+        # trailing slash stripped only without a query
+        "https://ex.com/a/b/": "https://ex.com/a/b",
+        "https://ex.com/a/?x=1": "https://ex.com/a/?x=1",
+        # other scheme: port untouched, rules still apply
+        "FTP://Ex.com:80/F/": "ftp://ex.com:80/F",
+    }
+    t = pa.table({"url": pa.array(list(cases.keys()), type=pa.string())})
+    out = canonicalize_url_batch(t).column("canon_url").to_pylist()
+    assert out == list(cases.values())
