@@ -444,7 +444,8 @@ _WS_TOKEN_RE = re.compile(r"\S+", re.ASCII)
 
 
 def unigram_lm_scores(ds, text_col: str = "text", id_col: str = "doc_id",
-                      counts_ds=None, lm_driver_budget: int = 256 << 20):
+                      counts_ds=None, min_count: int = 1,
+                      lm_driver_budget: int = 256 << 20):
     """Two streaming passes over the corpus:
 
       1. **train** — per-batch token Counters pre-aggregate before ONE
@@ -456,9 +457,14 @@ def unigram_lm_scores(ds, text_col: str = "text", id_col: str = "doc_id",
       2. **score** — each batch tokenizes its docs and sums precomputed
          per-word log-probs; shuffle-free.
 
-    p(w) = (c(w)+1) / (T+V) with T = corpus token count, V = vocabulary
-    size (add-one smoothing); unseen words (only possible when scoring
-    with an external ``counts_ds``) get 1/(T+V). nll is the per-token
+    p(w) = (c(w)+1) / (T+V) with T = corpus token count (INCLUDING
+    occurrences of pruned words), V = kept vocabulary size (add-one
+    smoothing); words outside the kept vocabulary — pruned by
+    ``min_count``, or unseen when scoring with an external
+    ``counts_ds`` — get 1/(T+V). ``min_count`` is the scale knob that
+    keeps the broadcast bounded on an unbounded web vocabulary: rare
+    types collapse into the OOV mass instead of inflating the LM table
+    (CCNet's fixed-model equivalent). nll is the per-token
     mean of -ln p(w); ppl = exp(nll). Tokenization is ASCII ``\\S+`` —
     the same RE2 semantics DuckDB's ``regexp_split_to_array(text,
     '\\s+')`` uses, so the oracle reproduces every number (round(6)
@@ -488,13 +494,20 @@ def unigram_lm_scores(ds, text_col: str = "text", id_col: str = "doc_id",
     counts = (src.map_batches(count_partial, batch_format="pyarrow")
               .groupby("word").aggregate(Sum("c", alias_name="c"))
               .materialize())
+    # T sums over the FULL count table (pruned occurrences included)
+    # without collecting it; only the kept vocabulary reaches the driver.
+    T = float(counts.sum("c"))
+    if min_count > 1:
+        mc = int(min_count)
+        counts = counts.map_batches(
+            lambda t: t.filter(pc.greater_equal(t.column("c"), mc)),
+            batch_format="pyarrow").materialize()
     if counts.size_bytes() > lm_driver_budget:
         raise ValueError(
             f"unigram LM table {counts.size_bytes()} B exceeds "
             f"lm_driver_budget={lm_driver_budget}; raise the budget or "
-            "pre-filter the vocabulary (min_count)")
+            "prune the vocabulary harder (min_count)")
     rows = collect_pylist(counts)
-    T = float(sum(r["c"] for r in rows))
     V = len(rows)
     denom = T + V
     logp = {r["word"]: float(np.log((r["c"] + 1.0) / denom)) for r in rows}

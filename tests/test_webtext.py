@@ -246,3 +246,17 @@ def test_canonicalize_url_rules():
     t = pa.table({"url": pa.array(list(cases.keys()), type=pa.string())})
     out = canonicalize_url_batch(t).column("canon_url").to_pylist()
     assert out == list(cases.values())
+
+
+def test_unigram_lm_min_count_prunes_to_oov():
+    import ray
+
+    from tanml_ray.pipelines.webtext import unigram_lm_scores
+
+    # corpus "a a b": T=3 (b's occurrence still counts), min_count=2
+    # keeps only "a" → V=1, denom=T+V=4; b scores as OOV 1/denom
+    ds = ray.data.from_arrow(_tbl(["a a b"]))
+    out = unigram_lm_scores(ds, min_count=2).take_all()
+    denom = 4.0
+    nll = -(2 * np.log(3 / denom) + np.log(1 / denom)) / 3
+    assert out[0]["nll"] == round(nll, 6)
