@@ -135,6 +135,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unigram_lm_ppl_documents": q.unigram_lm_ppl_documents,
         "dedup_keep_best_documents": q.dedup_keep_best_documents,
         "canonical_urls_documents": q.canonical_urls_documents,
+        "token_budget_documents": q.token_budget_documents,
+        "grouped_split_documents": q.grouped_split_documents,
     }
 
 
@@ -223,6 +225,8 @@ def oracle_sql() -> dict[str, str]:
         "unigram_lm_ppl_documents": q.UNIGRAM_LM_SQL,
         "dedup_keep_best_documents": q.DEDUP_KEEP_BEST_SQL,
         "canonical_urls_documents": q.CANONICAL_URLS_SQL,
+        "token_budget_documents": q.TOKEN_BUDGET_SQL,
+        "grouped_split_documents": q.GROUPED_SPLIT_SQL,
         # langid / lsh-knn / minhash / simhash / logistic_cv (iterative
         # IRLS): not SQL-expressible → rows-only driver check; verified
         # in pytest instead.

@@ -3268,3 +3268,60 @@ SELECT doc_id, url,
          AS canon_url
 FROM r ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Token-budget accounting per language (webtext.token_budget_stats):
+# packed context-length sequence counts and naive padding waste —
+# all-integer, exact SQL oracle.
+# ---------------------------------------------------------------------------
+
+def token_budget_documents(sf_dir: str) -> pa.Table:
+    from tanml_ray.pipelines.webtext import token_budget_stats
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    return token_budget_stats(ds, ctx=512)
+
+
+TOKEN_BUDGET_SQL = r"""
+WITH t AS (
+  SELECT lang,
+         coalesce(length(regexp_extract_all(text, '\S+')), 0) AS n
+  FROM documents
+), agg AS (
+  SELECT lang, count(*) AS n_docs,
+         CAST(sum(n) AS BIGINT) AS total_tokens,
+         CAST(sum((n + 511) // 512) AS BIGINT) AS sum_ceil
+  FROM t GROUP BY lang
+)
+SELECT lang, n_docs, total_tokens,
+       (total_tokens + 511) // 512 AS packed_sequences,
+       sum_ceil * 512 - total_tokens AS naive_pad_waste
+FROM agg ORDER BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe grouped split (webtext.grouped_split_stats): the whole
+# source lands in one split, decided by md5 of the group key —
+# bit-reproducible via DuckDB's md5_number_lower.
+# ---------------------------------------------------------------------------
+
+def grouped_split_documents(sf_dir: str) -> pa.Table:
+    from tanml_ray.pipelines.webtext import grouped_split_stats
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+    return grouped_split_stats(ds, group_col="source")
+
+
+GROUPED_SPLIT_SQL = """
+WITH g AS (
+  SELECT source, count(*) AS n FROM documents GROUP BY source
+), s AS (
+  SELECT CASE WHEN md5_number_lower(source) % 10 < 8
+              THEN 'train' ELSE 'test' END AS split, n
+  FROM g
+)
+SELECT split, count(*) AS n_groups, CAST(sum(n) AS BIGINT) AS n_docs
+FROM s GROUP BY split ORDER BY split
+"""

@@ -584,3 +584,92 @@ def canonicalize_url_batch(batch: pa.Table, url_col: str = "url") -> pa.Table:
     rest = pc.replace_substring_regex(rest, r"^/$", "")
     canon = pc.binary_join_element_wise(scheme, "://", host, rest, "")
     return batch.append_column("canon_url", canon)
+
+
+# ---------------------------------------------------------------------------
+# Token-budget accounting: how many context-length training sequences a
+# corpus yields per language, and how much padding a naive
+# one-doc-per-sequence layout would waste. All-integer arithmetic
+# (exact SQL oracle); the per-batch pass is a pure vectorized Arrow
+# kernel — zero Python per row — and the one shuffle moves a handful of
+# (lang, partial_sums) rows per block.
+# ---------------------------------------------------------------------------
+
+def token_budget_stats(ds, ctx: int = 512, text_col: str = "text",
+                       group_col: str = "lang") -> pa.Table:
+    """Per group: (n_docs, total_tokens, packed_sequences = ceil of the
+    concatenated-token count / ctx, naive_pad_waste = Σ per-doc
+    ceil-padding minus total). Tokens are ASCII ``\\S+`` runs, the same
+    RE2 count DuckDB's regexp_extract_all reproduces."""
+    from ray.data.aggregate import Sum
+
+    from tanml_ray.functions.collect import collect_pylist
+
+    def partial(batch: pa.Table) -> pa.Table:
+        n = pc.fill_null(pc.cast(
+            pc.count_substring_regex(batch.column(text_col), r"\S+"),
+            pa.int64()), 0)
+        ceil_slots = pc.divide(pc.add(n, ctx - 1), ctx)  # int64 floor-div
+        t = pa.table({group_col: batch.column(group_col),
+                      "n_docs": np.ones(batch.num_rows, dtype=np.int64),
+                      "total_tokens": n,
+                      "sum_ceil": ceil_slots})
+        g = pa.TableGroupBy(t, group_col).aggregate(
+            [("n_docs", "sum"), ("total_tokens", "sum"), ("sum_ceil", "sum")])
+        return g.rename_columns([group_col, "n_docs", "total_tokens",
+                                 "sum_ceil"])
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby(group_col)
+           .aggregate(Sum("n_docs", alias_name="n_docs"),
+                      Sum("total_tokens", alias_name="total_tokens"),
+                      Sum("sum_ceil", alias_name="sum_ceil")))
+    out = []
+    for r in sorted(collect_pylist(agg), key=lambda r: r[group_col]):
+        total = int(r["total_tokens"])
+        out.append({group_col: r[group_col],
+                    "n_docs": int(r["n_docs"]),
+                    "total_tokens": total,
+                    "packed_sequences": (total + ctx - 1) // ctx,
+                    "naive_pad_waste": int(r["sum_ceil"]) * ctx - total})
+    return pa.Table.from_pylist(out)
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe grouped split: the whole group (domain/source) lands in
+# ONE split — the standard guard against near-duplicate train/test
+# leakage within a site. Split choice is an md5 hash of the group KEY
+# (deterministic, partition-independent, retry-safe), bit-reproducible
+# in SQL via md5_number_lower.
+# ---------------------------------------------------------------------------
+
+def grouped_split_stats(ds, group_col: str = "source",
+                        train_buckets: int = 8,
+                        total_buckets: int = 10) -> pa.Table:
+    """Per split: (n_groups, n_docs). The input reduces per batch to
+    (group, partial_count) rows before the ONE groupby(group) shuffle;
+    the md5 split decision runs once per distinct group."""
+    from ray.data.aggregate import Sum
+
+    from tanml_ray.functions.collect import collect_pylist
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({group_col: batch.column(group_col),
+                      "n": np.ones(batch.num_rows, dtype=np.int64)})
+        g = pa.TableGroupBy(t, group_col).aggregate([("n", "sum")])
+        return g.rename_columns([group_col, "n"])
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby(group_col).aggregate(Sum("n", alias_name="n")))
+    tot: dict[str, list[int]] = {}
+    for r in collect_pylist(agg):
+        key = str(r[group_col])
+        lo = int.from_bytes(hashlib.md5(key.encode()).digest()[8:16],
+                            "little")
+        split = "train" if lo % total_buckets < train_buckets else "test"
+        acc = tot.setdefault(split, [0, 0])
+        acc[0] += 1
+        acc[1] += int(r["n"])
+    return pa.Table.from_pylist(
+        [{"split": s, "n_groups": v[0], "n_docs": v[1]}
+         for s, v in sorted(tot.items())])

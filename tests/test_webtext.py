@@ -260,3 +260,46 @@ def test_unigram_lm_min_count_prunes_to_oov():
     denom = 4.0
     nll = -(2 * np.log(3 / denom) + np.log(1 / denom)) / 3
     assert out[0]["nll"] == round(nll, 6)
+
+
+def test_token_budget_stats_hand_computed():
+    import ray
+
+    from tanml_ray.pipelines.webtext import token_budget_stats
+
+    t = pa.table({"doc_id": pa.array([1, 2, 3], type=pa.int64()),
+                  "lang": pa.array(["en", "en", "de"]),
+                  "text": pa.array(["a b c", "d", None])})
+    out = {r["lang"]: r for r in
+           token_budget_stats(ray.data.from_arrow(t), ctx=2).to_pylist()}
+    # en: tokens 3+1=4 → packed ceil(4/2)=2; per-doc ceil: 2+1=3 slots
+    # → waste 3*2-4=2. de: null text → 0 tokens, 0 slots, 0 waste.
+    assert out["en"]["total_tokens"] == 4
+    assert out["en"]["packed_sequences"] == 2
+    assert out["en"]["naive_pad_waste"] == 2
+    assert out["de"]["total_tokens"] == 0
+    assert out["de"]["packed_sequences"] == 0
+    assert out["de"]["naive_pad_waste"] == 0
+
+
+def test_grouped_split_is_leakage_safe_and_deterministic():
+    import hashlib as hl
+
+    import ray
+
+    from tanml_ray.pipelines.webtext import grouped_split_stats
+
+    groups = [f"g{i}" for i in range(40)]
+    t = pa.table({"source": pa.array(groups * 3)})  # 3 docs per group
+    ds = ray.data.from_arrow(t).repartition(4)
+    out = {r["split"]: r for r in grouped_split_stats(ds).to_pylist()}
+    # every group contributes all 3 docs to exactly one split
+    assert out["train"]["n_docs"] == out["train"]["n_groups"] * 3
+    assert out["test"]["n_docs"] == out["test"]["n_groups"] * 3
+    assert out["train"]["n_groups"] + out["test"]["n_groups"] == 40
+    # split decision matches the documented md5 rule
+    n_train = sum(
+        1 for g in groups
+        if int.from_bytes(hl.md5(g.encode()).digest()[8:16], "little")
+        % 10 < 8)
+    assert out["train"]["n_groups"] == n_train
