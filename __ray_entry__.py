@@ -137,6 +137,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "canonical_urls_documents": q.canonical_urls_documents,
         "token_budget_documents": q.token_budget_documents,
         "grouped_split_documents": q.grouped_split_documents,
+        "label_centroids_embeddings": q.label_centroids_embeddings,
     }
 
 
@@ -227,6 +228,7 @@ def oracle_sql() -> dict[str, str]:
         "canonical_urls_documents": q.CANONICAL_URLS_SQL,
         "token_budget_documents": q.TOKEN_BUDGET_SQL,
         "grouped_split_documents": q.GROUPED_SPLIT_SQL,
+        "label_centroids_embeddings": q.LABEL_CENTROIDS_SQL,
         # langid / lsh-knn / minhash / simhash / logistic_cv (iterative
         # IRLS): not SQL-expressible → rows-only driver check; verified
         # in pytest instead.

@@ -3325,3 +3325,28 @@ WITH g AS (
 SELECT split, count(*) AS n_groups, CAST(sum(n) AS BIGINT) AS n_docs
 FROM s GROUP BY split ORDER BY split
 """
+
+
+# ---------------------------------------------------------------------------
+# Per-label embedding centroid (similarity.group_centroids) — the
+# vector aggregate; long (label, dim, centroid) output, exact SQL
+# oracle via unnest + generate_subscripts.
+# ---------------------------------------------------------------------------
+
+def label_centroids_embeddings(sf_dir: str) -> pa.Table:
+    from tanml_ray.pipelines.similarity import group_centroids
+
+    ds = _read(sf_dir, "embeddings", ["label", "embedding"])
+    return group_centroids(ds)
+
+
+LABEL_CENTROIDS_SQL = """
+WITH u AS (
+  SELECT label, generate_subscripts(embedding, 1) AS dim,
+         unnest(embedding) AS v
+  FROM embeddings
+)
+SELECT CAST(label AS BIGINT) AS label, CAST(dim AS BIGINT) AS dim,
+       round(avg(CAST(v AS DOUBLE)), 6) AS centroid
+FROM u GROUP BY label, dim ORDER BY label, dim
+"""

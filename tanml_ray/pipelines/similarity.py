@@ -345,3 +345,56 @@ def knn_cosine_lsh_indexed(index_dir: str, queries: dict[int, np.ndarray],
                          "sim": pa.array([], type=pa.float64())})
     ds = rd.read_parquet(paths)
     return knn_cosine(ds, queries, k=k, id_col=id_col, vec_col=vec_col)
+
+
+def group_centroids(ds, label_col: str = "label",
+                    vec_col: str = "embedding") -> pa.Table:
+    """Per-group embedding centroid (the vector AGGREGATE a clustering /
+    labeling pipeline needs): mean per dimension over each label's
+    vectors.
+
+    Scale shape: each batch matmul-free reduces its (n x d) block to
+    one (labels_in_batch x d) partial-sum matrix plus counts, emitted
+    as LONG (label, dim, s, n) rows — so the ONE groupby shuffle moves
+    |labels| x d numbers per block, never vectors. float32 inputs sum
+    in float64 (each float32 is exact in float64; round(6) swallows
+    order noise vs the SQL oracle).
+
+    Returns (label, dim, centroid) with 1-based dim, sorted. Reference
+    anchor: cluster-profile semantics of the KMeans coverage check
+    (tanml/checks/robustness/cluster_coverage.py) generalized to vector
+    payloads.
+    """
+    from ray.data.aggregate import Sum
+
+    from tanml_ray.functions.collect import collect_pylist
+
+    def partial(batch: pa.Table) -> pa.Table:
+        labels = batch.column(label_col).to_numpy(zero_copy_only=False)
+        mat = np.stack(
+            batch.column(vec_col).to_numpy(zero_copy_only=False)
+        ).astype(np.float64)
+        d = mat.shape[1]
+        uniq, inv = np.unique(labels, return_inverse=True)
+        sums = np.zeros((uniq.size, d), dtype=np.float64)
+        np.add.at(sums, inv, mat)
+        counts = np.bincount(inv, minlength=uniq.size)
+        lab = np.repeat(uniq.astype(np.int64), d)
+        dim = np.tile(np.arange(1, d + 1, dtype=np.int64), uniq.size)
+        return pa.table({
+            "label": pa.array(lab),
+            "dim": pa.array(dim),
+            "s": pa.array(sums.ravel()),
+            "n": pa.array(np.repeat(counts, d).astype(np.int64)),
+        })
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby(["label", "dim"])
+           .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n")))
+    rows = sorted(collect_pylist(agg), key=lambda r: (r["label"], r["dim"]))
+    return pa.table({
+        "label": pa.array([r["label"] for r in rows], type=pa.int64()),
+        "dim": pa.array([r["dim"] for r in rows], type=pa.int64()),
+        "centroid": pa.array([round(r["s"] / r["n"], 6) for r in rows],
+                             type=pa.float64()),
+    })

@@ -609,3 +609,22 @@ def test_exact_dedup_keep_best_picks_max_quality_then_min_id():
     # "y": tie quality 5 → min id 4; "z": singleton id 6
     assert [(r["doc_id"], r["n_chars"]) for r in out] == \
         [(2, 30), (4, 5), (6, 7)]
+
+
+def test_group_centroids_matches_numpy():
+    import ray
+
+    from tanml_ray.pipelines.similarity import group_centroids
+
+    rng = np.random.default_rng(3)
+    vecs = rng.normal(size=(30, 4)).astype(np.float32)
+    labels = np.array([i % 3 for i in range(30)], dtype=np.int32)
+    t = pa.table({"label": pa.array(labels),
+                  "embedding": pa.array([v.tolist() for v in vecs],
+                                        type=pa.list_(pa.float32()))})
+    out = group_centroids(ray.data.from_arrow(t).repartition(4)).to_pylist()
+    assert len(out) == 3 * 4
+    for r in out:
+        expect = vecs[labels == r["label"], r["dim"] - 1].astype(
+            np.float64).mean()
+        assert r["centroid"] == round(float(expect), 6)
