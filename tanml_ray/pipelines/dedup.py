@@ -1185,3 +1185,35 @@ def exact_dedup_keep_best(ds, text_col: str = "text", id_col: str = "doc_id",
     return (ds.map_batches(local_best, batch_format="pyarrow")
             .groupby("dig").map_groups(best_of_group, batch_format="pandas")
             .sort(id_col))
+
+
+def optimal_bands(threshold: float, num_perm: int = 64
+                  ) -> tuple[int, int, float, float]:
+    """Choose the LSH banding (bands b, rows-per-band r with b*r <=
+    num_perm) that minimizes the summed false-positive + false-negative
+    probability integrals around `threshold` (the standard datasketch /
+    MMDS ch.3 tuning rule, re-derived here):
+
+        fp = integral_0^t  1 - (1 - s^r)^b ds
+        fn = integral_t^1  (1 - s^r)^b     ds
+
+    Returns (bands, rows_per_band, fp, fn). Deterministic, driver-side
+    only — call it once before minhash_lsh_pairs to pick `bands` for a
+    target Jaccard threshold instead of hand-tuning.
+    """
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(f"threshold must be in (0,1), got {threshold}")
+    xs = np.linspace(0.0, 1.0, 1001)
+    dx = xs[1] - xs[0]
+    below = xs <= threshold
+    best = None
+    for r in range(1, num_perm + 1):
+        b = num_perm // r
+        if b < 1:
+            break
+        miss = (1.0 - xs ** r) ** b          # P(no band collides | s)
+        fp = float(np.sum(1.0 - miss[below]) * dx)
+        fn = float(np.sum(miss[~below]) * dx)
+        if best is None or fp + fn < best[2] + best[3]:
+            best = (b, r, fp, fn)
+    return best

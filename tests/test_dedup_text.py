@@ -628,3 +628,19 @@ def test_group_centroids_matches_numpy():
         expect = vecs[labels == r["label"], r["dim"] - 1].astype(
             np.float64).mean()
         assert r["centroid"] == round(float(expect), 6)
+
+
+def test_optimal_bands_tracks_threshold():
+    from tanml_ray.pipelines.dedup import optimal_bands
+
+    for t in (0.3, 0.5, 0.7, 0.9):
+        b, r, fp, fn = optimal_bands(t, 64)
+        assert 1 <= b * r <= 64
+        # the S-curve midpoint (1/b)^(1/r) should land near t
+        mid = (1.0 / b) ** (1.0 / r)
+        assert abs(mid - t) < 0.15
+        assert fp >= 0 and fn >= 0
+    # higher threshold → more rows per band (sharper AND)
+    assert optimal_bands(0.9, 64)[1] > optimal_bands(0.4, 64)[1]
+    with pytest.raises(ValueError):
+        optimal_bands(1.5, 64)
