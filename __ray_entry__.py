@@ -138,6 +138,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_budget_documents": q.token_budget_documents,
         "grouped_split_documents": q.grouped_split_documents,
         "label_centroids_embeddings": q.label_centroids_embeddings,
+        "full_outer_join_orders_customer": q.full_outer_join_orders_customer,
     }
 
 
@@ -229,6 +230,7 @@ def oracle_sql() -> dict[str, str]:
         "token_budget_documents": q.TOKEN_BUDGET_SQL,
         "grouped_split_documents": q.GROUPED_SPLIT_SQL,
         "label_centroids_embeddings": q.LABEL_CENTROIDS_SQL,
+        "full_outer_join_orders_customer": q.FULL_OUTER_JOIN_SQL,
         # langid / lsh-knn / minhash / simhash / logistic_cv (iterative
         # IRLS): not SQL-expressible → rows-only driver check; verified
         # in pytest instead.

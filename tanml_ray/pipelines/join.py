@@ -149,6 +149,8 @@ def partitioned_join(left_ds, right_ds, key: str, buckets: int = 32,
         if l.empty or r.empty:
             if how == "left" and not l.empty:
                 return l.merge(r, on=key, how="left")
+            if how == "outer" and not (l.empty and r.empty):
+                return l.merge(r, on=key, how="outer")
             return pd.DataFrame(columns=list(dict.fromkeys(left_cols + right_cols)))
         return l.merge(r, on=key, how=how)
 

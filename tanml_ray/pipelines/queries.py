@@ -3350,3 +3350,91 @@ SELECT CAST(label AS BIGINT) AS label, CAST(dim AS BIGINT) AS dim,
        round(avg(CAST(v AS DOUBLE)), 6) AS centroid
 FROM u GROUP BY label, dim ORDER BY label, dim
 """
+
+
+# ---------------------------------------------------------------------------
+# Full outer join (join.partitioned_join how="outer") — completes the
+# join family (broadcast/partitioned/bloom-semi/anti/asof/range/auto).
+# Both sides are filtered so each contributes unmatched rows; the
+# result is rolled up to (has_order, has_cust) presence cells with
+# integer-cent sums so the oracle is exact.
+# ---------------------------------------------------------------------------
+
+def full_outer_join_orders_customer(sf_dir: str) -> pa.Table:
+    from tanml_ray.pipelines.join import partitioned_join
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+
+    def left_rows(batch: pa.Table) -> pa.Table:
+        k = batch.column("o_orderkey").to_numpy(zero_copy_only=False)
+        b = batch.filter(pa.array(k % 3 == 0))
+        return pa.table({
+            "custkey": b.column("o_custkey"),
+            "o_orderkey": b.column("o_orderkey"),
+            "price_c": pc.cast(pc.round(pc.multiply(
+                b.column("o_totalprice"), 100.0)), pa.int64()),
+        })
+
+    def right_rows(batch: pa.Table) -> pa.Table:
+        k = batch.column("c_custkey").to_numpy(zero_copy_only=False)
+        b = batch.filter(pa.array(k % 2 == 0))
+        return pa.table({
+            "custkey": b.column("c_custkey"),
+            "acct_c": pc.cast(pc.round(pc.multiply(
+                b.column("c_acctbal"), 100.0)), pa.int64()),
+        })
+
+    joined = partitioned_join(
+        orders.map_batches(left_rows, batch_format="pyarrow"),
+        cust.map_batches(right_rows, batch_format="pyarrow"),
+        "custkey", how="outer")
+
+    def partial(df: "pd.DataFrame") -> pa.Table:
+        import pandas as pd
+
+        g = df.assign(
+            has_order=df["o_orderkey"].notna(),
+            has_cust=df["acct_c"].notna(),
+            price_c=df["price_c"].fillna(0).astype(np.int64),
+            acct_c=df["acct_c"].fillna(0).astype(np.int64),
+        ).groupby(["has_order", "has_cust"], as_index=False).agg(
+            n=("custkey", "size"), sum_price_c=("price_c", "sum"),
+            sum_acct_c=("acct_c", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    acc: dict[tuple, list[int]] = {}
+    for r in collect_pylist(
+            joined.map_batches(partial, batch_format="pandas")):
+        k = (bool(r["has_order"]), bool(r["has_cust"]))
+        a = acc.setdefault(k, [0, 0, 0])
+        a[0] += int(r["n"])
+        a[1] += int(r["sum_price_c"])
+        a[2] += int(r["sum_acct_c"])
+    return pa.Table.from_pylist([
+        {"has_order": k[0], "has_cust": k[1], "n": v[0],
+         "sum_price_c": v[1], "sum_acct_c": v[2]}
+        for k, v in sorted(acc.items())])
+
+
+FULL_OUTER_JOIN_SQL = """
+WITH l AS (
+  SELECT o_custkey AS custkey, o_orderkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+  FROM orders WHERE o_orderkey % 3 = 0
+), r AS (
+  SELECT c_custkey AS custkey,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS acct_c
+  FROM customer WHERE c_custkey % 2 = 0
+), j AS (
+  SELECT l.o_orderkey, l.price_c, r.acct_c
+  FROM l FULL OUTER JOIN r ON l.custkey = r.custkey
+)
+SELECT o_orderkey IS NOT NULL AS has_order,
+       acct_c IS NOT NULL AS has_cust,
+       count(*) AS n,
+       CAST(sum(coalesce(price_c, 0)) AS BIGINT) AS sum_price_c,
+       CAST(sum(coalesce(acct_c, 0)) AS BIGINT) AS sum_acct_c
+FROM j GROUP BY 1, 2 ORDER BY 1, 2
+"""

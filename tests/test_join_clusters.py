@@ -339,3 +339,22 @@ class TestDistributedClusters:
         assert got == want
         # chain 1-2-3-4 all rooted at 1; star rooted at 20
         assert got[4] == 1 and got[23] == 20
+
+
+def test_partitioned_join_outer_emits_both_unmatched_sides():
+    import ray
+
+    from tanml_ray.pipelines.join import partitioned_join
+
+    l = ray.data.from_arrow(pa.table({
+        "k": pa.array([1, 2, 3], type=pa.int64()),
+        "lv": pa.array([10, 20, 30], type=pa.int64())}))
+    r = ray.data.from_arrow(pa.table({
+        "k": pa.array([2, 3, 4], type=pa.int64()),
+        "rv": pa.array([200, 300, 400], type=pa.int64())}))
+    rows = partitioned_join(l, r, "k", buckets=4, how="outer").take_all()
+    got = {int(x["k"]): (x["lv"], x["rv"]) for x in rows}
+    assert len(rows) == 4
+    assert got[1][0] == 10 and (got[1][1] is None or got[1][1] != got[1][1])
+    assert got[2] == (20, 200) and got[3] == (30, 300)
+    assert got[4][1] == 400 and (got[4][0] is None or got[4][0] != got[4][0])
