@@ -139,6 +139,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_split_documents": q.grouped_split_documents,
         "label_centroids_embeddings": q.label_centroids_embeddings,
         "full_outer_join_orders_customer": q.full_outer_join_orders_customer,
+        "span_dedup_documents": q.span_dedup_documents,
     }
 
 
@@ -231,6 +232,7 @@ def oracle_sql() -> dict[str, str]:
         "grouped_split_documents": q.GROUPED_SPLIT_SQL,
         "label_centroids_embeddings": q.LABEL_CENTROIDS_SQL,
         "full_outer_join_orders_customer": q.FULL_OUTER_JOIN_SQL,
+        "span_dedup_documents": q.SPAN_DEDUP_SQL,
         # langid / lsh-knn / minhash / simhash / logistic_cv (iterative
         # IRLS): not SQL-expressible → rows-only driver check; verified
         # in pytest instead.

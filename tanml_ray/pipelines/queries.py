@@ -3438,3 +3438,43 @@ SELECT o_orderkey IS NOT NULL AS has_order,
        CAST(sum(coalesce(acct_c, 0)) AS BIGINT) AS sum_acct_c
 FROM j GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# C4-style global span dedup (webtext.span_dedup): keep the first
+# corpus-wide occurrence of every 10-word span, reconstruct documents
+# from surviving spans. Full SQL oracle: unnest + generate_subscripts
+# re-derive the spans, a row_number window elects the same
+# (doc_id, span_idx)-ordered winner, string_agg FILTER rebuilds the text.
+# ---------------------------------------------------------------------------
+
+def span_dedup_documents(sf_dir: str) -> pa.Table:
+    from tanml_ray.pipelines.webtext import span_dedup
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return span_dedup(ds, span_words=10)
+
+
+SPAN_DEDUP_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(text), '\s+')) AS w,
+         generate_subscripts(regexp_split_to_array(trim(text), '\s+'), 1)
+           AS ord
+  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+), spans AS (
+  SELECT doc_id, (ord - 1) // 10 AS span_idx,
+         string_agg(w, ' ' ORDER BY ord) AS span
+  FROM toks GROUP BY doc_id, (ord - 1) // 10
+), ranked AS (
+  SELECT doc_id, span_idx, span,
+         row_number() OVER (PARTITION BY span
+                            ORDER BY doc_id, span_idx) AS rn
+  FROM spans
+)
+SELECT doc_id, count(*) AS n_spans,
+       count(*) FILTER (WHERE rn = 1) AS n_kept,
+       coalesce(string_agg(span, ' ' ORDER BY span_idx)
+                FILTER (WHERE rn = 1), '') AS dedup_text
+FROM ranked GROUP BY doc_id ORDER BY doc_id
+"""

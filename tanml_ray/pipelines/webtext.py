@@ -673,3 +673,282 @@ def grouped_split_stats(ds, group_col: str = "source",
     return pa.Table.from_pylist(
         [{"split": s, "n_groups": v[0], "n_docs": v[1]}
          for s, v in sorted(tot.items())])
+
+# ---------------------------------------------------------------------------
+# C4/RefinedWeb-style global span-level dedup: split every document into
+# fixed-width word spans (pseudo-sentences — the synthetic corpus has no
+# line/sentence structure), keep only the FIRST occurrence of each span
+# corpus-wide (ordered by (doc_id, span_idx)), and reconstruct each
+# document from its surviving spans. This is the "discard repeated
+# three-sentence spans" rule of C4 (Raffel et al. 2020 §2.2) re-expressed
+# over word windows. The reference has no corpus-level text layer at all.
+#
+# Scale shape (the 10^12-doc story):
+# - Winner election ships ONLY (h1,h2,packed) int64 triples — never span
+#   text — through one groupby shuffle, with a per-batch local combiner
+#   (min packed + count per digest) so the shuffle moves one row per
+#   distinct span per block, not one per occurrence.
+# - Only digests with count > 1 (true duplicates) leave the aggregate.
+# - The dup-winner map broadcasts via ray.put ONLY under
+#   `driver_budget`; past it, drop marking runs as a hash-partitioned
+#   join of int-only rows (nothing corpus-sized on the driver).
+# - The dropped (doc_id, span_idx) set is bounded by the duplicated-span
+#   count; reconstruction likewise switches between a broadcast drop map
+#   and a hash-partitioned doc⋈drops group join (text moves once).
+# - Span identity is a 128-bit blake2b digest (split into two int64
+#   grouping keys): chance AND adversarial collisions are impossible,
+#   so no span is ever wrongly deleted (same rationale as curate.py's
+#   exact-dedup digest).
+# ---------------------------------------------------------------------------
+
+_SPAN_PACK = 1 << 20  # span_idx capacity per doc (2^20 spans ≈ 10M words)
+
+
+def _span_digests(spans: list[str]) -> tuple[np.ndarray, np.ndarray]:
+    """128-bit blake2b per span as two int64 arrays (h1=high, h2=low)."""
+    h1 = np.empty(len(spans), dtype=np.uint64)
+    h2 = np.empty(len(spans), dtype=np.uint64)
+    for i, s in enumerate(spans):
+        d = hashlib.blake2b(s.encode("utf-8"), digest_size=16).digest()
+        h1[i] = int.from_bytes(d[:8], "little")
+        h2[i] = int.from_bytes(d[8:], "little")
+    return h1.view(np.int64), h2.view(np.int64)
+
+
+def _doc_spans(text: str, span_words: int) -> list[str]:
+    """Non-overlapping `span_words`-word windows (last may be shorter).
+    Built by ' '.join over a whitespace split — textually identical to
+    the SQL oracle's string_agg over regexp_split_to_array(trim(text))."""
+    ws = text.split()
+    return [" ".join(ws[i:i + span_words])
+            for i in range(0, len(ws), span_words)]
+
+
+def span_dedup(ds, span_words: int = 10, text_col: str = "text",
+               id_col: str = "doc_id", driver_budget: int = 256 << 20,
+               partitions: int = 64) -> pa.Table:
+    """Global keep-first span dedup + document reconstruction.
+
+    Returns one row per non-empty document, sorted by id:
+    (doc_id, n_spans, n_kept, dedup_text) where dedup_text is the
+    space-joined concatenation of the surviving spans in order.
+    `driver_budget=0` forces both distributed paths (pytest hook).
+    """
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Min, Sum
+
+    from tanml_ray.functions.collect import collect_pylist
+
+    docs = ds.map_batches(
+        lambda t: t.filter(pc.not_equal(
+            pc.utf8_trim_whitespace(pc.fill_null(t.column(text_col), "")),
+            "")),
+        batch_format="pyarrow")
+
+    def explode_ints(batch: pa.Table) -> pa.Table:
+        """(h1, h2, packed=doc_id*2^20+span_idx, n=1) per span occurrence,
+        locally combined to one min-packed row per distinct digest."""
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        texts = batch.column(text_col).to_pylist()
+        a1, a2, ap = [], [], []
+        for did, t in zip(ids, texts):
+            spans = _doc_spans(t, span_words)
+            if len(spans) >= _SPAN_PACK:
+                raise ValueError(
+                    f"doc {did}: {len(spans)} spans >= 2^20 packing capacity")
+            h1, h2 = _span_digests(spans)
+            a1.append(h1)
+            a2.append(h2)
+            ap.append(int(did) * _SPAN_PACK
+                      + np.arange(len(spans), dtype=np.int64))
+        if not a1:
+            return pa.table({"h1": pa.array([], type=pa.int64()),
+                             "h2": pa.array([], type=pa.int64()),
+                             "packed": pa.array([], type=pa.int64()),
+                             "n": pa.array([], type=pa.int64())})
+        t = pa.table({"h1": np.concatenate(a1), "h2": np.concatenate(a2),
+                      "packed": np.concatenate(ap),
+                      "n": np.ones(sum(map(len, a1)), dtype=np.int64)})
+        g = pa.TableGroupBy(t, ["h1", "h2"]).aggregate(
+            [("packed", "min"), ("n", "sum")])
+        return g.rename_columns(["h1", "h2", "packed", "n"])
+
+    dup_winners = (docs.map_batches(explode_ints, batch_format="pyarrow")
+                   .groupby(["h1", "h2"])
+                   .aggregate(Min("packed", alias_name="winner"),
+                              Sum("n", alias_name="n"))
+                   .map_batches(lambda t: t.filter(pc.greater(t.column("n"), 1))
+                                .select(["h1", "h2", "winner"]),
+                                batch_format="pyarrow")
+                   .materialize())
+
+    # -- mark dropped (doc_id, span_idx): span is a dup loser iff its
+    # digest is in dup_winners and its packed != winner.
+    if dup_winners.count() == 0:
+        dropped = None
+    elif dup_winners.size_bytes() <= driver_budget:
+        wmap = {(r["h1"], r["h2"]): r["winner"]
+                for r in collect_pylist(dup_winners)}
+        ref = ray.put(wmap)
+
+        def mark_dropped(batch: pa.Table) -> pa.Table:
+            import ray as _ray
+
+            wm = _ray.get(ref)
+            ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+            texts = batch.column(text_col).to_pylist()
+            out_id, out_idx = [], []
+            for did, t in zip(ids, texts):
+                spans = _doc_spans(t, span_words)
+                h1, h2 = _span_digests(spans)
+                base = int(did) * _SPAN_PACK
+                for j in range(len(spans)):
+                    w = wm.get((h1[j], h2[j]))
+                    if w is not None and w != base + j:
+                        out_id.append(int(did))
+                        out_idx.append(j)
+            return pa.table({id_col: pa.array(out_id, type=pa.int64()),
+                             "span_idx": pa.array(out_idx, type=pa.int64())})
+
+        dropped = docs.map_batches(mark_dropped,
+                                   batch_format="pyarrow").materialize()
+    else:
+        # distributed: hash-partition span rows and winners on h1 and
+        # resolve losers inside each group — int-only rows throughout.
+        def part_of(h: np.ndarray) -> np.ndarray:
+            return (h.view(np.uint64) % np.uint64(partitions)).astype(np.int32)
+
+        def tag_spans(batch: pa.Table) -> pa.Table:
+            ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+            texts = batch.column(text_col).to_pylist()
+            a1, a2, ap = [], [], []
+            for did, t in zip(ids, texts):
+                spans = _doc_spans(t, span_words)
+                h1, h2 = _span_digests(spans)
+                a1.append(h1)
+                a2.append(h2)
+                ap.append(int(did) * _SPAN_PACK
+                          + np.arange(len(spans), dtype=np.int64))
+            h1 = (np.concatenate(a1) if a1
+                  else np.array([], dtype=np.int64))
+            h2 = (np.concatenate(a2) if a2
+                  else np.array([], dtype=np.int64))
+            pk = (np.concatenate(ap) if ap
+                  else np.array([], dtype=np.int64))
+            return pa.table({"h1": h1, "h2": h2, "packed": pk,
+                             "winner": np.full(len(h1), -1, dtype=np.int64),
+                             "__spart": part_of(h1)})
+
+        def tag_winners(batch: pa.Table) -> pa.Table:
+            h1 = batch.column("h1").to_numpy(zero_copy_only=False)
+            return pa.table({"h1": batch.column("h1"),
+                             "h2": batch.column("h2"),
+                             "packed": pa.array(
+                                 np.full(len(h1), -1, dtype=np.int64)),
+                             "winner": batch.column("winner"),
+                             "__spart": part_of(h1.astype(np.int64))})
+
+        tagged = (docs.map_batches(tag_spans, batch_format="pyarrow")
+                  .union(dup_winners.map_batches(tag_winners,
+                                                 batch_format="pyarrow")))
+
+        def losers(g: pa.Table) -> pa.Table:
+            import pandas as pd
+
+            df = g.to_pandas()
+            wins = df[df["winner"] >= 0]
+            spans = df[df["packed"] >= 0]
+            m = spans.merge(wins[["h1", "h2", "winner"]], on=["h1", "h2"],
+                            how="inner", suffixes=("", "_w"))
+            lose = m[m["packed"] != m["winner_w"]]["packed"].to_numpy()
+            return pa.table({id_col: pa.array(lose // _SPAN_PACK,
+                                              type=pa.int64()),
+                             "span_idx": pa.array(lose % _SPAN_PACK,
+                                                  type=pa.int64())})
+
+        dropped = (tagged.groupby("__spart")
+                   .map_groups(losers, batch_format="pyarrow").materialize())
+
+    # -- rebuild documents from surviving spans
+    def rebuild_rows(ids, texts, drop_map) -> pa.Table:
+        out = []
+        for did, t in zip(ids, texts):
+            did = int(did)
+            spans = _doc_spans(t, span_words)
+            dset = drop_map.get(did, ())
+            kept = [s for j, s in enumerate(spans) if j not in dset]
+            out.append({id_col: did, "n_spans": len(spans),
+                        "n_kept": len(kept), "dedup_text": " ".join(kept)})
+        return pa.Table.from_pylist(out) if out else pa.table(
+            {id_col: pa.array([], type=pa.int64()),
+             "n_spans": pa.array([], type=pa.int64()),
+             "n_kept": pa.array([], type=pa.int64()),
+             "dedup_text": pa.array([], type=pa.string())})
+
+    if dropped is None or dropped.count() == 0:
+        def rebuild_none(batch: pa.Table) -> pa.Table:
+            return rebuild_rows(
+                batch.column(id_col).to_numpy(zero_copy_only=False),
+                batch.column(text_col).to_pylist(), {})
+
+        out = docs.map_batches(rebuild_none, batch_format="pyarrow")
+    elif dropped.size_bytes() <= driver_budget:
+        dmap: dict[int, set] = {}
+        for r in collect_pylist(dropped):
+            dmap.setdefault(int(r[id_col]), set()).add(int(r["span_idx"]))
+        dref = ray.put(dmap)
+
+        def rebuild_bcast(batch: pa.Table) -> pa.Table:
+            import ray as _ray
+
+            return rebuild_rows(
+                batch.column(id_col).to_numpy(zero_copy_only=False),
+                batch.column(text_col).to_pylist(), _ray.get(dref))
+
+        out = docs.map_batches(rebuild_bcast, batch_format="pyarrow")
+    else:
+        # distributed rebuild: co-partition docs and drop rows by doc id
+        def dpart(ids: np.ndarray) -> np.ndarray:
+            import pandas as pd
+
+            return (pd.util.hash_array(ids.astype(np.int64))
+                    % np.uint64(partitions)).astype(np.int32)
+
+        def tag_docs(batch: pa.Table) -> pa.Table:
+            ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+            return pa.table({id_col: batch.column(id_col),
+                             text_col: batch.column(text_col),
+                             "span_idx": pa.array(
+                                 np.full(len(ids), -1, dtype=np.int64)),
+                             "__dpart": dpart(ids)})
+
+        def tag_drops(batch: pa.Table) -> pa.Table:
+            ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+            return pa.table({id_col: batch.column(id_col),
+                             text_col: pa.nulls(len(ids), type=pa.string()),
+                             "span_idx": batch.column("span_idx"),
+                             "__dpart": dpart(ids)})
+
+        tagged = (docs.select_columns([id_col, text_col])
+                  .map_batches(tag_docs, batch_format="pyarrow")
+                  .union(dropped.map_batches(tag_drops,
+                                             batch_format="pyarrow")))
+
+        def rebuild_group(g: pa.Table) -> pa.Table:
+            is_doc = pc.equal(g.column("span_idx"), -1)
+            docs_t = g.filter(is_doc)
+            drops_t = g.filter(pc.invert(is_doc))
+            dm: dict[int, set] = {}
+            for did, j in zip(drops_t.column(id_col).to_pylist(),
+                              drops_t.column("span_idx").to_pylist()):
+                dm.setdefault(int(did), set()).add(int(j))
+            return rebuild_rows(
+                docs_t.column(id_col).to_numpy(zero_copy_only=False),
+                docs_t.column(text_col).to_pylist(), dm)
+
+        out = tagged.groupby("__dpart").map_groups(rebuild_group,
+                                                   batch_format="pyarrow")
+
+    rows = sorted(collect_pylist(out), key=lambda r: r[id_col])
+    return pa.Table.from_pylist(rows)

@@ -303,3 +303,67 @@ def test_grouped_split_is_leakage_safe_and_deterministic():
         if int.from_bytes(hl.md5(g.encode()).digest()[8:16], "little")
         % 10 < 8)
     assert out["train"]["n_groups"] == n_train
+
+
+# ---------------------------------------------------------------------------
+# span_dedup (C4-style global span dedup + reconstruction)
+# ---------------------------------------------------------------------------
+
+def _span_corpus():
+    import ray.data as rd
+
+    # doc 1 owns spans A,B; doc 2 repeats A then unique C; doc 3 is
+    # entirely doc 1's spans (fully dropped); doc 4 repeats its own
+    # span B... within itself (intra-doc dup) plus unique D.
+    A = "a1 a2 a3"
+    B = "b1 b2 b3"
+    C = "c1 c2 c3"
+    D = "d1 d2 d3"
+    texts = {1: f"{A} {B}", 2: f"{A} {C}", 3: f"{B} {A}",
+             4: f"{D} {B} {B}", 5: "   ", 6: None}
+    tbl = pa.table({
+        "doc_id": pa.array(sorted(texts), type=pa.int64()),
+        "text": pa.array([texts[k] for k in sorted(texts)],
+                         type=pa.string())})
+    return rd.from_arrow(tbl)
+
+
+def test_span_dedup_keep_first_and_reconstruct(ray_session):
+    from tanml_ray.pipelines.webtext import span_dedup
+
+    out = {r["doc_id"]: r
+           for r in span_dedup(_span_corpus(), span_words=3).to_pylist()}
+    # empty / null docs emit no row
+    assert set(out) == {1, 2, 3, 4}
+    assert out[1] == {"doc_id": 1, "n_spans": 2, "n_kept": 2,
+                      "dedup_text": "a1 a2 a3 b1 b2 b3"}
+    # doc 2: span A already seen in doc 1 -> dropped, C kept
+    assert out[2]["n_kept"] == 1 and out[2]["dedup_text"] == "c1 c2 c3"
+    # doc 3: both spans seen -> empty reconstruction
+    assert out[3]["n_kept"] == 0 and out[3]["dedup_text"] == ""
+    # doc 4: B seen in doc 1; second B intra-doc dup; D kept
+    assert out[4]["n_kept"] == 1 and out[4]["dedup_text"] == "d1 d2 d3"
+
+
+def test_span_dedup_distributed_paths_match_broadcast(ray_session):
+    from tanml_ray.pipelines.webtext import span_dedup
+
+    bcast = span_dedup(_span_corpus(), span_words=3).to_pylist()
+    dist = span_dedup(_span_corpus(), span_words=3,
+                      driver_budget=0, partitions=4).to_pylist()
+    assert bcast == dist
+
+
+def test_span_dedup_ragged_tail_span(ray_session):
+    import ray.data as rd
+    from tanml_ray.pipelines.webtext import span_dedup
+
+    # 5 words at span_words=3 -> spans "w1 w2 w3" and "w4 w5"; the
+    # short tail is a first-class span and dedups across docs.
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2], type=pa.int64()),
+        "text": pa.array(["w1 w2 w3 w4 w5", "x1 x2 x3 w4 w5"],
+                         type=pa.string())}))
+    out = {r["doc_id"]: r for r in span_dedup(ds, span_words=3).to_pylist()}
+    assert out[1]["n_kept"] == 2
+    assert out[2]["dedup_text"] == "x1 x2 x3"
