@@ -140,6 +140,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_centroids_embeddings": q.label_centroids_embeddings,
         "full_outer_join_orders_customer": q.full_outer_join_orders_customer,
         "span_dedup_documents": q.span_dedup_documents,
+        "nb_quality_documents": q.nb_quality_documents,
     }
 
 
@@ -233,6 +234,7 @@ def oracle_sql() -> dict[str, str]:
         "label_centroids_embeddings": q.LABEL_CENTROIDS_SQL,
         "full_outer_join_orders_customer": q.FULL_OUTER_JOIN_SQL,
         "span_dedup_documents": q.SPAN_DEDUP_SQL,
+        "nb_quality_documents": q.NB_QUALITY_SQL,
         # langid / lsh-knn / minhash / simhash / logistic_cv (iterative
         # IRLS): not SQL-expressible → rows-only driver check; verified
         # in pytest instead.

@@ -3478,3 +3478,65 @@ SELECT doc_id, count(*) AS n_spans,
                 FILTER (WHERE rn = 1), '') AS dedup_text
 FROM ranked GROUP BY doc_id ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# fastText-style NB quality classifier (webtext.nb_quality_scores):
+# Gopher-rule pseudo-labels → one-pass distributed multinomial NB fit →
+# per-doc log-odds score. Full SQL oracle: the label CASE repeats
+# GOPHER_QUALITY_SQL's RE2 signals, the NB weights are re-derived from
+# the same grouped token counts, round(6) swallows ulp/sum-order noise.
+# ---------------------------------------------------------------------------
+
+def nb_quality_documents(sf_dir: str) -> pa.Table:
+    from tanml_ray.pipelines.webtext import nb_quality_scores
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return nb_quality_scores(ds)
+
+
+NB_QUALITY_SQL = r"""
+WITH lab AS (
+  SELECT doc_id, text,
+         CAST(CASE WHEN len(regexp_extract_all(text, '\S+'))
+                        BETWEEN 50 AND 100000
+                    AND len(regexp_extract_all(text, '\S'))
+                        / CAST(greatest(len(regexp_extract_all(text, '\S+')),
+                                        1) AS DOUBLE) BETWEEN 3.0 AND 10.0
+                    AND len(regexp_extract_all(text, '\S*[A-Za-z]\S*'))
+                        / CAST(greatest(len(regexp_extract_all(text, '\S+')),
+                                        1) AS DOUBLE) > 0.80
+                    AND len(regexp_extract_all(text,
+                        '\b(the|and|of|to|in|is|that|for|was|on)\b')) >= 2
+               THEN 1 ELSE 0 END AS BIGINT) AS label
+  FROM documents
+  WHERE text IS NOT NULL AND trim(text) <> ''
+), toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+  FROM lab
+), tl AS (
+  SELECT t.doc_id, t.w, l.label FROM toks t JOIN lab l USING (doc_id)
+), counts AS (
+  SELECT w, count(*) FILTER (WHERE label = 1) AS cpos,
+         count(*) FILTER (WHERE label = 0) AS cneg
+  FROM tl GROUP BY w
+), tot AS (
+  SELECT CAST(sum(cpos) AS DOUBLE) + count(*) AS dpos,
+         CAST(sum(cneg) AS DOUBLE) + count(*) AS dneg
+  FROM counts
+), pri AS (
+  SELECT count(*) FILTER (WHERE label = 1) AS npos,
+         count(*) FILTER (WHERE label = 0) AS nneg
+  FROM lab
+), scored AS (
+  SELECT tl.doc_id, count(*) AS n_tokens,
+         ln(pri.npos / CAST(pri.nneg AS DOUBLE))
+           + sum(ln((c.cpos + 1) / tot.dpos)
+                 - ln((c.cneg + 1) / tot.dneg)) AS raw
+  FROM tl JOIN counts c USING (w) CROSS JOIN tot CROSS JOIN pri
+  GROUP BY tl.doc_id, pri.npos, pri.nneg
+)
+SELECT s.doc_id, l.label, s.n_tokens, round(s.raw, 6) AS score,
+       CAST(CASE WHEN s.raw > 0 THEN 1 ELSE 0 END AS BIGINT) AS pred
+FROM scored s JOIN lab l USING (doc_id) ORDER BY s.doc_id
+"""

@@ -53,8 +53,9 @@ def gopher_signals_batch(batch: pa.Table, text_col: str = "text",
     are RE2 kernels over the Arrow string column (same engine DuckDB
     uses, so the oracle reproduces them bit-for-bit); the derived
     ratios and the pass flag use one IEEE double op sequence shared
-    with the SQL."""
-    text = batch.column(text_col)
+    with the SQL. Null text counts as empty (0 words → fails the
+    min-words rule) so mixed-null batches don't poison the int casts."""
+    text = pc.fill_null(batch.column(text_col), "")
     n_words = pc.cast(pc.count_substring_regex(text, r"\S+"), pa.int64()) \
         .to_numpy(zero_copy_only=False)
     n_wordchars = pc.cast(pc.count_substring_regex(text, r"\S"), pa.int64()) \
@@ -952,3 +953,130 @@ def span_dedup(ds, span_words: int = 10, text_col: str = "text",
 
     rows = sorted(collect_pylist(out), key=lambda r: r[id_col])
     return pa.Table.from_pylist(rows)
+
+
+# ---------------------------------------------------------------------------
+# fastText-style quality classifier, library-free: a multinomial Naive
+# Bayes log-odds scorer over whitespace tokens, trained on the Gopher
+# rule pass flag as the pseudo-label. This is the standard bootstrapped
+# corpus-quality classifier of the GPT-3 / LLaMA curation pipelines
+# (train a cheap linear text classifier on rule-derived labels, score
+# every page with its log-odds) with NB counts instead of SGD so the
+# fit is ONE deterministic distributed pass:
+#
+#   pass 1 (train): per-batch token Counters split by label
+#     pre-aggregate before a single groupby(word) shuffle of
+#     (word, cpos, cneg) int rows; per-class doc priors ride the same
+#     shuffle on one reserved row per batch. The resulting weight table
+#     is VOCAB-bounded and broadcasts via ray.put behind the same
+#     raising budget guard as unigram_lm_scores.
+#   pass 2 (score): shuffle-free map_batches summing per-word log-odds.
+#
+# score(d) = ln(Npos/Nneg) + Σ_w [ ln((cpos_w+1)/(Tpos+V))
+#                                 - ln((cneg_w+1)/(Tneg+V)) ]
+# (add-one smoothing; V = vocabulary size). pred = score > 0.
+# ---------------------------------------------------------------------------
+
+_NB_DOCS_KEY = "\x00__docs__"  # reserved word row carrying doc priors
+
+
+def nb_quality_scores(ds, text_col: str = "text", id_col: str = "doc_id",
+                      nb_driver_budget: int = 256 << 20) -> pa.Table:
+    """Train-and-score NB quality classifier over `ds`. Returns
+    (doc_id, label, n_tokens, score, pred) for docs with >= 1 token,
+    sorted by id; `label` is the Gopher pass flag the model was trained
+    on, `score` the round(6) log-odds, `pred` = raw score > 0."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from tanml_ray.functions.collect import collect_pylist
+
+    def labels_of(batch: pa.Table) -> np.ndarray:
+        sig = gopher_signals_batch(batch, text_col=text_col, id_col=id_col)
+        return sig.column("gopher_pass").to_numpy(zero_copy_only=False)
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        y = labels_of(batch)
+        cpos: Counter = Counter()
+        cneg: Counter = Counter()
+        npos = nneg = 0
+        for t, lab in zip(batch.column(text_col).to_pylist(), y):
+            toks = _WS_TOKEN_RE.findall(t) if t else []
+            if not toks:
+                continue
+            if lab:
+                cpos.update(toks)
+                npos += 1
+            else:
+                cneg.update(toks)
+                nneg += 1
+        words = sorted(set(cpos) | set(cneg))
+        return pa.table({
+            "word": pa.array([_NB_DOCS_KEY] + words, type=pa.string()),
+            "cpos": pa.array([npos] + [cpos[w] for w in words],
+                             type=pa.int64()),
+            "cneg": pa.array([nneg] + [cneg[w] for w in words],
+                             type=pa.int64())})
+
+    counts = (ds.map_batches(count_partial, batch_format="pyarrow")
+              .groupby("word")
+              .aggregate(Sum("cpos", alias_name="cpos"),
+                         Sum("cneg", alias_name="cneg"))
+              .materialize())
+    if counts.size_bytes() > nb_driver_budget:
+        raise ValueError(
+            f"NB weight table {counts.size_bytes()} B exceeds "
+            f"nb_driver_budget={nb_driver_budget}; raise the budget or "
+            "prune the vocabulary before training")
+    rows = collect_pylist(counts)
+    npos = nneg = tpos = tneg = 0
+    vocab: list[tuple[str, int, int]] = []
+    for r in rows:
+        if r["word"] == _NB_DOCS_KEY:
+            npos, nneg = int(r["cpos"]), int(r["cneg"])
+        else:
+            vocab.append((r["word"], int(r["cpos"]), int(r["cneg"])))
+            tpos += int(r["cpos"])
+            tneg += int(r["cneg"])
+    if npos == 0 or nneg == 0:
+        raise ValueError(
+            f"degenerate NB training labels (npos={npos}, nneg={nneg}); "
+            "both classes must be non-empty")
+    V = len(vocab)
+    dpos, dneg = float(tpos + V), float(tneg + V)
+    weights = {w: float(np.log((cp + 1.0) / dpos) - np.log((cn + 1.0) / dneg))
+               for w, cp, cn in vocab}
+    oov = float(np.log(1.0 / dpos) - np.log(1.0 / dneg))
+    bias = float(np.log(npos / float(nneg)))
+    ref = ray.put(weights)
+
+    def score(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        wm = _ray.get(ref)
+        y = labels_of(batch)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        out = {"doc_id": [], "label": [], "n_tokens": [], "score": [],
+               "pred": []}
+        for i, t in enumerate(batch.column(text_col).to_pylist()):
+            toks = _WS_TOKEN_RE.findall(t) if t else []
+            if not toks:
+                continue
+            s = bias
+            for w in toks:
+                s += wm.get(w, oov)
+            out["doc_id"].append(int(ids[i]))
+            out["label"].append(int(y[i]))
+            out["n_tokens"].append(len(toks))
+            out["score"].append(round(s, 6))
+            out["pred"].append(int(s > 0))
+        return pa.table({
+            "doc_id": pa.array(out["doc_id"], type=pa.int64()),
+            "label": pa.array(out["label"], type=pa.int64()),
+            "n_tokens": pa.array(out["n_tokens"], type=pa.int64()),
+            "score": pa.array(out["score"], type=pa.float64()),
+            "pred": pa.array(out["pred"], type=pa.int64())})
+
+    return ds.map_batches(score, batch_format="pyarrow").sort("doc_id")

@@ -367,3 +367,52 @@ def test_span_dedup_ragged_tail_span(ray_session):
     out = {r["doc_id"]: r for r in span_dedup(ds, span_words=3).to_pylist()}
     assert out[1]["n_kept"] == 2
     assert out[2]["dedup_text"] == "x1 x2 x3"
+
+
+# ---------------------------------------------------------------------------
+# nb_quality_scores (fastText-style NB quality classifier)
+# ---------------------------------------------------------------------------
+
+def _nb_corpus():
+    import ray.data as rd
+
+    # two clearly separable classes: "good" docs are 60 stopword-rich
+    # alpha words (gopher pass); "bad" docs are short symbol strings.
+    good = " ".join(["the quick brown fox jumps over and of to in"] * 6)
+    bad = "zz@@ ## qq!!"
+    texts = [good, good + " extra", bad, bad + " more", "", None]
+    return rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(1, len(texts) + 1), type=pa.int64()),
+        "text": pa.array(texts, type=pa.string())}))
+
+
+def test_nb_quality_separates_classes(ray_session):
+    from tanml_ray.pipelines.webtext import nb_quality_scores
+
+    out = {r["doc_id"]: r for r in nb_quality_scores(_nb_corpus()).take_all()}
+    assert set(out) == {1, 2, 3, 4}  # token-less docs emit no row
+    # labels are the gopher flags; NB trained on them must reproduce
+    # the separation on this trivially separable corpus
+    assert out[1]["label"] == 1 and out[3]["label"] == 0
+    for d in (1, 2):
+        assert out[d]["pred"] == 1 and out[d]["score"] > 0
+    for d in (3, 4):
+        assert out[d]["pred"] == 0 and out[d]["score"] < 0
+
+
+def test_nb_quality_degenerate_labels_raise(ray_session):
+    import ray.data as rd
+    from tanml_ray.pipelines.webtext import nb_quality_scores
+
+    one_class = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2], type=pa.int64()),
+        "text": pa.array(["zz qq", "ww ee"], type=pa.string())}))
+    with pytest.raises(ValueError, match="degenerate"):
+        nb_quality_scores(one_class)
+
+
+def test_nb_quality_budget_guard_raises(ray_session):
+    from tanml_ray.pipelines.webtext import nb_quality_scores
+
+    with pytest.raises(ValueError, match="nb_driver_budget"):
+        nb_quality_scores(_nb_corpus(), nb_driver_budget=0)
