@@ -141,6 +141,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "full_outer_join_orders_customer": q.full_outer_join_orders_customer,
         "span_dedup_documents": q.span_dedup_documents,
         "nb_quality_documents": q.nb_quality_documents,
+        "ppl_buckets_documents": q.ppl_buckets_documents,
     }
 
 
@@ -235,6 +236,7 @@ def oracle_sql() -> dict[str, str]:
         "full_outer_join_orders_customer": q.FULL_OUTER_JOIN_SQL,
         "span_dedup_documents": q.SPAN_DEDUP_SQL,
         "nb_quality_documents": q.NB_QUALITY_SQL,
+        "ppl_buckets_documents": q.PPL_BUCKETS_SQL,
         # langid / lsh-knn / minhash / simhash / logistic_cv (iterative
         # IRLS): not SQL-expressible → rows-only driver check; verified
         # in pytest instead.

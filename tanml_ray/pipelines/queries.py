@@ -3540,3 +3540,46 @@ SELECT s.doc_id, l.label, s.n_tokens, round(s.raw, 6) AS score,
        CAST(CASE WHEN s.raw > 0 THEN 1 ELSE 0 END AS BIGINT) AS pred
 FROM scored s JOIN lab l USING (doc_id) ORDER BY s.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# CCNet head/middle/tail perplexity bucketing (webtext.
+# ppl_tertile_buckets): unigram-LM nll → integer milli-nat grid →
+# exact tertile boundaries (quantile_cont parity) → per-doc bucket.
+# The SQL re-derives the LM score (UNIGRAM_LM_SQL's CTE chain) and the
+# boundaries with DuckDB's own quantile_cont over the same grid.
+# ---------------------------------------------------------------------------
+
+def ppl_buckets_documents(sf_dir: str) -> pa.Table:
+    from tanml_ray.pipelines.webtext import ppl_tertile_buckets
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ppl_tertile_buckets(ds)
+
+
+PPL_BUCKETS_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+), counts AS (
+  SELECT w, count(*) AS c FROM toks GROUP BY w
+), tot AS (
+  SELECT CAST(sum(c) AS DOUBLE) + count(*) AS denom FROM counts
+), scored AS (
+  SELECT t.doc_id, count(*) AS n_tokens,
+         -sum(ln((c.c + 1) / tot.denom)) / count(*) AS raw_nll
+  FROM toks t JOIN counts c ON t.w = c.w CROSS JOIN tot
+  GROUP BY t.doc_id
+), m AS (
+  SELECT doc_id, n_tokens,
+         CAST(floor(round(raw_nll, 6) * 1000) AS BIGINT) AS mnat
+  FROM scored
+), b AS (
+  SELECT quantile_cont(mnat, 1.0/3) AS b33,
+         quantile_cont(mnat, 2.0/3) AS b66 FROM m
+)
+SELECT doc_id, n_tokens, mnat,
+       CASE WHEN mnat <= b33 THEN 'head'
+            WHEN mnat <= b66 THEN 'middle' ELSE 'tail' END AS bucket
+FROM m, b ORDER BY doc_id
+"""

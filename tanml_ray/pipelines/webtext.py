@@ -1080,3 +1080,76 @@ def nb_quality_scores(ds, text_col: str = "text", id_col: str = "doc_id",
             "pred": pa.array(out["pred"], type=pa.int64())})
 
     return ds.map_batches(score, batch_format="pyarrow").sort("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style head/middle/tail perplexity bucketing (Wenzek et al. 2020
+# §4.3): score every document with the unigram LM, then split the
+# corpus into tertiles by LM score — "head" is the lowest-perplexity
+# (most fluent) third, "tail" the highest. The tertile boundaries are
+# exact quantile_cont percentiles computed from value counts on an
+# integer MILLI-NAT grid (floor(nll*1000)): the grid is bounded by the
+# achievable nll range (~20k cells for nll <= 20 nats), NOT by corpus
+# size, so the driver-side boundary computation is scale-safe — the
+# same integer-grid argument as the price-quantile and robust-scaler
+# queries. Two shuffles total: the LM's groupby(word) and the
+# groupby(mnat) value-count merge; bucket assignment is shuffle-free.
+# ---------------------------------------------------------------------------
+
+def ppl_tertile_buckets(ds, text_col: str = "text",
+                        id_col: str = "doc_id") -> pa.Table:
+    """(doc_id, n_tokens, mnat, bucket) per scored doc, sorted by id;
+    bucket ∈ {'head','middle','tail'} by nll tertile (mnat <= b33 →
+    head, <= b66 → middle, else tail; boundaries are quantile_cont
+    over the milli-nat grid)."""
+    from ray.data.aggregate import Sum
+
+    from tanml_ray.functions.collect import collect_pylist
+
+    scored = unigram_lm_scores(ds, text_col=text_col, id_col=id_col)
+
+    def to_mnat(batch: pa.Table) -> pa.Table:
+        nll = batch.column("nll").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_tokens": batch.column("n_tokens"),
+            "mnat": pa.array(np.floor(nll * 1000.0).astype(np.int64))})
+
+    m = scored.map_batches(to_mnat, batch_format="pyarrow").materialize()
+
+    def vc_partial(batch: pa.Table) -> pa.Table:
+        vals, cnts = np.unique(
+            batch.column("mnat").to_numpy(zero_copy_only=False),
+            return_counts=True)
+        return pa.table({"mnat": pa.array(vals, type=pa.int64()),
+                         "n": pa.array(cnts, type=pa.int64())})
+
+    vc = sorted(collect_pylist(
+        m.map_batches(vc_partial, batch_format="pyarrow")
+        .groupby("mnat").aggregate(Sum("n", alias_name="n"))),
+        key=lambda r: r["mnat"])
+    vals = np.array([r["mnat"] for r in vc], dtype=np.float64)
+    cum = np.cumsum([r["n"] for r in vc])
+    n = int(cum[-1])
+
+    def q_cont(q: float) -> float:
+        h = (n - 1) * q
+        lo = int(np.floor(h))
+        hi = min(lo + 1, n - 1)
+        v_lo = float(vals[np.searchsorted(cum, lo + 1)])
+        v_hi = float(vals[np.searchsorted(cum, hi + 1)])
+        return v_lo + (h - lo) * (v_hi - v_lo)
+
+    b33, b66 = q_cont(1.0 / 3), q_cont(2.0 / 3)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        mn = batch.column("mnat").to_numpy(zero_copy_only=False)
+        bucket = np.where(mn <= b33, "head",
+                          np.where(mn <= b66, "middle", "tail"))
+        return batch.append_column("bucket",
+                                   pa.array(bucket, type=pa.string()))
+
+    rows = sorted(collect_pylist(
+        m.map_batches(assign, batch_format="pyarrow")),
+        key=lambda r: r["doc_id"])
+    return pa.Table.from_pylist(rows)

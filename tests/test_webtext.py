@@ -416,3 +416,29 @@ def test_nb_quality_budget_guard_raises(ray_session):
 
     with pytest.raises(ValueError, match="nb_driver_budget"):
         nb_quality_scores(_nb_corpus(), nb_driver_budget=0)
+
+
+def test_ppl_tertile_buckets_ordering(ray_session):
+    import ray.data as rd
+    from tanml_ray.pipelines.webtext import ppl_tertile_buckets
+
+    # common words score fluent (head); rare-word docs score tail.
+    common = "aa bb " * 20
+    rare_docs = [f"zz{i} qq{i} ww{i}" for i in range(4)]
+    texts = [common.strip(), common.strip() + " aa"] + rare_docs
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(1, len(texts) + 1), type=pa.int64()),
+        "text": pa.array(texts, type=pa.string())}))
+    out = {r["doc_id"]: r for r in ppl_tertile_buckets(ds).to_pylist()}
+    assert len(out) == 6
+    # the common-word docs must land in a strictly better bucket than
+    # every all-rare doc, and mnat must order accordingly
+    order = {"head": 0, "middle": 1, "tail": 2}
+    for d in (1, 2):
+        for r in (3, 4, 5, 6):
+            assert order[out[d]["bucket"]] < order[out[r]["bucket"]]
+            assert out[d]["mnat"] < out[r]["mnat"]
+    # every bucket label is valid and boundaries are honored monotonically
+    ranked = sorted(out.values(), key=lambda r: r["mnat"])
+    labels = [r["bucket"] for r in ranked]
+    assert labels == sorted(labels, key=order.get)
