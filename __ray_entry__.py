@@ -142,6 +142,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_dedup_documents": q.span_dedup_documents,
         "nb_quality_documents": q.nb_quality_documents,
         "ppl_buckets_documents": q.ppl_buckets_documents,
+        "incremental_dedup_documents": q.incremental_dedup_documents,
     }
 
 
@@ -237,6 +238,7 @@ def oracle_sql() -> dict[str, str]:
         "span_dedup_documents": q.SPAN_DEDUP_SQL,
         "nb_quality_documents": q.NB_QUALITY_SQL,
         "ppl_buckets_documents": q.PPL_BUCKETS_SQL,
+        "incremental_dedup_documents": q.INCREMENTAL_DEDUP_SQL,
         # langid / lsh-knn / minhash / simhash / logistic_cv (iterative
         # IRLS): not SQL-expressible → rows-only driver check; verified
         # in pytest instead.

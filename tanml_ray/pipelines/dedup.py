@@ -1217,3 +1217,150 @@ def optimal_bands(threshold: float, num_perm: int = 64
         if best is None or fp + fn < best[2] + best[3]:
             best = (b, r, fp, fn)
     return best
+
+
+# ---------------------------------------------------------------------------
+# Incremental exact dedup against a persisted digest index — the
+# daily-crawl-increment pattern: yesterday's corpus is indexed ONCE as
+# hash-bucket-partitioned parquet of 128-bit content digests; each new
+# shard is then checked against it by reading ONLY the bucket
+# partitions its own digests touch (path-level pruning, same storage
+# trick as the LSH / IVF vector indexes in similarity.py). Membership
+# resolution is a bucket-co-partitioned group join of int-only rows —
+# no digest set ever sits on the driver, and the index scan cost is
+# O(touched buckets), not O(index).
+# ---------------------------------------------------------------------------
+
+def _digest_cols(texts: list) -> tuple[np.ndarray, np.ndarray]:
+    """blake2b-128 of each text as two int64 columns (adversarially
+    collision-resistant — the same digest contract as curate.py's
+    destructive exact dedup)."""
+    import hashlib
+
+    h1 = np.empty(len(texts), dtype=np.uint64)
+    h2 = np.empty(len(texts), dtype=np.uint64)
+    for i, t in enumerate(texts):
+        d = hashlib.blake2b((t or "").encode("utf-8"),
+                            digest_size=16).digest()
+        h1[i] = int.from_bytes(d[:8], "little")
+        h2[i] = int.from_bytes(d[8:], "little")
+    return h1.view(np.int64), h2.view(np.int64)
+
+
+def build_digest_index(ds, out_dir: str, text_col: str = "text",
+                       id_col: str = "doc_id", buckets: int = 256) -> str:
+    """One streaming pass: digest every document and write
+    `out_dir/bucket=<b>/…` hive-partitioned parquet of
+    (h1, h2, doc_id) rows, bucket = h1 mod `buckets`. Self-describing
+    (meta json beside the data) and append-safe: indexing tomorrow's
+    shard into the same layout only adds files inside each bucket."""
+    import json
+    import os
+
+    def digest_batch(batch: pa.Table) -> pa.Table:
+        h1, h2 = _digest_cols(batch.column(text_col).to_pylist())
+        return pa.table({
+            "h1": pa.array(h1, type=pa.int64()),
+            "h2": pa.array(h2, type=pa.int64()),
+            id_col: batch.column(id_col),
+            "bucket": pa.array(h1.view(np.uint64) % np.uint64(buckets))
+            .cast(pa.int64())})
+
+    os.makedirs(out_dir, exist_ok=True)
+    ds.map_batches(digest_batch, batch_format="pyarrow").write_parquet(
+        out_dir, partition_cols=["bucket"])
+    with open(os.path.join(out_dir, "_digest_meta.json"), "w") as f:
+        json.dump({"buckets": buckets, "text_col": text_col,
+                   "id_col": id_col}, f)
+    return out_dir
+
+
+def dedup_against_index(new_ds, index_dir: str, text_col: str = "text",
+                        id_col: str = "doc_id"):
+    """Mark each incoming document as duplicate-of-index or fresh.
+
+    Returns a Dataset of (doc_id, is_dup). Only the index bucket
+    partitions touched by the incoming shard's own digests are read;
+    membership is resolved per bucket group with a sorted int128
+    membership test (no driver-side digest set).
+    """
+    import json
+    import os
+
+    import ray.data as rd
+
+    with open(os.path.join(index_dir, "_digest_meta.json")) as f:
+        meta = json.load(f)
+    buckets = int(meta["buckets"])
+    idx_id = meta["id_col"]
+
+    def digest_new(batch: pa.Table) -> pa.Table:
+        h1, h2 = _digest_cols(batch.column(text_col).to_pylist())
+        return pa.table({
+            "h1": pa.array(h1, type=pa.int64()),
+            "h2": pa.array(h2, type=pa.int64()),
+            id_col: batch.column(id_col),
+            "bucket": pa.array(h1.view(np.uint64) % np.uint64(buckets))
+            .cast(pa.int64()),
+            "__side": pa.array(["n"] * batch.num_rows, type=pa.string())})
+
+    new_digs = new_ds.map_batches(digest_new,
+                                  batch_format="pyarrow").materialize()
+
+    # path-level pruning: list the touched buckets (a ≤`buckets`-sized
+    # driver set by construction) and read only those partitions.
+    touched = sorted({int(r["bucket"]) for r in collect_pylist(
+        new_digs.select_columns(["bucket"]))})
+    import glob as _glob
+
+    paths = [p for b in touched
+             for p in sorted(_glob.glob(
+                 os.path.join(index_dir, f"bucket={b}", "*.parquet")))]
+    if not paths:
+        return new_digs.map_batches(
+            lambda t: pa.table({id_col: t.column(id_col),
+                                "is_dup": pa.array(
+                                    np.zeros(t.num_rows, dtype=np.int64))}),
+            batch_format="pyarrow")
+
+    def tag_index(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({
+            "h1": batch.column("h1"), "h2": batch.column("h2"),
+            id_col: (batch.column(idx_id) if idx_id in batch.column_names
+                     else pa.array(np.full(n, -1, dtype=np.int64))),
+            "bucket": pa.array(
+                batch.column("h1").to_numpy(zero_copy_only=False)
+                .view(np.uint64) % np.uint64(buckets)).cast(pa.int64()),
+            "__side": pa.array(["i"] * n, type=pa.string())})
+
+    idx = rd.read_parquet(paths).map_batches(tag_index,
+                                             batch_format="pyarrow")
+
+    def resolve(g: pa.Table) -> pa.Table:
+        side = g.column("__side")
+        is_new = pc.equal(side, "n")
+        new_part = g.filter(is_new)
+        idx_part = g.filter(pc.invert(is_new))
+        nh1 = new_part.column("h1").to_numpy(zero_copy_only=False)
+        nh2 = new_part.column("h2").to_numpy(zero_copy_only=False)
+        i1 = idx_part.column("h1").to_numpy(zero_copy_only=False)
+        i2 = idx_part.column("h2").to_numpy(zero_copy_only=False)
+        # vectorized h1 prefilter, then an exact (h1,h2) verify over the
+        # candidate rows only — the Python set is bounded by the index
+        # rows sharing an h1 with the incoming shard (≈ true-dup count
+        # + 2^-64 chance noise), never by the bucket size.
+        cand = np.isin(nh1, i1)
+        dup = np.zeros(len(nh1), dtype=np.int64)
+        if cand.any():
+            sel = np.isin(i1, nh1[cand])
+            pair_set = set(zip(i1[sel].tolist(), i2[sel].tolist()))
+            idxs = np.nonzero(cand)[0]
+            for j in idxs:
+                if (int(nh1[j]), int(nh2[j])) in pair_set:
+                    dup[j] = 1
+        return pa.table({id_col: new_part.column(id_col),
+                         "is_dup": pa.array(dup)})
+
+    return new_digs.union(idx).groupby("bucket").map_groups(
+        resolve, batch_format="pyarrow")

@@ -3583,3 +3583,74 @@ SELECT doc_id, n_tokens, mnat,
             WHEN mnat <= b66 THEN 'middle' ELSE 'tail' END AS bucket
 FROM m, b ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup against a persisted digest index (dedup.
+# build_digest_index / dedup_against_index). Even doc_ids form
+# yesterday's indexed corpus, odd doc_ids the incoming shard; the
+# corpus has no natural exact dups, so deterministic ones are planted
+# on both sides (a pure CASE of doc_id, mirrored verbatim in the SQL):
+# index docs with doc_id % 22 == 0 and incoming docs with
+# doc_id % 7 == 0 share the text 'PLANTED DUP <doc_id % 3>'.
+# ---------------------------------------------------------------------------
+
+def incremental_dedup_documents(sf_dir: str) -> pa.Table:
+    import ray.data as rd
+
+    from tanml_ray.pipelines.dedup import (
+        build_digest_index,
+        dedup_against_index,
+    )
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def side(parity: int, mod: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            ids0 = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            keep = (ids0 % 2) == parity
+            t = batch.filter(pa.array(keep))
+            ids = ids0[keep]
+            texts = t.column("text").to_pylist()
+            out = [f"PLANTED DUP {int(i) % 3}" if int(i) % mod == 0 else s
+                   for i, s in zip(ids, texts)]
+            return pa.table({"doc_id": t.column("doc_id"),
+                             "text": pa.array(out, type=pa.string())})
+        return fn
+
+    even = ds.map_batches(side(0, 22), batch_format="pyarrow")
+    odd = ds.map_batches(side(1, 7), batch_format="pyarrow")
+
+    import os
+    import shutil
+    import tempfile
+
+    idx_dir = tempfile.mkdtemp(prefix="tanml_digidx_")
+    try:
+        build_digest_index(even, idx_dir, buckets=16)
+        out = dedup_against_index(odd, idx_dir)
+        rows = sorted(collect_pylist(out), key=lambda r: r["doc_id"])
+    finally:
+        shutil.rmtree(idx_dir, ignore_errors=True)
+    return pa.Table.from_pylist(rows)
+
+
+INCREMENTAL_DEDUP_SQL = """
+WITH idx AS (
+  SELECT DISTINCT CASE WHEN doc_id % 22 = 0
+              THEN 'PLANTED DUP ' || CAST(doc_id % 3 AS VARCHAR)
+              ELSE text END AS text
+  FROM documents WHERE doc_id % 2 = 0
+), incoming AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0
+              THEN 'PLANTED DUP ' || CAST(doc_id % 3 AS VARCHAR)
+              ELSE text END AS text
+  FROM documents WHERE doc_id % 2 = 1
+)
+SELECT n.doc_id,
+       CAST(CASE WHEN i.text IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+         AS is_dup
+FROM incoming n LEFT JOIN idx i USING (text)
+ORDER BY n.doc_id
+"""

@@ -644,3 +644,61 @@ def test_optimal_bands_tracks_threshold():
     assert optimal_bands(0.9, 64)[1] > optimal_bands(0.4, 64)[1]
     with pytest.raises(ValueError):
         optimal_bands(1.5, 64)
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup against a persisted digest index
+# ---------------------------------------------------------------------------
+
+def test_incremental_dedup_against_index(ray_session, tmp_path):
+    import ray.data as rd
+
+    from tanml_ray.pipelines.dedup import (
+        build_digest_index,
+        dedup_against_index,
+    )
+
+    yesterday = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+        "text": pa.array(["alpha beta", "gamma delta", "epsilon"],
+                         type=pa.string())}))
+    idx = build_digest_index(yesterday, str(tmp_path / "idx"), buckets=4)
+
+    today = rd.from_arrow(pa.table({
+        "doc_id": pa.array([10, 11, 12, 13], type=pa.int64()),
+        "text": pa.array(["gamma delta",        # dup of doc 2
+                          "fresh content here",  # new
+                          "alpha beta",          # dup of doc 1
+                          "alpha  beta"],        # whitespace differs -> new
+                         type=pa.string())}))
+    out = {r["doc_id"]: r["is_dup"]
+           for r in dedup_against_index(today, idx).take_all()}
+    assert out == {10: 1, 11: 0, 12: 1, 13: 0}
+
+
+def test_incremental_dedup_appends_accumulate(ray_session, tmp_path):
+    import ray.data as rd
+
+    from tanml_ray.pipelines.dedup import (
+        build_digest_index,
+        dedup_against_index,
+    )
+
+    idx_dir = str(tmp_path / "idx")
+    day1 = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1], type=pa.int64()),
+        "text": pa.array(["first day doc"], type=pa.string())}))
+    build_digest_index(day1, idx_dir, buckets=4)
+    day2 = rd.from_arrow(pa.table({
+        "doc_id": pa.array([2], type=pa.int64()),
+        "text": pa.array(["second day doc"], type=pa.string())}))
+    # append-safe layout: indexing day 2 into the same dir only adds
+    # files; day-3 checks then see BOTH days
+    build_digest_index(day2, idx_dir, buckets=4)
+    day3 = rd.from_arrow(pa.table({
+        "doc_id": pa.array([30, 31, 32], type=pa.int64()),
+        "text": pa.array(["first day doc", "second day doc", "novel"],
+                         type=pa.string())}))
+    out = {r["doc_id"]: r["is_dup"]
+           for r in dedup_against_index(day3, idx_dir).take_all()}
+    assert out == {30: 1, 31: 1, 32: 0}
