@@ -143,6 +143,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nb_quality_documents": q.nb_quality_documents,
         "ppl_buckets_documents": q.ppl_buckets_documents,
         "incremental_dedup_documents": q.incremental_dedup_documents,
+        "normalize_text_documents": q.normalize_text_documents,
     }
 
 
@@ -239,6 +240,7 @@ def oracle_sql() -> dict[str, str]:
         "nb_quality_documents": q.NB_QUALITY_SQL,
         "ppl_buckets_documents": q.PPL_BUCKETS_SQL,
         "incremental_dedup_documents": q.INCREMENTAL_DEDUP_SQL,
+        "normalize_text_documents": q.NORMALIZE_TEXT_SQL,
         # langid / lsh-knn / minhash / simhash / logistic_cv (iterative
         # IRLS): not SQL-expressible → rows-only driver check; verified
         # in pytest instead.

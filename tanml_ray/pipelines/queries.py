@@ -3654,3 +3654,50 @@ SELECT n.doc_id,
 FROM incoming n LEFT JOIN idx i USING (text)
 ORDER BY n.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# CCNet text normalization (webtext.normalize_text_batch). The corpus
+# is pure ASCII, so a deterministic accented/mixed-unicode prefix is
+# injected into every fourth document (pure function of doc_id,
+# mirrored verbatim in the SQL) — exercising NFC, utf8proc-parity
+# accent stripping, casefold and whitespace collapse for real.
+# ---------------------------------------------------------------------------
+
+def normalize_text_documents(sf_dir: str) -> pa.Table:
+    from tanml_ray.pipelines.webtext import normalize_text_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def inject(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = batch.column("text").to_pylist()
+        out = [(f"Café  ÑOÑO {int(i) % 5}\t—  " + t)
+               if int(i) % 4 == 0 else t
+               for i, t in zip(ids, texts)]
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "text": pa.array(out, type=pa.string())})
+
+    out = (ds.map_batches(inject, batch_format="pyarrow")
+           .map_batches(normalize_text_batch, batch_format="pyarrow"))
+    rows = sorted(collect_pylist(out), key=lambda r: r["doc_id"])
+    return pa.Table.from_pylist(rows)
+
+
+NORMALIZE_TEXT_SQL = r"""
+WITH raw AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 4 = 0
+              THEN 'Café  ÑOÑO ' || CAST(doc_id % 5 AS VARCHAR)
+                   || chr(9) || '—  ' || text
+              ELSE text END AS text
+  FROM documents
+), norm AS (
+  SELECT doc_id,
+         trim(regexp_replace(lower(strip_accents(nfc_normalize(text))),
+                             '\s+', ' ', 'g')) AS norm_text
+  FROM raw
+)
+SELECT doc_id, norm_text, length(norm_text) AS n_chars_norm
+FROM norm ORDER BY doc_id
+"""

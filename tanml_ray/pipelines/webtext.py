@@ -1153,3 +1153,39 @@ def ppl_tertile_buckets(ds, text_col: str = "text",
         m.map_batches(assign, batch_format="pyarrow")),
         key=lambda r: r["doc_id"])
     return pa.Table.from_pylist(rows)
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style text normalization — the canonical form every web-corpus
+# dedup/hash stage runs first (Wenzek et al. 2020 §3: lowercase +
+# accent removal + whitespace collapse over NFC text). Pure per-batch
+# kernel, shuffle-free; Python's NFD-drop-Mn accent stripping is
+# bit-verified against DuckDB's utf8proc strip_accents in the oracle,
+# and the whitespace regex is ASCII (RE2 \s parity).
+# ---------------------------------------------------------------------------
+
+_ASCII_WS_RE = re.compile(r"\s+", re.ASCII)
+
+
+def normalize_text_batch(batch: pa.Table, text_col: str = "text",
+                         id_col: str = "doc_id") -> pa.Table:
+    """(doc_id, norm_text, n_chars_norm): NFC → strip accents (NFD,
+    drop Mn marks) → lower → collapse ASCII whitespace runs → trim."""
+    import unicodedata
+
+    ids = batch.column(id_col)
+    out = []
+    for t in batch.column(text_col).to_pylist():
+        if t is None:
+            out.append("")
+            continue
+        s = unicodedata.normalize("NFC", t)
+        s = "".join(c for c in unicodedata.normalize("NFD", s)
+                    if unicodedata.category(c) != "Mn")
+        s = s.lower()
+        s = _ASCII_WS_RE.sub(" ", s).strip()
+        out.append(s)
+    return pa.table({
+        id_col: ids,
+        "norm_text": pa.array(out, type=pa.string()),
+        "n_chars_norm": pa.array([len(s) for s in out], type=pa.int64())})

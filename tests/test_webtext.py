@@ -442,3 +442,17 @@ def test_ppl_tertile_buckets_ordering(ray_session):
     ranked = sorted(out.values(), key=lambda r: r["mnat"])
     labels = [r["bucket"] for r in ranked]
     assert labels == sorted(labels, key=order.get)
+
+
+def test_normalize_text_batch_rules():
+    from tanml_ray.pipelines.webtext import normalize_text_batch
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+        "text": pa.array(["  Café\t ÑOÑO\n über  ALL ", "ascii only", None],
+                         type=pa.string())})
+    out = normalize_text_batch(t).to_pylist()
+    assert out[0]["norm_text"] == "cafe nono uber all"
+    assert out[0]["n_chars_norm"] == len("cafe nono uber all")
+    assert out[1]["norm_text"] == "ascii only"
+    assert out[2]["norm_text"] == "" and out[2]["n_chars_norm"] == 0
