@@ -144,6 +144,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ppl_buckets_documents": q.ppl_buckets_documents,
         "incremental_dedup_documents": q.incremental_dedup_documents,
         "normalize_text_documents": q.normalize_text_documents,
+        "knn_cosine_pq_embeddings": q.knn_cosine_pq_embeddings,
     }
 
 

@@ -3701,3 +3701,19 @@ WITH raw AS (
 SELECT doc_id, norm_text, length(norm_text) AS n_chars_norm
 FROM norm ORDER BY doc_id
 """
+
+
+def knn_cosine_pq_embeddings(sf_dir: str) -> pa.Table:
+    """Approximate PQ/ADC top-k — rows-only check (recall vs exact is
+    the pytest contract, tests/test_shuffle.py::test_pq_*)."""
+    from tanml_ray.pipelines.similarity import (
+        build_pq_codebook,
+        knn_cosine_pq,
+        pq_encode,
+    )
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    cb = build_pq_codebook(ds, m=8, ksub=16)
+    codes = pq_encode(ds, cb).materialize()
+    return knn_cosine_pq(codes, cb, _query_vectors(sf_dir, _KNN_QUERY_IDS),
+                         k=10)

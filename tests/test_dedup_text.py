@@ -702,3 +702,80 @@ def test_incremental_dedup_appends_accumulate(ray_session, tmp_path):
     out = {r["doc_id"]: r["is_dup"]
            for r in dedup_against_index(day3, idx_dir).take_all()}
     assert out == {30: 1, 31: 1, 32: 0}
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestPqKnn:
+    def _clustered(self):
+        import ray.data as rd
+
+        rng = np.random.default_rng(11)
+        centers = rng.standard_normal((10, 32)) * 5
+        vecs = np.vstack([c + rng.standard_normal((40, 32)) * 0.3
+                          for c in centers])
+        t = pa.table({
+            "vec_id": pa.array(np.arange(len(vecs)), type=pa.int64()),
+            "embedding": pa.array([v.astype(np.float32) for v in vecs],
+                                  type=pa.list_(pa.float32()))})
+        return rd.from_arrow(t).repartition(4), vecs
+
+    def test_pq_neighbors_are_clustermates(self):
+        """Quantized sims collapse intra-cluster distances (all 40
+        clustermates share a code word), so exact-SET recall is the
+        wrong metric for PQ — the semantic contract is that every
+        approximate neighbor is a true clustermate with a near-1
+        approximate similarity."""
+        from tanml_ray.pipelines.similarity import (
+            build_pq_codebook,
+            knn_cosine_pq,
+            pq_encode,
+        )
+
+        ds, vecs = self._clustered()
+        qs = {0: vecs[0], 40: vecs[40], 80: vecs[80]}
+        cb = build_pq_codebook(ds, m=8, ksub=16)
+        assert cb.shape == (8, 16, 4)
+        codes = pq_encode(ds, cb).materialize()
+        approx = knn_cosine_pq(codes, cb, qs, k=10).to_pylist()
+        for qid in qs:
+            hits = [r for r in approx if r["query_id"] == qid]
+            assert len(hits) == 10
+            cluster = qid // 40
+            mates = sum(1 for r in hits if r["vec_id"] // 40 == cluster)
+            assert mates >= 9, f"q{qid}: {mates}/10 clustermates"
+            assert all(r["sim"] > 0.8 for r in hits
+                       if r["vec_id"] // 40 == cluster)
+
+    def test_pq_deterministic_rerun(self):
+        """Bit-identical on rerun at fixed partitioning. (Across
+        DIFFERENT partitionings the trained centroids can differ in
+        final float ulps — block-order summation — so cross-partition
+        bit-identity is explicitly NOT part of the PQ contract, unlike
+        the exact kernels.)"""
+        from tanml_ray.pipelines.similarity import (
+            build_pq_codebook,
+            knn_cosine_pq,
+            pq_encode,
+        )
+
+        ds, vecs = self._clustered()
+        qs = {0: vecs[0], 200: vecs[200]}
+        outs = []
+        for _ in range(2):
+            cb = build_pq_codebook(ds, m=8, ksub=16)
+            codes = pq_encode(ds, cb).materialize()
+            outs.append(knn_cosine_pq(codes, cb, qs, k=5).to_pylist())
+        assert outs[0] == outs[1]
+
+    def test_pq_codes_compress(self):
+        from tanml_ray.pipelines.similarity import (
+            build_pq_codebook,
+            pq_encode,
+        )
+
+        ds, _ = self._clustered()
+        cb = build_pq_codebook(ds, m=8, ksub=16)
+        rows = pq_encode(ds, cb).take(5)
+        for r in rows:
+            assert len(r["codes"]) == 8
+            assert all(0 <= c < 16 for c in r["codes"])
