@@ -145,6 +145,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_dedup_documents": q.incremental_dedup_documents,
         "normalize_text_documents": q.normalize_text_documents,
         "knn_cosine_pq_embeddings": q.knn_cosine_pq_embeddings,
+        "grouped_ols_lineitem": q.grouped_ols_lineitem,
+        "embedding_covariance_embeddings": q.embedding_covariance_embeddings,
     }
 
 
@@ -242,6 +244,8 @@ def oracle_sql() -> dict[str, str]:
         "ppl_buckets_documents": q.PPL_BUCKETS_SQL,
         "incremental_dedup_documents": q.INCREMENTAL_DEDUP_SQL,
         "normalize_text_documents": q.NORMALIZE_TEXT_SQL,
+        "grouped_ols_lineitem": q.GROUPED_OLS_SQL,
+        "embedding_covariance_embeddings": q.EMBEDDING_COV_SQL,
         # langid / lsh-knn / minhash / simhash / logistic_cv (iterative
         # IRLS): not SQL-expressible → rows-only driver check; verified
         # in pytest instead.

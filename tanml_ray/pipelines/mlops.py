@@ -537,3 +537,96 @@ def linear_fit(ds, x_cols: list[str], y_col: str,
     sst = syy - sy * sy / n if n else float("nan")
     return {"intercept": float(beta[0]), "coef": beta[1:].tolist(),
             "n": n, "r2": float(1.0 - sse / sst) if sst else float("nan")}
+
+
+# ---------------------------------------------------------------------------
+# Distributed covariance of an embedding column + driver-side PCA.
+# One streaming pass accumulates EXACT integer sufficient statistics
+# (components quantized to a 2^16 grid — the embedding-space analog of
+# the repo-wide integer-cents convention: the operator's contract is
+# the exact covariance OF the quantized values, so engine and SQL
+# agree bit-for-bit under any partitioning): per batch n, Σx (d), and
+# the full Gram matrix ΣxxT (d×d int64 matmul), merged as Python
+# bigints on the driver. d=64 → 4 KB + 32 KB per block partial.
+# The PCA step (eigh of the 64×64 covariance + a projection
+# map_batches) is driver-side numpy on the tiny matrix — the right
+# split at any corpus size, since cov is dimension- not row-sized.
+# ---------------------------------------------------------------------------
+
+def embedding_covariance(ds, vec_col: str = "embedding",
+                         grid: int = 1 << 16) -> tuple[np.ndarray, int]:
+    """Returns (cov, n): the exact sample covariance (ddof=1) of the
+    grid-quantized embedding components, in ORIGINAL units."""
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"n": pa.array([], type=pa.int64()),
+                             "s": pa.array([], type=pa.list_(pa.int64())),
+                             "g": pa.array([], type=pa.list_(pa.int64()))})
+        v = np.stack(batch.column(vec_col).to_pylist()).astype(np.float64)
+        # floor, not rint: float32 components are dyadic rationals, so
+        # v*grid can land EXACTLY on .5 — np.rint (half-to-even) and
+        # SQL round (half-away) would then disagree; floor is
+        # unambiguous on both sides.
+        x = np.floor(v * grid).astype(np.int64)
+        return pa.table({
+            "n": pa.array([x.shape[0]], type=pa.int64()),
+            "s": pa.array([x.sum(axis=0).tolist()],
+                          type=pa.list_(pa.int64())),
+            "g": pa.array([(x.T @ x).ravel().tolist()],
+                          type=pa.list_(pa.int64()))})
+
+    n = 0
+    s = None
+    g = None
+    for r in collect_pylist(ds.map_batches(partial,
+                                           batch_format="pyarrow")):
+        n += int(r["n"])
+        rs = [int(v) for v in r["s"]]
+        rg = [int(v) for v in r["g"]]
+        s = rs if s is None else [a + b for a, b in zip(s, rs)]
+        g = rg if g is None else [a + b for a, b in zip(g, rg)]
+    d = len(s)
+    if n < 2:
+        raise ValueError(f"need >= 2 vectors for covariance, got {n}")
+    cov = np.empty((d, d))
+    scale = float(grid) * float(grid)
+    for i in range(d):
+        for j in range(d):
+            sij = g[i * d + j]
+            cov[i, j] = ((float(sij) - float(s[i]) * float(s[j]) / n)
+                         / (n - 1) / scale)
+    return cov, n
+
+
+def pca_project(ds, n_components: int = 2, vec_col: str = "embedding",
+                id_col: str = "vec_id", grid: int = 1 << 16):
+    """PCA projection: distributed covariance → driver eigh → one
+    shuffle-free projection pass. Component sign is fixed
+    deterministically (largest-|loading| coordinate made positive).
+    Returns a Dataset of (vec_id, pc: list<double>[n_components])."""
+    import ray
+
+    cov, _ = embedding_covariance(ds, vec_col=vec_col, grid=grid)
+    w, V = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1][:n_components]
+    comps = V[:, order].T                      # (k, d)
+    for c in comps:
+        pivot = int(np.argmax(np.abs(c)))
+        if c[pivot] < 0:
+            c *= -1.0
+    cref = ray.put(comps)
+
+    def project(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        C = _ray.get(cref)
+        if batch.num_rows == 0:
+            return pa.table({id_col: pa.array([], type=pa.int64()),
+                             "pc": pa.array([], type=pa.list_(pa.float64()))})
+        v = np.stack(batch.column(vec_col).to_pylist()).astype(np.float64)
+        p = v @ C.T
+        return pa.table({id_col: batch.column(id_col),
+                         "pc": pa.array([row.tolist() for row in p],
+                                        type=pa.list_(pa.float64()))})
+
+    return ds.map_batches(project, batch_format="pyarrow")

@@ -3717,3 +3717,123 @@ def knn_cosine_pq_embeddings(sf_dir: str) -> pa.Table:
     codes = pq_encode(ds, cb).materialize()
     return knn_cosine_pq(codes, cb, _query_vectors(sf_dir, _KNN_QUERY_IDS),
                          k=10)
+
+
+# ---------------------------------------------------------------------------
+# Grouped simple OLS (per-key regression) — the segmented-model variant
+# of A20/linear_fit: per l_returnflag, regress extendedprice (cents) on
+# quantity. All five sufficient statistics are EXACT integer sums
+# (combiner per batch → one tiny groupby), and both sides derive
+# slope/intercept/r² with the same IEEE sequence from the same exact
+# integers — bit parity without tolerance.
+# ---------------------------------------------------------------------------
+
+def grouped_ols_lineitem(sf_dir: str) -> pa.Table:
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        x = np.rint(batch.column("l_quantity")
+                    .to_numpy(zero_copy_only=False)).astype(np.int64)
+        y = np.rint(batch.column("l_extendedprice")
+                    .to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        df = pd.DataFrame({
+            "l_returnflag": batch.column("l_returnflag").to_pylist(),
+            "n": 1, "sx": x, "sy": y, "sxx": x * x, "syy": y * y,
+            "sxy": x * y})
+        g = df.groupby("l_returnflag", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("l_returnflag")
+           .aggregate(Sum("n", alias_name="n"), Sum("sx", alias_name="sx"),
+                      Sum("sy", alias_name="sy"),
+                      Sum("sxx", alias_name="sxx"),
+                      Sum("syy", alias_name="syy"),
+                      Sum("sxy", alias_name="sxy")))
+    out = []
+    for r in sorted(collect_pylist(agg), key=lambda r: r["l_returnflag"]):
+        n, sx, sy = int(r["n"]), int(r["sx"]), int(r["sy"])
+        sxx, syy, sxy = int(r["sxx"]), int(r["syy"]), int(r["sxy"])
+        num = n * sxy - sx * sy
+        denx = n * sxx - sx * sx
+        deny = n * syy - sy * sy
+        slope = float(num) / float(denx)
+        intercept = (float(sy) - slope * float(sx)) / float(n)
+        r2 = (float(num) * float(num)) / (float(denx) * float(deny))
+        out.append({"l_returnflag": r["l_returnflag"], "n": n,
+                    "slope": _round6(slope),
+                    "intercept": _round6(intercept / 100.0),
+                    "r2": _round6(r2)})
+    return pa.Table.from_pylist(out)
+
+
+GROUPED_OLS_SQL = """
+WITH s AS (
+  SELECT l_returnflag,
+         count(*) AS n,
+         sum(CAST(round(l_quantity) AS BIGINT)) AS sx,
+         sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS sy,
+         sum(CAST(round(l_quantity) AS BIGINT)
+             * CAST(round(l_quantity) AS BIGINT)) AS sxx,
+         sum(CAST(round(l_extendedprice*100) AS BIGINT)
+             * CAST(round(l_extendedprice*100) AS BIGINT)) AS syy,
+         sum(CAST(round(l_quantity) AS BIGINT)
+             * CAST(round(l_extendedprice*100) AS BIGINT)) AS sxy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       round(CAST(n*sxy - sx*sy AS DOUBLE)
+             / CAST(n*sxx - sx*sx AS DOUBLE), 6) AS slope,
+       round((CAST(sy AS DOUBLE)
+              - (CAST(n*sxy - sx*sy AS DOUBLE)
+                 / CAST(n*sxx - sx*sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+             / CAST(n AS DOUBLE) / 100.0, 6) AS intercept,
+       round(CAST(n*sxy - sx*sy AS DOUBLE) * CAST(n*sxy - sx*sy AS DOUBLE)
+             / (CAST(n*sxx - sx*sx AS DOUBLE)
+                * CAST(n*syy - sy*sy AS DOUBLE)), 6) AS r2
+FROM s ORDER BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# Distributed embedding covariance (mlops.embedding_covariance): exact
+# integer Gram-matrix sufficient statistics on the 2^16 quantization
+# grid; upper triangle with 1-based dims matching SQL list indexing.
+# ---------------------------------------------------------------------------
+
+def embedding_covariance_embeddings(sf_dir: str) -> pa.Table:
+    from tanml_ray.pipelines.mlops import embedding_covariance
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    cov, _ = embedding_covariance(ds)
+    d = cov.shape[0]
+    rows = [{"i": i + 1, "j": j + 1, "cov": _round6(cov[i, j])}
+            for i in range(d) for j in range(i, d)]
+    return pa.Table.from_pylist(rows)
+
+
+EMBEDDING_COV_SQL = """
+WITH dims AS (
+  SELECT unnest(generate_series(1, 64)) AS i
+), pairs AS (
+  SELECT d1.i AS i, d2.i AS j FROM dims d1, dims d2 WHERE d1.i <= d2.i
+), q AS (
+  SELECT p.i, p.j,
+         CAST(floor(CAST(embedding[p.i] AS DOUBLE) * 65536) AS BIGINT) AS xi,
+         CAST(floor(CAST(embedding[p.j] AS DOUBLE) * 65536) AS BIGINT) AS xj
+  FROM embeddings, pairs p
+), s AS (
+  SELECT i, j, count(*) AS n, sum(xi) AS si, sum(xj) AS sj,
+         sum(xi*xj) AS sij
+  FROM q GROUP BY i, j
+)
+SELECT i, j,
+       round((CAST(sij AS DOUBLE) - CAST(si AS DOUBLE)*CAST(sj AS DOUBLE)/n)
+             / (n-1) / 4294967296.0, 6) AS cov
+FROM s ORDER BY i, j
+"""

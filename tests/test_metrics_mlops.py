@@ -202,3 +202,53 @@ class TestKnnImpute:
         with pytest.raises(ValueError, match="shard-by-shard"):
             knn_impute(rd.from_arrow(self._tbl()), "id", "v", ["f1", "f2"],
                        mod=2, k=5, max_missing=10)
+
+
+# ---------------------------------------------------------------------------
+# embedding covariance + PCA
+# ---------------------------------------------------------------------------
+
+@pytest.mark.usefixtures("ray_session")
+def test_embedding_covariance_matches_numpy():
+    import ray.data as rd
+
+    from tanml_ray.pipelines.mlops import embedding_covariance
+
+    rng = np.random.default_rng(3)
+    v = rng.standard_normal((200, 8)).astype(np.float32)
+    t = pa.table({"vec_id": pa.array(np.arange(200), type=pa.int64()),
+                  "embedding": pa.array([r for r in v],
+                                        type=pa.list_(pa.float32()))})
+    cov, n = embedding_covariance(rd.from_arrow(t).repartition(5))
+    assert n == 200 and cov.shape == (8, 8)
+    grid = 1 << 16
+    q = np.floor(v.astype(np.float64) * grid) / grid
+    want = np.cov(q, rowvar=False, ddof=1)
+    assert np.allclose(cov, want, atol=1e-9)
+    # exact integer stats -> partitioning cannot change the result
+    cov2, _ = embedding_covariance(rd.from_arrow(t).repartition(11))
+    assert np.array_equal(cov, cov2)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pca_project_orders_variance():
+    import ray.data as rd
+
+    from tanml_ray.pipelines.mlops import pca_project
+
+    rng = np.random.default_rng(4)
+    # anisotropic cloud: dim 0 has 10x the std of the rest
+    v = rng.standard_normal((300, 6))
+    v[:, 0] *= 10
+    t = pa.table({"vec_id": pa.array(np.arange(300), type=pa.int64()),
+                  "embedding": pa.array([r for r in v.astype(np.float32)],
+                                        type=pa.list_(pa.float32()))})
+    out = pca_project(rd.from_arrow(t).repartition(4),
+                      n_components=2).take_all()
+    P = np.array([r["pc"] for r in sorted(out, key=lambda r: r["vec_id"])])
+    assert P.shape == (300, 2)
+    var = P.var(axis=0, ddof=1)
+    assert var[0] > var[1] > 0
+    # pc1 must essentially be dim 0 (the dominant direction)
+    corr = np.corrcoef(P[:, 0], v[:, 0])[0, 1]
+    assert abs(corr) > 0.99
