@@ -147,6 +147,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine_pq_embeddings": q.knn_cosine_pq_embeddings,
         "grouped_ols_lineitem": q.grouped_ols_lineitem,
         "embedding_covariance_embeddings": q.embedding_covariance_embeddings,
+        "mutual_info_orders": q.mutual_info_orders,
     }
 
 
@@ -246,6 +247,7 @@ def oracle_sql() -> dict[str, str]:
         "normalize_text_documents": q.NORMALIZE_TEXT_SQL,
         "grouped_ols_lineitem": q.GROUPED_OLS_SQL,
         "embedding_covariance_embeddings": q.EMBEDDING_COV_SQL,
+        "mutual_info_orders": q.MUTUAL_INFO_SQL,
         # langid / lsh-knn / minhash / simhash / logistic_cv (iterative
         # IRLS): not SQL-expressible → rows-only driver check; verified
         # in pytest instead.

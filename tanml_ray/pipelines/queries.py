@@ -3837,3 +3837,85 @@ SELECT i, j,
              / (n-1) / 4294967296.0, 6) AS cov
 FROM s ORDER BY i, j
 """
+
+
+# ---------------------------------------------------------------------------
+# Categorical association profile: entropy / mutual information / chi²
+# / Cramér's V between two categorical columns, all derived from ONE
+# joint-count pass (per-batch pandas combiner → tiny groupby — the
+# joint table is category-product-bounded, never row-bounded). The
+# p-value needs the incomplete gamma function (not in ANSI SQL), so
+# the oracle covers the statistics; the band classification beyond
+# that is pytest territory.
+# ---------------------------------------------------------------------------
+
+def mutual_info_orders(sf_dir: str) -> pa.Table:
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_orderstatus"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame({
+            "p": batch.column("o_orderpriority").to_pylist(),
+            "s": batch.column("o_orderstatus").to_pylist(), "c": 1})
+        g = df.groupby(["p", "s"], as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    joint = {(r["p"], r["s"]): int(r["c"])
+             for r in collect_pylist(
+                 ds.map_batches(partial, batch_format="pyarrow")
+                 .groupby(["p", "s"]).aggregate(Sum("c", alias_name="c")))}
+    n = sum(joint.values())
+    cx: dict[str, int] = {}
+    cy: dict[str, int] = {}
+    for (p, s), c in joint.items():
+        cx[p] = cx.get(p, 0) + c
+        cy[s] = cy.get(s, 0) + c
+    hx = -sum((c / n) * np.log(c / n) for _, c in sorted(cx.items()))
+    hy = -sum((c / n) * np.log(c / n) for _, c in sorted(cy.items()))
+    mi = sum((c / n) * np.log((c * n) / (cx[p] * cy[s]))
+             for (p, s), c in sorted(joint.items()))
+    # chi² runs over the FULL category product — zero-count cells still
+    # contribute (0-e)²/e (MI's 0·log0 terms vanish, chi²'s do not)
+    chi2 = sum((joint.get((p, s), 0) - cx[p] * cy[s] / n) ** 2
+               / (cx[p] * cy[s] / n)
+               for p in sorted(cx) for s in sorted(cy))
+    dof = (len(cx) - 1) * (len(cy) - 1)
+    cramers_v = float(np.sqrt(chi2 / (n * min(len(cx) - 1, len(cy) - 1))))
+    return pa.Table.from_pylist([{
+        "n": n, "h_priority": _round6(hx), "h_status": _round6(hy),
+        "mi": _round6(mi), "chi2": _round6(chi2), "dof": dof,
+        "cramers_v": _round6(cramers_v)}])
+
+
+MUTUAL_INFO_SQL = """
+WITH joint AS (
+  SELECT o_orderpriority AS p, o_orderstatus AS s, count(*) AS c
+  FROM orders GROUP BY p, s
+), tot AS (SELECT sum(c) AS n FROM joint),
+px AS (SELECT p, sum(c) AS cx FROM joint GROUP BY p),
+py AS (SELECT s, sum(c) AS cy FROM joint GROUP BY s),
+cells AS (
+  SELECT px.p, px.cx, py.s, py.cy, coalesce(j.c, 0) AS c
+  FROM px CROSS JOIN py
+  LEFT JOIN joint j ON j.p = px.p AND j.s = py.s
+)
+SELECT
+  CAST(tot.n AS BIGINT) AS n,
+  round((SELECT -sum((cx/tot.n)*ln(cx/tot.n)) FROM px), 6) AS h_priority,
+  round((SELECT -sum((cy/tot.n)*ln(cy/tot.n)) FROM py), 6) AS h_status,
+  round((SELECT sum((j.c/tot.n)*ln((j.c*tot.n)/(px.cx*py.cy)))
+         FROM joint j JOIN px USING (p) JOIN py USING (s)), 6) AS mi,
+  round((SELECT sum(pow(c - cx*cy/tot.n, 2) / (cx*cy/tot.n))
+         FROM cells), 6) AS chi2,
+  CAST(((SELECT count(*) FROM px) - 1)
+       * ((SELECT count(*) FROM py) - 1) AS BIGINT) AS dof,
+  round(sqrt((SELECT sum(pow(c - cx*cy/tot.n, 2) / (cx*cy/tot.n))
+              FROM cells)
+             / (tot.n * least((SELECT count(*) FROM px) - 1,
+                              (SELECT count(*) FROM py) - 1))), 6)
+    AS cramers_v
+FROM tot
+"""

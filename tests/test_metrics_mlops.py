@@ -252,3 +252,34 @@ def test_pca_project_orders_variance():
     # pc1 must essentially be dim 0 (the dominant direction)
     corr = np.corrcoef(P[:, 0], v[:, 0])[0, 1]
     assert abs(corr) > 0.99
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_mutual_info_hand_checked(tmp_path):
+    import os
+
+    import pyarrow.parquet as pq
+
+    from tanml_ray.pipelines.queries import mutual_info_orders
+
+    # perfectly dependent columns: MI == H(X) == H(Y); V == 1
+    sf = str(tmp_path)
+    n_each = 50
+    t = pa.table({
+        "o_orderpriority": pa.array(["A"] * n_each + ["B"] * n_each),
+        "o_orderstatus": pa.array(["x"] * n_each + ["y"] * n_each)})
+    pq.write_table(t, os.path.join(sf, "orders.parquet"))
+    r = mutual_info_orders(sf).to_pylist()[0]
+    assert r["n"] == 100 and r["dof"] == 1
+    assert r["h_priority"] == r["h_status"] == round(float(np.log(2)), 6)
+    assert r["mi"] == round(float(np.log(2)), 6)
+    assert r["cramers_v"] == 1.0
+    assert r["chi2"] == 100.0
+
+    # independent columns: MI == 0, chi2 == 0
+    t2 = pa.table({
+        "o_orderpriority": pa.array((["A"] * 2 + ["B"] * 2) * 25),
+        "o_orderstatus": pa.array(["x", "y"] * 50)})
+    pq.write_table(t2, os.path.join(sf, "orders.parquet"))
+    r2 = mutual_info_orders(sf).to_pylist()[0]
+    assert r2["mi"] == 0.0 and r2["chi2"] == 0.0 and r2["cramers_v"] == 0.0
