@@ -148,6 +148,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_ols_lineitem": q.grouped_ols_lineitem,
         "embedding_covariance_embeddings": q.embedding_covariance_embeddings,
         "mutual_info_orders": q.mutual_info_orders,
+        "set_ops_documents": q.set_ops_documents,
     }
 
 
@@ -248,6 +249,7 @@ def oracle_sql() -> dict[str, str]:
         "grouped_ols_lineitem": q.GROUPED_OLS_SQL,
         "embedding_covariance_embeddings": q.EMBEDDING_COV_SQL,
         "mutual_info_orders": q.MUTUAL_INFO_SQL,
+        "set_ops_documents": q.SET_OPS_SQL,
         # langid / lsh-knn / minhash / simhash / logistic_cv (iterative
         # IRLS): not SQL-expressible → rows-only driver check; verified
         # in pytest instead.

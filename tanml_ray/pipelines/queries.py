@@ -3919,3 +3919,78 @@ SELECT
     AS cramers_v
 FROM tot
 """
+
+
+# ---------------------------------------------------------------------------
+# Distinct-content set operations between two corpus halves (D-series
+# completion: INTERSECT / EXCEPT beside the existing union/distinct/
+# overlap). Sides are compared by 128-bit content digest; per-side
+# per-batch local distinct (digest, presence-bit) partials meet in ONE
+# groupby — text never shuffles, and output is the three set
+# cardinalities plus per-side distinct counts.
+# ---------------------------------------------------------------------------
+
+def set_ops_documents(sf_dir: str) -> pa.Table:
+    from ray.data.aggregate import Max
+
+    from tanml_ray.pipelines.curate import _content_digest
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def side_partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = batch.column("text").to_pylist()
+        seen: dict[bytes, list[int]] = {}
+        for i, t in zip(ids, texts):
+            # doc_id % 3 == 0 -> side A, else side B (deterministic,
+            # mirrored in the SQL)
+            bit = 0 if int(i) % 3 == 0 else 1
+            d = _content_digest(t)
+            flags = seen.setdefault(d, [0, 0])
+            flags[bit] = 1
+        return pa.table({
+            "dig": pa.array(list(seen.keys()), type=pa.binary(16)),
+            "in_a": pa.array([v[0] for v in seen.values()],
+                             type=pa.int64()),
+            "in_b": pa.array([v[1] for v in seen.values()],
+                             type=pa.int64())})
+
+    agg = (ds.map_batches(side_partial, batch_format="pyarrow")
+           .groupby("dig")
+           .aggregate(Max("in_a", alias_name="in_a"),
+                      Max("in_b", alias_name="in_b")))
+
+    def reduce_counts(batch: pa.Table) -> pa.Table:
+        a = batch.column("in_a").to_numpy(zero_copy_only=False)
+        b = batch.column("in_b").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "n_a": pa.array([int(a.sum())], type=pa.int64()),
+            "n_b": pa.array([int(b.sum())], type=pa.int64()),
+            "n_intersect": pa.array([int((a & b).sum())], type=pa.int64()),
+            "n_a_only": pa.array([int((a & (1 - b)).sum())],
+                                 type=pa.int64()),
+            "n_b_only": pa.array([int(((1 - a) & b).sum())],
+                                 type=pa.int64())})
+
+    tot = [0, 0, 0, 0, 0]
+    keys = ["n_a", "n_b", "n_intersect", "n_a_only", "n_b_only"]
+    for r in collect_pylist(agg.map_batches(reduce_counts,
+                                            batch_format="pyarrow")):
+        for k, key in enumerate(keys):
+            tot[k] += int(r[key])
+    return pa.Table.from_pylist([dict(zip(keys, tot))])
+
+
+SET_OPS_SQL = """
+WITH a AS (SELECT DISTINCT text FROM documents WHERE doc_id % 3 = 0),
+b AS (SELECT DISTINCT text FROM documents WHERE doc_id % 3 <> 0)
+SELECT
+  (SELECT count(*) FROM a) AS n_a,
+  (SELECT count(*) FROM b) AS n_b,
+  (SELECT count(*) FROM (SELECT text FROM a INTERSECT SELECT text FROM b))
+    AS n_intersect,
+  (SELECT count(*) FROM (SELECT text FROM a EXCEPT SELECT text FROM b))
+    AS n_a_only,
+  (SELECT count(*) FROM (SELECT text FROM b EXCEPT SELECT text FROM a))
+    AS n_b_only
+"""
