@@ -149,6 +149,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_covariance_embeddings": q.embedding_covariance_embeddings,
         "mutual_info_orders": q.mutual_info_orders,
         "set_ops_documents": q.set_ops_documents,
+        "winsorize_totalprice": q.winsorize_totalprice,
+        "corpus_mixture_documents": q.corpus_mixture_documents,
     }
 
 
@@ -250,6 +252,8 @@ def oracle_sql() -> dict[str, str]:
         "embedding_covariance_embeddings": q.EMBEDDING_COV_SQL,
         "mutual_info_orders": q.MUTUAL_INFO_SQL,
         "set_ops_documents": q.SET_OPS_SQL,
+        "winsorize_totalprice": q.WINSORIZE_SQL,
+        "corpus_mixture_documents": q._mixture_sql(),
         # langid / lsh-knn / minhash / simhash / logistic_cv (iterative
         # IRLS): not SQL-expressible → rows-only driver check; verified
         # in pytest instead.

@@ -3994,3 +3994,143 @@ SELECT
   (SELECT count(*) FROM (SELECT text FROM b EXCEPT SELECT text FROM a))
     AS n_b_only
 """
+
+
+# ---------------------------------------------------------------------------
+# Winsorization (percentile outlier capping) of o_totalprice at
+# p01/p99 — the robust-scaler's sibling transform: phase 1 derives
+# exact quantile_cont-parity percentiles from integer-cents value
+# counts (grid-bounded, not row-bounded), phase 2 caps every row in a
+# closure-broadcast shuffle-free pass.
+# ---------------------------------------------------------------------------
+
+def winsorize_totalprice(sf_dir: str) -> pa.Table:
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def vc_partial(batch: pa.Table) -> pa.Table:
+        u = np.rint(batch.column("o_totalprice")
+                    .to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        vals, cnts = np.unique(u, return_counts=True)
+        return pa.table({"cents": pa.array(vals, type=pa.int64()),
+                         "n": pa.array(cnts, type=pa.int64())})
+
+    vc = sorted(collect_pylist(
+        ds.map_batches(vc_partial, batch_format="pyarrow")
+        .groupby("cents").aggregate(Sum("n", alias_name="n"))),
+        key=lambda r: r["cents"])
+    vals = np.array([r["cents"] for r in vc], dtype=np.float64)
+    cum = np.cumsum([r["n"] for r in vc])
+    n = int(cum[-1])
+
+    def q_cont(q: float) -> float:
+        h = (n - 1) * q
+        lo = int(np.floor(h))
+        hi = min(lo + 1, n - 1)
+        v_lo = float(vals[np.searchsorted(cum, lo + 1)])
+        v_hi = float(vals[np.searchsorted(cum, hi + 1)])
+        return (v_lo + (h - lo) * (v_hi - v_lo)) / 100.0
+
+    lo_cap, hi_cap = q_cont(0.01), q_cont(0.99)
+
+    def cap(batch: pa.Table) -> pa.Table:
+        x = batch.column("o_totalprice").to_numpy(zero_copy_only=False)
+        w = np.minimum(np.maximum(x, lo_cap), hi_cap)
+        return pa.table({
+            "o_orderkey": batch.column("o_orderkey"),
+            "winsorized": pa.array(np.round(w, 6)),
+            "was_capped": pa.array(((x < lo_cap) | (x > hi_cap))
+                                   .astype(np.int64))})
+
+    rows = sorted(collect_pylist(ds.map_batches(cap,
+                                                batch_format="pyarrow")),
+                  key=lambda r: r["o_orderkey"])
+    return pa.Table.from_pylist(rows)
+
+
+WINSORIZE_SQL = """
+WITH qs AS (
+  SELECT quantile_cont(CAST(round(o_totalprice*100) AS BIGINT), 0.01)/100.0
+           AS lo,
+         quantile_cont(CAST(round(o_totalprice*100) AS BIGINT), 0.99)/100.0
+           AS hi
+  FROM orders)
+SELECT o_orderkey,
+       round(least(greatest(o_totalprice, lo), hi), 6) AS winsorized,
+       CAST(CASE WHEN o_totalprice < lo OR o_totalprice > hi
+                 THEN 1 ELSE 0 END AS BIGINT) AS was_capped
+FROM orders, qs ORDER BY o_orderkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Corpus mixture planning (the LLaMA-style data-mixing table): given
+# per-source whitespace token counts and fixed target mixture weights,
+# compute each source's sampling rate (epochs over that source) for a
+# fixed total token budget. Pure grouped-aggregate math — one
+# combiner-first shuffle — with every derived number IEEE-shared with
+# the SQL.
+# ---------------------------------------------------------------------------
+
+_MIX_WEIGHTS = [("src0", 0.6), ("src1", 0.25), ("src2", 0.15)]
+_MIX_BUDGET_TOKENS = 1_000_000
+
+
+def corpus_mixture_documents(sf_dir: str) -> pa.Table:
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", ["text", "source"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "source": batch.column("source"),
+            "n_docs": np.ones(batch.num_rows, dtype=np.int64),
+            "tokens": pc.fill_null(pc.cast(
+                pc.count_substring_regex(batch.column("text"), r"\S+"),
+                pa.int64()), 0)})
+        g = pa.TableGroupBy(t, "source").aggregate(
+            [("n_docs", "sum"), ("tokens", "sum")])
+        return g.rename_columns(["source", "n_docs", "tokens"])
+
+    agg = {r["source"]: r for r in collect_pylist(
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("source").aggregate(Sum("n_docs", alias_name="n_docs"),
+                                     Sum("tokens", alias_name="tokens")))}
+    out = []
+    for src, w in _MIX_WEIGHTS:
+        have = int(agg[src]["tokens"]) if src in agg else 0
+        want = w * _MIX_BUDGET_TOKENS
+        epochs = want / have if have else None
+        out.append({
+            "source": src,
+            "n_docs": int(agg[src]["n_docs"]) if src in agg else 0,
+            "tokens": have,
+            "target_weight": w,
+            "target_tokens": _round6(want),
+            "epochs": _round6(epochs) if epochs is not None else None})
+    return pa.Table.from_pylist(out)
+
+
+def _mixture_sql() -> str:
+    cases_w = " ".join(
+        f"WHEN '{s}' THEN {w}" for s, w in _MIX_WEIGHTS)
+    srcs = ", ".join(f"('{s}')" for s, _ in _MIX_WEIGHTS)
+    return f"""
+WITH targets(source) AS (VALUES {srcs}),
+have AS (
+  SELECT source, count(*) AS n_docs,
+         sum(len(regexp_extract_all(text, '\\S+'))) AS tokens
+  FROM documents GROUP BY source
+)
+SELECT t.source,
+       CAST(coalesce(h.n_docs, 0) AS BIGINT) AS n_docs,
+       CAST(coalesce(h.tokens, 0) AS BIGINT) AS tokens,
+       CASE t.source {cases_w} END AS target_weight,
+       round(CASE t.source {cases_w} END * {_MIX_BUDGET_TOKENS}, 6)
+         AS target_tokens,
+       round(CASE t.source {cases_w} END * {_MIX_BUDGET_TOKENS}
+             / CAST(h.tokens AS DOUBLE), 6) AS epochs
+FROM targets t LEFT JOIN have h USING (source)
+ORDER BY t.source
+"""
