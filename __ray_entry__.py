@@ -151,6 +151,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "set_ops_documents": q.set_ops_documents,
         "winsorize_totalprice": q.winsorize_totalprice,
         "corpus_mixture_documents": q.corpus_mixture_documents,
+        "js_wasserstein_orders": q.js_wasserstein_orders,
     }
 
 
@@ -254,6 +255,7 @@ def oracle_sql() -> dict[str, str]:
         "set_ops_documents": q.SET_OPS_SQL,
         "winsorize_totalprice": q.WINSORIZE_SQL,
         "corpus_mixture_documents": q._mixture_sql(),
+        "js_wasserstein_orders": q.JS_WASSERSTEIN_SQL,
         # langid / lsh-knn / minhash / simhash / logistic_cv (iterative
         # IRLS): not SQL-expressible → rows-only driver check; verified
         # in pytest instead.

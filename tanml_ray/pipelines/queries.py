@@ -4134,3 +4134,95 @@ SELECT t.source,
 FROM targets t LEFT JOIN have h USING (source)
 ORDER BY t.source
 """
+
+
+# ---------------------------------------------------------------------------
+# Drift statistics beyond PSI/KS (A7+): Jensen-Shannon divergence and
+# Wasserstein-1 (earth-mover) distance between the even- and
+# odd-orderkey halves of o_totalprice, both computed EXACTLY on the
+# integer cents grid from one two-sided value-count pass (the same
+# grid-bounded combiner the drift suite uses — the support is
+# price-grid-sized, never row-sized).
+# ---------------------------------------------------------------------------
+
+def js_wasserstein_orders(sf_dir: str) -> pa.Table:
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def vc_partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        k = batch.column("o_orderkey").to_numpy(zero_copy_only=False)
+        u = np.rint(batch.column("o_totalprice")
+                    .to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        df = pd.DataFrame({"cents": u, "side": (k % 2 == 0)})
+        g = (df.groupby(["cents", "side"], as_index=False)
+             .size().rename(columns={"size": "n"}))
+        return pa.table({
+            "cents": pa.array(g["cents"].to_numpy(), type=pa.int64()),
+            "ca": pa.array(np.where(g["side"], g["n"], 0)
+                           .astype(np.int64)),
+            "cb": pa.array(np.where(g["side"], 0, g["n"])
+                           .astype(np.int64))})
+
+    vc = sorted(collect_pylist(
+        ds.map_batches(vc_partial, batch_format="pyarrow")
+        .groupby("cents").aggregate(Sum("ca", alias_name="ca"),
+                                    Sum("cb", alias_name="cb"))),
+        key=lambda r: r["cents"])
+    v = np.array([r["cents"] for r in vc], dtype=np.int64)
+    ca = np.array([r["ca"] for r in vc], dtype=np.int64)
+    cb = np.array([r["cb"] for r in vc], dtype=np.int64)
+    na, nb = int(ca.sum()), int(cb.sum())
+
+    fa = np.cumsum(ca) / na
+    fb = np.cumsum(cb) / nb
+    w1 = float(np.sum(np.abs(fa[:-1] - fb[:-1]) * np.diff(v)) / 100.0)
+
+    pa_ = ca / na
+    pb_ = cb / nb
+    m = (pa_ + pb_) / 2
+    js = float(0.5 * np.sum(np.where(pa_ > 0,
+                                     pa_ * np.log(np.where(pa_ > 0, pa_, 1)
+                                                  / m), 0.0))
+               + 0.5 * np.sum(np.where(pb_ > 0,
+                                       pb_ * np.log(np.where(pb_ > 0, pb_, 1)
+                                                    / m), 0.0)))
+    return pa.Table.from_pylist([{
+        "n_a": na, "n_b": nb, "w1": _round6(w1), "js": _round6(js)}])
+
+
+JS_WASSERSTEIN_SQL = """
+WITH ca AS (
+  SELECT CAST(round(o_totalprice*100) AS BIGINT) AS v, count(*) AS c
+  FROM orders WHERE o_orderkey % 2 = 0 GROUP BY v
+), cb AS (
+  SELECT CAST(round(o_totalprice*100) AS BIGINT) AS v, count(*) AS c
+  FROM orders WHERE o_orderkey % 2 <> 0 GROUP BY v
+), grid AS (
+  SELECT v FROM ca UNION SELECT v FROM cb
+), j AS (
+  SELECT g.v, coalesce(ca.c, 0) AS ca, coalesce(cb.c, 0) AS cb
+  FROM grid g LEFT JOIN ca USING (v) LEFT JOIN cb USING (v)
+), tot AS (
+  SELECT CAST(sum(ca) AS DOUBLE) AS na, CAST(sum(cb) AS DOUBLE) AS nb
+  FROM j
+), w AS (
+  SELECT v, sum(ca) OVER (ORDER BY v) / tot.na AS fa,
+         sum(cb) OVER (ORDER BY v) / tot.nb AS fb,
+         lead(v) OVER (ORDER BY v) AS nv,
+         ca / tot.na AS pa, cb / tot.nb AS pb
+  FROM j, tot
+)
+SELECT
+  CAST((SELECT sum(c) FROM ca) AS BIGINT) AS n_a,
+  CAST((SELECT sum(c) FROM cb) AS BIGINT) AS n_b,
+  round((SELECT sum(abs(fa - fb) * (nv - v)) FROM w WHERE nv IS NOT NULL)
+        / 100.0, 6) AS w1,
+  round((SELECT sum(CASE WHEN pa > 0
+                         THEN 0.5 * pa * ln(pa / ((pa + pb)/2)) ELSE 0 END
+                  + CASE WHEN pb > 0
+                         THEN 0.5 * pb * ln(pb / ((pa + pb)/2)) ELSE 0 END)
+         FROM w), 6) AS js
+"""

@@ -247,3 +247,37 @@ class TestActorPoolDrift:
         for ra, rb in zip(a, b):
             for k in ("lang", "bucket", "n_expected", "n_actual", "psi_level", "ks_level"):
                 assert ra[k] == rb[k]
+
+
+# ---------------------------------------------------------------------------
+# JS divergence + Wasserstein-1 drift statistics
+# ---------------------------------------------------------------------------
+
+@pytest.mark.usefixtures("ray_session")
+def test_js_wasserstein_hand_case(tmp_path):
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tanml_ray.pipelines.queries import js_wasserstein_orders
+
+    # even side: all mass at 1.00; odd side: all mass at 3.00
+    # -> W1 = 2.00 exactly; JS = ln 2 (disjoint supports)
+    t = pa.table({
+        "o_orderkey": pa.array([0, 2, 4, 1, 3, 5], type=pa.int64()),
+        "o_totalprice": pa.array([1.0, 1.0, 1.0, 3.0, 3.0, 3.0])})
+    pq.write_table(t, os.path.join(str(tmp_path), "orders.parquet"))
+    r = js_wasserstein_orders(str(tmp_path)).to_pylist()[0]
+    assert r["n_a"] == 3 and r["n_b"] == 3
+    assert r["w1"] == 2.0
+    assert r["js"] == round(float(np.log(2)), 6)
+
+    # identical sides -> both zero
+    t2 = pa.table({
+        "o_orderkey": pa.array([0, 1, 2, 3], type=pa.int64()),
+        "o_totalprice": pa.array([1.0, 1.0, 2.0, 2.0])})
+    pq.write_table(t2, os.path.join(str(tmp_path), "orders.parquet"))
+    r2 = js_wasserstein_orders(str(tmp_path)).to_pylist()[0]
+    assert r2["w1"] == 0.0 and r2["js"] == 0.0
