@@ -106,3 +106,19 @@ def _regex(column: str, pattern: str, name: str | None = None) -> RowConstraint:
 @registry.register("extraction_match")
 def _extraction(html_col: str = "html", text_col: str = "text") -> RowConstraint:
     return ExtractionMatch(html_col=html_col, text_col=text_col)
+
+
+@registry.register("length_range")
+def _length_range(column: str, lo: int = 0, hi: int | None = None,
+                  name: str | None = None) -> RowConstraint:
+    from tanml_ray.stages.constraints import LengthRange
+
+    return LengthRange(column, lo=lo, hi=hi, name=name)
+
+
+@registry.register("cross_field")
+def _cross_field(left: str, op: str, right: str,
+                 name: str | None = None) -> RowConstraint:
+    from tanml_ray.stages.constraints import CrossField
+
+    return CrossField(left, op, right, name=name)

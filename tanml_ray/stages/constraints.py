@@ -129,6 +129,53 @@ class ExtractionMatch(RowConstraint):
         return pc.cast(vals, pa.string(), safe=False)
 
 
+class LengthRange(RowConstraint):
+    """String byte/char length bounds (e.g. text length sanity caps —
+    the DQ guard against empty-extraction and runaway-document rows).
+    Null passes (NotNull owns nulls)."""
+
+    def __init__(self, column: str, lo: int = 0, hi: int | None = None,
+                 name: str | None = None):
+        self.column = column
+        self.lo, self.hi = lo, hi
+        self.constraint_id = name or f"length_{column}"
+
+    def violation_mask(self, batch: pa.Table) -> pa.BooleanArray:
+        col = batch.column(self.column)
+        n = pc.utf8_length(col)
+        bad = pc.less(n, self.lo)
+        if self.hi is not None:
+            bad = pc.or_(bad, pc.greater(n, self.hi))
+        bad = pc.and_(bad, pc.is_valid(col))
+        return pc.fill_null(bad, False).combine_chunks()
+
+
+class CrossField(RowConstraint):
+    """Ordering between two columns (left OP right), the standard
+    cross-field DQ check (e.g. fetch_ts <= publish_ts). Rows where
+    either side is null pass (NotNull owns nulls). op is one of
+    le / lt / ge / gt / eq / ne."""
+
+    _OPS = {"le": pc.less_equal, "lt": pc.less, "ge": pc.greater_equal,
+            "gt": pc.greater, "eq": pc.equal, "ne": pc.not_equal}
+
+    def __init__(self, left: str, op: str, right: str,
+                 name: str | None = None):
+        if op not in self._OPS:
+            raise ValueError(f"unknown op {op!r}; one of {sorted(self._OPS)}")
+        self.column = left
+        self.left, self.op, self.right = left, op, right
+        self.constraint_id = name or f"cross_{left}_{op}_{right}"
+
+    def violation_mask(self, batch: pa.Table) -> pa.BooleanArray:
+        a = batch.column(self.left)
+        b = batch.column(self.right)
+        ok = self._OPS[self.op](a, b)
+        both = pc.and_(pc.is_valid(a), pc.is_valid(b))
+        bad = pc.and_(pc.fill_null(pc.invert(ok), False), both)
+        return pc.fill_null(bad, False).combine_chunks()
+
+
 def default_pages_constraints() -> list[RowConstraint]:
     """The north_star constraint suite for the pages table."""
     import pandas as pd

@@ -282,3 +282,53 @@ class TestDistributedUhashPath:
         assert fast.summary["duplicate_urls"] == dist.summary["duplicate_urls"] > 0
         assert (sorted(fast.duplicate_urls.take_all(), key=lambda r: r["url"])
                 == sorted(dist.duplicate_urls.take_all(), key=lambda r: r["url"]))
+
+
+# ---------------------------------------------------------------------------
+# LengthRange + CrossField constraint types
+# ---------------------------------------------------------------------------
+
+def test_length_range_constraint():
+    import pyarrow as pa
+
+    from tanml_ray.stages.constraints import LengthRange
+
+    t = pa.table({"text": pa.array(["", "ok", "x" * 10, None])})
+    c = LengthRange("text", lo=1, hi=5)
+    mask = c.violation_mask(t).to_pylist()
+    # empty violates lo; 10-char violates hi; null passes
+    assert mask == [True, False, True, False]
+    assert c.constraint_id == "length_text"
+
+
+def test_cross_field_constraint():
+    import pandas as pd
+    import pyarrow as pa
+
+    from tanml_ray.stages.constraints import CrossField
+
+    t = pa.table({
+        "fetch_ts": pa.array(pd.to_datetime(
+            ["2025-01-01", "2025-03-01", "2025-02-01", None])),
+        "warc_ts": pa.array(pd.to_datetime(
+            ["2025-01-02", "2025-02-01", "2025-02-01", "2025-01-01"]))})
+    c = CrossField("fetch_ts", "le", "warc_ts")
+    mask = c.violation_mask(t).to_pylist()
+    # row 2 has fetch after warc -> violation; null row passes
+    assert mask == [False, True, False, False]
+    with pytest.raises(ValueError, match="unknown op"):
+        CrossField("a", "nope", "b")
+
+
+def test_new_constraints_via_registry():
+    import pyarrow as pa
+
+    from tanml_ray.registry import registry
+
+    lr, cf = registry.build_suite([
+        {"kind": "length_range", "column": "text", "lo": 2},
+        {"kind": "cross_field", "left": "a", "op": "lt", "right": "b"}])
+    assert lr.violation_mask(
+        pa.table({"text": ["a", "abc"]})).to_pylist() == [True, False]
+    assert cf.violation_mask(
+        pa.table({"a": [1, 5], "b": [2, 2]})).to_pylist() == [False, True]
