@@ -464,3 +464,59 @@ def run_pages_validation(source, out_dir: str | None = None,
     return ValidationReport(status=status, partition_status=pstat,
                             profile=profile, violations=violations,
                             duplicate_urls=dup_urls, summary=summary)
+
+
+# ---------------------------------------------------------------------------
+# Aggregate (partition-level) constraints — the deequ/Great-
+# Expectations check class the row constraints can't express:
+# thresholds over per-partition AGGREGATES (violation rates, row-count
+# bounds). They evaluate over the already-computed status table
+# (partitions × constraints rows — never corpus-sized), so adding a
+# threshold costs zero extra distributed work.
+# ---------------------------------------------------------------------------
+
+def evaluate_aggregate_constraints(report: "ValidationReport",
+                                   rules: list[dict]) -> pa.Table:
+    """rules, each a dict:
+      {"kind": "max_violation_rate", "source_constraint": <id>,
+       "max_rate": float, "name": optional}  — per partition,
+       violations/rows of that constraint must be <= max_rate;
+      {"kind": "min_rows", "min_rows": int, "name": optional}
+       — per partition, row count must be >= min_rows (catches
+       truncated/failed shards).
+
+    Returns (partition_id, constraint_id, value, threshold, status)
+    with value rounded to 6.
+    """
+    import numpy as np
+
+    st = report.status.to_pandas()
+    out = []
+    for rule in rules:
+        kind = rule["kind"]
+        if kind == "max_violation_rate":
+            src = rule["source_constraint"]
+            thr = float(rule["max_rate"])
+            cid = rule.get("name", f"agg_rate_{src}")
+            sub = st[st["constraint_id"] == src]
+            for _, r in sub.iterrows():
+                rate = (r["violations"] / r["rows"]) if r["rows"] else 0.0
+                out.append({
+                    "partition_id": r["partition_id"],
+                    "constraint_id": cid,
+                    "value": float(np.round(rate, 6)),
+                    "threshold": thr,
+                    "status": "pass" if rate <= thr else "fail"})
+        elif kind == "min_rows":
+            thr = int(rule["min_rows"])
+            cid = rule.get("name", "agg_min_rows")
+            rows_per = st.groupby("partition_id")["rows"].max()
+            for pid, n in rows_per.items():
+                out.append({
+                    "partition_id": pid, "constraint_id": cid,
+                    "value": float(n), "threshold": float(thr),
+                    "status": "pass" if n >= thr else "fail"})
+        else:
+            raise ValueError(f"unknown aggregate constraint kind {kind!r}")
+    return pa.Table.from_pylist(sorted(
+        out, key=lambda r: (r["constraint_id"], r["partition_id"])))

@@ -332,3 +332,38 @@ def test_new_constraints_via_registry():
         pa.table({"text": ["a", "abc"]})).to_pylist() == [True, False]
     assert cf.violation_mask(
         pa.table({"a": [1, 5], "b": [2, 2]})).to_pylist() == [False, True]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_aggregate_constraints_over_status(tmp_path):
+    from tanml_ray.pipelines.validate import (
+        evaluate_aggregate_constraints,
+        run_pages_validation,
+    )
+    from tanml_ray.sources.pages import synthesize_pages_parquet
+
+    pages = synthesize_pages_parquet("/root/testdata/sf0.001",
+                                     str(tmp_path / "pages"))
+    rep = run_pages_validation(pages)
+    agg = evaluate_aggregate_constraints(rep, [
+        {"kind": "max_violation_rate",
+         "source_constraint": "not_null_text", "max_rate": 0.5},
+        {"kind": "max_violation_rate",
+         "source_constraint": "referential_lang", "max_rate": 0.0,
+         "name": "no_bad_langs"},
+        {"kind": "min_rows", "min_rows": 1},
+    ]).to_pylist()
+    by_cid = {}
+    for r in agg:
+        by_cid.setdefault(r["constraint_id"], []).append(r)
+    # every partition got one row per rule
+    n_parts = len({r["partition_id"] for r in agg})
+    assert all(len(v) == n_parts for v in by_cid.values())
+    # the fixture plants referential_lang violations -> rate 0.0 fails
+    assert any(r["status"] == "fail" for r in by_cid["no_bad_langs"])
+    # permissive 50% not-null budget passes everywhere
+    assert all(r["status"] == "pass"
+               for r in by_cid["agg_rate_not_null_text"])
+    assert all(r["status"] == "pass" for r in by_cid["agg_min_rows"])
+    with pytest.raises(ValueError, match="unknown aggregate"):
+        evaluate_aggregate_constraints(rep, [{"kind": "nope"}])
