@@ -1232,19 +1232,10 @@ def optimal_bands(threshold: float, num_perm: int = 64
 # ---------------------------------------------------------------------------
 
 def _digest_cols(texts: list) -> tuple[np.ndarray, np.ndarray]:
-    """blake2b-128 of each text as two int64 columns (adversarially
-    collision-resistant — the same digest contract as curate.py's
-    destructive exact dedup)."""
-    import hashlib
+    """Shared 128-bit digest contract — see functions/hashing.py."""
+    from tanml_ray.functions.hashing import digest128_cols
 
-    h1 = np.empty(len(texts), dtype=np.uint64)
-    h2 = np.empty(len(texts), dtype=np.uint64)
-    for i, t in enumerate(texts):
-        d = hashlib.blake2b((t or "").encode("utf-8"),
-                            digest_size=16).digest()
-        h1[i] = int.from_bytes(d[:8], "little")
-        h2[i] = int.from_bytes(d[8:], "little")
-    return h1.view(np.int64), h2.view(np.int64)
+    return digest128_cols(texts)
 
 
 def build_digest_index(ds, out_dir: str, text_col: str = "text",
@@ -1267,9 +1258,21 @@ def build_digest_index(ds, out_dir: str, text_col: str = "text",
             .cast(pa.int64())})
 
     os.makedirs(out_dir, exist_ok=True)
+    meta_path = os.path.join(out_dir, "_digest_meta.json")
+    if os.path.exists(meta_path):
+        # append into an existing index: the bucket function MUST match
+        # or every previously indexed digest silently lands in the
+        # wrong partition and dup checks miss it
+        with open(meta_path) as f:
+            prev = json.load(f)
+        if int(prev["buckets"]) != buckets:
+            raise ValueError(
+                f"digest index at {out_dir} was built with "
+                f"buckets={prev['buckets']}; appending with "
+                f"buckets={buckets} would corrupt it")
     ds.map_batches(digest_batch, batch_format="pyarrow").write_parquet(
         out_dir, partition_cols=["bucket"])
-    with open(os.path.join(out_dir, "_digest_meta.json"), "w") as f:
+    with open(meta_path, "w") as f:
         json.dump({"buckets": buckets, "text_col": text_col,
                    "id_col": id_col}, f)
     return out_dir
@@ -1308,9 +1311,15 @@ def dedup_against_index(new_ds, index_dir: str, text_col: str = "text",
                                   batch_format="pyarrow").materialize()
 
     # path-level pruning: list the touched buckets (a ≤`buckets`-sized
-    # driver set by construction) and read only those partitions.
+    # driver set by construction). Per-batch np.unique partials keep
+    # the driver transfer O(buckets × blocks) tiny rows, never
+    # O(shard) — matching this function's no-corpus-on-driver claim.
+    def bucket_partial(batch: pa.Table) -> pa.Table:
+        u = np.unique(batch.column("bucket").to_numpy(zero_copy_only=False))
+        return pa.table({"bucket": pa.array(u, type=pa.int64())})
+
     touched = sorted({int(r["bucket"]) for r in collect_pylist(
-        new_digs.select_columns(["bucket"]))})
+        new_digs.map_batches(bucket_partial, batch_format="pyarrow"))})
     import glob as _glob
 
     paths = [p for b in touched

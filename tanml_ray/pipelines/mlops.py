@@ -585,9 +585,9 @@ def embedding_covariance(ds, vec_col: str = "embedding",
         rg = [int(v) for v in r["g"]]
         s = rs if s is None else [a + b for a, b in zip(s, rs)]
         g = rg if g is None else [a + b for a, b in zip(g, rg)]
-    d = len(s)
     if n < 2:
         raise ValueError(f"need >= 2 vectors for covariance, got {n}")
+    d = len(s)
     cov = np.empty((d, d))
     scale = float(grid) * float(grid)
     for i in range(d):

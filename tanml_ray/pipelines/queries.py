@@ -2802,21 +2802,13 @@ def robust_scale_totalprice(sf_dir: str) -> pa.Table:
         ds.map_batches(vc_partial, batch_format="pyarrow")
         .groupby("cents").aggregate(Sum("n", alias_name="n"))),
         key=lambda r: r["cents"])
+    from tanml_ray.stages.quantiles import quantile_cont_from_counts
+
     vals = np.array([r["cents"] for r in vc], dtype=np.float64)
-    cnts = np.array([r["n"] for r in vc], dtype=np.int64)
-    cum = np.cumsum(cnts)
-    n = int(cum[-1])
+    cum = np.cumsum([r["n"] for r in vc])
 
     def q_cont(q: float) -> float:
-        # linear-interpolation percentile over the EXPANDED sorted
-        # array, computed from counts — np.percentile/quantile_cont
-        # parity: v_lo + frac * (v_hi - v_lo)
-        h = (n - 1) * q
-        lo = int(np.floor(h))
-        hi = min(lo + 1, n - 1)
-        v_lo = float(vals[np.searchsorted(cum, lo + 1)])
-        v_hi = float(vals[np.searchsorted(cum, hi + 1)])
-        return (v_lo + (h - lo) * (v_hi - v_lo)) / 100.0
+        return quantile_cont_from_counts(vals, cum, q) / 100.0
 
     q1, med, q3 = q_cont(0.25), q_cont(0.50), q_cont(0.75)
     iqr = q3 - q1
@@ -3458,10 +3450,9 @@ def span_dedup_documents(sf_dir: str) -> pa.Table:
 SPAN_DEDUP_SQL = r"""
 WITH toks AS (
   SELECT doc_id,
-         unnest(regexp_split_to_array(trim(text), '\s+')) AS w,
-         generate_subscripts(regexp_split_to_array(trim(text), '\s+'), 1)
-           AS ord
-  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+         unnest(regexp_extract_all(text, '\S+')) AS w,
+         generate_subscripts(regexp_extract_all(text, '\S+'), 1) AS ord
+  FROM documents WHERE len(regexp_extract_all(text, '\S+')) >= 1
 ), spans AS (
   SELECT doc_id, (ord - 1) // 10 AS span_idx,
          string_agg(w, ' ' ORDER BY ord) AS span
@@ -3729,43 +3720,62 @@ def knn_cosine_pq_embeddings(sf_dir: str) -> pa.Table:
 # ---------------------------------------------------------------------------
 
 def grouped_ols_lineitem(sf_dir: str) -> pa.Table:
-    from ray.data.aggregate import Sum
-
     ds = _read(sf_dir, "lineitem",
                ["l_returnflag", "l_quantity", "l_extendedprice"])
 
-    def partial(batch: pa.Table) -> pa.Table:
-        import pandas as pd
+    def exact_dot(a: np.ndarray, b: np.ndarray) -> int:
+        """Σ aᵢbᵢ as an exact Python bigint (chunked so int64 can't
+        overflow — the profile_lineitem suu pattern; y² terms reach
+        ~4e13, so int64 wraps at ~2.5e5 rows per group)."""
+        if not len(a):
+            return 0
+        m = max(int(np.abs(a).max()), 1) * max(int(np.abs(b).max()), 1)
+        chunk = max(1, (1 << 62) // m)
+        return sum(int(np.dot(a[i:i + chunk], b[i:i + chunk]))
+                   for i in range(0, len(a), chunk))
 
+    def partial(batch: pa.Table) -> pa.Table:
         x = np.rint(batch.column("l_quantity")
                     .to_numpy(zero_copy_only=False)).astype(np.int64)
         y = np.rint(batch.column("l_extendedprice")
                     .to_numpy(zero_copy_only=False) * 100).astype(np.int64)
-        df = pd.DataFrame({
-            "l_returnflag": batch.column("l_returnflag").to_pylist(),
-            "n": 1, "sx": x, "sy": y, "sxx": x * x, "syy": y * y,
-            "sxy": x * y})
-        g = df.groupby("l_returnflag", as_index=False).sum()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        flags = np.asarray(batch.column("l_returnflag").to_pylist(),
+                           dtype=object)
+        rows = []
+        for f in np.unique(flags):
+            sel = flags == f
+            xs, ys = x[sel], y[sel]
+            # bigint-valued stats travel as strings (int64 columns
+            # would re-introduce the overflow at merge time)
+            rows.append({"l_returnflag": str(f), "n": int(sel.sum()),
+                         "sx": int(xs.sum()), "sy": int(ys.sum()),
+                         "sxx": str(exact_dot(xs, xs)),
+                         "syy": str(exact_dot(ys, ys)),
+                         "sxy": str(exact_dot(xs, ys))})
+        return pa.Table.from_pylist(rows)
 
-    agg = (ds.map_batches(partial, batch_format="pyarrow")
-           .groupby("l_returnflag")
-           .aggregate(Sum("n", alias_name="n"), Sum("sx", alias_name="sx"),
-                      Sum("sy", alias_name="sy"),
-                      Sum("sxx", alias_name="sxx"),
-                      Sum("syy", alias_name="syy"),
-                      Sum("sxy", alias_name="sxy")))
+    # partials are tiny (groups × blocks rows) → exact bigint merge on
+    # the driver, same shape as profile_lineitem
+    merged: dict[str, list[int]] = {}
+    for r in collect_pylist(ds.map_batches(partial,
+                                           batch_format="pyarrow")):
+        acc = merged.setdefault(r["l_returnflag"], [0, 0, 0, 0, 0, 0])
+        acc[0] += int(r["n"])
+        acc[1] += int(r["sx"])
+        acc[2] += int(r["sy"])
+        acc[3] += int(r["sxx"])
+        acc[4] += int(r["syy"])
+        acc[5] += int(r["sxy"])
     out = []
-    for r in sorted(collect_pylist(agg), key=lambda r: r["l_returnflag"]):
-        n, sx, sy = int(r["n"]), int(r["sx"]), int(r["sy"])
-        sxx, syy, sxy = int(r["sxx"]), int(r["syy"]), int(r["sxy"])
+    for flag in sorted(merged):
+        n, sx, sy, sxx, syy, sxy = merged[flag]
         num = n * sxy - sx * sy
         denx = n * sxx - sx * sx
         deny = n * syy - sy * sy
         slope = float(num) / float(denx)
         intercept = (float(sy) - slope * float(sx)) / float(n)
         r2 = (float(num) * float(num)) / (float(denx) * float(deny))
-        out.append({"l_returnflag": r["l_returnflag"], "n": n,
+        out.append({"l_returnflag": flag, "n": n,
                     "slope": _round6(slope),
                     "intercept": _round6(intercept / 100.0),
                     "r2": _round6(r2)})
@@ -4020,19 +4030,12 @@ def winsorize_totalprice(sf_dir: str) -> pa.Table:
         ds.map_batches(vc_partial, batch_format="pyarrow")
         .groupby("cents").aggregate(Sum("n", alias_name="n"))),
         key=lambda r: r["cents"])
+    from tanml_ray.stages.quantiles import quantile_cont_from_counts
+
     vals = np.array([r["cents"] for r in vc], dtype=np.float64)
     cum = np.cumsum([r["n"] for r in vc])
-    n = int(cum[-1])
-
-    def q_cont(q: float) -> float:
-        h = (n - 1) * q
-        lo = int(np.floor(h))
-        hi = min(lo + 1, n - 1)
-        v_lo = float(vals[np.searchsorted(cum, lo + 1)])
-        v_hi = float(vals[np.searchsorted(cum, hi + 1)])
-        return (v_lo + (h - lo) * (v_hi - v_lo)) / 100.0
-
-    lo_cap, hi_cap = q_cont(0.01), q_cont(0.99)
+    lo_cap = quantile_cont_from_counts(vals, cum, 0.01) / 100.0
+    hi_cap = quantile_cont_from_counts(vals, cum, 0.99) / 100.0
 
     def cap(batch: pa.Table) -> pa.Table:
         x = batch.column("o_totalprice").to_numpy(zero_copy_only=False)

@@ -499,6 +499,13 @@ def evaluate_aggregate_constraints(report: "ValidationReport",
             thr = float(rule["max_rate"])
             cid = rule.get("name", f"agg_rate_{src}")
             sub = st[st["constraint_id"] == src]
+            if sub.empty:
+                # a typo'd id would otherwise emit zero rows and read
+                # as "gate passed" — fail loudly instead
+                known = sorted(st["constraint_id"].unique())
+                raise ValueError(
+                    f"source_constraint {src!r} not in status table; "
+                    f"known: {known}")
             for _, r in sub.iterrows():
                 rate = (r["violations"] / r["rows"]) if r["rows"] else 0.0
                 out.append({

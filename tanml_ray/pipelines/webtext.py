@@ -706,21 +706,19 @@ _SPAN_PACK = 1 << 20  # span_idx capacity per doc (2^20 spans ≈ 10M words)
 
 
 def _span_digests(spans: list[str]) -> tuple[np.ndarray, np.ndarray]:
-    """128-bit blake2b per span as two int64 arrays (h1=high, h2=low)."""
-    h1 = np.empty(len(spans), dtype=np.uint64)
-    h2 = np.empty(len(spans), dtype=np.uint64)
-    for i, s in enumerate(spans):
-        d = hashlib.blake2b(s.encode("utf-8"), digest_size=16).digest()
-        h1[i] = int.from_bytes(d[:8], "little")
-        h2[i] = int.from_bytes(d[8:], "little")
-    return h1.view(np.int64), h2.view(np.int64)
+    """Shared 128-bit digest contract — see functions/hashing.py."""
+    from tanml_ray.functions.hashing import digest128_cols
+
+    return digest128_cols(spans)
 
 
 def _doc_spans(text: str, span_words: int) -> list[str]:
     """Non-overlapping `span_words`-word windows (last may be shorter).
-    Built by ' '.join over a whitespace split — textually identical to
-    the SQL oracle's string_agg over regexp_split_to_array(trim(text))."""
-    ws = text.split()
+    Tokens are ASCII ``\\S+`` runs (NOT str.split(): Python's Unicode
+    whitespace — e.g. \\u00a0 — would split where RE2 does not),
+    textually identical to the SQL oracle's string_agg over
+    regexp_extract_all(text, '\\S+')."""
+    ws = _WS_TOKEN_RE.findall(text) if text else []
     return [" ".join(ws[i:i + span_words])
             for i in range(0, len(ws), span_words)]
 
@@ -741,10 +739,14 @@ def span_dedup(ds, span_words: int = 10, text_col: str = "text",
 
     from tanml_ray.functions.collect import collect_pylist
 
+    # keep docs with >= 1 ASCII token — the same RE2 criterion the SQL
+    # oracle's len(regexp_extract_all(text, '\S+')) >= 1 filter applies
+    # (an Arrow trim-based filter would disagree on tab-only and
+    # non-breaking-space documents)
     docs = ds.map_batches(
-        lambda t: t.filter(pc.not_equal(
-            pc.utf8_trim_whitespace(pc.fill_null(t.column(text_col), "")),
-            "")),
+        lambda t: t.filter(pc.greater(
+            pc.count_substring_regex(
+                pc.fill_null(t.column(text_col), ""), r"\S+"), 0)),
         batch_format="pyarrow")
 
     def explode_ints(batch: pa.Table) -> pa.Table:
@@ -977,7 +979,11 @@ def span_dedup(ds, span_words: int = 10, text_col: str = "text",
 # (add-one smoothing; V = vocabulary size). pred = score > 0.
 # ---------------------------------------------------------------------------
 
-_NB_DOCS_KEY = "\x00__docs__"  # reserved word row carrying doc priors
+# Reserved word row carrying doc priors through the count shuffle.
+# The EMPTY STRING cannot collide with a real token: tokens are \S+
+# runs, which are non-empty by construction — no adversarial web
+# document can forge this key (a \x00-style sentinel could).
+_NB_DOCS_KEY = ""
 
 
 def nb_quality_scores(ds, text_col: str = "text", id_col: str = "doc_id",
@@ -1128,19 +1134,12 @@ def ppl_tertile_buckets(ds, text_col: str = "text",
         m.map_batches(vc_partial, batch_format="pyarrow")
         .groupby("mnat").aggregate(Sum("n", alias_name="n"))),
         key=lambda r: r["mnat"])
+    from tanml_ray.stages.quantiles import quantile_cont_from_counts
+
     vals = np.array([r["mnat"] for r in vc], dtype=np.float64)
     cum = np.cumsum([r["n"] for r in vc])
-    n = int(cum[-1])
-
-    def q_cont(q: float) -> float:
-        h = (n - 1) * q
-        lo = int(np.floor(h))
-        hi = min(lo + 1, n - 1)
-        v_lo = float(vals[np.searchsorted(cum, lo + 1)])
-        v_hi = float(vals[np.searchsorted(cum, hi + 1)])
-        return v_lo + (h - lo) * (v_hi - v_lo)
-
-    b33, b66 = q_cont(1.0 / 3), q_cont(2.0 / 3)
+    b33 = quantile_cont_from_counts(vals, cum, 1.0 / 3)
+    b66 = quantile_cont_from_counts(vals, cum, 2.0 / 3)
 
     def assign(batch: pa.Table) -> pa.Table:
         mn = batch.column("mnat").to_numpy(zero_copy_only=False)

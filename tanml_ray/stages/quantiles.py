@@ -76,3 +76,24 @@ def iqr_outlier_summary(ds, col: str) -> dict[str, float]:
     return {"q1": q1, "q3": q3, "iqr_lo": lo, "iqr_hi": hi,
             "n": tot["n"], "n_outliers": n_out,
             "outlier_pct": 100.0 * n_out / tot["n"] if tot["n"] else 0.0}
+
+
+def quantile_cont_from_counts(vals, cum, q: float) -> float:
+    """quantile_cont / np.percentile-parity linear interpolation over a
+    SORTED value grid with cumulative counts (the value-count path the
+    integer-grid operators use instead of a distributed sort): position
+    h = q·(n−1), value = v_lo + frac·(v_hi − v_lo) where v_lo/v_hi are
+    the expanded-array elements at floor(h)/ceil(h). Shared by the
+    robust scaler, winsorization and the ppl-tertile bucketing so the
+    oracle-parity formula lives in exactly one place."""
+    import numpy as np
+
+    vals = np.asarray(vals, dtype=np.float64)
+    cum = np.asarray(cum)
+    n = int(cum[-1])
+    h = (n - 1) * q
+    lo = int(math.floor(h))
+    hi = min(lo + 1, n - 1)
+    v_lo = float(vals[np.searchsorted(cum, lo + 1)])
+    v_hi = float(vals[np.searchsorted(cum, hi + 1)])
+    return v_lo + (h - lo) * (v_hi - v_lo)

@@ -779,3 +779,17 @@ class TestPqKnn:
         for r in rows:
             assert len(r["codes"]) == 8
             assert all(0 <= c < 16 for c in r["codes"])
+
+
+def test_digest_index_bucket_mismatch_raises(ray_session, tmp_path):
+    import ray.data as rd
+
+    from tanml_ray.pipelines.dedup import build_digest_index
+
+    d = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1], type=pa.int64()),
+        "text": pa.array(["x"], type=pa.string())}))
+    idx = str(tmp_path / "idx")
+    build_digest_index(d, idx, buckets=4)
+    with pytest.raises(ValueError, match="buckets=4"):
+        build_digest_index(d, idx, buckets=8)

@@ -456,3 +456,29 @@ def test_normalize_text_batch_rules():
     assert out[0]["n_chars_norm"] == len("cafe nono uber all")
     assert out[1]["norm_text"] == "ascii only"
     assert out[2]["norm_text"] == "" and out[2]["n_chars_norm"] == 0
+
+
+def test_span_dedup_ascii_tokenizer_semantics(ray_session):
+    import ray.data as rd
+    from tanml_ray.pipelines.webtext import span_dedup
+
+    # tab-only doc emits no row;   is NOT a separator (RE2 \S
+    # matches it), so docs 2 and 3 are DIFFERENT spans and both survive
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+        "text": pa.array(["\t\n ", "aa bb cc", "aa bb cc"],
+                         type=pa.string())}))
+    out = {r["doc_id"]: r for r in span_dedup(ds, span_words=3).to_pylist()}
+    assert set(out) == {2, 3}
+    assert out[2]["n_kept"] == 1 and out[3]["n_kept"] == 1
+    assert out[2]["dedup_text"] == "aa bb cc"
+
+
+def test_nb_reserved_key_cannot_collide():
+    from tanml_ray.pipelines.webtext import _NB_DOCS_KEY, _WS_TOKEN_RE
+
+    # tokens are \S+ runs — non-empty by construction, so the empty-
+    # string priors key is out-of-band for ANY document content
+    assert _NB_DOCS_KEY == ""
+    assert _WS_TOKEN_RE.findall("\x00__docs__ weird \x00 bytes")
+    assert "" not in _WS_TOKEN_RE.findall("any text at all")
