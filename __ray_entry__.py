@@ -152,6 +152,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winsorize_totalprice": q.winsorize_totalprice,
         "corpus_mixture_documents": q.corpus_mixture_documents,
         "js_wasserstein_orders": q.js_wasserstein_orders,
+        "ridge_path_orders": q.ridge_path_orders,
     }
 
 
@@ -256,6 +257,7 @@ def oracle_sql() -> dict[str, str]:
         "winsorize_totalprice": q.WINSORIZE_SQL,
         "corpus_mixture_documents": q._mixture_sql(),
         "js_wasserstein_orders": q.JS_WASSERSTEIN_SQL,
+        "ridge_path_orders": q.RIDGE_PATH_SQL,
         # langid / lsh-knn / minhash / simhash / logistic_cv (iterative
         # IRLS): not SQL-expressible → rows-only driver check; verified
         # in pytest instead.

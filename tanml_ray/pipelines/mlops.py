@@ -509,6 +509,13 @@ def linear_fit(ds, x_cols: list[str], y_col: str,
     closed-form analog of the reference's linear estimators
     (models/registry.py linear family). Returns
     {intercept, coef, n, r2}."""
+    G, b, n, sy, syy = _linear_suffstats(ds, x_cols, y_col)
+    return _solve_linear(G, b, n, sy, syy, ridge)
+
+
+def _linear_suffstats(ds, x_cols: list[str], y_col: str):
+    """ONE streaming pass → (G=XᵀX, b=Xᵀy, n, Σy, Σy²) with intercept
+    column. Shared by the plain/ridge fits and the ridge path."""
     p = len(x_cols) + 1
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -531,12 +538,33 @@ def linear_fit(ds, x_cols: list[str], y_col: str,
         n += r["n"]
         sy += r["sy"]
         syy += r["syy"]
+    return G, b, n, sy, syy
+
+
+def _solve_linear(G, b, n, sy, syy, ridge: float = 0.0) -> dict:
+    p = G.shape[0]
     beta = np.linalg.solve(G + ridge * np.eye(p), b)
     # R² from the same sufficient statistics: SSE = yᵀy − 2βᵀXᵀy + βᵀXᵀXβ
+    # (G UNpenalized — the residuals are measured against the data)
     sse = syy - 2.0 * beta @ b + beta @ G @ beta
     sst = syy - sy * sy / n if n else float("nan")
     return {"intercept": float(beta[0]), "coef": beta[1:].tolist(),
             "n": n, "r2": float(1.0 - sse / sst) if sst else float("nan")}
+
+
+def ridge_path(ds, x_cols: list[str], y_col: str,
+               lambdas: list[float]) -> list[dict]:
+    """Regularization path: sufficient statistics accumulate ONCE, then
+    each λ is a driver-side (p+1)² solve — the scale-correct shape for
+    hyperparameter sweeps over closed-form models (one input pass total,
+    however many λs)."""
+    G, b, n, sy, syy = _linear_suffstats(ds, x_cols, y_col)
+    out = []
+    for lam in lambdas:
+        row = _solve_linear(G, b, n, sy, syy, ridge=lam)
+        row["lam"] = float(lam)
+        out.append(row)
+    return out
 
 
 # ---------------------------------------------------------------------------

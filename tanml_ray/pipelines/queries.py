@@ -4229,3 +4229,75 @@ SELECT
                          THEN 0.5 * pb * ln(pb / ((pa + pb)/2)) ELSE 0 END)
          FROM w), 6) AS js
 """
+
+
+# ---------------------------------------------------------------------------
+# Ridge regularization path (mlops.ridge_path): one sufficient-stats
+# pass, per-λ driver solves. The SQL oracle re-derives each λ's
+# coefficients with the all-diagonal-penalized Cramer determinants
+# (the engine's G + λI convention) and measures R² against the
+# UNpenalized stats, exactly as the engine does.
+# ---------------------------------------------------------------------------
+
+def ridge_path_orders(sf_dir: str) -> pa.Table:
+    from tanml_ray.pipelines.mlops import ridge_path
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate",
+                                  "o_totalprice", "o_custkey"])
+
+    def derive(batch: pa.Table) -> pa.Table:
+        days = (batch.column("o_orderdate").cast(pa.int64())
+                .to_numpy(zero_copy_only=False) // 86_400_000_000)
+        return pa.table({
+            "x1": pa.array(days.astype(np.float64), type=pa.float64()),
+            "x2": pc.cast(batch.column("o_custkey"), pa.float64()),
+            "y": pc.cast(batch.column("o_totalprice"), pa.float64()),
+        })
+
+    rows = ridge_path(ds.map_batches(derive, batch_format="pyarrow"),
+                      ["x1", "x2"], "y", lambdas=[0.0, 1e9, 1e12])
+    return pa.Table.from_pylist([{
+        "lam": r["lam"], "n": r["n"],
+        "intercept": _round6(r["intercept"]),
+        "coef_days": _round6(r["coef"][0]),
+        "coef_cust": _round6(r["coef"][1]),
+        "r2": _round6(r["r2"]),
+    } for r in rows])
+
+
+RIDGE_PATH_SQL = """
+WITH p AS (
+  SELECT CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS DOUBLE) AS x1,
+         CAST(o_custkey AS DOUBLE) AS x2,
+         CAST(o_totalprice AS DOUBLE) AS y
+  FROM orders
+), s AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n, sum(x1) AS s1, sum(x2) AS s2,
+         sum(y) AS sy, sum(x1*x1) AS s11, sum(x1*x2) AS s12,
+         sum(x2*x2) AS s22, sum(x1*y) AS s1y, sum(x2*y) AS s2y,
+         sum(y*y) AS syy
+  FROM p
+), lam(l) AS (VALUES (0.0), (1e9), (1e12)),
+d AS (
+  SELECT s.*, lam.l,
+         (n+l)*((s11+l)*(s22+l) - s12*s12) - s1*(s1*(s22+l) - s12*s2)
+           + s2*(s1*s12 - (s11+l)*s2) AS det,
+         sy*((s11+l)*(s22+l) - s12*s12) - s1*(s1y*(s22+l) - s12*s2y)
+           + s2*(s1y*s12 - (s11+l)*s2y) AS det0,
+         (n+l)*(s1y*(s22+l) - s2y*s12) - sy*(s1*(s22+l) - s12*s2)
+           + s2*(s1*s2y - s1y*s2) AS det1,
+         (n+l)*((s11+l)*s2y - s12*s1y) - s1*(s1*s2y - s2*s1y)
+           + sy*(s1*s12 - (s11+l)*s2) AS det2
+  FROM s, lam
+)
+SELECT l AS lam, CAST(n AS BIGINT) AS n,
+       round(det0/det, 6) AS intercept,
+       round(det1/det, 6) AS coef_days,
+       round(det2/det, 6) AS coef_cust,
+       round(1 - (syy - 2*(det0/det*sy + det1/det*s1y + det2/det*s2y)
+                  + (det0/det)*(det0/det)*n + 2*(det0/det)*(det1/det)*s1
+                  + 2*(det0/det)*(det2/det)*s2 + (det1/det)*(det1/det)*s11
+                  + 2*(det1/det)*(det2/det)*s12 + (det2/det)*(det2/det)*s22)
+                 / (syy - sy*sy/n), 6) AS r2
+FROM d ORDER BY lam
+"""

@@ -283,3 +283,26 @@ def test_mutual_info_hand_checked(tmp_path):
     pq.write_table(t2, os.path.join(sf, "orders.parquet"))
     r2 = mutual_info_orders(sf).to_pylist()[0]
     assert r2["mi"] == 0.0 and r2["chi2"] == 0.0 and r2["cramers_v"] == 0.0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ridge_path_shrinks_coefficients():
+    import ray.data as rd
+
+    from tanml_ray.pipelines.mlops import linear_fit, ridge_path
+
+    rng = np.random.default_rng(9)
+    x = rng.standard_normal(500)
+    y = 3.0 * x + rng.standard_normal(500) * 0.1
+    ds = rd.from_arrow(pa.table({"x": x, "y": y})).repartition(4)
+    rows = ridge_path(ds, ["x"], "y", lambdas=[0.0, 100.0, 1e6])
+    assert [r["lam"] for r in rows] == [0.0, 100.0, 1e6]
+    coefs = [abs(r["coef"][0]) for r in rows]
+    # monotone shrinkage toward zero as lambda grows
+    assert coefs[0] > coefs[1] > coefs[2]
+    assert rows[0]["coef"][0] == pytest.approx(3.0, abs=0.05)
+    assert rows[2]["coef"][0] == pytest.approx(0.0, abs=0.01)
+    # λ=0 row equals the plain fit exactly (same stats, same solve)
+    plain = linear_fit(ds, ["x"], "y")
+    assert rows[0]["coef"] == plain["coef"]
+    assert rows[0]["r2"] == plain["r2"]
