@@ -153,6 +153,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_mixture_documents": q.corpus_mixture_documents,
         "js_wasserstein_orders": q.js_wasserstein_orders,
         "ridge_path_orders": q.ridge_path_orders,
+        "source_overlap_documents": q.source_overlap_documents,
     }
 
 
@@ -258,6 +259,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_mixture_documents": q._mixture_sql(),
         "js_wasserstein_orders": q.JS_WASSERSTEIN_SQL,
         "ridge_path_orders": q.RIDGE_PATH_SQL,
+        "source_overlap_documents": q.SOURCE_OVERLAP_SQL,
         # langid / lsh-knn / minhash / simhash / logistic_cv (iterative
         # IRLS): not SQL-expressible → rows-only driver check; verified
         # in pytest instead.

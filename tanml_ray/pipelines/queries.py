@@ -4301,3 +4301,41 @@ SELECT l AS lam, CAST(n AS BIGINT) AS n,
                  / (syy - sy*sy/n), 6) AS r2
 FROM d ORDER BY lam
 """
+
+
+# ---------------------------------------------------------------------------
+# Source-overlap matrix (webtext.source_overlap): pairwise distinct-
+# trigram Jaccard between sources.
+# ---------------------------------------------------------------------------
+
+def source_overlap_documents(sf_dir: str) -> pa.Table:
+    from tanml_ray.pipelines.webtext import source_overlap
+
+    ds = _read(sf_dir, "documents", ["text", "source"])
+    return source_overlap(ds, n=3)
+
+
+SOURCE_OVERLAP_SQL = r"""
+WITH docs AS (
+  SELECT source, regexp_extract_all(text, '\S+') AS ws FROM documents
+), idx AS (
+  SELECT source, ws, unnest(generate_series(1, len(ws) - 2)) AS i
+  FROM docs WHERE len(ws) >= 3
+), tg AS (
+  SELECT DISTINCT source, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+  FROM idx
+), pr AS (
+  SELECT a.source AS sa, b.source AS sb, count(*) AS inter
+  FROM tg a JOIN tg b ON a.g = b.g AND a.source < b.source
+  GROUP BY sa, sb
+), per AS (
+  SELECT source, count(*) AS n FROM tg GROUP BY source
+)
+SELECT p.sa, p.sb,
+       CAST(pa.n AS BIGINT) AS n_a, CAST(pb.n AS BIGINT) AS n_b,
+       CAST(p.inter AS BIGINT) AS inter,
+       round(CAST(p.inter AS DOUBLE) / (pa.n + pb.n - p.inter), 6)
+         AS jaccard
+FROM pr p JOIN per pa ON pa.source = p.sa JOIN per pb ON pb.source = p.sb
+ORDER BY p.sa, p.sb
+"""

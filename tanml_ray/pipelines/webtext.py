@@ -1188,3 +1188,68 @@ def normalize_text_batch(batch: pa.Table, text_col: str = "text",
         id_col: ids,
         "norm_text": pa.array(out, type=pa.string()),
         "n_chars_norm": pa.array([len(s) for s in out], type=pa.int64())})
+
+
+# ---------------------------------------------------------------------------
+# Source-overlap matrix: pairwise Jaccard of the DISTINCT word-n-gram
+# sets of each source — the dataset-level contamination/overlap
+# analytic (which corpora duplicate which). Shape: per-batch local
+# (gram, source) dedupe → one groupby(gram) that emits co-occurrence
+# pair rows (sources-per-gram is bounded by the source count, so a
+# gram contributes at most C(n_sources,2) int rows) → one tiny
+# groupby(pair) Sum. Gram keys here are the strings themselves for
+# bit-parity with the SQL oracle; the 10^12-doc variant would ship
+# 64-bit gram hashes instead (counts-only contract — the hot-ngram
+# rationale).
+# ---------------------------------------------------------------------------
+
+def source_overlap(ds, n: int = 3, text_col: str = "text",
+                   group_col: str = "source") -> pa.Table:
+    """(sa, sb, n_a, n_b, inter, jaccard) for every source pair with at
+    least one shared distinct n-gram, sorted by (sa, sb)."""
+    from ray.data.aggregate import Sum
+
+    from tanml_ray.functions.collect import collect_pylist
+
+    def explode(batch: pa.Table) -> pa.Table:
+        srcs = batch.column(group_col).to_pylist()
+        texts = batch.column(text_col).to_pylist()
+        seen: set = set()
+        for s, t in zip(srcs, texts):
+            ws = _WS_TOKEN_RE.findall(t) if t else []
+            for i in range(len(ws) - n + 1):
+                seen.add((" ".join(ws[i:i + n]), s))
+        if not seen:
+            return pa.table({"g": pa.array([], type=pa.string()),
+                             "src": pa.array([], type=pa.string())})
+        gs, ss = zip(*sorted(seen))
+        return pa.table({"g": pa.array(gs, type=pa.string()),
+                         "src": pa.array(ss, type=pa.string())})
+
+    def pairs_of_gram(g: pa.Table) -> pa.Table:
+        srcs = sorted(set(g.column("src").to_pylist()))
+        rows = [{"sa": a, "sb": a, "n": 1} for a in srcs]
+        rows += [{"sa": srcs[i], "sb": srcs[j], "n": 1}
+                 for i in range(len(srcs)) for j in range(i + 1, len(srcs))]
+        return pa.Table.from_pylist(rows)
+
+    agg = (ds.map_batches(explode, batch_format="pyarrow")
+           .groupby("g").map_groups(pairs_of_gram, batch_format="pyarrow")
+           .groupby(["sa", "sb"]).aggregate(Sum("n", alias_name="n")))
+    counts = {(r["sa"], r["sb"]): int(r["n"]) for r in collect_pylist(agg)}
+    per = {a: c for (a, b), c in counts.items() if a == b}
+    out = []
+    for (a, b), inter in sorted(counts.items()):
+        if a == b:
+            continue
+        na, nb = per[a], per[b]
+        out.append({"sa": a, "sb": b, "n_a": na, "n_b": nb,
+                    "inter": inter,
+                    "jaccard": round(inter / (na + nb - inter), 6)})
+    return pa.Table.from_pylist(out) if out else pa.table(
+        {"sa": pa.array([], type=pa.string()),
+         "sb": pa.array([], type=pa.string()),
+         "n_a": pa.array([], type=pa.int64()),
+         "n_b": pa.array([], type=pa.int64()),
+         "inter": pa.array([], type=pa.int64()),
+         "jaccard": pa.array([], type=pa.float64())})

@@ -482,3 +482,20 @@ def test_nb_reserved_key_cannot_collide():
     assert _NB_DOCS_KEY == ""
     assert _WS_TOKEN_RE.findall("\x00__docs__ weird \x00 bytes")
     assert "" not in _WS_TOKEN_RE.findall("any text at all")
+
+
+def test_source_overlap_hand_case(ray_session):
+    import ray.data as rd
+    from tanml_ray.pipelines.webtext import source_overlap
+
+    # A and B share exactly one trigram; C shares nothing
+    ds = rd.from_arrow(pa.table({
+        "source": pa.array(["A", "A", "B", "C"]),
+        "text": pa.array(["x y z p q", "x y z", "x y z r s",
+                          "totally different words here"])}))
+    out = {(r["sa"], r["sb"]): r for r in source_overlap(ds, n=3).to_pylist()}
+    assert set(out) == {("A", "B")}
+    r = out[("A", "B")]
+    # A's distinct trigrams: xyz, yzp, zpq -> 3; B's: xyz, yzr, zrs -> 3
+    assert r["n_a"] == 3 and r["n_b"] == 3 and r["inter"] == 1
+    assert r["jaccard"] == round(1 / 5, 6)
