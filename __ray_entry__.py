@@ -154,6 +154,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "js_wasserstein_orders": q.js_wasserstein_orders,
         "ridge_path_orders": q.ridge_path_orders,
         "source_overlap_documents": q.source_overlap_documents,
+        "funnel_events": q.funnel_events,
     }
 
 
@@ -260,6 +261,7 @@ def oracle_sql() -> dict[str, str]:
         "js_wasserstein_orders": q.JS_WASSERSTEIN_SQL,
         "ridge_path_orders": q.RIDGE_PATH_SQL,
         "source_overlap_documents": q.SOURCE_OVERLAP_SQL,
+        "funnel_events": q.FUNNEL_SQL,
         # langid / lsh-knn / minhash / simhash / logistic_cv (iterative
         # IRLS): not SQL-expressible → rows-only driver check; verified
         # in pytest instead.

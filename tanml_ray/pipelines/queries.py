@@ -4339,3 +4339,71 @@ SELECT p.sa, p.sb,
 FROM pr p JOIN per pa ON pa.source = p.sa JOIN per pb ON pb.source = p.sb
 ORDER BY p.sa, p.sb
 """
+
+
+# ---------------------------------------------------------------------------
+# Funnel analysis (view → click → purchase): per user, the first
+# 'view', the first 'click' STRICTLY AFTER it, and the first
+# 'purchase' strictly after that — the standard ordered-step
+# conversion funnel. One shuffle (groupby user); each group resolves
+# its funnel with three vectorized searches over the time-sorted
+# events. Output: users reaching each step.
+# ---------------------------------------------------------------------------
+
+_FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+def funnel_events(sf_dir: str) -> pa.Table:
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    def per_user(g: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = g.to_pandas().sort_values("ts", kind="mergesort")
+        ts = df["ts"].to_numpy()
+        et = df["event_type"].to_numpy()
+        reached = 0
+        cutoff = None
+        for step in _FUNNEL_STEPS:
+            sel = et == step
+            if cutoff is not None:
+                sel &= ts > cutoff
+            idx = np.nonzero(sel)[0]
+            if not len(idx):
+                break
+            cutoff = ts[idx[0]]
+            reached += 1
+        return pa.table({
+            "user_id": pa.array([int(df["user_id"].iloc[0])],
+                                type=pa.int64()),
+            "reached": pa.array([reached], type=pa.int64())})
+
+    agg = ds.groupby("user_id").map_groups(per_user,
+                                           batch_format="pyarrow")
+    reach = np.zeros(len(_FUNNEL_STEPS) + 1, dtype=np.int64)
+    for r in collect_pylist(agg):
+        reach[r["reached"]] += 1
+    cum = reach[::-1].cumsum()[::-1]  # users reaching >= step i
+    return pa.Table.from_pylist([
+        {"step": f"{i+1}_{s}", "users": int(cum[i + 1])}
+        for i, s in enumerate(_FUNNEL_STEPS)])
+
+
+FUNNEL_SQL = """
+WITH v AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN v USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id
+)
+SELECT '1_view' AS step, count(*) AS users FROM v
+UNION ALL SELECT '2_click', count(*) FROM c
+UNION ALL SELECT '3_purchase', count(*) FROM p
+ORDER BY step
+"""

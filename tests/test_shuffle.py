@@ -66,3 +66,38 @@ class TestSessionize:
         got = sorted((r["user"], int(r["session_id"]), int(r["n_events"]))
                      for r in out)
         assert got == sorted(oracle)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_funnel_strict_ordering(tmp_path):
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tanml_ray.pipelines.queries import funnel_events
+
+    def ev(uid, t, typ):
+        return {"user_id": uid, "ts": pd.Timestamp(t), "event_type": typ}
+
+    rows = [
+        # user 1: full funnel in order
+        ev(1, "2024-01-01 10:00", "view"),
+        ev(1, "2024-01-01 11:00", "click"),
+        ev(1, "2024-01-01 12:00", "purchase"),
+        # user 2: click BEFORE the first view -> stops at view
+        ev(2, "2024-01-01 09:00", "click"),
+        ev(2, "2024-01-01 10:00", "view"),
+        # user 3: purchase before click -> stops at click
+        ev(3, "2024-01-01 10:00", "view"),
+        ev(3, "2024-01-01 10:30", "purchase"),
+        ev(3, "2024-01-01 11:00", "click"),
+        # user 4: never views
+        ev(4, "2024-01-01 10:00", "purchase"),
+    ]
+    t = pa.Table.from_pylist(rows)
+    pq.write_table(t, os.path.join(str(tmp_path), "events.parquet"))
+    out = {r["step"]: r["users"]
+           for r in funnel_events(str(tmp_path)).to_pylist()}
+    assert out == {"1_view": 3, "2_click": 2, "3_purchase": 1}
