@@ -155,6 +155,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ridge_path_orders": q.ridge_path_orders,
         "source_overlap_documents": q.source_overlap_documents,
         "funnel_events": q.funnel_events,
+        "cusum_changepoint_events": q.cusum_changepoint_events,
     }
 
 
@@ -262,6 +263,7 @@ def oracle_sql() -> dict[str, str]:
         "ridge_path_orders": q.RIDGE_PATH_SQL,
         "source_overlap_documents": q.SOURCE_OVERLAP_SQL,
         "funnel_events": q.FUNNEL_SQL,
+        "cusum_changepoint_events": q.CUSUM_SQL,
         # langid / lsh-knn / minhash / simhash / logistic_cv (iterative
         # IRLS): not SQL-expressible → rows-only driver check; verified
         # in pytest instead.

@@ -4407,3 +4407,68 @@ UNION ALL SELECT '2_click', count(*) FROM c
 UNION ALL SELECT '3_purchase', count(*) FROM p
 ORDER BY step
 """
+
+
+# ---------------------------------------------------------------------------
+# CUSUM change-point detection over the daily mean of events.value —
+# the drift-monitoring complement to PSI/KS: where in TIME the metric
+# shifted. Daily integer-cents partials (day-bounded, never
+# row-bounded) meet in one tiny groupby; the driver walks the ~150-day
+# series computing CUSUM_k = Σ_{d<=k} (daily_mean_d − μ) and reports
+# the |CUSUM| peak (the classic change-point estimate).
+# ---------------------------------------------------------------------------
+
+def cusum_changepoint_events(sf_dir: str) -> pa.Table:
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        day = pc.cast(batch.column("ts"), pa.date32())
+        u = np.rint(batch.column("value")
+                    .to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        df = pd.DataFrame({"day": day.to_pylist(), "s": u, "c": 1})
+        g = df.groupby("day", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    rows = sorted(collect_pylist(
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("day").aggregate(Sum("s", alias_name="s"),
+                                  Sum("c", alias_name="c"))),
+        key=lambda r: r["day"])
+    tot_s = sum(int(r["s"]) for r in rows)
+    tot_c = sum(int(r["c"]) for r in rows)
+    mu = float(tot_s) / tot_c
+    best = None
+    cusum = 0.0
+    for r in rows:
+        cusum += float(r["s"]) / r["c"] - mu
+        key = (abs(cusum), r["day"])
+        if best is None or key[0] > best[0][0]:
+            best = (key, cusum)
+    (absc, day), _ = best
+    return pa.Table.from_pylist([{
+        "changepoint_day": pd.Timestamp(day),
+        "max_abs_cusum": _round6(absc / 100.0),
+        "n_days": len(rows)}])
+
+
+CUSUM_SQL = """
+WITH d AS (
+  SELECT date_trunc('day', ts) AS day,
+         sum(CAST(round(value*100) AS BIGINT)) AS s, count(*) AS c
+  FROM events GROUP BY day
+), t AS (
+  SELECT CAST(sum(s) AS DOUBLE) / sum(c) AS mu FROM d
+), cs AS (
+  SELECT day,
+         sum(CAST(s AS DOUBLE)/c - t.mu) OVER (ORDER BY day) AS cusum
+  FROM d, t
+)
+SELECT day AS changepoint_day,
+       round(abs(cusum) / 100.0, 6) AS max_abs_cusum,
+       (SELECT CAST(count(*) AS BIGINT) FROM d) AS n_days
+FROM cs ORDER BY abs(cusum) DESC, day LIMIT 1
+"""

@@ -281,3 +281,31 @@ def test_js_wasserstein_hand_case(tmp_path):
     pq.write_table(t2, os.path.join(str(tmp_path), "orders.parquet"))
     r2 = js_wasserstein_orders(str(tmp_path)).to_pylist()[0]
     assert r2["w1"] == 0.0 and r2["js"] == 0.0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_cusum_finds_planted_level_shift(tmp_path):
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tanml_ray.pipelines.queries import cusum_changepoint_events
+
+    # 20 days at level 10.00, then 20 days at level 20.00 -> the
+    # |CUSUM| peak sits exactly on the last low day (day 20)
+    rows = []
+    for d in range(40):
+        for k in range(5):
+            rows.append({
+                "ts": pd.Timestamp("2024-01-01") + pd.Timedelta(days=d,
+                                                                hours=k),
+                "value": 10.0 if d < 20 else 20.0})
+    pq.write_table(pa.Table.from_pylist(rows),
+                   os.path.join(str(tmp_path), "events.parquet"))
+    r = cusum_changepoint_events(str(tmp_path)).to_pylist()[0]
+    assert r["n_days"] == 40
+    assert r["changepoint_day"] == pd.Timestamp("2024-01-20")
+    # peak |CUSUM| = 20 days x |10 - 15| = 100
+    assert r["max_abs_cusum"] == 100.0
