@@ -156,6 +156,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_overlap_documents": q.source_overlap_documents,
         "funnel_events": q.funnel_events,
         "cusum_changepoint_events": q.cusum_changepoint_events,
+        "benford_totalprice": q.benford_totalprice,
+        "pmi_bigrams_documents": q.pmi_bigrams_documents,
     }
 
 
@@ -264,6 +266,8 @@ def oracle_sql() -> dict[str, str]:
         "source_overlap_documents": q.SOURCE_OVERLAP_SQL,
         "funnel_events": q.FUNNEL_SQL,
         "cusum_changepoint_events": q.CUSUM_SQL,
+        "benford_totalprice": q.BENFORD_SQL,
+        "pmi_bigrams_documents": q.PMI_BIGRAMS_SQL,
         # langid / lsh-knn / minhash / simhash / logistic_cv (iterative
         # IRLS): not SQL-expressible → rows-only driver check; verified
         # in pytest instead.

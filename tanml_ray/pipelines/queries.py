@@ -4472,3 +4472,130 @@ SELECT day AS changepoint_day,
        (SELECT CAST(count(*) AS BIGINT) FROM d) AS n_days
 FROM cs ORDER BY abs(cusum) DESC, day LIMIT 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit profile of o_totalprice (integer cents) — the
+# classic generated-data / fraud anomaly check: observed first-digit
+# frequency vs the Benford expectation log10(1 + 1/d). Digit counts
+# are a 9-cell combiner; everything else is driver math.
+# ---------------------------------------------------------------------------
+
+def benford_totalprice(sf_dir: str) -> pa.Table:
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "orders", ["o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        u = np.rint(batch.column("o_totalprice")
+                    .to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        first = np.array([int(str(v)[0]) for v in u], dtype=np.int64)
+        vals, cnts = np.unique(first, return_counts=True)
+        return pa.table({"digit": pa.array(vals, type=pa.int64()),
+                         "n": pa.array(cnts, type=pa.int64())})
+
+    agg = {int(r["digit"]): int(r["n"]) for r in collect_pylist(
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("digit").aggregate(Sum("n", alias_name="n")))}
+    total = sum(agg.values())
+    return pa.Table.from_pylist([{
+        "digit": d, "n": agg.get(d, 0),
+        "obs_freq": _round6(agg.get(d, 0) / total),
+        "exp_freq": _round6(np.log10(1 + 1 / d))}
+        for d in range(1, 10)])
+
+
+BENFORD_SQL = """
+WITH digits AS (
+  SELECT CAST(substr(CAST(CAST(round(o_totalprice*100) AS BIGINT)
+                          AS VARCHAR), 1, 1) AS BIGINT) AS digit
+  FROM orders
+), obs AS (
+  SELECT digit, count(*) AS n FROM digits GROUP BY digit
+), tot AS (SELECT CAST(sum(n) AS DOUBLE) AS t FROM obs),
+d9(digit) AS (VALUES (1),(2),(3),(4),(5),(6),(7),(8),(9))
+SELECT d9.digit, CAST(coalesce(o.n, 0) AS BIGINT) AS n,
+       round(coalesce(o.n, 0) / tot.t, 6) AS obs_freq,
+       round(log10(1 + 1.0/d9.digit), 6) AS exp_freq
+FROM d9 LEFT JOIN obs o ON o.digit = d9.digit, tot
+ORDER BY d9.digit
+"""
+
+
+# ---------------------------------------------------------------------------
+# Bigram PMI collocations: pointwise mutual information of adjacent
+# word pairs, ln((c12/N) / ((c1/T)(c2/T))) with T = token count and
+# N = bigram count, min_count 5, top 20 by (rounded PMI desc, pair) —
+# the standard collocation extractor. Two combiner-first count
+# shuffles (unigram + bigram); selection math on the driver.
+# ---------------------------------------------------------------------------
+
+def pmi_bigrams_documents(sf_dir: str) -> pa.Table:
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    from tanml_ray.pipelines.webtext import _WS_TOKEN_RE
+
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        uni: Counter = Counter()
+        bi: Counter = Counter()
+        for t in batch.column("text").to_pylist():
+            ws = _WS_TOKEN_RE.findall(t) if t else []
+            uni.update(ws)
+            bi.update(zip(ws, ws[1:]))
+        rows = [{"w1": w, "w2": "", "c": c, "kind": 0}
+                for w, c in uni.items()]
+        rows += [{"w1": a, "w2": b, "c": c, "kind": 1}
+                 for (a, b), c in bi.items()]
+        return pa.Table.from_pylist(rows)
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby(["w1", "w2", "kind"])
+           .aggregate(Sum("c", alias_name="c")))
+    uni: dict[str, int] = {}
+    bi: dict[tuple, int] = {}
+    for r in collect_pylist(agg):
+        if r["kind"] == 0:
+            uni[r["w1"]] = int(r["c"])
+        else:
+            bi[(r["w1"], r["w2"])] = int(r["c"])
+    T = sum(uni.values())
+    N = sum(bi.values())
+    cand = []
+    for (a, b), c12 in bi.items():
+        if c12 < 5:
+            continue
+        pmi = float(np.log((c12 / N) / ((uni[a] / T) * (uni[b] / T))))
+        cand.append({"w1": a, "w2": b, "c12": c12,
+                     "pmi": _round6(pmi)})
+    cand.sort(key=lambda r: (-r["pmi"], r["w1"], r["w2"]))
+    return pa.Table.from_pylist(cand[:20])
+
+
+PMI_BIGRAMS_SQL = r"""
+WITH toks AS (
+  SELECT regexp_extract_all(text, '\S+') AS ws FROM documents
+), uni AS (
+  SELECT unnest(ws) AS w FROM toks
+), cu AS (
+  SELECT w, count(*) AS c FROM uni GROUP BY w
+), bi AS (
+  SELECT ws[i] AS w1, ws[i+1] AS w2
+  FROM (SELECT ws, unnest(generate_series(1, len(ws) - 1)) AS i
+        FROM toks WHERE len(ws) >= 2)
+), cb AS (
+  SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY w1, w2
+), tot AS (
+  SELECT (SELECT CAST(sum(c) AS DOUBLE) FROM cu) AS t,
+         (SELECT CAST(sum(c12) AS DOUBLE) FROM cb) AS n
+)
+SELECT cb.w1, cb.w2, CAST(cb.c12 AS BIGINT) AS c12,
+       round(ln((cb.c12 / tot.n)
+                / ((u1.c / tot.t) * (u2.c / tot.t))), 6) AS pmi
+FROM cb JOIN cu u1 ON u1.w = cb.w1 JOIN cu u2 ON u2.w = cb.w2, tot
+WHERE cb.c12 >= 5
+ORDER BY pmi DESC, cb.w1, cb.w2 LIMIT 20
+"""
