@@ -158,6 +158,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cusum_changepoint_events": q.cusum_changepoint_events,
         "benford_totalprice": q.benford_totalprice,
         "pmi_bigrams_documents": q.pmi_bigrams_documents,
+        "rollup_orders": q.rollup_orders,
+        "dod_change_events": q.dod_change_events,
+        "top3_customers_per_segment": q.top3_customers_per_segment,
+        "dup_cluster_sizes_documents": q.dup_cluster_sizes_documents,
     }
 
 
@@ -268,6 +272,10 @@ def oracle_sql() -> dict[str, str]:
         "cusum_changepoint_events": q.CUSUM_SQL,
         "benford_totalprice": q.BENFORD_SQL,
         "pmi_bigrams_documents": q.PMI_BIGRAMS_SQL,
+        "rollup_orders": q.ROLLUP_SQL,
+        "dod_change_events": q.DOD_CHANGE_SQL,
+        "top3_customers_per_segment": q.TOP3_PER_SEGMENT_SQL,
+        "dup_cluster_sizes_documents": q.DUP_CLUSTER_SIZES_SQL,
         # langid / lsh-knn / minhash / simhash / logistic_cv (iterative
         # IRLS): not SQL-expressible → rows-only driver check; verified
         # in pytest instead.

@@ -4599,3 +4599,244 @@ FROM cb JOIN cu u1 ON u1.w = cb.w1 JOIN cu u2 ON u2.w = cb.w2, tot
 WHERE cb.c12 >= 5
 ORDER BY pmi DESC, cb.w1, cb.w2 LIMIT 20
 """
+
+
+# ---------------------------------------------------------------------------
+# ROLLUP aggregate: GROUP BY ROLLUP(status, priority) — leaf groups,
+# per-status subtotals, grand total. ONE combiner-first distributed
+# pass computes the leaf aggregate (the only level whose cardinality
+# scales with data); the subtotal levels are pure driver arithmetic
+# over the bounded leaf table (|statuses| × |priorities| rows), the
+# same containment argument OLAP engines use for rollup pushdown.
+# ---------------------------------------------------------------------------
+
+def rollup_orders(sf_dir: str) -> pa.Table:
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "orders", ["o_orderstatus", "o_orderpriority",
+                                  "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        cents = np.rint(batch.column("o_totalprice")
+                        .to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        df = pd.DataFrame({"s": batch.column("o_orderstatus").to_pylist(),
+                           "p": batch.column("o_orderpriority").to_pylist(),
+                           "cents": cents})
+        g = df.groupby(["s", "p"], as_index=False).agg(
+            n=("cents", "size"), cents=("cents", "sum"))
+        return g
+
+    leaves = collect_pylist(
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["s", "p"])
+        .aggregate(Sum("n", alias_name="n"), Sum("cents", alias_name="cents")))
+
+    def row(s, p, n, cents):
+        return {"o_orderstatus": s, "o_orderpriority": p, "n": int(n),
+                "sum_totalprice": round(int(cents) / 100.0, 2)}
+
+    out = [row(r["s"], r["p"], r["n"], r["cents"]) for r in leaves]
+    by_s: dict = {}
+    for r in leaves:
+        a = by_s.setdefault(r["s"], [0, 0])
+        a[0] += int(r["n"])
+        a[1] += int(r["cents"])
+    out += [row(s, None, n, c) for s, (n, c) in by_s.items()]
+    out.append(row(None, None, sum(a[0] for a in by_s.values()),
+                   sum(a[1] for a in by_s.values())))
+    out.sort(key=lambda r: (r["o_orderstatus"] is None, r["o_orderstatus"] or "",
+                            r["o_orderpriority"] is None,
+                            r["o_orderpriority"] or ""))
+    return pa.Table.from_pylist(out)
+
+
+ROLLUP_SQL = """
+SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+       round(sum(CAST(round(o_totalprice*100) AS BIGINT)) / 100.0, 2)
+         AS sum_totalprice
+FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus NULLS LAST, o_orderpriority NULLS LAST
+"""
+
+
+# ---------------------------------------------------------------------------
+# Day-over-day delta: daily event counts + LAG + percent change — the
+# standard dashboard time series. The distributed pass ships only
+# per-(block, day) count partials; the LAG walk runs on the driver
+# over the day-bounded series (150 rows at any corpus size: bounded
+# by calendar days, not row count).
+# ---------------------------------------------------------------------------
+
+def dod_change_events(sf_dir: str) -> pa.Table:
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["ts"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        day = pc.floor_temporal(batch.column("ts"), unit="day")
+        df = pd.DataFrame({"day": day.to_numpy(zero_copy_only=False)})
+        g = df.groupby("day", as_index=False).agg(n=("day", "size"))
+        return g
+
+    rows = sorted(collect_pylist(
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("day").aggregate(Sum("n", alias_name="n"))),
+        key=lambda r: r["day"])
+    out = []
+    prev = None
+    for r in rows:
+        n = int(r["n"])
+        out.append({"day": pd.Timestamp(r["day"]), "n": n,
+                    "prev_n": prev,
+                    "pct_change": _round6((n - prev) / prev)
+                    if prev is not None else None})
+        prev = n
+    return pa.Table.from_pylist(out)
+
+
+DOD_CHANGE_SQL = """
+WITH d AS (
+  SELECT date_trunc('day', ts) AS day, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1)
+SELECT day, n, lag(n) OVER (ORDER BY day) AS prev_n,
+       round((n - lag(n) OVER (ORDER BY day))
+             / CAST(lag(n) OVER (ORDER BY day) AS DOUBLE), 6) AS pct_change
+FROM d ORDER BY day
+"""
+
+
+# ---------------------------------------------------------------------------
+# Top-k per group: top-3 customers by total spend per market segment —
+# the canonical ROW_NUMBER() <= k window query, distributed as
+# (1) combiner-first spend aggregation keyed by customer (the only
+# data-scaled shuffle, ships (custkey, cents) ints), (2) broadcast
+# custkey→segment lookup (ray.put once, read per task — the J3
+# small-side pattern; a partitioned join replaces it when the
+# customer table itself is web-scale), (3) per-block top-3 partials
+# per segment, merged on the driver (3 × blocks bounded rows).
+# Deterministic tie order: (spend DESC, custkey ASC), both sides.
+# ---------------------------------------------------------------------------
+
+def top3_customers_per_segment(sf_dir: str) -> pa.Table:
+    import ray
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        cents = np.rint(batch.column("o_totalprice")
+                        .to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        df = pd.DataFrame({"custkey": batch.column("o_custkey")
+                           .to_numpy(zero_copy_only=False), "cents": cents})
+        return df.groupby("custkey", as_index=False).agg(
+            cents=("cents", "sum"))
+
+    spend = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby("custkey").aggregate(Sum("cents", alias_name="cents")))
+
+    cust = collect_pylist(_read(sf_dir, "customer",
+                                ["c_custkey", "c_mktsegment"]))
+    seg_ref = ray.put({r["c_custkey"]: r["c_mktsegment"] for r in cust})
+
+    def top3_partial(batch: pa.Table) -> pa.Table:
+        seg_map = ray.get(seg_ref)
+        df = batch.to_pandas()
+        df["seg"] = df["custkey"].map(seg_map)
+        df = df.sort_values(["seg", "cents", "custkey"],
+                            ascending=[True, False, True])
+        return pa.Table.from_pandas(df.groupby("seg", as_index=False).head(3),
+                                    preserve_index=False)
+
+    cand = collect_pylist(spend.map_batches(top3_partial,
+                                            batch_format="pyarrow"))
+    cand.sort(key=lambda r: (r["seg"], -int(r["cents"]), int(r["custkey"])))
+    out = []
+    per_seg: dict = {}
+    for r in cand:
+        k = per_seg.get(r["seg"], 0)
+        if k < 3:
+            per_seg[r["seg"]] = k + 1
+            out.append({"c_mktsegment": r["seg"], "custkey": int(r["custkey"]),
+                        "rk": k + 1,
+                        "spend": round(int(r["cents"]) / 100.0, 2)})
+    out.sort(key=lambda r: (r["c_mktsegment"], r["rk"]))
+    return pa.Table.from_pylist(out)
+
+
+TOP3_PER_SEGMENT_SQL = """
+WITH spend AS (
+  SELECT o_custkey,
+         sum(CAST(round(o_totalprice*100) AS BIGINT)) AS cents
+  FROM orders GROUP BY o_custkey),
+ranked AS (
+  SELECT c.c_mktsegment, s.o_custkey AS custkey, s.cents,
+         row_number() OVER (PARTITION BY c.c_mktsegment
+                            ORDER BY s.cents DESC, s.o_custkey) AS rk
+  FROM spend s JOIN customer c ON c.c_custkey = s.o_custkey)
+SELECT c_mktsegment, CAST(custkey AS BIGINT) AS custkey,
+       CAST(rk AS BIGINT) AS rk, round(cents / 100.0, 2) AS spend
+FROM ranked WHERE rk <= 3 ORDER BY c_mktsegment, rk
+"""
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-cluster size histogram: distribution of exact-duplicate
+# cluster sizes across the corpus (how much of the dup mass sits in
+# pairs vs mega-clusters — the first diagnostic run before choosing a
+# dedup strategy). Two bounded shuffles: (digest, n) partials →
+# per-digest count, then (size, 1) → histogram. Text never leaves
+# stage 1; the shuffle ships 16-byte digests, the histogram is
+# bounded by max cluster size. The synthetic corpus has no natural
+# exact dups, so docs with doc_id%5 ∈ {3,4} are OVERWRITTEN with a
+# boilerplate string that is a pure function of doc_id//20 (mirrored
+# verbatim in the SQL oracle — the PII-query injection pattern),
+# planting clusters of up to 8 members so the histogram is exercised.
+# ---------------------------------------------------------------------------
+
+def dup_cluster_sizes_documents(sf_dir: str) -> pa.Table:
+    from ray.data.aggregate import Sum
+
+    from tanml_ray.pipelines.curate import _content_digest
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def dig_partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = batch.column("text").to_pylist()
+        digs = [_content_digest(f"dup-{i // 20}" if i % 5 >= 3 else (t or ""))
+                for i, t in zip(ids, texts)]
+        vals, cnts = np.unique(np.array(digs, dtype=object),
+                               return_counts=True)
+        return pa.table({"dig": pa.array(list(vals), type=pa.binary(16)),
+                         "n": pa.array(cnts, type=pa.int64())})
+
+    per_digest = (ds.map_batches(dig_partial, batch_format="pyarrow")
+                  .groupby("dig").aggregate(Sum("n", alias_name="n")))
+
+    def size_partial(batch: pa.Table) -> pa.Table:
+        sizes, cnts = np.unique(batch.column("n").to_numpy(
+            zero_copy_only=False), return_counts=True)
+        return pa.table({"cluster_size": pa.array(sizes, type=pa.int64()),
+                         "n_clusters": pa.array(cnts, type=pa.int64())})
+
+    hist = collect_pylist(
+        per_digest.map_batches(size_partial, batch_format="pyarrow")
+        .groupby("cluster_size")
+        .aggregate(Sum("n_clusters", alias_name="n_clusters")))
+    hist.sort(key=lambda r: r["cluster_size"])
+    return pa.Table.from_pylist(
+        [{"cluster_size": int(r["cluster_size"]),
+          "n_clusters": int(r["n_clusters"])} for r in hist])
+
+
+DUP_CLUSTER_SIZES_SQL = """
+WITH eff AS (
+  SELECT CASE WHEN doc_id % 5 >= 3
+              THEN 'dup-' || CAST(doc_id // 20 AS VARCHAR)
+              ELSE text END AS text
+  FROM documents),
+clusters AS (
+  SELECT text, CAST(count(*) AS BIGINT) AS sz FROM eff GROUP BY text)
+SELECT sz AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+FROM clusters GROUP BY sz ORDER BY sz
+"""

@@ -40,6 +40,9 @@ FAST_QUERIES = [
     "gopher_quality_documents", "repetition_ngram_documents",
     "hot_ngram_documents", "weighted_sample_documents",
     "ngram_contamination_documents", "robust_scale_totalprice",
+    # round-3 session-3 relational/diagnostic layer
+    "rollup_orders", "dod_change_events", "top3_customers_per_segment",
+    "dup_cluster_sizes_documents",
 ]
 
 
