@@ -162,6 +162,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dod_change_events": q.dod_change_events,
         "top3_customers_per_segment": q.top3_customers_per_segment,
         "dup_cluster_sizes_documents": q.dup_cluster_sizes_documents,
+        "moments_lineitem": q.moments_lineitem,
+        "anova_totalprice_priority": q.anova_totalprice_priority,
+        "mad_extendedprice": q.mad_extendedprice,
+        "vocab_coverage_documents": q.vocab_coverage_documents,
+        "zipf_slope_documents": q.zipf_slope_documents,
     }
 
 
@@ -276,6 +281,11 @@ def oracle_sql() -> dict[str, str]:
         "dod_change_events": q.DOD_CHANGE_SQL,
         "top3_customers_per_segment": q.TOP3_PER_SEGMENT_SQL,
         "dup_cluster_sizes_documents": q.DUP_CLUSTER_SIZES_SQL,
+        "moments_lineitem": q.MOMENTS_SQL,
+        "anova_totalprice_priority": q.ANOVA_SQL,
+        "mad_extendedprice": q.MAD_SQL,
+        "vocab_coverage_documents": q.VOCAB_COVERAGE_SQL,
+        "zipf_slope_documents": q.ZIPF_SQL,
         # langid / lsh-knn / minhash / simhash / logistic_cv (iterative
         # IRLS): not SQL-expressible → rows-only driver check; verified
         # in pytest instead.

@@ -4840,3 +4840,324 @@ clusters AS (
 SELECT sz AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
 FROM clusters GROUP BY sz ORDER BY sz
 """
+
+
+# ---------------------------------------------------------------------------
+# Higher-moment profile (A4 extension): population skewness (Fisher-
+# Pearson g1) and excess kurtosis (g2) per column from EXACT integer
+# power sums Σu..Σu⁴ on the fixed-point grid — merged as Python
+# bigints on the driver (overflow-free; the SQL twin uses HUGEINT),
+# then one shared IEEE derivation both sides. Both statistics are
+# scale-invariant, so the grid stats equal the dollar stats with no
+# rescaling. One combiner pass; partials are cols × blocks rows.
+# ---------------------------------------------------------------------------
+
+def moments_lineitem(sf_dir: str) -> pa.Table:
+    cols = [("l_quantity", 1), ("l_extendedprice", 100)]
+    ds = _read(sf_dir, "lineitem", [c for c, _ in cols])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        rows = []
+        for c, scale in cols:
+            x = batch.column(c).to_numpy(zero_copy_only=False)
+            u = np.rint(x[~np.isnan(x)] * scale).astype(np.int64)
+            up = u.astype(object)  # bigint powers, overflow-free
+            rows.append({"col": c, "n": len(u), "s1": str(int(up.sum())),
+                         "s2": str(int((up * up).sum())),
+                         "s3": str(int((up * up * up).sum())),
+                         "s4": str(int((up * up * up * up).sum()))})
+        return pa.Table.from_pylist(rows)
+
+    acc: dict[str, list] = {c: [0, 0, 0, 0, 0] for c, _ in cols}
+    for r in collect_pylist(ds.map_batches(partial, batch_format="pyarrow")):
+        a = acc[r["col"]]
+        a[0] += int(r["n"])
+        for i, k in enumerate(("s1", "s2", "s3", "s4")):
+            a[i + 1] += int(r[k])
+    out = []
+    for c, _ in cols:
+        n, s1, s2, s3, s4 = acc[c]
+        mean = s1 / n
+        m2 = s2 / n - mean * mean
+        m3 = s3 / n - 3 * mean * (s2 / n) + 2 * mean ** 3
+        m4 = (s4 / n - 4 * mean * (s3 / n)
+              + 6 * mean * mean * (s2 / n) - 3 * mean ** 4)
+        out.append({"col": c, "n": n,
+                    "skewness": _round6(m3 / m2 ** 1.5),
+                    "ex_kurtosis": _round6(m4 / (m2 * m2) - 3.0)})
+    return pa.Table.from_pylist(out)
+
+
+MOMENTS_SQL = """
+WITH s AS (
+  SELECT 'l_quantity' AS col, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(u AS HUGEINT)) AS DOUBLE) AS s1,
+         CAST(sum(CAST(u AS HUGEINT)*u) AS DOUBLE) AS s2,
+         CAST(sum(CAST(u AS HUGEINT)*u*u) AS DOUBLE) AS s3,
+         CAST(sum(CAST(u AS HUGEINT)*u*u*u) AS DOUBLE) AS s4
+  FROM (SELECT CAST(round(l_quantity) AS BIGINT) AS u FROM lineitem)
+  UNION ALL
+  SELECT 'l_extendedprice', CAST(count(*) AS BIGINT),
+         CAST(sum(CAST(u AS HUGEINT)) AS DOUBLE),
+         CAST(sum(CAST(u AS HUGEINT)*u) AS DOUBLE),
+         CAST(sum(CAST(u AS HUGEINT)*u*u) AS DOUBLE),
+         CAST(sum(CAST(u AS HUGEINT)*u*u*u) AS DOUBLE)
+  FROM (SELECT CAST(round(l_extendedprice*100) AS BIGINT) AS u FROM lineitem)
+), m AS (
+  SELECT col, n, s1/n AS mean, s2/n - (s1/n)*(s1/n) AS m2,
+         s3/n - 3*(s1/n)*(s2/n) + 2*pow(s1/n, 3) AS m3,
+         s4/n - 4*(s1/n)*(s3/n) + 6*(s1/n)*(s1/n)*(s2/n)
+              - 3*pow(s1/n, 4) AS m4
+  FROM s)
+SELECT col, n, round(m3 / pow(m2, 1.5), 6) AS skewness,
+       round(m4 / (m2*m2) - 3.0, 6) AS ex_kurtosis
+FROM m ORDER BY col
+"""
+
+
+# ---------------------------------------------------------------------------
+# One-way ANOVA: F statistic and eta² of o_totalprice across
+# o_orderpriority groups, from one combiner pass of per-group
+# (n, Σu, Σu²) integer partials (group count is bounded by the
+# category cardinality; the data-scaled work never leaves the
+# map_batches). SSB/SSW are derived on the driver with the identical
+# IEEE expression the SQL oracle uses; F and eta² are O(1) statistics
+# so round6 absorbs summation-order ulp.
+# ---------------------------------------------------------------------------
+
+def anova_totalprice_priority(sf_dir: str) -> pa.Table:
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        cents = np.rint(batch.column("o_totalprice")
+                        .to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        df = pd.DataFrame({"g": batch.column("o_orderpriority").to_pylist(),
+                           "cents": cents})
+        out = df.groupby("g", as_index=False).agg(n=("cents", "size"),
+                                                  su=("cents", "sum"))
+        out["suu"] = df.groupby("g")["cents"].apply(
+            lambda v: str(sum(int(x) * int(x) for x in v))).values
+        return out
+
+    groups: dict[str, list] = {}
+    for r in collect_pylist(ds.map_batches(partial, batch_format="pyarrow")):
+        a = groups.setdefault(r["g"], [0, 0, 0])
+        a[0] += int(r["n"])
+        a[1] += int(r["su"])
+        a[2] += int(r["suu"])
+    k = len(groups)
+    n_tot = sum(a[0] for a in groups.values())
+    su_tot = sum(a[1] for a in groups.values())
+    grand = su_tot / n_tot
+    ssb = ssw = 0.0
+    for g in sorted(groups):  # fixed order: ulp-deterministic driver sum
+        n, su, suu = groups[g]
+        mean_g = su / n
+        ssb += n * (mean_g - grand) * (mean_g - grand)
+        ssw += suu - su * (su / n)
+    f = (ssb / (k - 1)) / (ssw / (n_tot - k))
+    return pa.Table.from_pylist([{
+        "k": k, "n": n_tot, "f_stat": _round6(f),
+        "eta_sq": _round6(ssb / (ssb + ssw))}])
+
+
+ANOVA_SQL = """
+WITH g AS (
+  SELECT o_orderpriority AS grp, CAST(count(*) AS BIGINT) AS n,
+         sum(CAST(round(o_totalprice*100) AS BIGINT)) AS su,
+         sum(CAST(CAST(round(o_totalprice*100) AS BIGINT) AS HUGEINT)
+             * CAST(round(o_totalprice*100) AS BIGINT)) AS suu
+  FROM orders GROUP BY 1),
+tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS n_tot,
+         CAST(sum(su) AS DOUBLE) / CAST(sum(n) AS DOUBLE) AS grand,
+         CAST(count(*) AS BIGINT) AS k FROM g),
+parts AS (
+  SELECT sum(n * (CAST(su AS DOUBLE)/n - grand)
+               * (CAST(su AS DOUBLE)/n - grand)
+             ORDER BY grp) AS ssb,
+         sum(CAST(suu AS DOUBLE) - CAST(su AS DOUBLE)
+               * (CAST(su AS DOUBLE)/n) ORDER BY grp) AS ssw
+  FROM g, tot GROUP BY ALL)
+SELECT tot.k, tot.n_tot AS n,
+       round((parts.ssb/(tot.k-1)) / (parts.ssw/(tot.n_tot-tot.k)), 6)
+         AS f_stat,
+       round(parts.ssb / (parts.ssb + parts.ssw), 6) AS eta_sq
+FROM parts, tot
+"""
+
+
+# ---------------------------------------------------------------------------
+# Median absolute deviation of l_extendedprice — the robust spread
+# statistic, exact quantile_cont parity in TWO value-count passes on
+# integer grids: pass 1 the cents grid for the median, pass 2 the
+# HALF-cent grid |2u − 2·median| (quantile_cont medians land on
+# half-integers, so doubling keeps every deviation integral — no
+# float grid, no epsilon). Both shuffles are grid-bounded, not
+# row-bounded. mad_normalized applies the 1.4826 Gaussian
+# consistency factor.
+# ---------------------------------------------------------------------------
+
+def mad_extendedprice(sf_dir: str) -> pa.Table:
+    from ray.data.aggregate import Sum
+
+    from tanml_ray.stages.quantiles import quantile_cont_from_counts
+
+    ds = _read(sf_dir, "lineitem", ["l_extendedprice"])
+
+    def vc(expr):
+        def f(batch: pa.Table) -> pa.Table:
+            u = np.rint(batch.column("l_extendedprice")
+                        .to_numpy(zero_copy_only=False) * 100
+                        ).astype(np.int64)
+            vals, cnts = np.unique(expr(u), return_counts=True)
+            return pa.table({"v": pa.array(vals, type=pa.int64()),
+                             "n": pa.array(cnts, type=pa.int64())})
+        return f
+
+    def median_of(ds_vc):
+        rows = sorted(collect_pylist(
+            ds_vc.groupby("v").aggregate(Sum("n", alias_name="n"))),
+            key=lambda r: r["v"])
+        vals = np.array([r["v"] for r in rows], dtype=np.float64)
+        cum = np.cumsum([r["n"] for r in rows])
+        return quantile_cont_from_counts(vals, cum, 0.5)
+
+    med_cents = median_of(ds.map_batches(vc(lambda u: u),
+                                         batch_format="pyarrow"))
+    m2 = int(round(2 * med_cents))  # exact: median is k or k+.5 cents
+    dev_half = median_of(ds.map_batches(
+        vc(lambda u: np.abs(2 * u - m2)), batch_format="pyarrow"))
+    mad = dev_half / 2.0 / 100.0
+    return pa.Table.from_pylist([{
+        "median": _round6(med_cents / 100.0), "mad": _round6(mad),
+        "mad_normalized": _round6(mad * 1.4826)}])
+
+
+MAD_SQL = """
+WITH u AS (
+  SELECT CAST(round(l_extendedprice*100) AS BIGINT) AS u FROM lineitem),
+med AS (
+  SELECT CAST(round(2 * quantile_cont(u, 0.5)) AS BIGINT) AS m2 FROM u),
+dev AS (
+  SELECT quantile_cont(abs(2*u.u - med.m2), 0.5) / 2.0 / 100.0 AS mad
+  FROM u, med)
+SELECT round((SELECT quantile_cont(u, 0.5) FROM u) / 100.0, 6) AS median,
+       round(dev.mad, 6) AS mad,
+       round(dev.mad * 1.4826, 6) AS mad_normalized
+FROM dev
+"""
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary coverage curve: fraction of all corpus tokens covered by
+# the top-k most frequent types, k ∈ {10, 100, 1000} — the standard
+# tokenizer/vocab-sizing diagnostic. Combiner-first unigram counts,
+# then a DISTRIBUTED sort + limit pulls only the top-1000 rows to the
+# driver (the vocab table itself never materializes centrally); the
+# total token count comes from a scalar Sum aggregate. Tie order at
+# the k boundary is (count DESC, token ASC) on both sides.
+# ---------------------------------------------------------------------------
+
+def vocab_coverage_documents(sf_dir: str) -> pa.Table:
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    from tanml_ray.pipelines.webtext import _WS_TOKEN_RE
+
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in batch.column("text").to_pylist():
+            if t:
+                c.update(_WS_TOKEN_RE.findall(t))
+        return pa.table({"w": pa.array(list(c.keys()), type=pa.string()),
+                         "c": pa.array(list(c.values()), type=pa.int64())})
+
+    counts = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("w").aggregate(Sum("c", alias_name="c")))
+    total = counts.aggregate(Sum("c", alias_name="t"))["t"]
+    top = collect_pylist(counts.sort(["c", "w"], descending=[True, False])
+                         .limit(1000))
+    out = []
+    for k in (10, 100, 1000):
+        covered = sum(int(r["c"]) for r in top[:k])
+        out.append({"k": k, "covered_tokens": covered,
+                    "coverage": _round6(covered / total)})
+    return pa.Table.from_pylist(out)
+
+
+VOCAB_COVERAGE_SQL = r"""
+WITH cu AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT unnest(regexp_extract_all(text, '\S+')) AS w FROM documents)
+  GROUP BY w),
+r AS (
+  SELECT c, row_number() OVER (ORDER BY c DESC, w) AS rk FROM cu),
+t AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM cu)
+SELECT k, (SELECT CAST(sum(c) AS BIGINT) FROM r WHERE rk <= k)
+         AS covered_tokens,
+       round((SELECT sum(c) FROM r WHERE rk <= k) / t.t, 6) AS coverage
+FROM (VALUES (10), (100), (1000)) v(k), t ORDER BY k
+"""
+
+
+# ---------------------------------------------------------------------------
+# Zipf slope: OLS fit of ln(count) on ln(rank) over the top-100 token
+# types — the classic corpus-law diagnostic (natural text ≈ −1; a
+# flatter slope flags template/boilerplate corpora). Rides the same
+# distributed count + sort-limit path as vocab coverage; the
+# regression over the fixed 100 points is driver math using the
+# regr_slope/regr_intercept population formula.
+# ---------------------------------------------------------------------------
+
+def zipf_slope_documents(sf_dir: str) -> pa.Table:
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    from tanml_ray.pipelines.webtext import _WS_TOKEN_RE
+
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in batch.column("text").to_pylist():
+            if t:
+                c.update(_WS_TOKEN_RE.findall(t))
+        return pa.table({"w": pa.array(list(c.keys()), type=pa.string()),
+                         "c": pa.array(list(c.values()), type=pa.int64())})
+
+    top = collect_pylist(
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("w").aggregate(Sum("c", alias_name="c"))
+        .sort(["c", "w"], descending=[True, False]).limit(100))
+    y = np.log(np.array([int(r["c"]) for r in top], dtype=np.float64))
+    x = np.log(np.arange(1, len(top) + 1, dtype=np.float64))
+    mx, my = x.mean(), y.mean()
+    slope = ((x * y).mean() - mx * my) / ((x * x).mean() - mx * mx)
+    return pa.Table.from_pylist([{
+        "n_terms": len(top), "slope": _round6(slope),
+        "intercept": _round6(my - slope * mx)}])
+
+
+ZIPF_SQL = r"""
+WITH cu AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT unnest(regexp_extract_all(text, '\S+')) AS w FROM documents)
+  GROUP BY w),
+top AS (
+  SELECT ln(c) AS y,
+         ln(CAST(row_number() OVER (ORDER BY c DESC, w) AS DOUBLE)) AS x
+  FROM cu ORDER BY c DESC, w LIMIT 100)
+SELECT CAST(count(*) AS BIGINT) AS n_terms,
+       round((avg(x*y) - avg(x)*avg(y))
+             / (avg(x*x) - avg(x)*avg(x)), 6) AS slope,
+       round(avg(y) - (avg(x*y) - avg(x)*avg(y))
+             / (avg(x*x) - avg(x)*avg(x)) * avg(x), 6) AS intercept
+FROM top
+"""

@@ -42,7 +42,9 @@ FAST_QUERIES = [
     "ngram_contamination_documents", "robust_scale_totalprice",
     # round-3 session-3 relational/diagnostic layer
     "rollup_orders", "dod_change_events", "top3_customers_per_segment",
-    "dup_cluster_sizes_documents",
+    "dup_cluster_sizes_documents", "moments_lineitem",
+    "anova_totalprice_priority", "mad_extendedprice",
+    "vocab_coverage_documents", "zipf_slope_documents",
 ]
 
 
