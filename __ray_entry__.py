@@ -167,6 +167,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mad_extendedprice": q.mad_extendedprice,
         "vocab_coverage_documents": q.vocab_coverage_documents,
         "zipf_slope_documents": q.zipf_slope_documents,
+        "ntile_deciles_orders": q.ntile_deciles_orders,
+        "event_transitions_events": q.event_transitions_events,
+        "ttr_documents": q.ttr_documents,
+        "kappa_quality_documents": q.kappa_quality_documents,
     }
 
 
@@ -286,6 +290,10 @@ def oracle_sql() -> dict[str, str]:
         "mad_extendedprice": q.MAD_SQL,
         "vocab_coverage_documents": q.VOCAB_COVERAGE_SQL,
         "zipf_slope_documents": q.ZIPF_SQL,
+        "ntile_deciles_orders": q.NTILE_SQL,
+        "event_transitions_events": q.EVENT_TRANSITIONS_SQL,
+        "ttr_documents": q.TTR_SQL,
+        "kappa_quality_documents": q.KAPPA_SQL,
         # langid / lsh-knn / minhash / simhash / logistic_cv (iterative
         # IRLS): not SQL-expressible → rows-only driver check; verified
         # in pytest instead.

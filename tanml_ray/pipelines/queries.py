@@ -5161,3 +5161,238 @@ SELECT CAST(count(*) AS BIGINT) AS n_terms,
              / (avg(x*x) - avg(x)*avg(x)) * avg(x), 6) AS intercept
 FROM top
 """
+
+
+# ---------------------------------------------------------------------------
+# NTILE(10) equi-depth deciles of o_totalprice with per-decile count
+# and mean — computed WITHOUT a global sort: the cents-grid value
+# counts determine every row's rank interval analytically (rows of
+# one price occupy a contiguous rank run, so their split across
+# decile boundaries — and hence each decile's count and price sum —
+# is fully determined by the counts alone; the ORDER BY tie-break
+# key never changes the aggregate). One grid-bounded shuffle, then a
+# driver walk over the merged grid.
+# ---------------------------------------------------------------------------
+
+def ntile_deciles_orders(sf_dir: str) -> pa.Table:
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "orders", ["o_totalprice"])
+
+    def vc(batch: pa.Table) -> pa.Table:
+        u = np.rint(batch.column("o_totalprice")
+                    .to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        vals, cnts = np.unique(u, return_counts=True)
+        return pa.table({"v": pa.array(vals, type=pa.int64()),
+                         "n": pa.array(cnts, type=pa.int64())})
+
+    rows = sorted(collect_pylist(
+        ds.map_batches(vc, batch_format="pyarrow")
+        .groupby("v").aggregate(Sum("n", alias_name="n"))),
+        key=lambda r: r["v"])
+    n_tot = sum(int(r["n"]) for r in rows)
+    q, rem = divmod(n_tot, 10)
+    # 1-based rank bounds per tile: first `rem` tiles hold q+1 rows
+    bounds = []
+    lo = 0
+    for t in range(10):
+        size = q + 1 if t < rem else q
+        bounds.append((lo + 1, lo + size))
+        lo += size
+    agg = [[0, 0] for _ in range(10)]  # n, cents
+    pos = 0
+    for r in rows:
+        v, c = int(r["v"]), int(r["n"])
+        r_lo, r_hi = pos + 1, pos + c
+        for t, (b_lo, b_hi) in enumerate(bounds):
+            take = min(r_hi, b_hi) - max(r_lo, b_lo) + 1
+            if take > 0:
+                agg[t][0] += take
+                agg[t][1] += take * v
+        pos += c
+    return pa.Table.from_pylist([
+        {"tile": t + 1, "n": agg[t][0],
+         "mean_price": _round6(float(agg[t][1]) / agg[t][0] / 100.0)}
+        for t in range(10)])
+
+
+NTILE_SQL = """
+WITH u AS (
+  SELECT CAST(round(o_totalprice*100) AS BIGINT) AS u, o_orderkey
+  FROM orders),
+t AS (SELECT u, ntile(10) OVER (ORDER BY u, o_orderkey) AS tile FROM u)
+SELECT CAST(tile AS BIGINT) AS tile, CAST(count(*) AS BIGINT) AS n,
+       round(CAST(sum(u) AS DOUBLE) / count(*) / 100.0, 6) AS mean_price
+FROM t GROUP BY tile ORDER BY tile
+"""
+
+
+# ---------------------------------------------------------------------------
+# Markov transition matrix over per-user event sequences: counts and
+# row-normalized probabilities of consecutive (event_type →
+# next_event_type) steps, ordering each user's stream by (ts,
+# event_id). ONE groupby(user) shuffle with vectorized in-group pair
+# extraction (the sessionize pattern), then a category²-bounded
+# count aggregate; probabilities are driver math over that bounded
+# table.
+# ---------------------------------------------------------------------------
+
+def event_transitions_events(sf_dir: str) -> pa.Table:
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts", "event_type"])
+
+    def pairs(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["ts", "event_id"])
+        et = g["event_type"].to_numpy()
+        if len(et) < 2:
+            return pd.DataFrame({"from_type": [], "to_type": [], "n": []})
+        df = pd.DataFrame({"from_type": et[:-1], "to_type": et[1:]})
+        return (df.groupby(["from_type", "to_type"], as_index=False)
+                .size().rename(columns={"size": "n"}))
+
+    counts = collect_pylist(
+        ds.groupby("user_id").map_groups(pairs, batch_format="pandas")
+        .groupby(["from_type", "to_type"])
+        .aggregate(Sum("n", alias_name="n")))
+    tot_from: dict[str, int] = {}
+    for r in counts:
+        tot_from[r["from_type"]] = tot_from.get(r["from_type"], 0) + int(r["n"])
+    counts.sort(key=lambda r: (r["from_type"], r["to_type"]))
+    return pa.Table.from_pylist([
+        {"from_type": r["from_type"], "to_type": r["to_type"],
+         "n": int(r["n"]),
+         "prob": _round6(int(r["n"]) / float(tot_from[r["from_type"]]))}
+        for r in counts])
+
+
+EVENT_TRANSITIONS_SQL = """
+WITH s AS (
+  SELECT event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS nxt
+  FROM events)
+SELECT event_type AS from_type, nxt AS to_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(count(*) / CAST(sum(count(*))
+             OVER (PARTITION BY event_type) AS DOUBLE), 6) AS prob
+FROM s WHERE nxt IS NOT NULL
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Per-document type-token ratio (lexical diversity): token count,
+# distinct-type count and TTR per doc — a purely shuffle-free
+# map_batches (each doc's types are counted inside its own batch;
+# nothing leaves the task but the three numbers per row). Zero-token
+# docs are excluded to mirror SQL's empty-unnest semantics.
+# ---------------------------------------------------------------------------
+
+def ttr_documents(sf_dir: str) -> pa.Table:
+    from tanml_ray.pipelines.webtext import _WS_TOKEN_RE
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def per_doc(batch: pa.Table) -> pa.Table:
+        rows = []
+        for i, t in zip(batch.column("doc_id").to_pylist(),
+                        batch.column("text").to_pylist()):
+            ws = _WS_TOKEN_RE.findall(t) if t else []
+            if not ws:
+                continue
+            rows.append({"doc_id": i, "n_tokens": len(ws),
+                         "n_types": len(set(ws)),
+                         "ttr": _round6(len(set(ws)) / float(len(ws)))})
+        return pa.Table.from_pylist(rows)
+
+    rows = sorted(collect_pylist(
+        ds.map_batches(per_doc, batch_format="pyarrow")),
+        key=lambda r: r["doc_id"])
+    return pa.Table.from_pylist(rows)
+
+
+TTR_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS w
+  FROM documents)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(count(DISTINCT w) AS BIGINT) AS n_types,
+       round(count(DISTINCT w) / CAST(count(*) AS DOUBLE), 6) AS ttr
+FROM toks GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Cohen's kappa agreement between two document-quality labelers —
+# the Gopher rule-based pass flag vs a simple length heuristic
+# (n_chars ≥ 500). The statistic comes from the 2×2 confusion counts,
+# which a single combiner pass accumulates (4 cells per block); po,
+# pe and kappa are one shared IEEE expression. The standard
+# inter-rater metric for comparing quality classifiers before
+# swapping one into a curation chain.
+# ---------------------------------------------------------------------------
+
+def kappa_quality_documents(sf_dir: str) -> pa.Table:
+    from ray.data.aggregate import Sum
+
+    from tanml_ray.pipelines.webtext import gopher_signals_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+
+    def cells(batch: pa.Table) -> pa.Table:
+        sig = gopher_signals_batch(batch)
+        a = sig.column("gopher_pass").to_numpy(zero_copy_only=False)
+        b = (batch.column("n_chars").to_numpy(zero_copy_only=False)
+             >= 500).astype(np.int64)
+        cell = a * 2 + b
+        vals, cnts = np.unique(cell, return_counts=True)
+        return pa.table({"cell": pa.array(vals, type=pa.int64()),
+                         "n": pa.array(cnts, type=pa.int64())})
+
+    agg = {int(r["cell"]): int(r["n"]) for r in collect_pylist(
+        ds.map_batches(cells, batch_format="pyarrow")
+        .groupby("cell").aggregate(Sum("n", alias_name="n")))}
+    n00, n01, n10, n11 = (agg.get(i, 0) for i in range(4))
+    n = n00 + n01 + n10 + n11
+    po = (n00 + n11) / n
+    pe = (((n10 + n11) / n) * ((n01 + n11) / n)
+          + ((n00 + n01) / n) * ((n00 + n10) / n))
+    return pa.Table.from_pylist([{
+        "n00": n00, "n01": n01, "n10": n10, "n11": n11,
+        "po": _round6(po), "pe": _round6(pe),
+        "kappa": _round6((po - pe) / (1 - pe))}])
+
+
+KAPPA_SQL = """
+WITH sig AS (
+  SELECT CASE WHEN len(regexp_extract_all(text, '\\S+'))
+                   BETWEEN 50 AND 100000
+              AND len(regexp_extract_all(text, '\\S'))
+                  / CAST(greatest(len(regexp_extract_all(text, '\\S+')), 1)
+                         AS DOUBLE) BETWEEN 3.0 AND 10.0
+              AND len(regexp_extract_all(text, '\\S*[A-Za-z]\\S*'))
+                  / CAST(greatest(len(regexp_extract_all(text, '\\S+')), 1)
+                         AS DOUBLE) > 0.80
+              AND len(regexp_extract_all(
+                    text, '\\b(the|and|of|to|in|is|that|for|was|on)\\b')) >= 2
+            THEN 1 ELSE 0 END AS a,
+         CASE WHEN n_chars >= 500 THEN 1 ELSE 0 END AS b
+  FROM documents),
+c AS (
+  SELECT CAST(sum(CASE WHEN a=0 AND b=0 THEN 1 ELSE 0 END) AS BIGINT) AS n00,
+         CAST(sum(CASE WHEN a=0 AND b=1 THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+         CAST(sum(CASE WHEN a=1 AND b=0 THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+         CAST(sum(CASE WHEN a=1 AND b=1 THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+         CAST(count(*) AS DOUBLE) AS n
+  FROM sig),
+p AS (
+  SELECT n00, n01, n10, n11,
+         (n00 + n11) / n AS po,
+         ((n10 + n11) / n) * ((n01 + n11) / n)
+           + ((n00 + n01) / n) * ((n00 + n10) / n) AS pe
+  FROM c)
+SELECT n00, n01, n10, n11, round(po, 6) AS po, round(pe, 6) AS pe,
+       round((po - pe) / (1 - pe), 6) AS kappa
+FROM p
+"""

@@ -45,6 +45,8 @@ FAST_QUERIES = [
     "dup_cluster_sizes_documents", "moments_lineitem",
     "anova_totalprice_priority", "mad_extendedprice",
     "vocab_coverage_documents", "zipf_slope_documents",
+    "ntile_deciles_orders", "event_transitions_events", "ttr_documents",
+    "kappa_quality_documents",
 ]
 
 
