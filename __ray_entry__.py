@@ -171,6 +171,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_transitions_events": q.event_transitions_events,
         "ttr_documents": q.ttr_documents,
         "kappa_quality_documents": q.kappa_quality_documents,
+        "line_dedup_documents": q.line_dedup_documents,
     }
 
 
@@ -294,6 +295,7 @@ def oracle_sql() -> dict[str, str]:
         "event_transitions_events": q.EVENT_TRANSITIONS_SQL,
         "ttr_documents": q.TTR_SQL,
         "kappa_quality_documents": q.KAPPA_SQL,
+        "line_dedup_documents": q.LINE_DEDUP_SQL,
         # langid / lsh-knn / minhash / simhash / logistic_cv (iterative
         # IRLS): not SQL-expressible → rows-only driver check; verified
         # in pytest instead.

@@ -5396,3 +5396,51 @@ SELECT n00, n01, n10, n11, round(po, 6) AS po, round(pe, 6) AS pe,
        round((po - pe) / (1 - pe), 6) AS kappa
 FROM p
 """
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style corpus-wide line dedup (webtext.line_dedup). The
+# synthetic corpus has no newlines, so the query first re-wraps each
+# document into 12-word lines — a pure deterministic function of the
+# text, mirrored verbatim by the oracle's string_agg construction —
+# then removes every non-first occurrence of each distinct line
+# corpus-wide and rebuilds the documents. Same winner-election
+# machinery as span_dedup; different unit (lines), different joiner.
+# ---------------------------------------------------------------------------
+
+def line_dedup_documents(sf_dir: str) -> pa.Table:
+    from tanml_ray.pipelines.webtext import _doc_spans, line_dedup
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def rewrap(batch: pa.Table) -> pa.Table:
+        texts = ["\n".join(_doc_spans(t, 12)) if t else ""
+                 for t in batch.column("text").to_pylist()]
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "text": pa.array(texts, type=pa.string())})
+
+    return line_dedup(ds.map_batches(rewrap, batch_format="pyarrow"))
+
+
+LINE_DEDUP_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(text, '\S+')) AS w,
+         generate_subscripts(regexp_extract_all(text, '\S+'), 1) AS ord
+  FROM documents WHERE len(regexp_extract_all(text, '\S+')) >= 1
+), lines0 AS (
+  SELECT doc_id, (ord - 1) // 12 AS lidx,
+         string_agg(w, ' ' ORDER BY ord) AS line
+  FROM toks GROUP BY doc_id, (ord - 1) // 12
+), ranked AS (
+  SELECT doc_id, lidx, line,
+         row_number() OVER (PARTITION BY line
+                            ORDER BY doc_id, lidx) AS rn
+  FROM lines0
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept,
+       coalesce(string_agg(line, chr(10) ORDER BY lidx)
+                FILTER (WHERE rn = 1), '') AS dedup_text
+FROM ranked GROUP BY doc_id ORDER BY doc_id
+"""

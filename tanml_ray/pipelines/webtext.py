@@ -725,19 +725,29 @@ def _doc_spans(text: str, span_words: int) -> list[str]:
 
 def span_dedup(ds, span_words: int = 10, text_col: str = "text",
                id_col: str = "doc_id", driver_budget: int = 256 << 20,
-               partitions: int = 64) -> pa.Table:
+               partitions: int = 64, unit_fn=None,
+               join_str: str = " ") -> pa.Table:
     """Global keep-first span dedup + document reconstruction.
 
     Returns one row per non-empty document, sorted by id:
     (doc_id, n_spans, n_kept, dedup_text) where dedup_text is the
-    space-joined concatenation of the surviving spans in order.
+    `join_str`-joined concatenation of the surviving spans in order.
     `driver_budget=0` forces both distributed paths (pytest hook).
+
+    `unit_fn` generalizes the dedup unit: a doc→list[str] splitter
+    replacing the default `span_words`-word windows. line_dedup()
+    passes a newline splitter to get CCNet-style corpus-wide
+    duplicate-LINE removal from the identical winner-election /
+    drop-marking / rebuild machinery.
     """
     import ray
     import ray.data as rd
     from ray.data.aggregate import Min, Sum
 
     from tanml_ray.functions.collect import collect_pylist
+
+    units_of = (unit_fn if unit_fn is not None
+                else (lambda t: _doc_spans(t, span_words)))
 
     # keep docs with >= 1 ASCII token — the same RE2 criterion the SQL
     # oracle's len(regexp_extract_all(text, '\S+')) >= 1 filter applies
@@ -756,7 +766,7 @@ def span_dedup(ds, span_words: int = 10, text_col: str = "text",
         texts = batch.column(text_col).to_pylist()
         a1, a2, ap = [], [], []
         for did, t in zip(ids, texts):
-            spans = _doc_spans(t, span_words)
+            spans = units_of(t)
             if len(spans) >= _SPAN_PACK:
                 raise ValueError(
                     f"doc {did}: {len(spans)} spans >= 2^20 packing capacity")
@@ -803,7 +813,7 @@ def span_dedup(ds, span_words: int = 10, text_col: str = "text",
             texts = batch.column(text_col).to_pylist()
             out_id, out_idx = [], []
             for did, t in zip(ids, texts):
-                spans = _doc_spans(t, span_words)
+                spans = units_of(t)
                 h1, h2 = _span_digests(spans)
                 base = int(did) * _SPAN_PACK
                 for j in range(len(spans)):
@@ -827,7 +837,7 @@ def span_dedup(ds, span_words: int = 10, text_col: str = "text",
             texts = batch.column(text_col).to_pylist()
             a1, a2, ap = [], [], []
             for did, t in zip(ids, texts):
-                spans = _doc_spans(t, span_words)
+                spans = units_of(t)
                 h1, h2 = _span_digests(spans)
                 a1.append(h1)
                 a2.append(h2)
@@ -878,11 +888,11 @@ def span_dedup(ds, span_words: int = 10, text_col: str = "text",
         out = []
         for did, t in zip(ids, texts):
             did = int(did)
-            spans = _doc_spans(t, span_words)
+            spans = units_of(t)
             dset = drop_map.get(did, ())
             kept = [s for j, s in enumerate(spans) if j not in dset]
             out.append({id_col: did, "n_spans": len(spans),
-                        "n_kept": len(kept), "dedup_text": " ".join(kept)})
+                        "n_kept": len(kept), "dedup_text": join_str.join(kept)})
         return pa.Table.from_pylist(out) if out else pa.table(
             {id_col: pa.array([], type=pa.int64()),
              "n_spans": pa.array([], type=pa.int64()),
@@ -955,6 +965,26 @@ def span_dedup(ds, span_words: int = 10, text_col: str = "text",
 
     rows = sorted(collect_pylist(out), key=lambda r: r[id_col])
     return pa.Table.from_pylist(rows)
+
+
+def line_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
+               driver_budget: int = 256 << 20,
+               partitions: int = 64) -> pa.Table:
+    """CCNet-style corpus-wide duplicate-LINE removal (Wenzek et al.
+    2020 §3: hash every line, drop all but the first occurrence
+    corpus-wide, rebuild documents from surviving lines). Rides the
+    span_dedup winner-election / drop-marking / rebuild machinery with
+    the dedup unit switched to newline-split lines; the same
+    size-adaptive driver/distributed paths and 128-bit digests apply.
+
+    Returns (doc_id, n_lines, n_kept, dedup_text) per non-empty doc,
+    dedup_text joining surviving lines with '\\n'.
+    """
+    out = span_dedup(ds, text_col=text_col, id_col=id_col,
+                     driver_budget=driver_budget, partitions=partitions,
+                     unit_fn=lambda t: (t or "").split("\n"),
+                     join_str="\n")
+    return out.rename_columns([id_col, "n_lines", "n_kept", "dedup_text"])
 
 
 # ---------------------------------------------------------------------------

@@ -46,7 +46,7 @@ FAST_QUERIES = [
     "anova_totalprice_priority", "mad_extendedprice",
     "vocab_coverage_documents", "zipf_slope_documents",
     "ntile_deciles_orders", "event_transitions_events", "ttr_documents",
-    "kappa_quality_documents",
+    "kappa_quality_documents", "line_dedup_documents",
 ]
 
 

@@ -370,6 +370,44 @@ def test_span_dedup_ragged_tail_span(ray_session):
 
 
 # ---------------------------------------------------------------------------
+# line_dedup (CCNet-style corpus-wide duplicate-line removal)
+# ---------------------------------------------------------------------------
+
+def _line_corpus():
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "text": pa.array([
+            "alpha line\nshared boilerplate\nbeta line",
+            "shared boilerplate\nunique two",
+            "shared boilerplate",          # fully consumed -> empty rebuild
+            "gamma\ngamma\ndelta",         # intra-doc duplicate line
+        ], type=pa.string())}))
+
+
+def test_line_dedup_keep_first_and_reconstruct(ray_session):
+    from tanml_ray.pipelines.webtext import line_dedup
+
+    out = {r["doc_id"]: r for r in line_dedup(_line_corpus()).to_pylist()}
+    assert out[1]["n_lines"] == 3 and out[1]["n_kept"] == 3
+    assert out[1]["dedup_text"] == "alpha line\nshared boilerplate\nbeta line"
+    assert out[2]["n_kept"] == 1 and out[2]["dedup_text"] == "unique two"
+    assert out[3]["n_kept"] == 0 and out[3]["dedup_text"] == ""
+    # intra-doc dup: second "gamma" drops, first survives
+    assert out[4]["n_kept"] == 2 and out[4]["dedup_text"] == "gamma\ndelta"
+
+
+def test_line_dedup_distributed_paths_match_broadcast(ray_session):
+    from tanml_ray.pipelines.webtext import line_dedup
+
+    bcast = line_dedup(_line_corpus()).to_pylist()
+    dist = line_dedup(_line_corpus(), driver_budget=0,
+                      partitions=4).to_pylist()
+    assert bcast == dist
+
+
+# ---------------------------------------------------------------------------
 # nb_quality_scores (fastText-style NB quality classifier)
 # ---------------------------------------------------------------------------
 
