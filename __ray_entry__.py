@@ -172,6 +172,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ttr_documents": q.ttr_documents,
         "kappa_quality_documents": q.kappa_quality_documents,
         "line_dedup_documents": q.line_dedup_documents,
+        "modified_zscore_outliers_lineitem": q.modified_zscore_outliers_lineitem,
+        "cumulative_revenue_events": q.cumulative_revenue_events,
+        "entropy_profile": q.entropy_profile,
     }
 
 
@@ -296,6 +299,9 @@ def oracle_sql() -> dict[str, str]:
         "ttr_documents": q.TTR_SQL,
         "kappa_quality_documents": q.KAPPA_SQL,
         "line_dedup_documents": q.LINE_DEDUP_SQL,
+        "modified_zscore_outliers_lineitem": q.MODIFIED_ZSCORE_SQL,
+        "cumulative_revenue_events": q.CUMULATIVE_REVENUE_SQL,
+        "entropy_profile": q.ENTROPY_PROFILE_SQL,
         # langid / lsh-knn / minhash / simhash / logistic_cv (iterative
         # IRLS): not SQL-expressible → rows-only driver check; verified
         # in pytest instead.

@@ -5444,3 +5444,209 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
                 FILTER (WHERE rn = 1), '') AS dedup_text
 FROM ranked GROUP BY doc_id ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Modified z-score outliers (Iglewicz-Hoaglin): |0.6745·(x − median)|
+# / MAD > 3.5 — the robust outlier rule that, unlike IQR fences,
+# stays calibrated under heavy tails. Reuses the two grid-bounded
+# value-count passes of mad_extendedprice for the exact median/MAD,
+# then one shuffle-free counting pass. Returns the bounds and the
+# outlier count/extremes (output-bounded driver result).
+# ---------------------------------------------------------------------------
+
+def modified_zscore_outliers_lineitem(sf_dir: str) -> pa.Table:
+    from ray.data.aggregate import Sum
+
+    from tanml_ray.stages.quantiles import quantile_cont_from_counts
+
+    ds = _read(sf_dir, "lineitem", ["l_extendedprice"])
+
+    def vc(expr):
+        def f(batch: pa.Table) -> pa.Table:
+            u = np.rint(batch.column("l_extendedprice")
+                        .to_numpy(zero_copy_only=False) * 100
+                        ).astype(np.int64)
+            vals, cnts = np.unique(expr(u), return_counts=True)
+            return pa.table({"v": pa.array(vals, type=pa.int64()),
+                             "n": pa.array(cnts, type=pa.int64())})
+        return f
+
+    def median_of(ds_vc):
+        rows = sorted(collect_pylist(
+            ds_vc.groupby("v").aggregate(Sum("n", alias_name="n"))),
+            key=lambda r: r["v"])
+        vals = np.array([r["v"] for r in rows], dtype=np.float64)
+        cum = np.cumsum([r["n"] for r in rows])
+        return quantile_cont_from_counts(vals, cum, 0.5)
+
+    med_cents = median_of(ds.map_batches(vc(lambda u: u),
+                                         batch_format="pyarrow"))
+    m2 = int(round(2 * med_cents))
+    mad_cents = median_of(ds.map_batches(
+        vc(lambda u: np.abs(2 * u - m2)), batch_format="pyarrow")) / 2.0
+    med = med_cents / 100.0
+    mad = mad_cents / 100.0
+    # |x - med| > 3.5 * mad / 0.6745  (shared IEEE expression with SQL)
+    cut = 3.5 * mad / 0.6745
+
+    def flag(batch: pa.Table) -> pa.Table:
+        x = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        out = x[np.abs(x - med) > cut]
+        return pa.Table.from_pylist([{
+            "n_out": len(out),
+            "lo": float(out.min()) if len(out) else None,
+            "hi": float(out.max()) if len(out) else None}])
+
+    agg = collect_pylist(ds.map_batches(flag, batch_format="pyarrow"))
+    n_out = sum(int(r["n_out"]) for r in agg)
+    los = [r["lo"] for r in agg if r["lo"] is not None]
+    his = [r["hi"] for r in agg if r["hi"] is not None]
+    return pa.Table.from_pylist([{
+        "median": _round6(med), "mad": _round6(mad),
+        "cutoff": _round6(cut), "n_outliers": n_out,
+        "min_outlier": _round6(min(los)) if los else None,
+        "max_outlier": _round6(max(his)) if his else None}])
+
+
+MODIFIED_ZSCORE_SQL = """
+WITH u AS (
+  SELECT l_extendedprice AS x,
+         CAST(round(l_extendedprice*100) AS BIGINT) AS u FROM lineitem),
+med AS (
+  SELECT quantile_cont(u, 0.5) / 100.0 AS med,
+         CAST(round(2 * quantile_cont(u, 0.5)) AS BIGINT) AS m2 FROM u),
+madv AS (
+  SELECT med.med,
+         quantile_cont(abs(2*u.u - med.m2), 0.5) / 2.0 / 100.0 AS mad
+  FROM u, med GROUP BY med.med, med.m2),
+c AS (SELECT med, mad, 3.5 * mad / 0.6745 AS cut FROM madv)
+SELECT round(c.med, 6) AS median, round(c.mad, 6) AS mad,
+       round(c.cut, 6) AS cutoff,
+       CAST(count(*) FILTER (WHERE abs(u.x - c.med) > c.cut) AS BIGINT)
+         AS n_outliers,
+       round(min(u.x) FILTER (WHERE abs(u.x - c.med) > c.cut), 6)
+         AS min_outlier,
+       round(max(u.x) FILTER (WHERE abs(u.x - c.med) > c.cut), 6)
+         AS max_outlier
+FROM u, c GROUP BY c.med, c.mad, c.cut
+"""
+
+
+# ---------------------------------------------------------------------------
+# Cumulative daily revenue: running total + running share of the
+# final total over the day series — the classic cumulative window
+# (SUM OVER ORDER BY). Distributed per-(block, day) integer partials;
+# the running walk is driver math over the day-bounded series.
+# ---------------------------------------------------------------------------
+
+def cumulative_revenue_events(sf_dir: str) -> pa.Table:
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["ts", "value"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        day = pc.floor_temporal(batch.column("ts"), unit="day")
+        v = np.rint(batch.column("value")
+                    .to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        df = pd.DataFrame({"day": day.to_numpy(zero_copy_only=False),
+                           "cents": v})
+        return df.groupby("day", as_index=False).agg(cents=("cents", "sum"))
+
+    rows = sorted(collect_pylist(
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("day").aggregate(Sum("cents", alias_name="cents"))),
+        key=lambda r: r["day"])
+    total = sum(int(r["cents"]) for r in rows)
+    out, run = [], 0
+    for r in rows:
+        run += int(r["cents"])
+        out.append({"day": pd.Timestamp(r["day"]),
+                    "revenue": round(int(r["cents"]) / 100.0, 2),
+                    "cum_revenue": round(run / 100.0, 2),
+                    "cum_share": _round6(run / total)})
+    return pa.Table.from_pylist(out)
+
+
+CUMULATIVE_REVENUE_SQL = """
+WITH d AS (
+  SELECT date_trunc('day', ts) AS day,
+         sum(CAST(round(value*100) AS BIGINT)) AS cents
+  FROM events GROUP BY 1),
+t AS (SELECT CAST(sum(cents) AS DOUBLE) AS total FROM d)
+SELECT day, round(cents / 100.0, 2) AS revenue,
+       round(sum(cents) OVER (ORDER BY day) / 100.0, 2) AS cum_revenue,
+       round(sum(cents) OVER (ORDER BY day) / t.total, 6) AS cum_share
+FROM d, t ORDER BY day
+"""
+
+
+# ---------------------------------------------------------------------------
+# Per-column Shannon entropy profile over the categorical columns of
+# several tables — the profiling statistic that flags constant /
+# near-constant and high-cardinality columns in one number. One
+# combiner pass per column (category-bounded count shuffles), one
+# shared -Σ p·log2(p) derivation.
+# ---------------------------------------------------------------------------
+
+def entropy_profile(sf_dir: str) -> pa.Table:
+    from ray.data.aggregate import Sum
+
+    specs = [("orders", "o_orderstatus"), ("orders", "o_orderpriority"),
+             ("documents", "lang"), ("documents", "source"),
+             ("events", "event_type")]
+    out = []
+    for table, col in specs:
+        ds = _read(sf_dir, table, [col])
+
+        def partial(batch: pa.Table, col=col) -> pa.Table:
+            vals, cnts = np.unique(
+                np.array(batch.column(col).to_pylist(), dtype=object),
+                return_counts=True)
+            return pa.table({"v": pa.array(list(vals), type=pa.string()),
+                             "n": pa.array(cnts, type=pa.int64())})
+
+        counts = collect_pylist(
+            ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("v").aggregate(Sum("n", alias_name="n")))
+        n = sum(int(r["n"]) for r in counts)
+        ent = 0.0
+        for r in sorted(counts, key=lambda r: r["v"]):
+            p = int(r["n"]) / n
+            ent += -p * np.log2(p)
+        out.append({"tbl": table, "col": col, "n_distinct": len(counts),
+                    "entropy": _round6(ent),
+                    "norm_entropy": _round6(
+                        ent / np.log2(len(counts)))
+                    if len(counts) > 1 else 0.0})
+    return pa.Table.from_pylist(out)
+
+
+ENTROPY_PROFILE_SQL = """
+WITH cells AS (
+  SELECT 'orders' AS tbl, 'o_orderstatus' AS col,
+         o_orderstatus AS v, count(*) AS n FROM orders GROUP BY 3
+  UNION ALL
+  SELECT 'orders', 'o_orderpriority', o_orderpriority, count(*)
+  FROM orders GROUP BY 3
+  UNION ALL
+  SELECT 'documents', 'lang', lang, count(*) FROM documents GROUP BY 3
+  UNION ALL
+  SELECT 'documents', 'source', source, count(*) FROM documents GROUP BY 3
+  UNION ALL
+  SELECT 'events', 'event_type', event_type, count(*)
+  FROM events GROUP BY 3),
+tot AS (
+  SELECT tbl, col, CAST(sum(n) AS DOUBLE) AS t,
+         CAST(count(*) AS BIGINT) AS k
+  FROM cells GROUP BY tbl, col),
+e AS (
+  SELECT c.tbl, c.col, tot.k,
+         sum(-(c.n / tot.t) * log2(c.n / tot.t) ORDER BY c.v) AS ent
+  FROM cells c JOIN tot ON c.tbl = tot.tbl AND c.col = tot.col
+  GROUP BY c.tbl, c.col, tot.k)
+SELECT tbl, col, k AS n_distinct, round(ent, 6) AS entropy,
+       CASE WHEN k > 1 THEN round(ent / log2(k), 6) ELSE 0.0 END
+         AS norm_entropy
+FROM e ORDER BY tbl, col
+"""

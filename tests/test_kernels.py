@@ -319,3 +319,51 @@ class TestDriftMath:
                                        actual_above=int((y > edges[-1]).sum()))
         d_exact, _ = ks_2samp_exact(x, y)
         assert d_hist == pytest.approx(d_exact, abs=0.01)
+
+
+class TestCountMin:
+    def test_one_sided_and_bounded_error(self):
+        from collections import Counter
+
+        from tanml_ray.kernels.countmin import CountMin
+
+        rng = np.random.default_rng(7)
+        # zipf-ish stream: heavy skew is CMS's target regime
+        items = [f"tok{int(v)}" for v in rng.zipf(1.5, 20_000) if v < 5000]
+        truth = Counter(items)
+        sk = CountMin(width=2048, depth=4)
+        sk.update(items)
+        eps_n = (np.e / 2048) * len(items)
+        for tok, true_c in list(truth.items())[:500]:
+            est = sk.query(tok)
+            assert est >= true_c  # one-sided
+            assert est <= true_c + 3 * eps_n
+
+    def test_merge_equals_single_pass(self):
+        from tanml_ray.kernels.countmin import CountMin
+
+        a = CountMin(width=256, depth=3)
+        b = CountMin(width=256, depth=3)
+        a.update(["x", "y", "x"])
+        b.update(["x", "z"], counts=[5, 2])
+        whole = CountMin(width=256, depth=3)
+        whole.update(["x", "y", "x"])
+        whole.update(["x", "z"], counts=[5, 2])
+        a.merge(b)
+        assert np.array_equal(a.table, whole.table) and a.n == whole.n
+
+    def test_roundtrip_bytes(self):
+        from tanml_ray.kernels.countmin import CountMin
+
+        sk = CountMin(width=128, depth=5)
+        sk.update(list("abcabcababc"))
+        rt = CountMin.from_bytes(sk.to_bytes())
+        assert np.array_equal(rt.table, sk.table)
+        assert (rt.width, rt.depth, rt.n) == (sk.width, sk.depth, sk.n)
+        assert rt.query("a") == sk.query("a")
+
+    def test_shape_mismatch_raises(self):
+        from tanml_ray.kernels.countmin import CountMin
+
+        with pytest.raises(ValueError):
+            CountMin(width=64, depth=2).merge(CountMin(width=32, depth=2))

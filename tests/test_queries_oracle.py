@@ -47,6 +47,8 @@ FAST_QUERIES = [
     "vocab_coverage_documents", "zipf_slope_documents",
     "ntile_deciles_orders", "event_transitions_events", "ttr_documents",
     "kappa_quality_documents", "line_dedup_documents",
+    "modified_zscore_outliers_lineitem", "cumulative_revenue_events",
+    "entropy_profile",
 ]
 
 
