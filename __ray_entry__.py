@@ -175,6 +175,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "modified_zscore_outliers_lineitem": q.modified_zscore_outliers_lineitem,
         "cumulative_revenue_events": q.cumulative_revenue_events,
         "entropy_profile": q.entropy_profile,
+        "knn_cosine_ivfpq_embeddings": q.knn_cosine_ivfpq_embeddings,
     }
 
 

@@ -5650,3 +5650,29 @@ SELECT tbl, col, k AS n_distinct, round(ent, 6) AS entropy,
          AS norm_entropy
 FROM e ORDER BY tbl, col
 """
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ ANN (similarity.build_ivfpq_index/knn_cosine_ivfpq): coarse
+# centroid partitioning + product-quantized residuals — the
+# FAISS-style composition of the two existing scale paths. Rows-only
+# check (recall/determinism/pruning are the pytest contract,
+# tests/test_dedup_text.py TestIvfPqKnn).
+# ---------------------------------------------------------------------------
+
+def knn_cosine_ivfpq_embeddings(sf_dir: str) -> pa.Table:
+    import os
+
+    from tanml_ray.pipelines.similarity import (
+        build_ivfpq_index,
+        knn_cosine_ivfpq,
+    )
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    st = os.stat(f"{sf_dir}/embeddings.parquet")
+    tag = sf_dir.rstrip("/").split("/")[-1]
+    idx = f"/tmp/tanml_ivfpq_{tag}_{st.st_size}_{st.st_mtime_ns}"
+    if not os.path.exists(os.path.join(idx, "_ivfpq_meta.json")):
+        build_ivfpq_index(ds, idx, m=8, ksub=16)
+    return knn_cosine_ivfpq(idx, _query_vectors(sf_dir, _KNN_QUERY_IDS),
+                            k=10, n_probe=8)

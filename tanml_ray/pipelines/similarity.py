@@ -415,7 +415,8 @@ def group_centroids(ds, label_col: str = "label",
 
 def build_pq_codebook(ds, m: int = 8, ksub: int = 16, iters: int = 5,
                       id_col: str = "vec_id",
-                      vec_col: str = "embedding") -> np.ndarray:
+                      vec_col: str = "embedding",
+                      normalize: bool = True) -> np.ndarray:
     """Returns centroids of shape (m, ksub, d/m) trained on the
     NORMALIZED vectors (cosine = dot on the unit sphere, so PQ
     approximates cosine directly). Init is the ksub data points with
@@ -433,7 +434,9 @@ def build_pq_codebook(ds, m: int = 8, ksub: int = 16, iters: int = 5,
             return pa.table({"hkey": pa.array([], type=pa.string()),
                              "vec": pa.array([], type=pa.list_(pa.float64()))})
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
-        v = _normalize(_batch_matrix(batch, vec_col))
+        v = _batch_matrix(batch, vec_col)
+        if normalize:
+            v = _normalize(v)
         keys = [hashlib.md5(str(int(i)).encode()).hexdigest() for i in ids]
         order = np.argsort(np.asarray(keys))[:ksub]
         return pa.table({"hkey": pa.array([keys[j] for j in order]),
@@ -466,7 +469,9 @@ def build_pq_codebook(ds, m: int = 8, ksub: int = 16, iters: int = 5,
                                  "cluster": pa.array([], type=pa.int64()),
                                  "n": pa.array([], type=pa.int64()),
                                  "sums": pa.array([], type=pa.list_(pa.float64()))})
-            v = _normalize(_batch_matrix(batch, vec_col))
+            v = _batch_matrix(batch, vec_col)
+            if normalize:
+                v = _normalize(v)
             rows_sub, rows_cl, rows_n, rows_s = [], [], [], []
             for s in range(Cl.shape[0]):
                 vs = v[:, s * dsub:(s + 1) * dsub]
@@ -498,7 +503,7 @@ def build_pq_codebook(ds, m: int = 8, ksub: int = 16, iters: int = 5,
 
 
 def pq_encode(ds, codebook: np.ndarray, id_col: str = "vec_id",
-              vec_col: str = "embedding"):
+              vec_col: str = "embedding", normalize: bool = True):
     """One streaming pass → Dataset of (vec_id, codes list<uint8>)."""
     import ray
 
@@ -512,7 +517,9 @@ def pq_encode(ds, codebook: np.ndarray, id_col: str = "vec_id",
         if batch.num_rows == 0:
             return pa.table({id_col: pa.array([], type=pa.int64()),
                              "codes": pa.array([], type=pa.list_(pa.uint8()))})
-        v = _normalize(_batch_matrix(batch, vec_col))
+        v = _batch_matrix(batch, vec_col)
+        if normalize:
+            v = _normalize(v)
         codes = np.empty((v.shape[0], m), dtype=np.uint8)
         for s in range(m):
             vs = v[:, s * dsub:(s + 1) * dsub]
@@ -570,5 +577,181 @@ def knn_cosine_pq(codes_ds, codebook: np.ndarray,
                                          .ravel(), type=pa.float64())})
 
     partials = codes_ds.map_batches(local_topk, batch_format="pyarrow")
+    return _merge_topk(collect_pylist(partials), k,
+                       exclude_self=exclude_self)
+
+
+def build_ivfpq_index(ds, out_dir: str, n_centroids: int | None = None,
+                      m: int = 8, ksub: int = 16, iters: int = 5,
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> str:
+    """IVF-PQ index (Jégou et al. 2011 §IV): IVF centroid partitioning
+    + product-quantized RESIDUALS (r = v_norm − centroid[cell], the
+    classic coarse+fine decomposition; one shared residual codebook
+    across cells — FAISS IVFPQ's default). Layout is the IVF hive
+    partitioning (`cell=<c>/…`) holding (vec_id, cell_id, codes):
+    queries prune to n_probe cells by path and ADC-scan m uint8 codes
+    per row — float vectors are never read at query time. cell_id is
+    duplicated as a data column because path-pruned reads don't
+    surface hive fields.
+
+    Deterministic throughout (Lloyd centroids + md5-sampled PQ seeds
+    are partition-order independent); atomic build via tmp dir +
+    os.replace (same rationale as build_ivf_index).
+    """
+    import json
+    import os
+    import shutil
+
+    import ray
+
+    from tanml_ray.pipelines.dedup import _kmeans_unit_vectors
+
+    src = ds.select_columns([id_col, vec_col]).materialize()
+    n = src.count()
+    k = n_centroids or max(2, int(np.sqrt(max(n, 4))))
+    centers = _kmeans_unit_vectors(src, id_col, vec_col, k)
+    cref = ray.put(centers)
+
+    def residual(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        C = _ray.get(cref)
+        if batch.num_rows == 0:
+            return pa.table({id_col: pa.array([], type=pa.int64()),
+                             "cell_id": pa.array([], type=pa.int64()),
+                             vec_col: pa.array([], type=pa.list_(pa.float64()))})
+        v = _normalize(_batch_matrix(batch, vec_col))
+        d = ((v ** 2).sum(axis=1, keepdims=True)
+             + (C ** 2).sum(axis=1)[None, :] - 2.0 * (v @ C.T))
+        cell = d.argmin(axis=1)
+        r = v - C[cell]
+        return pa.table({id_col: batch.column(id_col),
+                         "cell_id": pa.array(cell.astype(np.int64)),
+                         vec_col: pa.array([row.tolist() for row in r],
+                                           type=pa.list_(pa.float64()))})
+
+    residuals = src.map_batches(residual, batch_format="pyarrow") \
+        .materialize()
+    codebook = build_pq_codebook(residuals, m=m, ksub=ksub, iters=iters,
+                                 id_col=id_col, vec_col=vec_col,
+                                 normalize=False)
+
+    # encode inline so cell_id rides along with the codes (pq_encode
+    # would drop it and force a join)
+    cbref = ray.put(codebook)
+    dsub = codebook.shape[2]
+
+    def enc(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        Cl = _ray.get(cbref)
+        if batch.num_rows == 0:
+            return pa.table({id_col: pa.array([], type=pa.int64()),
+                             "cell_id": pa.array([], type=pa.int64()),
+                             "codes": pa.array([], type=pa.list_(pa.uint8()))})
+        v = _batch_matrix(batch, vec_col)  # residuals: NOT re-normalized
+        codes = np.empty((v.shape[0], m), dtype=np.uint8)
+        for s in range(m):
+            vs = v[:, s * dsub:(s + 1) * dsub]
+            Cs = Cl[s]
+            dist = ((vs ** 2).sum(axis=1, keepdims=True)
+                    + (Cs ** 2).sum(axis=1)[None, :] - 2.0 * (vs @ Cs.T))
+            codes[:, s] = dist.argmin(axis=1)
+        return pa.table({id_col: batch.column(id_col),
+                         "cell_id": batch.column("cell_id"),
+                         "codes": pa.array(list(codes),
+                                           type=pa.list_(pa.uint8()))})
+
+    assembled = residuals.map_batches(enc, batch_format="pyarrow")
+
+    tmp_dir = out_dir + ".ivfpq_tmp"
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    os.makedirs(tmp_dir, exist_ok=True)
+    assembled.map_batches(
+        lambda b: b.append_column("cell", b.column("cell_id")),
+        batch_format="pyarrow").write_parquet(tmp_dir,
+                                              partition_cols=["cell"])
+    np.save(os.path.join(tmp_dir, "_ivfpq_centroids.npy"), centers)
+    np.save(os.path.join(tmp_dir, "_ivfpq_codebook.npy"), codebook)
+    with open(os.path.join(tmp_dir, "_ivfpq_meta.json"), "w") as f:
+        json.dump({"n_centroids": int(k), "m": int(m), "ksub": int(ksub),
+                   "id_col": id_col, "vec_col": vec_col}, f)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.replace(tmp_dir, out_dir)
+    return out_dir
+
+
+def knn_cosine_ivfpq(index_dir: str, queries: dict[int, np.ndarray],
+                     k: int = 10, n_probe: int = 4,
+                     exclude_self: bool = True) -> pa.Table:
+    """Approximate cosine top-k over a build_ivfpq_index layout:
+    sim(q, v) = q·centroid[cell] + q·residual ≈ q·centroid[cell] +
+    ADC(q, codes) — the coarse term gathers from the bounded centroid
+    matrix; the fine term is one (m, ksub) LUT gather per subspace.
+    Only the n_probe nearest cells per query are read (path-level
+    pruning). Raise n_probe / m for recall, lower for scan cost."""
+    import json
+    import os
+
+    import ray
+    import ray.data as rd
+
+    with open(os.path.join(index_dir, "_ivfpq_meta.json")) as f:
+        meta = json.load(f)
+    centers = np.load(os.path.join(index_dir, "_ivfpq_centroids.npy"))
+    codebook = np.load(os.path.join(index_dir, "_ivfpq_codebook.npy"))
+    m, ksub, dsub = codebook.shape
+    id_col = meta["id_col"]
+
+    qids = sorted(queries)
+    qmat = _normalize(np.stack([np.asarray(queries[q], dtype=np.float64)
+                                for q in qids]))
+    d = ((qmat ** 2).sum(axis=1, keepdims=True)
+         + (centers ** 2).sum(axis=1)[None, :] - 2.0 * (qmat @ centers.T))
+    probe = min(n_probe, centers.shape[0])
+    cells = {int(c) for row in np.argpartition(d, probe - 1, axis=1)[:, :probe]
+             for c in row}
+    paths = [os.path.join(p, f)
+             for c in sorted(cells)
+             if os.path.isdir(p := os.path.join(index_dir, f"cell={c}"))
+             for f in sorted(os.listdir(p)) if f.endswith(".parquet")]
+    if not paths:
+        return pa.table({"query_id": pa.array([], type=pa.int64()),
+                         "vec_id": pa.array([], type=pa.int64()),
+                         "sim": pa.array([], type=pa.float64())})
+
+    coarse = qmat @ centers.T                      # (n_q, k_cells)
+    lut = np.einsum("qsd,sjd->qsj", qmat.reshape(len(qids), m, dsub),
+                    codebook)                      # (n_q, m, ksub)
+    ref = ray.put((qids, coarse, lut))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        qids_l, coarse_l, lut_l = _ray.get(ref)
+        if batch.num_rows == 0:
+            return pa.table({"query_id": pa.array([], type=pa.int64()),
+                             "vec_id": pa.array([], type=pa.int64()),
+                             "sim": pa.array([], type=pa.float64())})
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        cell = batch.column("cell_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        codes = np.stack(batch.column("codes").to_pylist()).astype(np.int64)
+        n = codes.shape[0]
+        sims = coarse_l[:, cell].astype(np.float64)     # (n_q, n)
+        for s in range(lut_l.shape[1]):
+            sims += lut_l[:, s, :][:, codes[:, s]]
+        top = min(k + (1 if exclude_self else 0), n)
+        idx = np.argpartition(-sims, top - 1, axis=1)[:, :top]
+        qcol = np.repeat(np.asarray(qids_l, dtype=np.int64), top)
+        return pa.table({"query_id": pa.array(qcol, type=pa.int64()),
+                         "vec_id": pa.array(ids[idx].ravel(),
+                                            type=pa.int64()),
+                         "sim": pa.array(np.take_along_axis(sims, idx, axis=1)
+                                         .ravel(), type=pa.float64())})
+
+    partials = rd.read_parquet(paths).map_batches(local_topk,
+                                                  batch_format="pyarrow")
     return _merge_topk(collect_pylist(partials), k,
                        exclude_self=exclude_self)
