@@ -176,6 +176,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cumulative_revenue_events": q.cumulative_revenue_events,
         "entropy_profile": q.entropy_profile,
         "knn_cosine_ivfpq_embeddings": q.knn_cosine_ivfpq_embeddings,
+        "daily_value_quantiles_events": q.daily_value_quantiles_events,
+        "mannwhitney_quantity_returnflag": q.mannwhitney_quantity_returnflag,
+        "basket_lift_events": q.basket_lift_events,
     }
 
 
@@ -303,6 +306,9 @@ def oracle_sql() -> dict[str, str]:
         "modified_zscore_outliers_lineitem": q.MODIFIED_ZSCORE_SQL,
         "cumulative_revenue_events": q.CUMULATIVE_REVENUE_SQL,
         "entropy_profile": q.ENTROPY_PROFILE_SQL,
+        "daily_value_quantiles_events": q.DAILY_QUANTILES_SQL,
+        "mannwhitney_quantity_returnflag": q.MANNWHITNEY_SQL,
+        "basket_lift_events": q.BASKET_LIFT_SQL,
         # langid / lsh-knn / minhash / simhash / logistic_cv (iterative
         # IRLS): not SQL-expressible → rows-only driver check; verified
         # in pytest instead.

@@ -5676,3 +5676,213 @@ def knn_cosine_ivfpq_embeddings(sf_dir: str) -> pa.Table:
         build_ivfpq_index(ds, idx, m=8, ksub=16)
     return knn_cosine_ivfpq(idx, _query_vectors(sf_dir, _KNN_QUERY_IDS),
                             k=10, n_probe=8)
+
+
+# ---------------------------------------------------------------------------
+# Per-day exact value quantiles (p50/p95 trend over the event stream)
+# — grouped quantile_cont parity WITHOUT a distributed sort: one
+# combiner pass of (day, cents, n) value-count partials (bounded by
+# days × value grid, not rows), exact interpolation per day on the
+# driver. The time-series twin of price_quantiles_by_priority.
+# ---------------------------------------------------------------------------
+
+def daily_value_quantiles_events(sf_dir: str) -> pa.Table:
+    from ray.data.aggregate import Sum
+
+    from tanml_ray.stages.quantiles import quantile_cont_from_counts
+
+    ds = _read(sf_dir, "events", ["ts", "value"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        day = pc.floor_temporal(batch.column("ts"), unit="day")
+        v = np.rint(batch.column("value")
+                    .to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        df = pd.DataFrame({"day": day.to_numpy(zero_copy_only=False),
+                           "cents": v})
+        return (df.groupby(["day", "cents"], as_index=False)
+                .agg(n=("cents", "size")))
+
+    rows = collect_pylist(
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["day", "cents"]).aggregate(Sum("n", alias_name="n")))
+    by_day: dict = {}
+    for r in rows:
+        by_day.setdefault(r["day"], []).append((int(r["cents"]), int(r["n"])))
+    out = []
+    for day in sorted(by_day):
+        vc = sorted(by_day[day])
+        vals = np.array([v for v, _ in vc], dtype=np.float64)
+        cum = np.cumsum([n for _, n in vc])
+        out.append({"day": pd.Timestamp(day), "n": int(cum[-1]),
+                    "p50": _round6(quantile_cont_from_counts(
+                        vals, cum, 0.5) / 100.0),
+                    "p95": _round6(quantile_cont_from_counts(
+                        vals, cum, 0.95) / 100.0)})
+    return pa.Table.from_pylist(out)
+
+
+DAILY_QUANTILES_SQL = """
+SELECT date_trunc('day', ts) AS day, CAST(count(*) AS BIGINT) AS n,
+       round(quantile_cont(CAST(round(value*100) AS BIGINT), 0.5)
+             / 100.0, 6) AS p50,
+       round(quantile_cont(CAST(round(value*100) AS BIGINT), 0.95)
+             / 100.0, 6) AS p95
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Mann-Whitney U (Wilcoxon rank-sum) between two groups — the
+# nonparametric two-sample test beside KS (A8), computed EXACTLY from
+# the shared integer value grid: midranks come from the merged value
+# counts (ties handled by construction), the normal z uses the
+# standard tie-corrected variance. One grid-bounded combiner pass;
+# rank arithmetic on the driver over the bounded grid.
+# ---------------------------------------------------------------------------
+
+def mannwhitney_quantity_returnflag(sf_dir: str) -> pa.Table:
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        flag = np.asarray(batch.column("l_returnflag").to_pylist(),
+                          dtype=object)
+        q = np.rint(batch.column("l_quantity")
+                    .to_numpy(zero_copy_only=False)).astype(np.int64)
+        keep = (flag == "A") | (flag == "R")
+        df = pd.DataFrame({"g": flag[keep], "v": q[keep]})
+        return df.groupby(["g", "v"], as_index=False).agg(n=("v", "size"))
+
+    grid: dict[int, list] = {}
+    for r in collect_pylist(
+            ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(["g", "v"]).aggregate(Sum("n", alias_name="n"))):
+        a = grid.setdefault(int(r["v"]), [0, 0])
+        a[0 if r["g"] == "A" else 1] += int(r["n"])
+    n1 = sum(a[0] for a in grid.values())
+    n2 = sum(a[1] for a in grid.values())
+    r1 = 0.0       # rank sum of group A with midranks
+    tie_term = 0.0  # Σ (t³ - t) over tied groups
+    below = 0
+    for v in sorted(grid):
+        c1, c2 = grid[v]
+        t = c1 + c2
+        midrank = below + (t + 1) / 2.0
+        r1 += c1 * midrank
+        tie_term += t ** 3 - t
+        below += t
+    n = n1 + n2
+    u1 = r1 - n1 * (n1 + 1) / 2.0
+    u2 = n1 * n2 - u1
+    mu = n1 * n2 / 2.0
+    var = (n1 * n2 / 12.0) * ((n + 1) - tie_term / (n * (n - 1.0)))
+    z = (u1 - mu) / np.sqrt(var)
+    return pa.Table.from_pylist([{
+        "n1": n1, "n2": n2, "u1": _round6(u1), "u2": _round6(u2),
+        "z": _round6(float(z))}])
+
+
+MANNWHITNEY_SQL = """
+WITH src AS (
+  SELECT l_returnflag AS g, CAST(round(l_quantity) AS BIGINT) AS v
+  FROM lineitem WHERE l_returnflag IN ('A', 'R')),
+grid AS (
+  SELECT v,
+         CAST(count(*) FILTER (WHERE g = 'A') AS BIGINT) AS c1,
+         CAST(count(*) FILTER (WHERE g = 'R') AS BIGINT) AS c2
+  FROM src GROUP BY v),
+walk AS (
+  SELECT v, c1, c2, c1 + c2 AS t,
+         coalesce(sum(c1 + c2) OVER (ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS below
+  FROM grid),
+s AS (
+  SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2,
+         sum(c1 * (below + (t + 1) / 2.0)) AS r1,
+         sum(t*t*t - t) AS tie_term
+  FROM walk)
+SELECT n1, n2,
+       round(r1 - n1 * (n1 + 1) / 2.0, 6) AS u1,
+       round(n1 * CAST(n2 AS DOUBLE) - (r1 - n1 * (n1 + 1) / 2.0), 6) AS u2,
+       round(((r1 - n1 * (n1 + 1) / 2.0) - n1 * n2 / 2.0)
+             / sqrt((n1 * CAST(n2 AS DOUBLE) / 12.0)
+                    * ((n1 + n2 + 1)
+                       - tie_term / ((n1 + n2) * (n1 + n2 - 1.0)))), 6)
+         AS z
+FROM s
+"""
+
+
+# ---------------------------------------------------------------------------
+# Market-basket association rules over per-user event types:
+# support / confidence / lift for every ordered type pair (a → b)
+# co-occurring in a user's history. One groupby(user) shuffle with
+# vectorized distinct-type pair expansion per user; the pair/count
+# aggregate is category²-bounded; the rule math is driver arithmetic
+# over that bounded table.
+# ---------------------------------------------------------------------------
+
+def basket_lift_events(sf_dir: str) -> pa.Table:
+    from itertools import permutations
+
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def per_user(group: pd.DataFrame) -> pd.DataFrame:
+        types = sorted(set(group["event_type"]))
+        rows = [{"a": t, "b": "", "n": 1} for t in types]
+        rows += [{"a": a, "b": b, "n": 1}
+                 for a, b in permutations(types, 2)]
+        return pd.DataFrame(rows)
+
+    counts = collect_pylist(
+        ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+        .groupby(["a", "b"]).aggregate(Sum("n", alias_name="n")))
+    singles = {r["a"]: int(r["n"]) for r in counts if r["b"] == ""}
+    n_users_ds = _read(sf_dir, "events", ["user_id"])
+    n_users = len(set(
+        u for r in collect_pylist(
+            n_users_ds.map_batches(
+                lambda b: pa.table({"u": pa.array(
+                    np.unique(b.column("user_id")
+                              .to_numpy(zero_copy_only=False)))}),
+                batch_format="pyarrow"))
+        for u in [r["u"]]))
+    out = []
+    for r in sorted((r for r in counts if r["b"] != ""),
+                    key=lambda r: (r["a"], r["b"])):
+        n_ab = int(r["n"])
+        n_a, n_b = singles[r["a"]], singles[r["b"]]
+        out.append({"a": r["a"], "b": r["b"], "n_a": n_a, "n_b": n_b,
+                    "n_ab": n_ab,
+                    "support": _round6(n_ab / n_users),
+                    "confidence": _round6(n_ab / n_a),
+                    "lift": _round6((n_ab / n_a) / (n_b / n_users))})
+    return pa.Table.from_pylist(out)
+
+
+BASKET_LIFT_SQL = """
+WITH ut AS (
+  SELECT DISTINCT user_id, event_type FROM events),
+nu AS (SELECT CAST(count(DISTINCT user_id) AS DOUBLE) AS n_users
+       FROM events),
+singles AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM ut GROUP BY 1),
+pairs AS (
+  SELECT x.event_type AS a, y.event_type AS b,
+         CAST(count(*) AS BIGINT) AS n_ab
+  FROM ut x JOIN ut y ON x.user_id = y.user_id
+                      AND x.event_type <> y.event_type
+  GROUP BY 1, 2)
+SELECT p.a, p.b, sa.n AS n_a, sb.n AS n_b, p.n_ab,
+       round(p.n_ab / nu.n_users, 6) AS support,
+       round(p.n_ab / CAST(sa.n AS DOUBLE), 6) AS confidence,
+       round((p.n_ab / CAST(sa.n AS DOUBLE))
+             / (sb.n / nu.n_users), 6) AS lift
+FROM pairs p JOIN singles sa ON sa.event_type = p.a
+             JOIN singles sb ON sb.event_type = p.b, nu
+ORDER BY p.a, p.b
+"""

@@ -48,7 +48,8 @@ FAST_QUERIES = [
     "ntile_deciles_orders", "event_transitions_events", "ttr_documents",
     "kappa_quality_documents", "line_dedup_documents",
     "modified_zscore_outliers_lineitem", "cumulative_revenue_events",
-    "entropy_profile",
+    "entropy_profile", "daily_value_quantiles_events",
+    "mannwhitney_quantity_returnflag", "basket_lift_events",
 ]
 
 
