@@ -179,6 +179,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "daily_value_quantiles_events": q.daily_value_quantiles_events,
         "mannwhitney_quantity_returnflag": q.mannwhitney_quantity_returnflag,
         "basket_lift_events": q.basket_lift_events,
+        "dsir_weights_documents": q.dsir_weights_documents,
     }
 
 
@@ -309,6 +310,7 @@ def oracle_sql() -> dict[str, str]:
         "daily_value_quantiles_events": q.DAILY_QUANTILES_SQL,
         "mannwhitney_quantity_returnflag": q.MANNWHITNEY_SQL,
         "basket_lift_events": q.BASKET_LIFT_SQL,
+        "dsir_weights_documents": q.DSIR_SQL,
         # langid / lsh-knn / minhash / simhash / logistic_cv (iterative
         # IRLS): not SQL-expressible → rows-only driver check; verified
         # in pytest instead.

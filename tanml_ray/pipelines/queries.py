@@ -5886,3 +5886,67 @@ FROM pairs p JOIN singles sa ON sa.event_type = p.a
              JOIN singles sb ON sb.event_type = p.b, nu
 ORDER BY p.a, p.b
 """
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights (webtext.dsir_weights): log w(d) =
+# log p_target(d) − log p_raw(d) under two unigram LMs, target = the
+# Gopher-rule-pass subset. The oracle re-derives both LM score chains
+# (UNIGRAM_LM_SQL's CTEs; the target side LEFT-JOINs so OOV words get
+# the 1/denom smoothing mass exactly like the engine) and mirrors the
+# engine's round(6) nll intermediates before the weight product.
+# ---------------------------------------------------------------------------
+
+def dsir_weights_documents(sf_dir: str) -> pa.Table:
+    from tanml_ray.pipelines.webtext import dsir_weights
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = dsir_weights(ds)
+    rows = sorted(collect_pylist(out), key=lambda r: r["doc_id"])
+    return pa.Table.from_pylist(rows)
+
+
+DSIR_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+), counts_raw AS (
+  SELECT w, count(*) AS c FROM toks GROUP BY w
+), tot_raw AS (
+  SELECT CAST(sum(c) AS DOUBLE) + count(*) AS denom FROM counts_raw
+), target_docs AS (
+  SELECT doc_id FROM documents
+  WHERE CASE WHEN len(regexp_extract_all(text, '\S+'))
+                  BETWEEN 50 AND 100000
+             AND len(regexp_extract_all(text, '\S'))
+                 / CAST(greatest(len(regexp_extract_all(text, '\S+')), 1)
+                        AS DOUBLE) BETWEEN 3.0 AND 10.0
+             AND len(regexp_extract_all(text, '\S*[A-Za-z]\S*'))
+                 / CAST(greatest(len(regexp_extract_all(text, '\S+')), 1)
+                        AS DOUBLE) > 0.80
+             AND len(regexp_extract_all(
+                   text, '\b(the|and|of|to|in|is|that|for|was|on)\b')) >= 2
+           THEN 1 ELSE 0 END = 1
+), toks_t AS (
+  SELECT t.w FROM toks t JOIN target_docs d ON t.doc_id = d.doc_id
+), counts_t AS (
+  SELECT w, count(*) AS c FROM toks_t GROUP BY w
+), tot_t AS (
+  SELECT CAST(sum(c) AS DOUBLE) + count(*) AS denom FROM counts_t
+), raw_scored AS (
+  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         round(-sum(ln((c.c + 1) / tr.denom)) / count(*), 6) AS nll_raw
+  FROM toks t JOIN counts_raw c ON t.w = c.w CROSS JOIN tot_raw tr
+  GROUP BY t.doc_id
+), t_scored AS (
+  SELECT t.doc_id,
+         round(-sum(ln(coalesce(c.c + 1.0, 1.0) / tt.denom)) / count(*), 6)
+           AS nll_target
+  FROM toks t LEFT JOIN counts_t c ON t.w = c.w CROSS JOIN tot_t tt
+  GROUP BY t.doc_id
+)
+SELECT r.doc_id, r.n_tokens, r.nll_raw, s.nll_target,
+       round(r.n_tokens * (r.nll_raw - s.nll_target), 6) AS log_weight
+FROM raw_scored r JOIN t_scored s ON r.doc_id = s.doc_id
+ORDER BY r.doc_id
+"""

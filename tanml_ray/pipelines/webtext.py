@@ -1283,3 +1283,61 @@ def source_overlap(ds, n: int = 3, text_col: str = "text",
          "n_b": pa.array([], type=pa.int64()),
          "inter": pa.array([], type=pa.int64()),
          "jaccard": pa.array([], type=pa.float64())})
+
+
+def dsir_weights(ds, text_col: str = "text", id_col: str = "doc_id",
+                 min_count: int = 1,
+                 lm_driver_budget: int = 256 << 20):
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling" — public method):
+    log w(d) = log p_target(d) − log p_raw(d) under two unigram LMs,
+    here with the Gopher rule-pass subset as the target distribution
+    (the standard bootstrap when no curated target corpus exists).
+    Feeding these weights into weighted_sample_per_group completes the
+    published select-by-importance-resampling loop.
+
+    Three streaming passes, all vocab-bounded: train the raw LM on the
+    corpus, the target LM on the rule-passing subset (one extra count
+    shuffle), score each doc under both (shuffle-free), then one
+    hash-partitioned join on doc_id aligns the two score tables —
+    nothing corpus-sized touches the driver.
+
+    Returns (doc_id, n_tokens, nll_raw, nll_target, log_weight) for
+    docs with >= 1 token, sorted by doc_id;
+    log_weight = n_tokens · (nll_raw − nll_target) (positive ⇒ the doc
+    looks more like the target than the raw corpus). The per-doc nll
+    values are the round(6) outputs of unigram_lm_scores — the SQL
+    oracle mirrors that intermediate rounding.
+    """
+    from tanml_ray.pipelines.join import partitioned_join
+
+    def keep_pass(batch: pa.Table) -> pa.Table:
+        sig = gopher_signals_batch(batch, text_col=text_col, id_col=id_col)
+        return batch.filter(pc.equal(sig.column("gopher_pass"), 1))
+
+    target = ds.map_batches(keep_pass, batch_format="pyarrow")
+    raw_scores = unigram_lm_scores(
+        ds, text_col=text_col, id_col=id_col, min_count=min_count,
+        lm_driver_budget=lm_driver_budget)
+    t_scores = unigram_lm_scores(
+        ds, text_col=text_col, id_col=id_col, counts_ds=target,
+        min_count=min_count, lm_driver_budget=lm_driver_budget)
+
+    joined = partitioned_join(
+        raw_scores.select_columns([id_col, "n_tokens", "nll"]),
+        t_scores.select_columns([id_col, "nll"]),
+        key=id_col)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch.column("n_tokens").to_numpy(zero_copy_only=False)
+        r = batch.column("nll_x").to_numpy(zero_copy_only=False)
+        t = batch.column("nll_y").to_numpy(zero_copy_only=False)
+        return pa.table({
+            id_col: batch.column(id_col),
+            "n_tokens": batch.column("n_tokens"),
+            "nll_raw": batch.column("nll_x"),
+            "nll_target": batch.column("nll_y"),
+            "log_weight": pa.array(np.round(n * (r - t), 6),
+                                   type=pa.float64())})
+
+    return joined.map_batches(finish, batch_format="pyarrow").sort(id_col)
