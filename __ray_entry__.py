@@ -180,6 +180,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mannwhitney_quantity_returnflag": q.mannwhitney_quantity_returnflag,
         "basket_lift_events": q.basket_lift_events,
         "dsir_weights_documents": q.dsir_weights_documents,
+        "left_join_customer_orders": q.left_join_customer_orders,
+        "info_gain_orders": q.info_gain_orders,
+        "calibration_nb_documents": q.calibration_nb_documents,
     }
 
 
@@ -311,6 +314,9 @@ def oracle_sql() -> dict[str, str]:
         "mannwhitney_quantity_returnflag": q.MANNWHITNEY_SQL,
         "basket_lift_events": q.BASKET_LIFT_SQL,
         "dsir_weights_documents": q.DSIR_SQL,
+        "left_join_customer_orders": q.LEFT_JOIN_SQL,
+        "info_gain_orders": q.INFO_GAIN_SQL,
+        "calibration_nb_documents": q.CALIBRATION_NB_SQL,
         # langid / lsh-knn / minhash / simhash / logistic_cv (iterative
         # IRLS): not SQL-expressible → rows-only driver check; verified
         # in pytest instead.

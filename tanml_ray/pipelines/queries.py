@@ -5950,3 +5950,246 @@ SELECT r.doc_id, r.n_tokens, r.nll_raw, s.nll_target,
 FROM raw_scored r JOIN t_scored s ON r.doc_id = s.doc_id
 ORDER BY r.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# LEFT OUTER partitioned join: every customer keeps a row, order
+# count fills 0 when no orders match — exercising partitioned_join's
+# null-preserving left path (the right side is pre-aggregated to
+# (custkey, n) ints by a combiner, so the join ships counts, never
+# order rows).
+# ---------------------------------------------------------------------------
+
+def left_join_customer_orders(sf_dir: str) -> pa.Table:
+    from ray.data.aggregate import Sum
+
+    from tanml_ray.pipelines.join import partitioned_join
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    orders = _read(sf_dir, "orders", ["o_custkey"])
+
+    def cnt_partial(batch: pa.Table) -> pa.Table:
+        vals, cnts = np.unique(batch.column("o_custkey")
+                               .to_numpy(zero_copy_only=False),
+                               return_counts=True)
+        return pa.table({"c_custkey": pa.array(vals, type=pa.int64()),
+                         "n": pa.array(cnts, type=pa.int64())})
+
+    per_cust = (orders.map_batches(cnt_partial, batch_format="pyarrow")
+                .groupby("c_custkey").aggregate(Sum("n", alias_name="n")))
+    joined = partitioned_join(cust, per_cust, key="c_custkey", how="left")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch.column("n").to_pandas().fillna(0).astype(np.int64)
+        return pa.table({"c_custkey": batch.column("c_custkey"),
+                         "c_mktsegment": batch.column("c_mktsegment"),
+                         "n_orders": pa.array(n.to_numpy(),
+                                              type=pa.int64())})
+
+    rows = sorted(collect_pylist(
+        joined.map_batches(finish, batch_format="pyarrow")),
+        key=lambda r: r["c_custkey"])
+    return pa.Table.from_pylist(rows)
+
+
+LEFT_JOIN_SQL = """
+SELECT c.c_custkey, c.c_mktsegment,
+       CAST(count(o.o_custkey) AS BIGINT) AS n_orders
+FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+GROUP BY c.c_custkey, c.c_mktsegment ORDER BY c.c_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Information-gain feature ranking: IG(Y | X) = H(Y) − H(Y|X) of the
+# order status against each categorical feature — the decision-tree
+# split criterion as a profiling statistic (A19's entropy-based
+# sibling). One (x, y) joint-count combiner pass per feature
+# (category²-bounded shuffles); entropy arithmetic on the driver in a
+# fixed order, mirrored by the SQL's ORDER BY'd aggregates.
+# ---------------------------------------------------------------------------
+
+def info_gain_orders(sf_dir: str) -> pa.Table:
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "orders",
+               ["o_orderstatus", "o_orderpriority", "o_orderdate"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        month = pc.strftime(batch.column("o_orderdate"), format="%m")
+        df = pd.DataFrame({
+            "y": batch.column("o_orderstatus").to_pylist()})
+        out = []
+        for feat, xs in (("o_orderpriority",
+                          batch.column("o_orderpriority").to_pylist()),
+                         ("order_month", month.to_pylist())):
+            d = pd.DataFrame({"feat": feat, "x": xs, "y": df["y"]})
+            out.append(d.groupby(["feat", "x", "y"], as_index=False)
+                       .size().rename(columns={"size": "n"}))
+        return pd.concat(out, ignore_index=True)
+
+    cells = collect_pylist(
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["feat", "x", "y"]).aggregate(Sum("n", alias_name="n")))
+
+    def entropy(counts: list[int]) -> float:
+        tot = sum(counts)
+        return float(sum(-(c / tot) * np.log2(c / tot)
+                         for c in counts if c))
+
+    out = []
+    for feat in sorted({r["feat"] for r in cells}):
+        sub = [r for r in cells if r["feat"] == feat]
+        y_tot: dict = {}
+        x_tot: dict = {}
+        for r in sub:
+            y_tot[r["y"]] = y_tot.get(r["y"], 0) + int(r["n"])
+            x_tot[r["x"]] = x_tot.get(r["x"], 0) + int(r["n"])
+        n = sum(y_tot.values())
+        h_y = entropy([y_tot[k] for k in sorted(y_tot)])
+        h_y_x = 0.0
+        for x in sorted(x_tot):
+            grp = [int(r["n"]) for r in sorted(
+                (r for r in sub if r["x"] == x), key=lambda r: r["y"])]
+            h_y_x += (x_tot[x] / n) * entropy(grp)
+        out.append({"feature": feat, "h_y": _round6(h_y),
+                    "h_y_given_x": _round6(h_y_x),
+                    "info_gain": _round6(h_y - h_y_x)})
+    return pa.Table.from_pylist(out)
+
+
+INFO_GAIN_SQL = """
+WITH src AS (
+  SELECT o_orderstatus AS y, o_orderpriority AS x1,
+         strftime(o_orderdate, '%m') AS x2
+  FROM orders),
+cells AS (
+  SELECT 'o_orderpriority' AS feat, x1 AS x, y, count(*) AS n
+  FROM src GROUP BY 2, 3
+  UNION ALL
+  SELECT 'order_month', x2, y, count(*) FROM src GROUP BY 2, 3),
+tot AS (
+  SELECT feat, CAST(sum(n) AS DOUBLE) AS n FROM cells GROUP BY feat),
+hy AS (
+  SELECT c.feat,
+         sum(-(yc.n / t.n) * log2(yc.n / t.n) ORDER BY yc.y) AS h_y
+  FROM (SELECT feat, y, CAST(sum(n) AS DOUBLE) AS n
+        FROM cells GROUP BY feat, y) yc
+  JOIN tot t ON t.feat = yc.feat
+  JOIN (SELECT DISTINCT feat FROM cells) c ON c.feat = yc.feat
+  GROUP BY c.feat),
+xc0 AS (
+  SELECT feat, x, CAST(sum(n) AS DOUBLE) AS xn FROM cells GROUP BY feat, x),
+hx AS (
+  SELECT c.feat, c.x,
+         sum(-(c.n / x0.xn) * log2(c.n / x0.xn) ORDER BY c.y) AS h_x
+  FROM cells c JOIN xc0 x0 ON x0.feat = c.feat AND x0.x = c.x
+  GROUP BY c.feat, c.x),
+hyx AS (
+  SELECT hx.feat, sum((x0.xn / t.n) * hx.h_x ORDER BY hx.x) AS h_y_given_x
+  FROM hx JOIN xc0 x0 ON x0.feat = hx.feat AND x0.x = hx.x
+  JOIN tot t ON t.feat = hx.feat
+  GROUP BY hx.feat)
+SELECT hy.feat AS feature, round(hy.h_y, 6) AS h_y,
+       round(hyx.h_y_given_x, 6) AS h_y_given_x,
+       round(hy.h_y - hyx.h_y_given_x, 6) AS info_gain
+FROM hy JOIN hyx ON hy.feat = hyx.feat ORDER BY feature
+"""
+
+
+# ---------------------------------------------------------------------------
+# Calibration curve (reliability diagram) for the NB quality
+# classifier against its Gopher pseudo-labels: sigmoid the log-odds
+# into p, bucket into 10 equal-width bins, report per-bin count, mean
+# predicted p and empirical positive rate. Per-batch partials
+# integerize p (micro-units) so the bin sums are EXACT under any
+# partitioning; the oracle extends NB_QUALITY_SQL's chain with the
+# same sigmoid/binning arithmetic.
+# ---------------------------------------------------------------------------
+
+def calibration_nb_documents(sf_dir: str) -> pa.Table:
+    from ray.data.aggregate import Sum
+
+    from tanml_ray.pipelines.webtext import nb_quality_scores
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    scored = nb_quality_scores(ds)
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        s = batch.column("score").to_numpy(zero_copy_only=False)
+        y = batch.column("label").to_numpy(zero_copy_only=False)
+        p = 1.0 / (1.0 + np.exp(-s))
+        b = np.minimum((p * 10).astype(np.int64), 9)
+        df = pd.DataFrame({
+            "bin": b, "pos": y.astype(np.int64),
+            "p_micro": np.rint(p * 1e6).astype(np.int64)})
+        return df.groupby("bin", as_index=False).agg(
+            n=("pos", "size"), pos=("pos", "sum"),
+            p_micro=("p_micro", "sum"))
+
+    rows = sorted(collect_pylist(
+        scored.map_batches(partial, batch_format="pyarrow")
+        .groupby("bin").aggregate(Sum("n", alias_name="n"),
+                                  Sum("pos", alias_name="pos"),
+                                  Sum("p_micro", alias_name="p_micro"))),
+        key=lambda r: r["bin"])
+    return pa.Table.from_pylist([
+        {"bin": int(r["bin"]), "n": int(r["n"]),
+         "mean_p": _round6(int(r["p_micro"]) / 1e6 / int(r["n"])),
+         "frac_pos": _round6(int(r["pos"]) / int(r["n"]))}
+        for r in rows])
+
+
+CALIBRATION_NB_SQL = r"""
+WITH lab AS (
+  SELECT doc_id, text,
+         CAST(CASE WHEN len(regexp_extract_all(text, '\S+'))
+                        BETWEEN 50 AND 100000
+                    AND len(regexp_extract_all(text, '\S'))
+                        / CAST(greatest(len(regexp_extract_all(text, '\S+')),
+                                        1) AS DOUBLE) BETWEEN 3.0 AND 10.0
+                    AND len(regexp_extract_all(text, '\S*[A-Za-z]\S*'))
+                        / CAST(greatest(len(regexp_extract_all(text, '\S+')),
+                                        1) AS DOUBLE) > 0.80
+                    AND len(regexp_extract_all(text,
+                        '\b(the|and|of|to|in|is|that|for|was|on)\b')) >= 2
+               THEN 1 ELSE 0 END AS BIGINT) AS label
+  FROM documents
+  WHERE text IS NOT NULL AND trim(text) <> ''
+), toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+  FROM lab
+), tl AS (
+  SELECT t.doc_id, t.w, l.label FROM toks t JOIN lab l USING (doc_id)
+), counts AS (
+  SELECT w, count(*) FILTER (WHERE label = 1) AS cpos,
+         count(*) FILTER (WHERE label = 0) AS cneg
+  FROM tl GROUP BY w
+), tot AS (
+  SELECT CAST(sum(cpos) AS DOUBLE) + count(*) AS dpos,
+         CAST(sum(cneg) AS DOUBLE) + count(*) AS dneg
+  FROM counts
+), pri AS (
+  SELECT count(*) FILTER (WHERE label = 1) AS npos,
+         count(*) FILTER (WHERE label = 0) AS nneg
+  FROM lab
+), scored AS (
+  SELECT tl.doc_id,
+         round(ln(pri.npos / CAST(pri.nneg AS DOUBLE))
+           + sum(ln((c.cpos + 1) / tot.dpos)
+                 - ln((c.cneg + 1) / tot.dneg)), 6) AS score
+  FROM tl JOIN counts c USING (w) CROSS JOIN tot CROSS JOIN pri
+  GROUP BY tl.doc_id, pri.npos, pri.nneg
+), binned AS (
+  SELECT l.label,
+         least(CAST(floor((1.0 / (1.0 + exp(-s.score))) * 10) AS BIGINT),
+               9) AS bin,
+         CAST(round((1.0 / (1.0 + exp(-s.score))) * 1000000) AS BIGINT)
+           AS p_micro
+  FROM scored s JOIN lab l USING (doc_id)
+)
+SELECT bin, CAST(count(*) AS BIGINT) AS n,
+       round(sum(p_micro) / 1000000.0 / count(*), 6) AS mean_p,
+       round(CAST(sum(label) AS DOUBLE) / count(*), 6) AS frac_pos
+FROM binned GROUP BY bin ORDER BY bin
+"""
