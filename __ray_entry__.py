@@ -183,6 +183,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "left_join_customer_orders": q.left_join_customer_orders,
         "info_gain_orders": q.info_gain_orders,
         "calibration_nb_documents": q.calibration_nb_documents,
+        "linear_shap_orders": q.linear_shap_orders,
     }
 
 
@@ -317,6 +318,7 @@ def oracle_sql() -> dict[str, str]:
         "left_join_customer_orders": q.LEFT_JOIN_SQL,
         "info_gain_orders": q.INFO_GAIN_SQL,
         "calibration_nb_documents": q.CALIBRATION_NB_SQL,
+        "linear_shap_orders": q.LINEAR_SHAP_SQL,
         # langid / lsh-knn / minhash / simhash / logistic_cv (iterative
         # IRLS): not SQL-expressible → rows-only driver check; verified
         # in pytest instead.

@@ -255,3 +255,55 @@ def model_benchmark(ds, x_cols: list[str], y_col: str, key_col: str,
                          "accuracy": round(hit / n, 6) if n else float("nan")})
     out_rows.sort(key=lambda r: (r["model"], r["fold"]))
     return pa.Table.from_pylist(out_rows)
+
+
+def linear_shap_summary(ds, x_cols: list[str], y_col: str) -> pa.Table:
+    """EXACT Shapley values for a linear model (Lundberg & Lee 2017,
+    "linear SHAP": under the feature-independence interpretation the
+    Shapley value of feature i at row x is CLOSED-FORM,
+    phi_i(x) = beta_i * (x_i - mean(x_i)), and the SHAP base value is
+    E[y_hat] = mean(y) for an OLS fit with intercept). This upgrades
+    the permutation stand-in to the reference's true mean-|shap|
+    ranking semantics (shap_check.py:313-324) for the linear family —
+    no `shap` library needed because the linear case is exact.
+
+    Two streaming passes, both O(p) driver state:
+      1. `_linear_suffstats` — Gram/moment accumulation → beta, means
+         (means are G[0,1:]/n: the intercept row of X'X is the column
+         sums).
+    2. mean absolute deviation of each feature around its mean
+       (needs the mean first, hence the second pass).
+
+    Returns one row per feature: (feature, coef, mean_x,
+    mean_abs_shap=|coef|*mad_x, base_value=mean(y)), ranked by
+    mean_abs_shap descending — the reference's summary-plot ordering.
+    """
+    from tanml_ray.pipelines.mlops import _linear_suffstats, _solve_linear
+
+    G, b, n, sy, syy = _linear_suffstats(ds, x_cols, y_col)
+    fit = _solve_linear(G, b, n, sy, syy)
+    means = G[0, 1:] / n
+    base = sy / n
+
+    def mad_partial(batch: pa.Table, mu=means) -> pa.Table:
+        X = np.column_stack(
+            [batch.column(c).to_numpy(zero_copy_only=False).astype(np.float64)
+             for c in x_cols])
+        return pa.Table.from_pylist([
+            {"sad": np.abs(X - mu).sum(axis=0).tolist(),
+             "n": int(batch.num_rows)}])
+
+    sad = np.zeros(len(x_cols))
+    for r in collect_pylist(ds.map_batches(mad_partial,
+                                           batch_format="pyarrow")):
+        sad += np.asarray(r["sad"])
+    mad = sad / n
+
+    rows = [{"feature": c,
+             "coef": round(float(fit["coef"][i]), 6),
+             "mean_x": round(float(means[i]), 6),
+             "mean_abs_shap": round(float(abs(fit["coef"][i]) * mad[i]), 6),
+             "base_value": round(float(base), 6)}
+            for i, c in enumerate(x_cols)]
+    rows.sort(key=lambda r: (-r["mean_abs_shap"], r["feature"]))
+    return pa.Table.from_pylist(rows)

@@ -6193,3 +6193,69 @@ SELECT bin, CAST(count(*) AS BIGINT) AS n,
        round(CAST(sum(label) AS DOUBLE) / count(*), 6) AS frac_pos
 FROM binned GROUP BY bin ORDER BY bin
 """
+
+
+# ---------------------------------------------------------------------------
+# Exact linear SHAP summary (T2, exact path): for an OLS fit the
+# Shapley value of feature i at row x is closed-form
+# beta_i*(x_i - mean x_i) (Lundberg & Lee 2017), so the reference's
+# mean-|shap| summary ranking (shap_check.py:313-324) is computed
+# EXACTLY with two streaming passes — no shap library and no sampling.
+# Oracle: the Cramer 3x3 chain from LINEAR_FIT_SQL for the betas plus
+# avg / avg-abs-deviation scans.
+# ---------------------------------------------------------------------------
+
+def linear_shap_orders(sf_dir: str) -> pa.Table:
+    from tanml_ray.pipelines.explain import linear_shap_summary
+
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice",
+                                  "o_custkey"])
+
+    def derive(batch: pa.Table) -> pa.Table:
+        days = (batch.column("o_orderdate").cast(pa.int64())
+                .to_numpy(zero_copy_only=False) // 86_400_000_000)
+        return pa.table({
+            "days": pa.array(days.astype(np.float64), type=pa.float64()),
+            "custkey": pc.cast(batch.column("o_custkey"), pa.float64()),
+            "y": pc.cast(batch.column("o_totalprice"), pa.float64()),
+        })
+
+    return linear_shap_summary(ds.map_batches(derive, batch_format="pyarrow"),
+                               ["days", "custkey"], "y")
+
+
+LINEAR_SHAP_SQL = """
+WITH p AS (
+  SELECT CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS DOUBLE) AS x1,
+         CAST(o_custkey AS DOUBLE) AS x2,
+         CAST(o_totalprice AS DOUBLE) AS y
+  FROM orders
+), s AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n, sum(x1) AS s1, sum(x2) AS s2,
+         sum(y) AS sy, sum(x1*x1) AS s11, sum(x1*x2) AS s12,
+         sum(x2*x2) AS s22, sum(x1*y) AS s1y, sum(x2*y) AS s2y
+  FROM p
+), d AS (
+  SELECT *,
+         n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2) + s2*(s1*s12 - s11*s2) AS det,
+         n*(s1y*s22 - s2y*s12) - sy*(s1*s22 - s12*s2) + s2*(s1*s2y - s1y*s2) AS det1,
+         n*(s11*s2y - s12*s1y) - s1*(s1*s2y - s2*s1y) + sy*(s1*s12 - s11*s2) AS det2
+  FROM s
+), c AS (
+  SELECT det1/det AS b1, det2/det AS b2, s1/n AS a1, s2/n AS a2, sy/n AS ay
+  FROM d
+), mad AS (
+  SELECT avg(abs(p.x1 - c.a1)) AS mad1, avg(abs(p.x2 - c.a2)) AS mad2
+  FROM p, c GROUP BY c.a1, c.a2
+)
+SELECT feature, coef, mean_x, mean_abs_shap, base_value FROM (
+  SELECT 'days' AS feature, round(c.b1, 6) AS coef, round(c.a1, 6) AS mean_x,
+         round(abs(c.b1) * mad.mad1, 6) AS mean_abs_shap,
+         round(c.ay, 6) AS base_value
+  FROM c, mad
+  UNION ALL
+  SELECT 'custkey', round(c.b2, 6), round(c.a2, 6),
+         round(abs(c.b2) * mad.mad2, 6), round(c.ay, 6)
+  FROM c, mad
+) ORDER BY mean_abs_shap DESC, feature
+"""
