@@ -104,13 +104,11 @@ def read_any(path: str, **kwargs):
         return read_sas(path)
     if ext == ".sav":
         # reference utils/data_loader.py:135-142 reads SPSS via
-        # pyreadstat, which is absent in this environment — fail fast
-        # and name the dependency (the multimodal real-codec pattern)
-        # rather than misrouting the file into the delimited sniffer
-        raise ImportError(
-            "SPSS .sav support requires the 'pyreadstat' package, which "
-            "is not installed in this environment; install pyreadstat "
-            f"to read {path!r}")
+        # pyreadstat; this environment lacks it, so S8 is closed with a
+        # from-scratch parser of the public system-file layout instead
+        from tanml_ray.sources.sav import read_sav
+
+        return read_sav(path)
 
     # unknown extension (.data/.names/.info UCI-style): bounded-head
     # dialect sniffing, reference order (comma/utf-8 → inferred sep →

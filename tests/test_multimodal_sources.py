@@ -203,12 +203,12 @@ class TestReadAnyFallback:
         sep, enc = _sniff_delimited(str(p))
         assert (sep, enc) == (",", "latin-1")
 
-    def test_sav_fails_fast_naming_dependency(self, tmp_path):
+    def test_sav_truncated_raises(self, tmp_path):
         from tanml_ray.sources.ingest import read_any
 
         p = tmp_path / "survey.sav"
         p.write_bytes(b"$FL2@(#) SPSS DATA FILE fake header")
-        with pytest.raises(ImportError, match="pyreadstat"):
+        with pytest.raises(ValueError, match="truncated"):
             read_any(str(p))
 
     def test_unparseable_raises(self, tmp_path):
