@@ -184,6 +184,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "info_gain_orders": q.info_gain_orders,
         "calibration_nb_documents": q.calibration_nb_documents,
         "linear_shap_orders": q.linear_shap_orders,
+        "warc_extract_documents": q.warc_extract_documents,
     }
 
 
@@ -319,6 +320,7 @@ def oracle_sql() -> dict[str, str]:
         "info_gain_orders": q.INFO_GAIN_SQL,
         "calibration_nb_documents": q.CALIBRATION_NB_SQL,
         "linear_shap_orders": q.LINEAR_SHAP_SQL,
+        "warc_extract_documents": q.WARC_EXTRACT_SQL,
         # langid / lsh-knn / minhash / simhash / logistic_cv (iterative
         # IRLS): not SQL-expressible → rows-only driver check; verified
         # in pytest instead.

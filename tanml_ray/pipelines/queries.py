@@ -6259,3 +6259,81 @@ SELECT feature, coef, mean_x, mean_abs_shap, base_value FROM (
   FROM c, mad
 ) ORDER BY mean_abs_shap DESC, feature
 """
+
+
+# ---------------------------------------------------------------------------
+# WARC ingestion end-to-end (sources/warc.py): documents → deterministic
+# .warc.gz shards (fixture side, driver, outside the engine) → distributed
+# read_warc (one parse task per file) → byte-exact extract_text. The frozen
+# extractor invariant extract_text(render_html(t, b)) == t + "\n" + b makes
+# the whole parse→HTTP-strip→extract chain SQL-checkable per row. The
+# reference has no WARC path (its loaders are tabular,
+# /root/reference/tanml/utils/data_loader.py:59-159); this source exists
+# because the flagship 10^12-row input is crawl data.
+def _warc_fixture_dir(sf_dir: str, shards: int = 8) -> str:
+    """Synthesize .warc.gz shards from the documents table once per
+    sf_dir (content-addressed by sf basename; idempotent via marker)."""
+    import datetime as dt
+    import os
+
+    import pyarrow.parquet as pq
+
+    from tanml_ray.functions.html_text import render_html
+    from tanml_ray.sources.warc import write_warc
+
+    out = f"/tmp/tanml_warc_{os.path.basename(os.path.normpath(sf_dir))}"
+    marker = os.path.join(out, "_done")
+    if os.path.exists(marker):
+        return out
+    os.makedirs(out, exist_ok=True)
+    t = pq.read_table(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "text"])
+    ids = t.column("doc_id").to_pylist()
+    texts = t.column("text").to_pylist()
+    base = dt.datetime(2024, 1, 1)
+    for s in range(shards):
+        rows = [(i, x) for i, x in zip(ids, texts) if i % shards == s]
+        pages = pa.table({
+            "url": pa.array([f"https://crawl.example.org/{i}"
+                             for i, _ in rows]),
+            "warc_ts": pa.array([base + dt.timedelta(hours=i % 1000)
+                                 for i, _ in rows], type=pa.timestamp("us")),
+            "html": pa.array([render_html(f"doc {i}", x) for i, x in rows],
+                             type=pa.binary()),
+        })
+        write_warc(os.path.join(out, f"seg{s}.warc.gz"), pages,
+                   gzip_members=True)
+    open(marker, "w").close()
+    return out
+
+
+def warc_extract_documents(sf_dir: str):
+    """Distributed WARC → pages → extracted text: (url, warc_ts,
+    extracted). One gzip-member parse task per shard file; html bytes
+    never reach the driver — extraction runs inside map_batches and
+    only (url, ts, text) columns flow out."""
+    import ray.data as rd
+
+    from tanml_ray.functions.html_text import extract_text_array
+    from tanml_ray.sources.warc import read_warc
+
+    d = _warc_fixture_dir(sf_dir)
+    ds = read_warc([f"{d}/seg{s}.warc.gz" for s in range(8)])
+
+    def extract(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "url": batch.column("url"),
+            "warc_ts": batch.column("warc_ts"),
+            "extracted": extract_text_array(batch.column("html")),
+        })
+
+    return ds.map_batches(extract, batch_format="pyarrow")
+
+
+WARC_EXTRACT_SQL = r"""
+SELECT 'https://crawl.example.org/' || doc_id AS url,
+       TIMESTAMP '2024-01-01 00:00:00'
+         + to_hours(doc_id % 1000) AS warc_ts,
+       'doc ' || doc_id || chr(10) || text AS extracted
+FROM documents
+"""
