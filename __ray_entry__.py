@@ -185,6 +185,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "calibration_nb_documents": q.calibration_nb_documents,
         "linear_shap_orders": q.linear_shap_orders,
         "warc_extract_documents": q.warc_extract_documents,
+        "c4_clean_documents": q.c4_clean_documents,
     }
 
 
@@ -321,6 +322,7 @@ def oracle_sql() -> dict[str, str]:
         "calibration_nb_documents": q.CALIBRATION_NB_SQL,
         "linear_shap_orders": q.LINEAR_SHAP_SQL,
         "warc_extract_documents": q.WARC_EXTRACT_SQL,
+        "c4_clean_documents": q.C4_CLEAN_SQL,
         # langid / lsh-knn / minhash / simhash / logistic_cv (iterative
         # IRLS): not SQL-expressible → rows-only driver check; verified
         # in pytest instead.

@@ -6337,3 +6337,89 @@ SELECT 'https://crawl.example.org/' || doc_id AS url,
        'doc ' || doc_id || chr(10) || text AS extracted
 FROM documents
 """
+
+
+# ---------------------------------------------------------------------------
+# C4 cleaning heuristics end-to-end (webtext.c4_line_filter). The
+# word-soup fixture has no newlines/punctuation, so the rewrap stage
+# deterministically builds 12-word lines and injects every rule
+# trigger (mirrored verbatim in the SQL): terminal punctuation on 2/3
+# of lines, a "javascript " prefix on ~1/11, a "lorem ipsum" line on
+# doc_id%97 docs, a "{" line on doc_id%89 docs; the trailing partial
+# span exercises the <3-word rule.
+def c4_clean_documents(sf_dir: str):
+    from tanml_ray.pipelines.webtext import _doc_spans, c4_line_filter
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def rewrap(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        out = []
+        for i, t in zip(ids, batch.column("text").to_pylist()):
+            lines = []
+            for lidx, ln in enumerate(_doc_spans(t or "", 12)):
+                if (i * 7 + lidx) % 11 == 0:
+                    ln = "javascript " + ln
+                r = (i + lidx) % 3
+                if r == 0:
+                    ln += "."
+                elif r == 1:
+                    ln += "!"
+                lines.append(ln)
+            if i % 97 == 0:
+                lines.append("and then lorem ipsum dolor sit amet.")
+            if i % 89 == 0:
+                lines.append("object config { display none }.")
+            out.append("\n".join(lines))
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "text": pa.array(out, type=pa.string())})
+
+    return c4_line_filter(ds.map_batches(rewrap, batch_format="pyarrow"))
+
+
+C4_CLEAN_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS w,
+         generate_subscripts(regexp_extract_all(text, '\S+'), 1) AS ord
+  FROM documents WHERE len(regexp_extract_all(text, '\S+')) >= 1
+), lines0 AS (
+  SELECT doc_id, (ord - 1) // 12 AS lidx,
+         string_agg(w, ' ' ORDER BY ord) AS line
+  FROM toks GROUP BY doc_id, (ord - 1) // 12
+), injected AS (
+  SELECT doc_id, lidx,
+         CASE WHEN (doc_id * 7 + lidx) % 11 = 0
+              THEN 'javascript ' ELSE '' END
+         || line
+         || CASE ((doc_id + lidx) % 3)
+              WHEN 0 THEN '.' WHEN 1 THEN '!' ELSE '' END AS line
+  FROM lines0
+  UNION ALL
+  SELECT doc_id, 1000000 AS lidx,
+         'and then lorem ipsum dolor sit amet.' AS line
+  FROM documents WHERE doc_id % 97 = 0
+  UNION ALL
+  SELECT doc_id, 1000001 AS lidx,
+         'object config { display none }.' AS line
+  FROM documents WHERE doc_id % 89 = 0
+), docflag AS (
+  SELECT doc_id,
+         bool_or(contains(line, '{')
+                 OR contains(lower(line), 'lorem ipsum')) AS poisoned,
+         count(*) AS n_lines
+  FROM injected GROUP BY doc_id
+), kept AS (
+  SELECT doc_id, lidx, rtrim(line) AS line FROM injected
+  WHERE regexp_matches(rtrim(line), '[.!?"]$')
+    AND len(regexp_extract_all(line, '\S+')) >= 3
+    AND NOT contains(lower(line), 'javascript')
+)
+SELECT d.doc_id,
+       CAST(d.n_lines AS BIGINT) AS n_lines,
+       CAST(count(*) AS BIGINT) AS n_kept,
+       string_agg(k.line, chr(10) ORDER BY k.lidx) AS clean_text
+FROM docflag d JOIN kept k USING (doc_id)
+WHERE NOT d.poisoned
+GROUP BY d.doc_id, d.n_lines
+HAVING count(*) >= 3
+"""

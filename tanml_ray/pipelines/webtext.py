@@ -1341,3 +1341,60 @@ def dsir_weights(ds, text_col: str = "text", id_col: str = "doc_id",
                                    type=pa.float64())})
 
     return joined.map_batches(finish, batch_format="pyarrow").sort(id_col)
+
+
+# ---------------------------------------------------------------------------
+# C4 line-level cleaning heuristics (Raffel et al. 2020 §2.2, public
+# paper — the rules that produced the C4 corpus): keep only lines that
+# end in terminal punctuation and have at least `min_words` words; drop
+# lines containing the word "javascript"; drop WHOLE documents that
+# contain "{" or the placeholder phrase "lorem ipsum", or that retain
+# fewer than `min_kept` lines (C4's >=5-sentence rule, parametrized).
+# Shuffle-free batch kernel: the per-doc Python loop is the tokenizer
+# cost itself (same class as quality_batch, stages/text.py:47); text
+# never leaves the stage except as the rebuilt survivor column. The
+# reference has no corpus-cleaning stage (closest analog: row-level
+# regex constraints, checks/); the rules here are the published C4
+# ones, shared bit-for-bit with the SQL oracle.
+# ---------------------------------------------------------------------------
+
+_TERMINAL_PUNCT = (".", "!", "?", '"')
+
+
+def c4_line_filter(ds, text_col: str = "text", id_col: str = "doc_id",
+                   min_words: int = 3, min_kept: int = 3):
+    """Dataset[(doc_id, n_lines, n_kept, clean_text)] of surviving docs.
+
+    Line keep-rule (applied to each rtrim'd "\\n"-line): ends in one of
+    . ! ? "  AND has >= min_words whitespace words AND does not contain
+    "javascript" (case-insensitive). Document drop-rule: raw text
+    contains "{" or "lorem ipsum" (case-insensitive), or fewer than
+    min_kept lines survive."""
+
+    def clean(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        o_id, o_nl, o_nk, o_tx = [], [], [], []
+        for i, t in zip(ids, batch.column(text_col).to_pylist()):
+            if t is None:
+                continue
+            low = t.lower()
+            if "{" in t or "lorem ipsum" in low:
+                continue
+            lines = [ln.rstrip() for ln in t.split("\n")]
+            kept = [ln for ln in lines
+                    if ln.endswith(_TERMINAL_PUNCT)
+                    and len(ln.split()) >= min_words
+                    and "javascript" not in ln.lower()]
+            if len(kept) < min_kept:
+                continue
+            o_id.append(i)
+            o_nl.append(len(lines))
+            o_nk.append(len(kept))
+            o_tx.append("\n".join(kept))
+        return pa.table({
+            id_col: pa.array(o_id, type=pa.int64()),
+            "n_lines": pa.array(o_nl, type=pa.int64()),
+            "n_kept": pa.array(o_nk, type=pa.int64()),
+            "clean_text": pa.array(o_tx, type=pa.string())})
+
+    return ds.map_batches(clean, batch_format="pyarrow")

@@ -537,3 +537,37 @@ def test_source_overlap_hand_case(ray_session):
     # A's distinct trigrams: xyz, yzp, zpq -> 3; B's: xyz, yzr, zrs -> 3
     assert r["n_a"] == 3 and r["n_b"] == 3 and r["inter"] == 1
     assert r["jaccard"] == round(1 / 5, 6)
+
+
+def test_c4_line_filter_rules(ray_session):
+    import ray.data as rd
+
+    from tanml_ray.pipelines.webtext import c4_line_filter
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5, 6], type=pa.int64()),
+        "text": pa.array([
+            # 1: all rules pass — 3 punct-terminated lines survive
+            "one two three.\nfour five six!\nseven eight nine?",
+            # 2: javascript line + short line dropped -> only 2 kept < 3
+            "one two three.\nuses JavaScript here.\nno punct line here\n"
+            "ok then.",
+            # 3: doc-level '{' poison — dropped whole
+            "one two three.\nfour five six.\nseven eight { nine.",
+            # 4: doc-level lorem ipsum poison (case-insensitive)
+            "one two three.\nLorem Ipsum dolor sit.\nfour five six.",
+            # 5: exactly min_kept survivors incl. quote terminator
+            'he said "stop".\nshe said "go."\nthey said "wait"',
+            # 6: trailing whitespace rtrim'd before the punct check
+            "one two three.   \nfour five six.\nseven eight nine.",
+        ], type=pa.string())}))
+    out = {r["doc_id"]: r for r in c4_line_filter(docs).take_all()}
+    assert set(out) == {1, 5, 6}
+    assert out[1]["n_lines"] == 3 and out[1]["n_kept"] == 3
+    assert out[1]["clean_text"].count("\n") == 2
+    assert out[5]["n_kept"] == 3          # '"' is terminal punctuation
+    assert out[6]["n_kept"] == 3
+    assert out[6]["clean_text"].startswith("one two three.\n")  # rstripped
+    # min_kept raised -> doc 1 (3 kept) drops too
+    strict = c4_line_filter(docs, min_kept=4).take_all()
+    assert strict == []
