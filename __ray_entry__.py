@@ -186,6 +186,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "linear_shap_orders": q.linear_shap_orders,
         "warc_extract_documents": q.warc_extract_documents,
         "c4_clean_documents": q.c4_clean_documents,
+        "bpe_merges_documents": q.bpe_merges_documents,
     }
 
 

@@ -5502,11 +5502,17 @@ def modified_zscore_outliers_lineitem(sf_dir: str) -> pa.Table:
     n_out = sum(int(r["n_out"]) for r in agg)
     los = [r["lo"] for r in agg if r["lo"] is not None]
     his = [r["hi"] for r in agg if r["hi"] is not None]
-    return pa.Table.from_pylist([{
-        "median": _round6(med), "mad": _round6(mad),
-        "cutoff": _round6(cut), "n_outliers": n_out,
-        "min_outlier": _round6(min(los)) if los else None,
-        "max_outlier": _round6(max(his)) if his else None}])
+    # explicit types: with zero outliers from_pylist would infer a NULL
+    # column (pandas object dtype) where the SQL oracle yields float64
+    return pa.table({
+        "median": pa.array([_round6(med)], type=pa.float64()),
+        "mad": pa.array([_round6(mad)], type=pa.float64()),
+        "cutoff": pa.array([_round6(cut)], type=pa.float64()),
+        "n_outliers": pa.array([n_out], type=pa.int64()),
+        "min_outlier": pa.array([_round6(min(los)) if los else None],
+                                type=pa.float64()),
+        "max_outlier": pa.array([_round6(max(his)) if his else None],
+                                type=pa.float64())})
 
 
 MODIFIED_ZSCORE_SQL = """
@@ -6423,3 +6429,15 @@ WHERE NOT d.poisoned
 GROUP BY d.doc_id, d.n_lines
 HAVING count(*) >= 3
 """
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training over the documents corpus (webtext.bpe_train;
+# Sennrich 2016). Iterative merge election is not SQL-expressible →
+# rows-only driver check; the merge loop is verified against an
+# independent naive implementation in tests/test_webtext.py.
+def bpe_merges_documents(sf_dir: str) -> pa.Table:
+    from tanml_ray.pipelines.webtext import bpe_train
+
+    return bpe_train(_read(sf_dir, "documents", ["doc_id", "text"]),
+                     num_merges=64)

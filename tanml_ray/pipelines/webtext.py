@@ -1332,11 +1332,13 @@ def dsir_weights(ds, text_col: str = "text", id_col: str = "doc_id",
         n = batch.column("n_tokens").to_numpy(zero_copy_only=False)
         r = batch.column("nll_x").to_numpy(zero_copy_only=False)
         t = batch.column("nll_y").to_numpy(zero_copy_only=False)
+        # the join's null-padded union can promote n_tokens to double on
+        # some block layouts — pin the contract dtype (int64) explicitly
         return pa.table({
             id_col: batch.column(id_col),
-            "n_tokens": batch.column("n_tokens"),
-            "nll_raw": batch.column("nll_x"),
-            "nll_target": batch.column("nll_y"),
+            "n_tokens": pc.cast(batch.column("n_tokens"), pa.int64()),
+            "nll_raw": pc.cast(batch.column("nll_x"), pa.float64()),
+            "nll_target": pc.cast(batch.column("nll_y"), pa.float64()),
             "log_weight": pa.array(np.round(n * (r - t), 6),
                                    type=pa.float64())})
 
@@ -1398,3 +1400,168 @@ def c4_line_filter(ds, text_col: str = "text", id_col: str = "doc_id",
             "clean_text": pa.array(o_tx, type=pa.string())})
 
     return ds.map_batches(clean, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training (Sennrich, Haddow & Birch 2016, public paper
+# "Neural Machine Translation of Rare Words with Subword Units") — the
+# trainable-tokenizer stage of an LLM data pipeline. Scale shape: the
+# ONLY distributed pass is the combiner-first word-frequency count
+# (identical contract to unigram_lm_scores: per-batch Counters, one
+# groupby(word) shuffle of (word, partial) rows); the merge loop runs
+# on the driver over the VOCAB-bounded type table (min_count is the
+# web-scale knob — rare types prune into nothing, exactly the paper's
+# practice) behind a raising budget guard. Encoding is a stateful
+# ACTOR-POOL stage: merge ranks build once per actor in __init__, each
+# batch encodes through a per-actor word→tokens memo (web text repeats
+# word types heavily, so the memo converts per-token work into a dict
+# hit). No reference analog (the reference has no tokenizer); the
+# BPE-ish regex token counts in queries.py count a FIXED pattern —
+# this learns the vocabulary.
+# ---------------------------------------------------------------------------
+
+_BPE_END = "</w>"
+
+
+def _bpe_merge_loop(types: list[tuple[str, int]],
+                    num_merges: int) -> list[tuple[str, str, int]]:
+    """Classic driver-side merge loop over (word, count) types.
+    Deterministic: ties on pair count break lexicographically.
+    Returns [(left, right, pair_count)] in merge order."""
+    words = [(tuple(w) + (_BPE_END,), c) for w, c in types if w]
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(num_merges):
+        pair_counts: dict[tuple[str, str], int] = {}
+        for syms, c in words:
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pair_counts[p] = pair_counts.get(p, 0) + c
+        if not pair_counts:
+            break
+        best = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        (l, r), cnt = best
+        if cnt < 2:          # nothing repeats — further merges are noise
+            break
+        merges.append((l, r, cnt))
+        merged = l + r
+        out = []
+        for syms, c in words:
+            if l not in syms:
+                out.append((syms, c))
+                continue
+            ns, i = [], 0
+            while i < len(syms):
+                if (i < len(syms) - 1 and syms[i] == l
+                        and syms[i + 1] == r):
+                    ns.append(merged)
+                    i += 2
+                else:
+                    ns.append(syms[i])
+                    i += 1
+            out.append((tuple(ns), c))
+        words = out
+    return merges
+
+
+def bpe_train(ds, num_merges: int = 200, text_col: str = "text",
+              min_count: int = 1,
+              vocab_driver_budget: int = 256 << 20) -> pa.Table:
+    """(rank, left, right, pair_count) merge table learned from the
+    corpus. One combiner-first word-count shuffle; driver merge loop
+    over the bounded type table (guard raises past the budget)."""
+    from ray.data.aggregate import Sum
+
+    from tanml_ray.functions.collect import collect_pylist
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for t in batch.column(text_col).to_pylist():
+            if t:
+                c.update(_WS_TOKEN_RE.findall(t))
+        return pa.table({"word": pa.array(list(c.keys()), type=pa.string()),
+                         "c": pa.array(list(c.values()), type=pa.int64())})
+
+    counts = (ds.map_batches(count_partial, batch_format="pyarrow")
+              .groupby("word").aggregate(Sum("c", alias_name="n")))
+    if counts.size_bytes() > vocab_driver_budget:
+        raise RuntimeError(
+            f"BPE type table {counts.size_bytes()} B exceeds "
+            f"vocab_driver_budget={vocab_driver_budget}; raise the budget "
+            "or prune with min_count")
+    types = [(r["word"], int(r["n"])) for r in collect_pylist(counts)
+             if int(r["n"]) >= min_count]
+    types.sort()                         # partition-order independence
+    merges = _bpe_merge_loop(types, num_merges)
+    return pa.table({
+        "rank": pa.array(range(len(merges)), type=pa.int64()),
+        "left": pa.array([m[0] for m in merges], type=pa.string()),
+        "right": pa.array([m[1] for m in merges], type=pa.string()),
+        "pair_count": pa.array([m[2] for m in merges], type=pa.int64())})
+
+
+def bpe_encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Greedy lowest-rank-first merge application (the paper's encoder)."""
+    syms = list(word) + [_BPE_END]
+    while len(syms) > 1:
+        best_rank, best_i = None, -1
+        for i in range(len(syms) - 1):
+            rk = ranks.get((syms[i], syms[i + 1]))
+            if rk is not None and (best_rank is None or rk < best_rank):
+                best_rank, best_i = rk, i
+        if best_rank is None:
+            break
+        syms[best_i:best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+    return syms
+
+
+class BpeEncoder:
+    """Actor-pool encoder: ranks dict built once per actor; per-actor
+    word→encoding memo (web text repeats types, so steady-state cost
+    is one dict hit per token). Emits (id, n_words, n_bpe_tokens)."""
+
+    def __init__(self, merges_ref, text_col: str = "text",
+                 id_col: str = "doc_id"):
+        import ray
+
+        merges = ray.get(merges_ref) if not isinstance(merges_ref, pa.Table) \
+            else merges_ref
+        self.ranks = {(l, r): k for k, (l, r) in enumerate(
+            zip(merges.column("left").to_pylist(),
+                merges.column("right").to_pylist()))}
+        self.text_col, self.id_col = text_col, id_col
+        self.memo: dict[str, int] = {}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n_words, n_bpe = [], []
+        for t in batch.column(self.text_col).to_pylist():
+            ws = _WS_TOKEN_RE.findall(t) if t else []
+            tot = 0
+            for w in ws:
+                k = self.memo.get(w)
+                if k is None:
+                    k = len(bpe_encode_word(w, self.ranks))
+                    self.memo[w] = k
+                tot += k
+            n_words.append(len(ws))
+            n_bpe.append(tot)
+        return pa.table({
+            self.id_col: batch.column(self.id_col),
+            "n_words": pa.array(n_words, type=pa.int64()),
+            "n_bpe_tokens": pa.array(n_bpe, type=pa.int64())})
+
+
+def bpe_token_stats(ds, num_merges: int = 200, text_col: str = "text",
+                    id_col: str = "doc_id", min_count: int = 1,
+                    concurrency: int = 4):
+    """Train on the corpus, then encode it: Dataset[(doc_id, n_words,
+    n_bpe_tokens)]. Merge table broadcasts once via ray.put."""
+    import ray
+
+    merges = bpe_train(ds, num_merges=num_merges, text_col=text_col,
+                       min_count=min_count)
+    ref = ray.put(merges)
+    return ds.map_batches(
+        BpeEncoder, fn_constructor_args=(ref, text_col, id_col),
+        batch_format="pyarrow", concurrency=concurrency)

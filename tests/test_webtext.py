@@ -571,3 +571,96 @@ def test_c4_line_filter_rules(ray_session):
     # min_kept raised -> doc 1 (3 kept) drops too
     strict = c4_line_filter(docs, min_kept=4).take_all()
     assert strict == []
+
+
+def _naive_bpe(word_counts, num_merges):
+    """Independent reference: textbook BPE with Counter, no code shared
+    with the engine's merge loop."""
+    from collections import Counter
+
+    vocab = {tuple(w) + ("</w>",): c for w, c in word_counts.items()}
+    merges = []
+    for _ in range(num_merges):
+        pairs = Counter()
+        for syms, c in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += c
+        if not pairs:
+            break
+        best = sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if best[1] < 2:
+            break
+        (a, b), cnt = best
+        merges.append((a, b, cnt))
+        nv = {}
+        for syms, c in vocab.items():
+            s, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    s.append(a + b); i += 2
+                else:
+                    s.append(syms[i]); i += 1
+            nv[tuple(s)] = nv.get(tuple(s), 0) + c
+        vocab = nv
+    return merges
+
+
+def test_bpe_train_matches_naive_reference(ray_session):
+    import ray.data as rd
+
+    from tanml_ray.pipelines.webtext import bpe_train
+
+    # Sennrich et al. 2016's example vocabulary, expressed as a corpus
+    wc = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+    text = " ".join(w for w, c in sorted(wc.items()) for _ in range(c))
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0], type=pa.int64()),
+        "text": pa.array([text], type=pa.string())}))
+    got = bpe_train(ds, num_merges=10).to_pylist()
+    want = _naive_bpe(wc, 10)
+    assert [(r["left"], r["right"], r["pair_count"]) for r in got] == want
+    # the paper's first merge for this vocab is ('e','s') with count 9
+    assert (got[0]["left"], got[0]["right"], got[0]["pair_count"]) \
+        == ("e", "s", 9)
+
+
+def test_bpe_encode_roundtrip_and_stats(ray_session):
+    import ray.data as rd
+
+    from tanml_ray.pipelines.webtext import (bpe_encode_word,
+                                             bpe_token_stats, bpe_train)
+
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+        "text": pa.array(["the cat sat on the mat",
+                          "the cat ate the rat",
+                          ""], type=pa.string())})
+    ds = rd.from_arrow(docs)
+    merges = bpe_train(ds, num_merges=20)
+    ranks = {(l, r): k for k, (l, r) in enumerate(
+        zip(merges.column("left").to_pylist(),
+            merges.column("right").to_pylist()))}
+    # lossless: concatenated symbols reproduce word + terminal marker
+    for w in ["the", "cat", "unseen"]:
+        assert "".join(bpe_encode_word(w, ranks)) == w + "</w>"
+    out = {r["doc_id"]: r for r in bpe_token_stats(
+        ds, num_merges=20, concurrency=2).take_all()}
+    assert out[1]["n_words"] == 6 and out[3]["n_words"] == 0
+    assert out[3]["n_bpe_tokens"] == 0
+    # merged vocab compresses: fewer bpe tokens than raw chars+markers
+    raw_units = sum(len(w) + 1 for w in "the cat sat on the mat".split())
+    assert out[1]["n_bpe_tokens"] < raw_units
+    # frequent word "the" collapses to a single symbol
+    assert bpe_encode_word("the", ranks) == ["the</w>"]
+
+
+def test_bpe_budget_guard_raises(ray_session):
+    import ray.data as rd
+
+    from tanml_ray.pipelines.webtext import bpe_train
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0], type=pa.int64()),
+        "text": pa.array(["a b c d e"], type=pa.string())}))
+    with pytest.raises(RuntimeError, match="budget"):
+        bpe_train(ds, vocab_driver_budget=0)
