@@ -143,19 +143,28 @@ def partitioned_join(left_ds, right_ds, key: str, buckets: int = 32,
     right_t = right_ds.map_batches(tag("r"), batch_format="pyarrow")
     both = left_t.union(right_t)
 
-    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        l = g[g[_SIDE_COL] == "l"][left_cols]
-        r = g[g[_SIDE_COL] == "r"][right_cols]
-        if l.empty or r.empty:
-            if how == "left" and not l.empty:
-                return l.merge(r, on=key, how="left")
-            if how == "outer" and not (l.empty and r.empty):
-                return l.merge(r, on=key, how="outer")
-            return pd.DataFrame(columns=list(dict.fromkeys(left_cols + right_cols)))
-        return l.merge(r, on=key, how=how)
+    # Per-bucket merge runs in ARROW (pa.Table.join), not pandas: the
+    # pandas round-trip promoted null-padded int64 columns to float64
+    # (silently corrupting 64-bit hash ids > 2^53) and its empty-bucket
+    # path emitted object-dtype frames (block schema drift). Arrow join
+    # reproduces pandas-merge column naming/order (_x/_y on collisions,
+    # left cols then right non-key cols) with exact dtypes. One
+    # intentional difference: null join keys never match (pandas merge
+    # matches NaN keys); every engine call site joins on non-null keys.
+    _ARROW_HOW = {"inner": "inner", "left": "left outer",
+                  "outer": "full outer"}
+
+    def merge_bucket(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        side = g.column(_SIDE_COL)
+        l = g.filter(pc.equal(side, "l")).select(left_cols)
+        r = g.filter(pc.equal(side, "r")).select(right_cols)
+        return l.join(r, keys=key, join_type=_ARROW_HOW[how],
+                      left_suffix="_x", right_suffix="_y")
 
     return both.groupby(_BUCKET_COL).map_groups(merge_bucket,
-                                                batch_format="pandas")
+                                                batch_format="pyarrow")
 
 
 def asof_join(left_ds, right_ds, key: str, ts_col: str,

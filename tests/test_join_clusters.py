@@ -358,3 +358,29 @@ def test_partitioned_join_outer_emits_both_unmatched_sides():
     assert got[1][0] == 10 and (got[1][1] is None or got[1][1] != got[1][1])
     assert got[2] == (20, 200) and got[3] == (30, 300)
     assert got[4][1] == 400 and (got[4][0] is None or got[4][0] != got[4][0])
+
+
+def test_partitioned_join_preserves_int64_above_2_53(ray_session):
+    # the pandas-merge bucket path promoted null-padded int64 columns to
+    # float64, corrupting 64-bit hash-derived ids; the arrow-join path
+    # must keep them bit-exact (left join forces null padding)
+    import ray.data as rd
+
+    from tanml_ray.pipelines.join import partitioned_join
+
+    big = (1 << 62) + 12345                     # not representable in f64
+    l = rd.from_arrow(pa.table({
+        "k": pa.array([1, 2, 3], type=pa.int64()),
+        "hash_id": pa.array([big, big + 1, big + 2], type=pa.int64())}))
+    r = rd.from_arrow(pa.table({
+        "k": pa.array([2], type=pa.int64()),
+        "payload": pa.array([big + 7], type=pa.int64())}))
+    out = partitioned_join(l, r, key="k", how="left", buckets=4)
+    t = pa.Table.from_pylist(out.take_all())
+    got = {r_["k"]: r_ for r_ in t.to_pylist()}
+    assert got[1]["hash_id"] == big and got[3]["hash_id"] == big + 2
+    assert got[2]["payload"] == big + 7
+    assert got[1]["payload"] is None and got[3]["payload"] is None
+    # schema stays integral end-to-end
+    assert pa.types.is_integer(
+        out.schema().base_schema.field("hash_id").type)
