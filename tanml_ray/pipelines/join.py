@@ -229,10 +229,18 @@ def asof_join(left_ds, right_ds, key: str, ts_col: str,
     r_cols = ["r_ts"] + [n for n in fields
                          if n.startswith("r_") and n != "r_ts"]
 
-    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
-        l = (g[g[_SIDE_COL] == "l"][[key, "__ts", *l_cols]]
+    # merge_asof is inherently pandas, but the group arrives as ARROW
+    # and converts with a nullable-Int types_mapper: the default
+    # conversion would promote null-padded int columns to float64
+    # (corrupting 64-bit ids > 2^53 — same hazard partitioned_join had)
+    _NULLABLE_INT = {pa.int64(): pd.Int64Dtype(), pa.int32(): pd.Int32Dtype(),
+                     pa.int16(): pd.Int16Dtype(), pa.int8(): pd.Int8Dtype()}
+
+    def per_partition(g: pa.Table) -> pd.DataFrame:
+        df = g.to_pandas(types_mapper=_NULLABLE_INT.get)
+        l = (df[df[_SIDE_COL] == "l"][[key, "__ts", *l_cols]]
              .sort_values("__ts", kind="mergesort"))
-        r = (g[g[_SIDE_COL] == "r"][[key, "__ts", *r_cols]]
+        r = (df[df[_SIDE_COL] == "r"][[key, "__ts", *r_cols]]
              .sort_values("__ts", kind="mergesort"))
         if l.empty or r.empty:
             return pd.DataFrame()
@@ -241,7 +249,7 @@ def asof_join(left_ds, right_ds, key: str, ts_col: str,
         return m.rename(columns={"__ts": ts_col})
 
     return both.groupby("__kpart").map_groups(per_partition,
-                                              batch_format="pandas")
+                                              batch_format="pyarrow")
 
 
 def range_join_count(left_ds, right_ds, left_day_col: str,
