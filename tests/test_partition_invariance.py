@@ -1,0 +1,76 @@
+"""Partition-layout invariance: every deterministic query must produce
+IDENTICAL output (values AND dtypes) whether a table arrives as one
+parquet file or as many small shards. This is the failure class behind
+the dsir n_tokens float64 drift (null-padded union blocks promoting
+int columns on some layouts) and the engine's core 100-TB claim —
+"exact under any partitioning" — made testable."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+SF = "/root/testdata/sf0.001"
+TABLES = ["documents", "lineitem", "orders", "customer", "events",
+          "embeddings", "nation", "region"]
+SHARDS = 7
+
+QUERIES = [
+    "dsir_weights_documents",
+    "span_dedup_documents",
+    "line_dedup_documents",
+    "c4_clean_documents",
+    "join_lineitem_orders_partitioned",
+    "full_outer_join_orders_customer",
+    "left_join_customer_orders",
+    "asof_join_events",
+    "dup_cluster_sizes_documents",
+    "ntile_deciles_orders",
+    "modified_zscore_outliers_lineitem",
+    "minhash_near_dup_documents",
+]
+
+
+@pytest.fixture(scope="module")
+def sharded_sf(tmp_path_factory):
+    """sf0.001 with every table re-written as SHARDS small files inside
+    a directory named <table>.parquet (readable by read_parquet)."""
+    root = tmp_path_factory.mktemp("sharded_sf0001")
+    for t in TABLES:
+        src = f"{SF}/{t}.parquet"
+        if not os.path.exists(src):
+            continue
+        tab = pq.read_table(src)
+        d = root / f"{t}.parquet"
+        d.mkdir()
+        step = max(1, (tab.num_rows + SHARDS - 1) // SHARDS)
+        for s, lo in enumerate(range(0, max(tab.num_rows, 1), step)):
+            pq.write_table(tab.slice(lo, step), str(d / f"part{s:02d}.parquet"))
+    return str(root)
+
+
+def _canon(obj) -> pd.DataFrame:
+    df = obj if isinstance(obj, pd.DataFrame) else (
+        obj.to_pandas() if isinstance(obj, pa.Table) else obj.to_pandas())
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_float_dtype(df[c]):
+            df[c] = np.round(df[c].astype(float), 9)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+@pytest.mark.parametrize("name", QUERIES)
+def test_query_invariant_under_resharding(name, sharded_sf, ray_session):
+    import __ray_entry__ as entry
+
+    fn = entry.queries()[name]
+    base = _canon(fn(SF))
+    shard = _canon(fn(sharded_sf))
+    assert [str(t) for t in base.dtypes] == [str(t) for t in shard.dtypes], \
+        f"{name}: dtype drift across layouts"
+    pd.testing.assert_frame_equal(base, shard, check_exact=True)
