@@ -57,6 +57,19 @@ def main(argv: list[str] | None = None) -> int:
     fr.add_argument("--out", required=True)
     fr.add_argument("--baseline-artifact", default=None)
 
+    iw = sub.add_parser("ingest-warc", help="land .warc/.warc.gz crawl "
+                        "files as pages parquet (url, warc_ts, html[, text])")
+    iw.add_argument("--input", required=True,
+                    help="a WARC file or a directory of .warc/.warc.gz")
+    iw.add_argument("--out", required=True)
+    iw.add_argument("--extract-text", action="store_true",
+                    help="add the byte-exact extracted text column "
+                         "during landing")
+    iw.add_argument("--langid", action="store_true",
+                    help="also add the n-gram language-ID column "
+                         "(implies --extract-text); lands the full "
+                         "flagship pages schema url/warc_ts/html/text/lang")
+
     cu = sub.add_parser("curate", help="LLM training-data curation: "
                         "quality → langid → dedup → tokens")
     cu.add_argument("--input", required=True)
@@ -78,7 +91,7 @@ def main(argv: list[str] | None = None) -> int:
     input_attrs = {"validate": ["input"], "drift-baseline": ["input"],
                    "drift": ["input", "artifact"],
                    "full-report": ["input", "baseline_artifact"],
-                   "curate": ["input"]}
+                   "curate": ["input"], "ingest-warc": ["input"]}
     for attr in input_attrs.get(args.cmd, []):
         path = getattr(args, attr, None)
         if path and not os.path.exists(path):
@@ -127,6 +140,45 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps({"status": out["rollup"]["status"],
                               "report": os.path.join(args.out, "report.json"),
                               "narratives": out["narratives"]}, default=str))
+        elif args.cmd == "ingest-warc":
+            from tanml_ray.sources.warc import read_warc
+
+            if os.path.isdir(args.input):
+                paths = sorted(
+                    os.path.join(args.input, f)
+                    for f in os.listdir(args.input)
+                    if f.endswith((".warc", ".warc.gz")))
+            else:
+                paths = [args.input]
+            if not paths:
+                raise ValueError(f"no .warc/.warc.gz files in {args.input}")
+            ds = read_warc(paths)
+            if args.extract_text or args.langid:
+                import pyarrow as pa
+
+                from tanml_ray.functions.html_text import extract_text_array
+                want_lang = args.langid
+
+                def with_text(batch: pa.Table) -> pa.Table:
+                    text = extract_text_array(batch.column("html"))
+                    batch = batch.append_column("text", text)
+                    if want_lang:
+                        from tanml_ray.stages.text import langid_of
+
+                        langs = [langid_of(t or "")[0]
+                                 for t in text.to_pylist()]
+                        batch = batch.append_column(
+                            "lang", pa.array(langs, type=pa.string()))
+                    return batch
+
+                ds = ds.map_batches(with_text, batch_format="pyarrow")
+            ds.write_parquet(args.out)
+            import pyarrow.dataset as pads
+
+            n = sum(f.count_rows() for f in
+                    pads.dataset(args.out).get_fragments())
+            print(json.dumps({"files_in": len(paths), "rows": n,
+                              "out": args.out}))
         elif args.cmd == "curate":
             import ray.data as rd
 

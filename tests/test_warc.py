@@ -84,3 +84,32 @@ def test_read_warc_distributed_to_validation(tmp_path, ray_session):
 
     texts = [extract_text(r["html"]) for r in got]
     assert all("page" in t for t in texts)
+
+
+def test_cli_ingest_warc_to_validation(tmp_path, ray_session, capsys):
+    import json
+
+    import pyarrow.dataset as pads
+
+    from tanml_ray.cli import main
+
+    wdir = tmp_path / "crawl"
+    wdir.mkdir()
+    for j in range(2):
+        write_warc(str(wdir / f"seg{j}.warc.gz"), _pages(5),
+                   gzip_members=True)
+    out = str(tmp_path / "pages_pq")
+    rc = main(["ingest-warc", "--input", str(wdir), "--out", out,
+               "--langid"])
+    assert rc == 0
+    info = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert info["files_in"] == 2 and info["rows"] == 10
+    t = pads.dataset(out).to_table()
+    assert set(t.column_names) == {"url", "warc_ts", "html", "text",
+                                   "lang"}
+    assert all("page" in x for x in t.column("text").to_pylist())
+    # landed parquet feeds the flagship validation suite directly
+    from tanml_ray.pipelines.validate import run_pages_validation
+
+    report = run_pages_validation(out)
+    assert report.status.num_rows > 0
