@@ -187,6 +187,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "warc_extract_documents": q.warc_extract_documents,
         "c4_clean_documents": q.c4_clean_documents,
         "bpe_merges_documents": q.bpe_merges_documents,
+        "url_filter_documents": q.url_filter_documents,
     }
 
 
@@ -324,6 +325,7 @@ def oracle_sql() -> dict[str, str]:
         "linear_shap_orders": q.LINEAR_SHAP_SQL,
         "warc_extract_documents": q.WARC_EXTRACT_SQL,
         "c4_clean_documents": q.C4_CLEAN_SQL,
+        "url_filter_documents": q.URL_FILTER_SQL,
         # langid / lsh-knn / minhash / simhash / logistic_cv (iterative
         # IRLS): not SQL-expressible → rows-only driver check; verified
         # in pytest instead.

@@ -6441,3 +6441,73 @@ def bpe_merges_documents(sf_dir: str) -> pa.Table:
 
     return bpe_train(_read(sf_dir, "documents", ["doc_id", "text"]),
                      num_merges=64)
+
+
+# ---------------------------------------------------------------------------
+# URL blocklist filtering end-to-end (webtext.url_filter; RefinedWeb
+# §3.1 methodology). The fixture synthesizes urls from (source, lang,
+# doc_id) — same recipe as domain_stats — plus a deterministic
+# '/casino' path segment on doc_id%17 docs and an oversized tracking
+# tail on doc_id%23 docs, so every rule (domain, keyword, length) and
+# the fixed precedence fire. Blocklist + keywords are static literals
+# mirrored verbatim in the SQL.
+_URL_BLOCKED = frozenset({"src3.de.example.org", "src3.en.example.org",
+                          "src3.es.example.org", "src3.fr.example.org",
+                          "src3.zh.example.org", "src7.en.example.org"})
+_URL_BANNED = ("casino", "tracker=")
+
+
+def url_filter_documents(sf_dir: str):
+    from tanml_ray.pipelines.webtext import url_filter
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "lang"])
+
+    def with_url(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        srcs = batch.column("source").to_pylist()
+        langs = batch.column("lang").to_pylist()
+        urls = []
+        for i, s, lg in zip(ids, srcs, langs):
+            i = int(i)
+            u = f"https://www.{s}.{lg}.example.org/doc/{i}"
+            if i % 17 == 0:
+                u += "/casino"
+            if i % 23 == 0:
+                u += "?tracker=" + "x" * 120
+            elif i % 29 == 0:
+                u += "/" + "p" * 80
+            urls.append(u)
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "url": pa.array(urls, type=pa.string())})
+
+    return url_filter(ds.map_batches(with_url, batch_format="pyarrow"),
+                      blocked_domains=_URL_BLOCKED,
+                      banned_substrings=_URL_BANNED, max_len=64)
+
+
+URL_FILTER_SQL = r"""
+WITH pages AS (
+  SELECT doc_id,
+         'https://www.' || source || '.' || lang || '.example.org/doc/'
+         || doc_id
+         || CASE WHEN doc_id % 17 = 0 THEN '/casino' ELSE '' END
+         || CASE WHEN doc_id % 23 = 0
+                 THEN '?tracker=' || repeat('x', 120)
+                 WHEN doc_id % 29 = 0 THEN '/' || repeat('p', 80)
+                 ELSE '' END AS url,
+         source || '.' || lang || '.example.org' AS domain
+  FROM documents
+)
+SELECT doc_id, domain,
+       CASE
+         WHEN domain IN ('src3.de.example.org', 'src3.en.example.org',
+                         'src3.es.example.org', 'src3.fr.example.org',
+                         'src3.zh.example.org', 'src7.en.example.org')
+           THEN 'domain'
+         WHEN contains(url, 'casino') THEN 'keyword'
+         WHEN contains(url, 'tracker=') THEN 'keyword'
+         WHEN len(url) > 64 THEN 'length'
+         ELSE NULL
+       END AS reason
+FROM pages
+"""

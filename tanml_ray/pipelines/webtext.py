@@ -1565,3 +1565,53 @@ def bpe_token_stats(ds, num_merges: int = 200, text_col: str = "text",
     return ds.map_batches(
         BpeEncoder, fn_constructor_args=(ref, text_col, id_col),
         batch_format="pyarrow", concurrency=concurrency)
+
+
+# ---------------------------------------------------------------------------
+# URL filtering (the RefinedWeb / UT1-blocklist curation stage, public
+# methodology: Penedo et al. 2023 §3.1): drop documents whose url is on
+# a blocked-DOMAIN list, contains a banned keyword, or is implausibly
+# long. Vectorized arrow kernels end-to-end (is_in against a broadcast
+# domain set, match_substring per keyword, utf8_length); the blocklist
+# ships once via ray.put — at UT1 scale (~10^6 domains ≈ 30 MB) that is
+# a broadcast object, never a shuffle side. Shuffle-free.
+# ---------------------------------------------------------------------------
+
+def url_filter(ds, url_col: str = "url", id_col: str = "doc_id",
+               blocked_domains: frozenset[str] = frozenset(),
+               banned_substrings: tuple[str, ...] = (),
+               max_len: int = 2048):
+    """Dataset[(id, domain, reason)] for EVERY row; reason is null for
+    kept rows, else the FIRST matching rule in fixed precedence
+    'domain' > 'keyword' > 'length' (deterministic under any
+    partitioning). Domain = host with a leading www. stripped — the
+    extract_domain_batch contract (canonicalize_url_batch upstream
+    handles case/port/utm normalization)."""
+    import ray
+
+    dom_ref = ray.put(pa.array(sorted(blocked_domains), type=pa.string()))
+
+    def flag(batch: pa.Table) -> pa.Table:
+        dom_set = ray.get(dom_ref)
+        d = extract_domain_batch(batch, url_col=url_col).column("domain")
+        url = batch.column(url_col)
+        n = batch.num_rows
+        reason = np.full(n, None, dtype=object)
+        hit_dom = pc.is_in(d, value_set=dom_set).to_numpy(
+            zero_copy_only=False)
+        reason[hit_dom] = "domain"
+        open_mask = ~hit_dom
+        for s in banned_substrings:
+            hit = pc.match_substring(url, s).to_numpy(zero_copy_only=False)
+            take = open_mask & hit
+            reason[take] = "keyword"
+            open_mask &= ~hit
+        too_long = (pc.utf8_length(url).to_numpy(zero_copy_only=False)
+                    > max_len)
+        reason[open_mask & too_long] = "length"
+        return pa.table({
+            id_col: batch.column(id_col),
+            "domain": d,
+            "reason": pa.array(reason.tolist(), type=pa.string())})
+
+    return ds.map_batches(flag, batch_format="pyarrow")

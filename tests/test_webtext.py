@@ -664,3 +664,28 @@ def test_bpe_budget_guard_raises(ray_session):
         "text": pa.array(["a b c d e"], type=pa.string())}))
     with pytest.raises(RuntimeError, match="budget"):
         bpe_train(ds, vocab_driver_budget=0)
+
+
+def test_url_filter_precedence_and_rules(ray_session):
+    import ray.data as rd
+
+    from tanml_ray.pipelines.webtext import url_filter
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5], type=pa.int64()),
+        "url": pa.array([
+            "https://www.bad.example.com/casino",   # domain wins over keyword
+            "https://ok.example.com/casino/page",   # keyword
+            "https://ok.example.com/" + "p" * 99,   # length
+            "https://ok.example.com/fine",          # kept
+            "https://bad.example.com/x",            # blocked, www-less form
+        ], type=pa.string())}))
+    out = {r["doc_id"]: r for r in url_filter(
+        docs, blocked_domains=frozenset({"bad.example.com"}),
+        banned_substrings=("casino",), max_len=60).take_all()}
+    assert out[1]["reason"] == "domain"       # precedence: domain first
+    assert out[1]["domain"] == "bad.example.com"   # www stripped
+    assert out[2]["reason"] == "keyword"
+    assert out[3]["reason"] == "length"
+    assert out[4]["reason"] is None
+    assert out[5]["reason"] == "domain"
