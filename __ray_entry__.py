@@ -188,6 +188,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "c4_clean_documents": q.c4_clean_documents,
         "bpe_merges_documents": q.bpe_merges_documents,
         "url_filter_documents": q.url_filter_documents,
+        "chunk_documents": q.chunk_documents_query,
     }
 
 
@@ -326,6 +327,7 @@ def oracle_sql() -> dict[str, str]:
         "warc_extract_documents": q.WARC_EXTRACT_SQL,
         "c4_clean_documents": q.C4_CLEAN_SQL,
         "url_filter_documents": q.URL_FILTER_SQL,
+        "chunk_documents": q.CHUNK_DOCS_SQL,
         # langid / lsh-knn / minhash / simhash / logistic_cv (iterative
         # IRLS): not SQL-expressible → rows-only driver check; verified
         # in pytest instead.

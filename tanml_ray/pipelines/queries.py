@@ -6511,3 +6511,37 @@ SELECT doc_id, domain,
        END AS reason
 FROM pages
 """
+
+
+# ---------------------------------------------------------------------------
+# Overlapping-window chunking (webtext.chunk_documents): window 24,
+# stride 16 over the documents table. The SQL oracle reproduces the
+# window algebra with a generate_series lateral join on 1-based word
+# ordinals: chunk c holds ords in (c*16, c*16 + 24].
+def chunk_documents_query(sf_dir: str):
+    from tanml_ray.pipelines.webtext import chunk_documents
+
+    return chunk_documents(_read(sf_dir, "documents", ["doc_id", "text"]),
+                           window=24, stride=16)
+
+
+CHUNK_DOCS_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS w,
+         generate_subscripts(regexp_extract_all(text, '\S+'), 1) AS ord
+  FROM documents WHERE len(regexp_extract_all(text, '\S+')) >= 1
+), nw AS (
+  SELECT doc_id, max(ord) AS n FROM toks GROUP BY doc_id
+), cids AS (
+  SELECT doc_id, unnest(generate_series(0, (n - 1) // 16)) AS chunk_id
+  FROM nw
+)
+SELECT t.doc_id, c.chunk_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       string_agg(t.w, ' ' ORDER BY t.ord) AS chunk_text
+FROM cids c JOIN toks t
+  ON t.doc_id = c.doc_id
+ AND t.ord > c.chunk_id * 16
+ AND t.ord <= c.chunk_id * 16 + 24
+GROUP BY t.doc_id, c.chunk_id
+"""

@@ -1615,3 +1615,44 @@ def url_filter(ds, url_col: str = "url", id_col: str = "doc_id",
             "reason": pa.array(reason.tolist(), type=pa.string())})
 
     return ds.map_batches(flag, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Overlapping-window document chunking — the RAG / context-window
+# preparation stage: each doc explodes into word windows of `window`
+# words every `stride` words (overlap = window - stride). Shuffle-free
+# row-expanding map_batches (the Dataset-native flat_map shape, batched);
+# chunk ids are derived from word offsets, so output is partition- and
+# retry-deterministic. Token semantics are the engine-wide ASCII \S+
+# contract (_doc_spans rationale).
+# ---------------------------------------------------------------------------
+
+def chunk_documents(ds, window: int = 64, stride: int = 48,
+                    text_col: str = "text", id_col: str = "doc_id"):
+    """Dataset[(doc_id, chunk_id, n_words, chunk_text)]: chunk c covers
+    words [c·stride, c·stride + window); a chunk is emitted iff its
+    start offset is inside the doc (the final one may be short). Docs
+    with no tokens emit nothing."""
+    if stride <= 0 or window <= 0:
+        raise ValueError("window and stride must be positive")
+
+    def explode(batch: pa.Table) -> pa.Table:
+        o_id, o_cid, o_nw, o_tx = [], [], [], []
+        for i, t in zip(batch.column(id_col).to_pylist(),
+                        batch.column(text_col).to_pylist()):
+            ws = _WS_TOKEN_RE.findall(t) if t else []
+            if not ws:
+                continue
+            for c in range((len(ws) - 1) // stride + 1):
+                w = ws[c * stride:c * stride + window]
+                o_id.append(i)
+                o_cid.append(c)
+                o_nw.append(len(w))
+                o_tx.append(" ".join(w))
+        return pa.table({
+            id_col: pa.array(o_id, type=pa.int64()),
+            "chunk_id": pa.array(o_cid, type=pa.int64()),
+            "n_words": pa.array(o_nw, type=pa.int64()),
+            "chunk_text": pa.array(o_tx, type=pa.string())})
+
+    return ds.map_batches(explode, batch_format="pyarrow")

@@ -689,3 +689,24 @@ def test_url_filter_precedence_and_rules(ray_session):
     assert out[3]["reason"] == "length"
     assert out[4]["reason"] is None
     assert out[5]["reason"] == "domain"
+
+
+def test_chunk_documents_overlap_and_edges(ray_session):
+    import ray.data as rd
+
+    from tanml_ray.pipelines.webtext import chunk_documents
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+        "text": pa.array(["a b c d e f g", "x", ""], type=pa.string())}))
+    out = chunk_documents(docs, window=4, stride=3).take_all()
+    by = {(r["doc_id"], r["chunk_id"]): r for r in out}
+    # doc 1: 7 words -> chunks at 0,3,6
+    assert by[(1, 0)]["chunk_text"] == "a b c d"
+    assert by[(1, 1)]["chunk_text"] == "d e f g"   # 1-word overlap
+    assert by[(1, 2)]["chunk_text"] == "g" and by[(1, 2)]["n_words"] == 1
+    # single word doc -> one short chunk; empty doc -> nothing
+    assert by[(2, 0)]["chunk_text"] == "x"
+    assert {k[0] for k in by} == {1, 2}
+    with pytest.raises(ValueError):
+        chunk_documents(docs, window=4, stride=0)
