@@ -800,7 +800,8 @@ FROM documents ORDER BY doc_id
 
 
 def langid_documents(sf_dir: str) -> pa.Table:
-    """Heuristic language-ID — no SQL oracle (rows-only check)."""
+    """Heuristic language-ID; LANGID_SQL mirrors the full heuristic
+    (CJK branch, stopword ratios, tie-break, und branches) exactly."""
     from tanml_ray.stages.text import langid_batch
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
@@ -6544,4 +6545,56 @@ FROM cids c JOIN toks t
  AND t.ord > c.chunk_id * 16
  AND t.ord <= c.chunk_id * 16 + 24
 GROUP BY t.doc_id, c.chunk_id
+"""
+
+
+# Full SQL oracle for the langid heuristic (stages/text.py langid_of):
+# the CJK branch, punctuation-stripped lowercase tokens, per-language
+# stopword ratios, argmax with lexicographically-largest tie-break, and
+# both 'und' branches are mirrored verbatim. Upgrades langid_documents
+# from a rows-only driver check to an exact one.
+LANGID_SQL = r"""
+WITH base AS (
+  SELECT doc_id, text, length(text) AS n_chars,
+         len(regexp_extract_all(text, '[一-鿿]')) AS n_cjk
+  FROM documents
+), toks AS (
+  SELECT doc_id, w FROM (
+    SELECT doc_id,
+           trim(unnest(regexp_extract_all(lower(text), '\S+')),
+                '.,;:!?"''()') AS w
+    FROM documents
+  ) WHERE w <> ''
+), counts AS (
+  SELECT doc_id, count(*) AS n,
+    sum(CASE WHEN w IN ('the','and','of','a','to','in','is','it','that',
+                        'for','was','on') THEN 1 ELSE 0 END) AS s_en,
+    sum(CASE WHEN w IN ('der','die','das','und','ist','nicht','ein',
+                        'eine','zu','den','mit') THEN 1 ELSE 0 END) AS s_de,
+    sum(CASE WHEN w IN ('el','la','los','las','de','que','y','en','un',
+                        'una','es','por') THEN 1 ELSE 0 END) AS s_es,
+    sum(CASE WHEN w IN ('le','la','les','de','et','un','une','est','que',
+                        'dans','pour') THEN 1 ELSE 0 END) AS s_fr
+  FROM toks GROUP BY doc_id
+), scored AS (
+  SELECT doc_id, lang, score, row_number() OVER (
+           PARTITION BY doc_id ORDER BY score DESC, lang DESC) AS rn
+  FROM (
+    SELECT doc_id, 'en' AS lang, s_en * 1.0 / n AS score FROM counts
+    UNION ALL SELECT doc_id, 'de', s_de * 1.0 / n FROM counts
+    UNION ALL SELECT doc_id, 'es', s_es * 1.0 / n FROM counts
+    UNION ALL SELECT doc_id, 'fr', s_fr * 1.0 / n FROM counts
+  )
+)
+SELECT b.doc_id,
+       CASE WHEN b.n_chars = 0 THEN 'und'
+            WHEN b.n_cjk > 0 THEN 'zh'
+            WHEN s.score IS NULL OR s.score = 0 THEN 'und'
+            ELSE s.lang END AS pred_lang,
+       CASE WHEN b.n_chars = 0 THEN 0.0
+            WHEN b.n_cjk > 0
+              THEN least(1.0, b.n_cjk * 1.0 / greatest(b.n_chars, 1) * 2)
+            WHEN s.score IS NULL OR s.score = 0 THEN 0.0
+            ELSE round(least(1.0, s.score * 3), 6) END AS confidence
+FROM base b LEFT JOIN (SELECT * FROM scored WHERE rn = 1) s USING (doc_id)
 """
