@@ -135,6 +135,8 @@ def curate_documents(ds, text_col: str = "text", id_col: str = "doc_id",
                      min_quality: float = 0.0,
                      allowed_langs: set[str] | None = None,
                      gopher_rules: bool = False,
+                     c4_clean: bool = False,
+                     c4_min_kept: int = 1,
                      decontaminate_against=None,
                      contamination_n: int = 5,
                      near_dup_threshold: float = 0.8,
@@ -160,6 +162,21 @@ def curate_documents(ds, text_col: str = "text", id_col: str = "doc_id",
 
     n0 = count_of(ds)
     stats["input_rows"] = n0
+
+    # -- 0. optional C4 line-level cleaning (webtext.c4_line_filter,
+    # output="rewrite"): line rules rewrite text in place, the document
+    # rules ('{' / 'lorem ipsum' / < c4_min_kept surviving lines) drop
+    # rows — BEFORE quality so token/quality accounting sees the
+    # cleaned text, matching the published C4 ordering.
+    if c4_clean:
+        from tanml_ray.pipelines.webtext import c4_line_filter
+
+        ds = c4_line_filter(ds, text_col=text_col, id_col=id_col,
+                            min_kept=c4_min_kept,
+                            output="rewrite").materialize()
+        n0c = count_of(ds)
+        stats["dropped_c4"] = n0 - n0c
+        n0 = n0c
 
     # -- 1. quality + langid filter (one fused pass; per-row langid is
     # the tokenizer-bound part, vectorized counts come from
@@ -311,6 +328,7 @@ def curate_documents(ds, text_col: str = "text", id_col: str = "doc_id",
     assert rows == n3
     assert (stats["input_rows"] - stats["output_rows"]
             == stats["dropped_quality_or_lang"]
+            + stats.get("dropped_c4", 0)
             + stats.get("dropped_contaminated", 0)
             + stats["dropped_exact_dup"]
             + stats["dropped_near_dup"])

@@ -1364,19 +1364,26 @@ _TERMINAL_PUNCT = (".", "!", "?", '"')
 
 
 def c4_line_filter(ds, text_col: str = "text", id_col: str = "doc_id",
-                   min_words: int = 3, min_kept: int = 3):
-    """Dataset[(doc_id, n_lines, n_kept, clean_text)] of surviving docs.
+                   min_words: int = 3, min_kept: int = 3,
+                   output: str = "stats"):
+    """output="stats" → Dataset[(doc_id, n_lines, n_kept, clean_text)]
+    of surviving docs; output="rewrite" → the ORIGINAL schema with
+    text_col replaced by the cleaned text and non-surviving rows
+    dropped (the shape curate composes).
 
     Line keep-rule (applied to each rtrim'd "\\n"-line): ends in one of
     . ! ? "  AND has >= min_words whitespace words AND does not contain
     "javascript" (case-insensitive). Document drop-rule: raw text
     contains "{" or "lorem ipsum" (case-insensitive), or fewer than
     min_kept lines survive."""
+    if output not in ("stats", "rewrite"):
+        raise ValueError(f"unknown output mode {output!r}")
 
     def clean(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_pylist()
-        o_id, o_nl, o_nk, o_tx = [], [], [], []
-        for i, t in zip(ids, batch.column(text_col).to_pylist()):
+        o_id, o_nl, o_nk, o_tx, keep_idx = [], [], [], [], []
+        for row, (i, t) in enumerate(
+                zip(ids, batch.column(text_col).to_pylist())):
             if t is None:
                 continue
             low = t.lower()
@@ -1393,6 +1400,12 @@ def c4_line_filter(ds, text_col: str = "text", id_col: str = "doc_id",
             o_nl.append(len(lines))
             o_nk.append(len(kept))
             o_tx.append("\n".join(kept))
+            keep_idx.append(row)
+        if output == "rewrite":
+            sub = batch.take(pa.array(keep_idx, type=pa.int64()))
+            return sub.set_column(
+                sub.column_names.index(text_col), text_col,
+                pa.array(o_tx, type=pa.string()))
         return pa.table({
             id_col: pa.array(o_id, type=pa.int64()),
             "n_lines": pa.array(o_nl, type=pa.int64()),

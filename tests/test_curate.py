@@ -156,3 +156,30 @@ class TestCurateWebtext:
         assert ids == {1}
         assert stats["dropped_quality_or_lang"] == 1      # doc 3: gopher
         assert stats["dropped_contaminated"] == 1         # doc 2: leaked
+
+
+def test_curate_with_c4_clean_stage(ray_session):
+    import ray.data as rd
+
+    from tanml_ray.pipelines.curate import curate_documents
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array(list(range(6)), type=pa.int64()),
+        "text": pa.array([
+            "one two three four five six.",        # kept, line survives
+            "alpha beta gamma delta five six!",    # kept
+            "json blob { inside }",                # c4 doc rule drops
+            "contains lorem ipsum filler text.",   # c4 doc rule drops
+            "no terminal punctuation here at all", # line dies -> 0 kept
+            "uses javascript heavily today.",      # javascript line dies
+        ], type=pa.string()),
+        "lang": pa.array(["en"] * 6, type=pa.string())}))
+    out, stats = curate_documents(
+        docs, min_tokens=1, c4_clean=True, near_dup_threshold=0.99)
+    assert stats["input_rows"] == 6
+    assert stats["dropped_c4"] == 4
+    assert stats["output_rows"] == 2
+    # full drop accounting still balances with the new stage
+    assert (stats["input_rows"] - stats["output_rows"]
+            == stats["dropped_c4"] + stats["dropped_quality_or_lang"]
+            + stats["dropped_exact_dup"] + stats["dropped_near_dup"])
