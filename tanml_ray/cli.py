@@ -78,6 +78,8 @@ def main(argv: list[str] | None = None) -> int:
     cu.add_argument("--id-col", default="doc_id")
     cu.add_argument("--min-tokens", type=int, default=5)
     cu.add_argument("--near-dup-threshold", type=float, default=0.8)
+    cu.add_argument("--c4-clean", action="store_true",
+                    help="apply C4 line-level cleaning before quality")
     cu.add_argument("--langs", default=None,
                     help="comma-separated language allow-list")
     cu.add_argument("--resumable", action="store_true",
@@ -188,6 +190,10 @@ def main(argv: list[str] | None = None) -> int:
             if args.resumable:
                 from tanml_ray.pipelines.curate import run_resumable_curation
 
+                if args.c4_clean:
+                    raise ValueError(
+                        "--c4-clean is not supported with --resumable "
+                        "yet; run it as a landing pass first")
                 stats = run_resumable_curation(
                     args.input, args.out, text_col=args.text_col,
                     id_col=args.id_col, min_tokens=args.min_tokens,
@@ -198,6 +204,7 @@ def main(argv: list[str] | None = None) -> int:
                 _, stats = curate_documents(
                     ds, text_col=args.text_col, id_col=args.id_col,
                     min_tokens=args.min_tokens, allowed_langs=langs,
+                    c4_clean=args.c4_clean,
                     near_dup_threshold=args.near_dup_threshold,
                     out_dir=args.out)
             print(json.dumps(stats, default=str))
