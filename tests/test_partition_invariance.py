@@ -33,6 +33,10 @@ QUERIES = [
     "ntile_deciles_orders",
     "modified_zscore_outliers_lineitem",
     "minhash_near_dup_documents",
+    "url_filter_documents",
+    "chunk_documents",
+    "bpe_merges_documents",
+    "langid_documents",
 ]
 
 
