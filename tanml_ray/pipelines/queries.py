@@ -6598,3 +6598,90 @@ SELECT b.doc_id,
             ELSE round(least(1.0, s.score * 3), 6) END AS confidence
 FROM base b LEFT JOIN (SELECT * FROM scored WHERE rn = 1) s USING (doc_id)
 """
+
+
+# ---------------------------------------------------------------------------
+# Corpus data card — the one-table corpus composition summary an LLM
+# data pipeline publishes per release: per-language doc/token/char
+# counts, distinct-content count, and exact-dup rate. One combiner
+# pass builds (lang, digest) partials (per-batch pre-dedupe), one
+# groupby(lang, dig) collapses duplicates, one bounded groupby(lang)
+# finishes — text never shuffles, the digest is a 16-byte blake2b (the
+# curate contract), and the dup-rate math is shared IEEE with the SQL.
+def corpus_datacard_documents(sf_dir: str) -> pa.Table:
+    from ray.data.aggregate import Sum
+
+    from tanml_ray.pipelines.curate import _content_digest
+    from tanml_ray.pipelines.webtext import _WS_TOKEN_RE
+
+    ds = _read(sf_dir, "documents", ["text", "lang"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        langs = batch.column("lang").to_pylist()
+        texts = batch.column("text").to_pylist()
+        agg: dict[tuple[str, bytes], list[int]] = {}
+        for lg, t in zip(langs, texts):
+            t = t or ""
+            k = (lg, _content_digest(t))
+            e = agg.setdefault(k, [0, 0, 0])
+            e[0] += 1
+            e[1] += len(_WS_TOKEN_RE.findall(t))
+            e[2] += len(t)
+        ks = list(agg.keys())
+        return pa.table({
+            "lang": pa.array([k[0] for k in ks], type=pa.string()),
+            "dig": pa.array([k[1] for k in ks], type=pa.binary(16)),
+            "n": pa.array([agg[k][0] for k in ks], type=pa.int64()),
+            "toks": pa.array([agg[k][1] for k in ks], type=pa.int64()),
+            "chars": pa.array([agg[k][2] for k in ks], type=pa.int64())})
+
+    per_dig = (ds.map_batches(partial, batch_format="pyarrow")
+               .groupby(["lang", "dig"])
+               .aggregate(Sum("n", alias_name="n"),
+                          Sum("toks", alias_name="toks"),
+                          Sum("chars", alias_name="chars")))
+
+    def lang_partial(batch: pa.Table) -> pa.Table:
+        df = batch.group_by("lang").aggregate(
+            [("n", "sum"), ("toks", "sum"), ("chars", "sum"),
+             ("dig", "count")])
+        return pa.table({
+            "lang": df.column("lang"),
+            "n_docs": df.column("n_sum"),
+            "n_tokens": df.column("toks_sum"),
+            "n_chars": df.column("chars_sum"),
+            "n_distinct": df.column("dig_count")})
+
+    rows = collect_pylist(
+        per_dig.map_batches(lang_partial, batch_format="pyarrow")
+        .groupby("lang").aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n_tokens", alias_name="n_tokens"),
+            Sum("n_chars", alias_name="n_chars"),
+            Sum("n_distinct", alias_name="n_distinct")))
+    rows.sort(key=lambda r: r["lang"])
+    return pa.table({
+        "lang": pa.array([r["lang"] for r in rows], type=pa.string()),
+        "n_docs": pa.array([r["n_docs"] for r in rows], type=pa.int64()),
+        "n_tokens": pa.array([r["n_tokens"] for r in rows],
+                             type=pa.int64()),
+        "n_chars": pa.array([r["n_chars"] for r in rows], type=pa.int64()),
+        "n_distinct": pa.array([r["n_distinct"] for r in rows],
+                               type=pa.int64()),
+        "dup_rate": pa.array(
+            [round(1.0 - r["n_distinct"] / r["n_docs"], 6) for r in rows],
+            type=pa.float64())})
+
+
+CORPUS_DATACARD_SQL = r"""
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len(regexp_extract_all(text, '\S+'))) AS BIGINT)
+         AS n_tokens,
+       CAST(sum(length(text)) AS BIGINT) AS n_chars,
+       CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct,
+       round(1.0 - count(DISTINCT md5(text)) * 1.0 / count(*), 6)
+         AS dup_rate
+FROM documents
+GROUP BY lang
+"""

@@ -37,6 +37,7 @@ QUERIES = [
     "chunk_documents",
     "bpe_merges_documents",
     "langid_documents",
+    "corpus_datacard_documents",
 ]
 
 
