@@ -6685,3 +6685,102 @@ SELECT lang,
 FROM documents
 GROUP BY lang
 """
+
+
+# ---------------------------------------------------------------------------
+# Unicode-script profile per language — the multilingual-curation
+# companion to langid: for each lang, the fraction of codepoints in
+# Latin / digit / Cyrillic / CJK / whitespace classes. Catches
+# mislabeled corpora (a "ru" shard that is 90% Latin) and
+# transliteration artifacts before they poison language-balanced
+# training mixes. Vectorized: each batch concatenates its texts once
+# per lang, decodes to a uint32 codepoint array via UTF-32, and counts
+# the classes with boolean range masks — no per-character Python. The
+# shuffle ships six int64 counters per (block, lang); fractions are a
+# driver-side divide over the ≤|langs| totals. Reference analog: the
+# per-column categorical profile (profiling.py:85-102) applied to
+# character classes. Full SQL oracle (RE2 class counts in DuckDB).
+# ---------------------------------------------------------------------------
+
+_WS_CODES = np.array([9, 10, 11, 12, 13, 32], dtype=np.uint32)
+
+
+def script_profile_documents(sf_dir: str) -> pa.Table:
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        langs = batch.column("lang").to_pylist()
+        texts = batch.column("text").to_pylist()
+        by: dict[str, list[str]] = {}
+        for lg, t in zip(langs, texts):
+            by.setdefault(lg, []).append(t or "")
+        rows = []
+        for lg, ts in by.items():
+            cp = np.frombuffer("".join(ts).encode("utf-32-le"),
+                               dtype=np.uint32)
+            rows.append({
+                "lang": lg, "n_docs": len(ts), "chars": int(cp.size),
+                "latin": int((((cp >= 65) & (cp <= 90))
+                              | ((cp >= 97) & (cp <= 122))).sum()),
+                "digit": int(((cp >= 48) & (cp <= 57)).sum()),
+                "cyrillic": int(((cp >= 0x0400) & (cp <= 0x04FF)).sum()),
+                "cjk": int(((cp >= 0x4E00) & (cp <= 0x9FFF)).sum()),
+                "ws": int(np.isin(cp, _WS_CODES).sum())})
+        schema = pa.schema([("lang", pa.string())]
+                           + [(c, pa.int64()) for c in
+                              ("n_docs", "chars", "latin", "digit",
+                               "cyrillic", "cjk", "ws")])
+        return pa.Table.from_pylist(rows, schema=schema)
+
+    rows = collect_pylist(
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("lang").aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("chars", alias_name="chars"),
+            Sum("latin", alias_name="latin"),
+            Sum("digit", alias_name="digit"),
+            Sum("cyrillic", alias_name="cyrillic"),
+            Sum("cjk", alias_name="cjk"),
+            Sum("ws", alias_name="ws")))
+    rows.sort(key=lambda r: r["lang"])
+    return pa.table({
+        "lang": pa.array([r["lang"] for r in rows], type=pa.string()),
+        "n_docs": pa.array([r["n_docs"] for r in rows], type=pa.int64()),
+        "chars": pa.array([r["chars"] for r in rows], type=pa.int64()),
+        "latin_frac": pa.array(
+            [_round6(r["latin"] / r["chars"]) for r in rows]),
+        "digit_frac": pa.array(
+            [_round6(r["digit"] / r["chars"]) for r in rows]),
+        "cyrillic_frac": pa.array(
+            [_round6(r["cyrillic"] / r["chars"]) for r in rows]),
+        "cjk_frac": pa.array(
+            [_round6(r["cjk"] / r["chars"]) for r in rows]),
+        "ws_frac": pa.array(
+            [_round6(r["ws"] / r["chars"]) for r in rows])})
+
+
+SCRIPT_PROFILE_SQL = r"""
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(length(text)) AS BIGINT) AS chars,
+       round(sum(length(text) - length(regexp_replace(
+           text, '[A-Za-z]', '', 'g')))
+         / CAST(sum(length(text)) AS DOUBLE), 6) AS latin_frac,
+       round(sum(length(text) - length(regexp_replace(
+           text, '[0-9]', '', 'g')))
+         / CAST(sum(length(text)) AS DOUBLE), 6) AS digit_frac,
+       round(sum(length(text) - length(regexp_replace(
+           text, '[\x{0400}-\x{04FF}]', '', 'g')))
+         / CAST(sum(length(text)) AS DOUBLE), 6) AS cyrillic_frac,
+       round(sum(length(text) - length(regexp_replace(
+           text, '[\x{4E00}-\x{9FFF}]', '', 'g')))
+         / CAST(sum(length(text)) AS DOUBLE), 6) AS cjk_frac,
+       round(sum(length(text) - length(regexp_replace(
+           text, '[ \t\n\r\f\v]', '', 'g')))
+         / CAST(sum(length(text)) AS DOUBLE), 6) AS ws_frac
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""

@@ -50,7 +50,7 @@ FAST_QUERIES = [
     "modified_zscore_outliers_lineitem", "cumulative_revenue_events",
     "entropy_profile", "daily_value_quantiles_events",
     "mannwhitney_quantity_returnflag", "basket_lift_events",
-    "dsir_weights_documents",
+    "dsir_weights_documents", "script_profile_documents",
 ]
 
 
