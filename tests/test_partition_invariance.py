@@ -38,6 +38,7 @@ QUERIES = [
     "bpe_merges_documents",
     "langid_documents",
     "corpus_datacard_documents",
+    "script_profile_documents",
 ]
 
 
