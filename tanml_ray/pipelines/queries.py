@@ -6784,3 +6784,86 @@ FROM documents
 GROUP BY lang
 ORDER BY lang
 """
+
+
+# ---------------------------------------------------------------------------
+# Concat-and-chunk sequence-packing accounting — the GPT-style
+# pretraining prep step: all documents form one global token stream in
+# doc_id order, sliced into fixed context windows of C tokens; each doc
+# reports its stream offset, its first window, and how many windows it
+# spans (boundary-crossing docs are the ones a packer truncates or
+# masks across). Distinct from chunk_documents (per-doc overlapping
+# windows): the offset here is a GLOBAL running sum. Two bounded
+# passes: (1) per-doc token counts combine into ≤`parts` doc_id-range
+# bucket totals (combiner-first groupby; the driver walk is over the
+# bucket series, never rows), (2) groupby(bucket).map_groups computes
+# the in-bucket prefix with the bucket's broadcast base offset. Scale
+# assumption (documented): one bucket's docs fit a worker — `parts`
+# tunes it, and a two-level bucket prefix is the 10^12-doc extension.
+# Full window-SQL oracle (SUM OVER ORDER BY).
+# ---------------------------------------------------------------------------
+
+def pack_windows_documents(sf_dir: str, context: int = 512,
+                           parts: int = 64) -> pa.Table:
+    from ray.data.aggregate import Sum
+
+    from tanml_ray.pipelines.webtext import _WS_TOKEN_RE
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    width = int(ds.max("doc_id")) // parts + 1
+
+    def tok(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = batch.column("text").to_pylist()
+        n = np.fromiter((len(_WS_TOKEN_RE.findall(t)) if t else 0
+                         for t in texts), np.int64, len(texts))
+        return pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                         "n": pa.array(n),
+                         "g": pa.array(ids // width, type=pa.int64())})
+
+    toks = ds.map_batches(tok, batch_format="pyarrow")
+    btot = {int(r["g"]): int(r["n"]) for r in collect_pylist(
+        toks.groupby("g").aggregate(Sum("n", alias_name="n")))}
+    base, run = {}, 0
+    for g in sorted(btot):          # ≤ parts entries: driver-bounded
+        base[g] = run
+        run += btot[g]
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("doc_id")
+        n = df["n"].to_numpy(dtype=np.int64)
+        start = (np.concatenate(([0], np.cumsum(n)[:-1]))
+                 + base[int(df["g"].iloc[0])])
+        first = start // context
+        last = np.where(n > 0, (start + np.maximum(n, 1) - 1) // context,
+                        first)
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(dtype=np.int64),
+            "n_tokens": n, "start_tok": start, "first_window": first,
+            "n_windows": np.where(n > 0, last - first + 1, 0)})
+
+    rows = sorted(collect_pylist(toks.groupby("g").map_groups(
+        per_bucket, batch_format="pandas")), key=lambda r: r["doc_id"])
+    return pa.table({
+        c: pa.array([r[c] for r in rows], type=pa.int64())
+        for c in ("doc_id", "n_tokens", "start_tok", "first_window",
+                  "n_windows")})
+
+
+PACK_WINDOWS_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, len(regexp_extract_all(text, '\S+')) AS n
+  FROM documents),
+cum AS (
+  SELECT doc_id, n,
+         coalesce(sum(n) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS st
+  FROM toks)
+SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+       CAST(st AS BIGINT) AS start_tok,
+       CAST(st // 512 AS BIGINT) AS first_window,
+       CAST(CASE WHEN n = 0 THEN 0
+                 ELSE (st + n - 1) // 512 - st // 512 + 1 END AS BIGINT)
+         AS n_windows
+FROM cum ORDER BY doc_id
+"""

@@ -39,6 +39,7 @@ QUERIES = [
     "langid_documents",
     "corpus_datacard_documents",
     "script_profile_documents",
+    "pack_windows_documents",
 ]
 
 

@@ -51,6 +51,7 @@ FAST_QUERIES = [
     "entropy_profile", "daily_value_quantiles_events",
     "mannwhitney_quantity_returnflag", "basket_lift_events",
     "dsir_weights_documents", "script_profile_documents",
+    "pack_windows_documents",
 ]
 
 
