@@ -710,3 +710,38 @@ def test_chunk_documents_overlap_and_edges(ray_session):
     assert {k[0] for k in by} == {1, 2}
     with pytest.raises(ValueError):
         chunk_documents(docs, window=4, stride=0)
+
+
+def test_pack_windows_edges_and_buckets(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from tanml_ray.pipelines.queries import pack_windows_documents
+
+    texts = ["a b c d",        # exactly fills window 0 (C=4)
+             "",               # empty -> 0 tokens, 0 windows
+             "x",              # single token
+             "t1 t2 t3 t4 t5 t6 t7",  # crosses a boundary
+             "   ",            # whitespace-only -> 0 tokens
+             "u1 u2 u3 u4 u5"]  # starts mid-window, spans two
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(6), type=pa.int64()),
+        "text": pa.array(texts, type=pa.string())}),
+        str(tmp_path / "documents.parquet"))
+
+    C = 4
+    out = {r["doc_id"]: r for r in
+           pack_windows_documents(str(tmp_path), context=C,
+                                  parts=3).to_pylist()}
+    # brute-force expectation from a plain running sum
+    run = 0
+    for i, t in enumerate(texts):
+        n = len(t.split())
+        r = out[i]
+        assert r["n_tokens"] == n and r["start_tok"] == run
+        assert r["first_window"] == run // C
+        if n == 0:
+            assert r["n_windows"] == 0
+        else:
+            assert r["n_windows"] == (run + n - 1) // C - run // C + 1
+        run += n
+    assert run == 17
