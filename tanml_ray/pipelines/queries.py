@@ -3177,13 +3177,19 @@ FROM agg ORDER BY domain
 # Retention cohort analysis over the events stream: cohort = a user's
 # first active day; cell (cohort, offset) = distinct users from that
 # cohort active `offset` days later. The canonical product-analytics
-# wide op — one shuffle keyed by user (per-batch (user, day) dedupe is
-# the combiner, so the exchange moves unique pairs, never raw events),
-# then a bounded (cohort, offset) count aggregate. Full SQL oracle.
+# wide op — per-batch (user, day) dedupe is the combiner (the exchange
+# moves unique pairs, never raw events), ONE coarse hash(user)%P
+# shuffle resolves every user's cohort+offsets vectorized inside its
+# partition (each user lives in exactly one partition, so the
+# per-partition (cohort, offset) row counts are disjoint distinct-user
+# partials), then a bounded (cohort, offset) Sum. Full SQL oracle.
 # ---------------------------------------------------------------------------
 
 def retention_cohorts_events(sf_dir: str) -> pa.Table:
     import pandas as pd
+
+    from ray.data.aggregate import Sum
+    from tanml_ray.stages.shuffle import with_coarse_partition
 
     ds = _read(sf_dir, "events", ["ts", "user_id"])
 
@@ -3194,20 +3200,23 @@ def retention_cohorts_events(sf_dir: str) -> pa.Table:
                            "day": day.to_numpy(zero_copy_only=False)})
         return df.drop_duplicates()
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        days = g["day"].drop_duplicates()
-        cohort = days.min()
-        off = (days - cohort).dt.days.astype("int64")
-        return pd.DataFrame({"cohort": cohort, "day_offset": off})
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["user_id", "day"])
+        cohort = g.groupby("user_id")["day"].transform("min")
+        out = pd.DataFrame({
+            "cohort": cohort,
+            "day_offset": (g["day"] - cohort).dt.days.astype("int64")})
+        return (out.groupby(["cohort", "day_offset"], as_index=False)
+                .size().rename(columns={"size": "n"}))
 
-    # shuffle 1 (by user): derive each user's cohort + offsets;
-    # shuffle 2 is the small (cohort, offset) count — output-bounded.
-    cells = (ds.map_batches(local, batch_format="pyarrow")
-             .groupby("user_id").map_groups(per_user, batch_format="pandas")
-             .groupby(["cohort", "day_offset"]).count())
+    cells = (with_coarse_partition(
+        ds.map_batches(local, batch_format="pyarrow"), "user_id")
+        .groupby("__upart").map_groups(per_partition, batch_format="pandas")
+        .groupby(["cohort", "day_offset"])
+        .aggregate(Sum("n", alias_name="n_users")))
     rows = [{"cohort": pd.Timestamp(r["cohort"]),
              "day_offset": int(r["day_offset"]),
-             "n_users": int(r["count()"])}
+             "n_users": int(r["n_users"])}
             for r in collect_pylist(cells)]
     rows.sort(key=lambda r: (r["cohort"], r["day_offset"]))
     return pa.Table.from_pylist(rows)
@@ -4552,47 +4561,48 @@ ORDER BY p.sa, p.sb
 # Funnel analysis (view → click → purchase): per user, the first
 # 'view', the first 'click' STRICTLY AFTER it, and the first
 # 'purchase' strictly after that — the standard ordered-step
-# conversion funnel. One shuffle (groupby user); each group resolves
-# its funnel with three vectorized searches over the time-sorted
-# events. Output: users reaching each step.
+# conversion funnel. Scale shape: events are pruned to the three step
+# types at the read, then ONE coarse hash(user)%P shuffle
+# (stages/shuffle.py with_coarse_partition — never one map_groups
+# call per user); each partition resolves every user's funnel with
+# three vectorized groupby-min/merge rounds and emits ONE row of step
+# counts, so the driver sums P rows regardless of user count.
 # ---------------------------------------------------------------------------
 
 _FUNNEL_STEPS = ["view", "click", "purchase"]
 
 
 def funnel_events(sf_dir: str) -> pa.Table:
+    from tanml_ray.stages.shuffle import with_coarse_partition
+
     ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
 
-    def per_user(g: pa.Table) -> pa.Table:
-        import pandas as pd
+    def prune(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_in(batch.column("event_type"),
+                                     value_set=pa.array(_FUNNEL_STEPS)))
 
-        df = g.to_pandas().sort_values("ts", kind="mergesort")
-        ts = df["ts"].to_numpy()
-        et = df["event_type"].to_numpy()
-        reached = 0
-        cutoff = None
-        for step in _FUNNEL_STEPS:
-            sel = et == step
-            if cutoff is not None:
-                sel &= ts > cutoff
-            idx = np.nonzero(sel)[0]
-            if not len(idx):
-                break
-            cutoff = ts[idx[0]]
-            reached += 1
-        return pa.table({
-            "user_id": pa.array([int(df["user_id"].iloc[0])],
-                                type=pa.int64()),
-            "reached": pa.array([reached], type=pa.int64())})
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        et = g["event_type"]
+        v = (g[et == "view"].groupby("user_id", as_index=False)
+             .agg(t1=("ts", "min")))
+        c = g[et == "click"].merge(v, on="user_id")
+        c = (c[c["ts"] > c["t1"]].groupby("user_id", as_index=False)
+             .agg(t2=("ts", "min")))
+        p = g[et == "purchase"].merge(c, on="user_id")
+        n3 = p.loc[p["ts"] > p["t2"], "user_id"].nunique()
+        return pd.DataFrame({"n1": [len(v)], "n2": [len(c)],
+                             "n3": [int(n3)]})
 
-    agg = ds.groupby("user_id").map_groups(per_user,
-                                           batch_format="pyarrow")
-    reach = np.zeros(len(_FUNNEL_STEPS) + 1, dtype=np.int64)
-    for r in collect_pylist(agg):
-        reach[r["reached"]] += 1
-    cum = reach[::-1].cumsum()[::-1]  # users reaching >= step i
+    parts = (with_coarse_partition(
+        ds.map_batches(prune, batch_format="pyarrow"), "user_id")
+        .groupby("__upart").map_groups(per_partition, batch_format="pandas"))
+    tot = [0, 0, 0]
+    for r in collect_pylist(parts):
+        tot[0] += int(r["n1"])
+        tot[1] += int(r["n2"])
+        tot[2] += int(r["n3"])
     return pa.Table.from_pylist([
-        {"step": f"{i+1}_{s}", "users": int(cum[i + 1])}
+        {"step": f"{i+1}_{s}", "users": tot[i]}
         for i, s in enumerate(_FUNNEL_STEPS)])
 
 
@@ -5438,28 +5448,41 @@ FROM t GROUP BY tile ORDER BY tile
 # Markov transition matrix over per-user event sequences: counts and
 # row-normalized probabilities of consecutive (event_type →
 # next_event_type) steps, ordering each user's stream by (ts,
-# event_id). ONE groupby(user) shuffle with vectorized in-group pair
-# extraction (the sessionize pattern), then a category²-bounded
-# count aggregate; probabilities are driver math over that bounded
-# table.
+# event_id). ONE coarse hash(user)%P shuffle (the sessionize pattern —
+# not one map_groups call per user) with a vectorized in-partition
+# (user, ts, event_id) sort + user-boundary mask, then a
+# category²-bounded count aggregate; probabilities are driver math
+# over that bounded table.
 # ---------------------------------------------------------------------------
 
 def event_transitions_events(sf_dir: str) -> pa.Table:
     from ray.data.aggregate import Sum
+    from tanml_ray.stages.shuffle import with_coarse_partition
 
     ds = _read(sf_dir, "events", ["user_id", "event_id", "ts", "event_type"])
 
-    def pairs(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(["ts", "event_id"])
+    def pairs_part(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["user_id", "ts", "event_id"],
+                              kind="mergesort")
+        u = g["user_id"].to_numpy()
         et = g["event_type"].to_numpy()
-        if len(et) < 2:
-            return pd.DataFrame({"from_type": [], "to_type": [], "n": []})
-        df = pd.DataFrame({"from_type": et[:-1], "to_type": et[1:]})
-        return (df.groupby(["from_type", "to_type"], as_index=False)
-                .size().rename(columns={"size": "n"}))
+        same = u[1:] == u[:-1]
+        frm, to = et[:-1][same], et[1:][same]
+        if frm.size == 0:
+            # explicit dtypes: an untyped empty frame would promote the
+            # downstream concat/aggregate schema to float64
+            return pd.DataFrame({"from_type": pd.Series(dtype=object),
+                                 "to_type": pd.Series(dtype=object),
+                                 "n": pd.Series(dtype="int64")})
+        out = (pd.DataFrame({"from_type": frm, "to_type": to})
+               .groupby(["from_type", "to_type"], as_index=False)
+               .size().rename(columns={"size": "n"}))
+        out["n"] = out["n"].astype("int64")
+        return out
 
     counts = collect_pylist(
-        ds.groupby("user_id").map_groups(pairs, batch_format="pandas")
+        with_coarse_partition(ds, "user_id")
+        .groupby("__upart").map_groups(pairs_part, batch_format="pandas")
         .groupby(["from_type", "to_type"])
         .aggregate(Sum("n", alias_name="n")))
     tot_from: dict[str, int] = {}
@@ -6031,39 +6054,57 @@ FROM s
 # ---------------------------------------------------------------------------
 # Market-basket association rules over per-user event types:
 # support / confidence / lift for every ordered type pair (a → b)
-# co-occurring in a user's history. One groupby(user) shuffle with
-# vectorized distinct-type pair expansion per user; the pair/count
-# aggregate is category²-bounded; the rule math is driver arithmetic
-# over that bounded table.
+# co-occurring in a user's history. Scale shape: per-batch distinct
+# (user, type) dedupe is the combiner, ONE coarse hash(user)%P shuffle
+# with a vectorized in-partition self-merge pair expansion; singles,
+# pairs AND the distinct-user count all ride the same category²-bounded
+# (a, b) Sum aggregate (the user count as a sentinel row — no
+# driver-side set of user ids, no second pass over the input); the
+# rule math is driver arithmetic over that bounded table.
 # ---------------------------------------------------------------------------
 
-def basket_lift_events(sf_dir: str) -> pa.Table:
-    from itertools import permutations
+_BASKET_NUSERS_KEY = "\x00n_users"
 
+
+def basket_lift_events(sf_dir: str) -> pa.Table:
     from ray.data.aggregate import Sum
+    from tanml_ray.stages.shuffle import with_coarse_partition
 
     ds = _read(sf_dir, "events", ["user_id", "event_type"])
 
-    def per_user(group: pd.DataFrame) -> pd.DataFrame:
-        types = sorted(set(group["event_type"]))
-        rows = [{"a": t, "b": "", "n": 1} for t in types]
-        rows += [{"a": a, "b": b, "n": 1}
-                 for a, b in permutations(types, 2)]
-        return pd.DataFrame(rows)
+    def local(batch: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "user_id": batch.column("user_id").to_numpy(zero_copy_only=False),
+            "event_type": batch.column("event_type")
+            .to_numpy(zero_copy_only=False)})
+        return df.drop_duplicates()
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        ut = g.drop_duplicates(["user_id", "event_type"])
+        singles = (ut.groupby("event_type", as_index=False).size()
+                   .rename(columns={"event_type": "a", "size": "n"}))
+        singles["b"] = ""
+        pr = ut.merge(ut, on="user_id")
+        pr = pr[pr["event_type_x"] != pr["event_type_y"]]
+        pairs = (pr.groupby(["event_type_x", "event_type_y"], as_index=False)
+                 .size().rename(columns={"event_type_x": "a",
+                                         "event_type_y": "b", "size": "n"}))
+        nu = pd.DataFrame({"a": [_BASKET_NUSERS_KEY], "b": [""],
+                           "n": [int(ut["user_id"].nunique())]})
+        out = pd.concat([singles[["a", "b", "n"]], pairs[["a", "b", "n"]],
+                         nu], ignore_index=True)
+        out["n"] = out["n"].astype("int64")
+        return out
 
     counts = collect_pylist(
-        ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+        with_coarse_partition(
+            ds.map_batches(local, batch_format="pyarrow"), "user_id")
+        .groupby("__upart").map_groups(per_partition, batch_format="pandas")
         .groupby(["a", "b"]).aggregate(Sum("n", alias_name="n")))
-    singles = {r["a"]: int(r["n"]) for r in counts if r["b"] == ""}
-    n_users_ds = _read(sf_dir, "events", ["user_id"])
-    n_users = len(set(
-        u for r in collect_pylist(
-            n_users_ds.map_batches(
-                lambda b: pa.table({"u": pa.array(
-                    np.unique(b.column("user_id")
-                              .to_numpy(zero_copy_only=False)))}),
-                batch_format="pyarrow"))
-        for u in [r["u"]]))
+    n_users = sum(int(r["n"]) for r in counts
+                  if r["a"] == _BASKET_NUSERS_KEY)
+    singles = {r["a"]: int(r["n"]) for r in counts
+               if r["b"] == "" and r["a"] != _BASKET_NUSERS_KEY}
     out = []
     for r in sorted((r for r in counts if r["b"] != ""),
                     key=lambda r: (r["a"], r["b"])):

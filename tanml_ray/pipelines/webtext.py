@@ -399,13 +399,16 @@ def extract_domain_batch(batch: pa.Table, url_col: str = "url") -> pa.Table:
 
 
 def domain_stats(ds, url_col: str = "url", share_cap: float = 0.01):
-    """Dataset → one row per domain: (domain, n_pages, share, over_cap).
+    """Dataset → one row per domain: (domain, n_pages, share, over_cap),
+    sorted by domain. Returned as a DATASET — real crawls have 10⁷–10⁸
+    distinct domains, so the result never lands on the driver.
 
     Scale shape: the shuffle moves only (domain, partial_count) rows —
-    one per distinct domain per block, never urls — and the output is
-    bounded by the number of distinct domains. ``share`` needs the
-    corpus total, which is the sum of the same partials (no second
-    pass over the input).
+    one per distinct domain per block, never urls. ``share`` needs the
+    corpus total: one Sum over the (already materialized,
+    domain-bounded) aggregate — a scalar, the only thing the driver
+    sees — then a map_batches with the broadcast total and a
+    distributed sort.
     """
     from ray.data.aggregate import Sum
 
@@ -417,18 +420,21 @@ def domain_stats(ds, url_col: str = "url", share_cap: float = 0.01):
         return pa.table({"domain": g.column("domain"),
                          "n_pages": g.column("n_sum")})
 
-    agg = ds.map_batches(partial, batch_format="pyarrow") \
-        .groupby("domain").aggregate(Sum("n_pages", alias_name="n_pages"))
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("domain").aggregate(Sum("n_pages", alias_name="n_pages"))
+           .materialize())
+    total = agg.sum("n_pages") or 0
 
-    rows = agg.take_all()
-    total = sum(r["n_pages"] for r in rows)
-    out = []
-    for r in sorted(rows, key=lambda r: r["domain"]):
-        share = r["n_pages"] / total if total else 0.0
-        out.append({"domain": r["domain"], "n_pages": r["n_pages"],
-                    "share": round(share, 6),
-                    "over_cap": share > share_cap})
-    return pa.Table.from_pylist(out)
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch.column("n_pages").to_numpy(zero_copy_only=False)
+        share = n / total if total else np.zeros(len(n), dtype=np.float64)
+        return pa.table({"domain": batch.column("domain"),
+                         "n_pages": batch.column("n_pages"),
+                         "share": pa.array(np.round(share, 6),
+                                           type=pa.float64()),
+                         "over_cap": pa.array(share > share_cap)})
+
+    return agg.map_batches(finish, batch_format="pyarrow").sort("domain")
 
 
 # ---------------------------------------------------------------------------

@@ -66,6 +66,28 @@ def salted_group_sum(ds, key_cols: list[str], value_col: str,
     return stage2
 
 
+def with_coarse_partition(ds, key_col: str, n_partitions: int = 64,
+                          part_col: str = "__upart"):
+    """Append ``hash(key) % P`` as an int32 partition column.
+
+    The scale-safe alternative to ``groupby(key)`` when the key is
+    high-cardinality (users, documents): every key's rows land in
+    exactly ONE coarse partition, so a per-partition vectorized
+    resolution is correct, while the shuffle fans into P groups instead
+    of one map_groups call per key (at 10⁸+ keys the per-group task
+    overhead dominates everything else)."""
+    def add_part(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key_col).to_numpy(zero_copy_only=False)
+        if keys.dtype == object:
+            h = pd.util.hash_array(keys.astype(object), categorize=False)
+        else:
+            h = pd.util.hash_array(keys)
+        part = (h % np.uint64(n_partitions)).astype(np.int32)
+        return batch.append_column(part_col, pa.array(part, type=pa.int32()))
+
+    return ds.map_batches(add_part, batch_format="pyarrow")
+
+
 def sessionize(ds, user_col: str, ts_col: str, gap_minutes: float = 30.0,
                user_partitions: int = 64):
     """Stream-shaped sessionization (ray_guide 'Streaming-shaped
@@ -80,15 +102,6 @@ def sessionize(ds, user_col: str, ts_col: str, gap_minutes: float = 30.0,
     Correctness is unchanged: every user's rows land in exactly one
     partition, and the sort + boundary mask never crosses users."""
     gap_us = int(gap_minutes * 60 * 1e6)
-
-    def add_part(batch: pa.Table) -> pa.Table:
-        users = batch.column(user_col).to_numpy(zero_copy_only=False)
-        if users.dtype == object:
-            h = pd.util.hash_array(users.astype(object), categorize=False)
-        else:
-            h = pd.util.hash_array(users)
-        part = (h % np.uint64(user_partitions)).astype(np.int32)
-        return batch.append_column("__upart", pa.array(part, type=pa.int32()))
 
     def per_partition(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values([user_col, ts_col], kind="mergesort")
@@ -107,5 +120,5 @@ def sessionize(ds, user_col: str, ts_col: str, gap_minutes: float = 30.0,
         out["session_id"] = out.groupby("user").cumcount()
         return out[["user", "session_id", "n_events", "start_us", "end_us"]]
 
-    return (ds.map_batches(add_part, batch_format="pyarrow")
+    return (with_coarse_partition(ds, user_col, user_partitions)
             .groupby("__upart").map_groups(per_partition, batch_format="pandas"))

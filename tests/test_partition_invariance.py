@@ -40,6 +40,13 @@ QUERIES = [
     "corpus_datacard_documents",
     "script_profile_documents",
     "pack_windows_documents",
+    # round-4 coarse-partition rewrites (the per-user map_groups →
+    # hash(user)%P migration must not change a single value)
+    "funnel_events",
+    "retention_cohorts_events",
+    "event_transitions_events",
+    "basket_lift_events",
+    "domain_stats_documents",
 ]
 
 

@@ -159,7 +159,7 @@ def test_domain_stats_counts_and_cap():
     urls = (["https://big.com/%d" % i for i in range(90)]
             + ["https://www.small.org/%d" % i for i in range(10)])
     out = domain_stats(rd.from_arrow(pa.table({"url": urls})).repartition(5),
-                       share_cap=0.5).to_pylist()
+                       share_cap=0.5).take_all()
     assert out == [
         {"domain": "big.com", "n_pages": 90, "share": 0.9, "over_cap": True},
         {"domain": "small.org", "n_pages": 10, "share": 0.1,
