@@ -6526,7 +6526,10 @@ SELECT feature, coef, mean_x, mean_abs_shap, base_value FROM (
 # because the flagship 10^12-row input is crawl data.
 def _warc_fixture_dir(sf_dir: str, shards: int = 8) -> str:
     """Synthesize .warc.gz shards from the documents table once per
-    sf_dir (content-addressed by sf basename; idempotent via marker)."""
+    sf_dir. The cache key carries the source file's identity
+    (size + mtime_ns, like the IVF-PQ index cache), so a regenerated
+    documents table — or another dir sharing a basename — can never
+    serve stale shards."""
     import datetime as dt
     import os
 
@@ -6535,7 +6538,9 @@ def _warc_fixture_dir(sf_dir: str, shards: int = 8) -> str:
     from tanml_ray.functions.html_text import render_html
     from tanml_ray.sources.warc import write_warc
 
-    out = f"/tmp/tanml_warc_{os.path.basename(os.path.normpath(sf_dir))}"
+    st = os.stat(f"{sf_dir}/documents.parquet")
+    out = (f"/tmp/tanml_warc_{os.path.basename(os.path.normpath(sf_dir))}"
+           f"_{st.st_size}_{st.st_mtime_ns}")
     marker = os.path.join(out, "_done")
     if os.path.exists(marker):
         return out
@@ -6921,13 +6926,17 @@ def corpus_datacard_documents(sf_dir: str) -> pa.Table:
 
 
 CORPUS_DATACARD_SQL = r"""
+-- coalesce(text,'') mirrors the engine's (t or "") digesting: null-text
+-- docs count toward n_docs/n_chars/n_tokens and share the empty-string
+-- digest, on BOTH sides (a bare count(DISTINCT md5(text)) would drop
+-- nulls and diverge on any corpus with null text)
 SELECT lang,
        CAST(count(*) AS BIGINT) AS n_docs,
-       CAST(sum(len(regexp_extract_all(text, '\S+'))) AS BIGINT)
+       CAST(sum(len(regexp_extract_all(coalesce(text, ''), '\S+'))) AS BIGINT)
          AS n_tokens,
-       CAST(sum(length(text)) AS BIGINT) AS n_chars,
-       CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct,
-       round(1.0 - count(DISTINCT md5(text)) * 1.0 / count(*), 6)
+       CAST(sum(length(coalesce(text, ''))) AS BIGINT) AS n_chars,
+       CAST(count(DISTINCT md5(coalesce(text, ''))) AS BIGINT) AS n_distinct,
+       round(1.0 - count(DISTINCT md5(coalesce(text, ''))) * 1.0 / count(*), 6)
          AS dup_rate
 FROM documents
 GROUP BY lang

@@ -732,7 +732,7 @@ def _doc_spans(text: str, span_words: int) -> list[str]:
 def span_dedup(ds, span_words: int = 10, text_col: str = "text",
                id_col: str = "doc_id", driver_budget: int = 256 << 20,
                partitions: int = 64, unit_fn=None,
-               join_str: str = " ") -> pa.Table:
+               join_str: str = " ", dedupable_fn=None) -> pa.Table:
     """Global keep-first span dedup + document reconstruction.
 
     Returns one row per non-empty document, sorted by id:
@@ -745,6 +745,15 @@ def span_dedup(ds, span_words: int = 10, text_col: str = "text",
     passes a newline splitter to get CCNet-style corpus-wide
     duplicate-LINE removal from the identical winner-election /
     drop-marking / rebuild machinery.
+
+    `dedupable_fn` (unit→bool, default all-dedupable) excludes units
+    from winner election entirely: a non-dedupable unit is never
+    digested, never dropped, always rebuilt in place, and counts as
+    trivially kept. line_dedup() uses it to keep blank lines —
+    paragraph separators — out of the dedup key space (CCNet line
+    dedup operates on non-empty lines; without this, every blank line
+    after the corpus-wide first would be removed, silently collapsing
+    paragraph structure).
     """
     import ray
     import ray.data as rd
@@ -754,6 +763,13 @@ def span_dedup(ds, span_words: int = 10, text_col: str = "text",
 
     units_of = (unit_fn if unit_fn is not None
                 else (lambda t: _doc_spans(t, span_words)))
+
+    def _elect_units(spans: list[str]):
+        """(sub-list of dedupable units, their original indices)."""
+        if dedupable_fn is None:
+            return spans, np.arange(len(spans), dtype=np.int64)
+        idx = [j for j, s in enumerate(spans) if dedupable_fn(s)]
+        return [spans[j] for j in idx], np.asarray(idx, dtype=np.int64)
 
     # keep docs with >= 1 ASCII token — the same RE2 criterion the SQL
     # oracle's len(regexp_extract_all(text, '\S+')) >= 1 filter applies
@@ -776,11 +792,11 @@ def span_dedup(ds, span_words: int = 10, text_col: str = "text",
             if len(spans) >= _SPAN_PACK:
                 raise ValueError(
                     f"doc {did}: {len(spans)} spans >= 2^20 packing capacity")
-            h1, h2 = _span_digests(spans)
+            sub, idx = _elect_units(spans)
+            h1, h2 = _span_digests(sub)
             a1.append(h1)
             a2.append(h2)
-            ap.append(int(did) * _SPAN_PACK
-                      + np.arange(len(spans), dtype=np.int64))
+            ap.append(int(did) * _SPAN_PACK + idx)
         if not a1:
             return pa.table({"h1": pa.array([], type=pa.int64()),
                              "h2": pa.array([], type=pa.int64()),
@@ -819,14 +835,14 @@ def span_dedup(ds, span_words: int = 10, text_col: str = "text",
             texts = batch.column(text_col).to_pylist()
             out_id, out_idx = [], []
             for did, t in zip(ids, texts):
-                spans = units_of(t)
-                h1, h2 = _span_digests(spans)
+                sub, idx = _elect_units(units_of(t))
+                h1, h2 = _span_digests(sub)
                 base = int(did) * _SPAN_PACK
-                for j in range(len(spans)):
-                    w = wm.get((h1[j], h2[j]))
-                    if w is not None and w != base + j:
+                for k, j in enumerate(idx):
+                    w = wm.get((h1[k], h2[k]))
+                    if w is not None and w != base + int(j):
                         out_id.append(int(did))
-                        out_idx.append(j)
+                        out_idx.append(int(j))
             return pa.table({id_col: pa.array(out_id, type=pa.int64()),
                              "span_idx": pa.array(out_idx, type=pa.int64())})
 
@@ -843,12 +859,11 @@ def span_dedup(ds, span_words: int = 10, text_col: str = "text",
             texts = batch.column(text_col).to_pylist()
             a1, a2, ap = [], [], []
             for did, t in zip(ids, texts):
-                spans = units_of(t)
-                h1, h2 = _span_digests(spans)
+                sub, idx = _elect_units(units_of(t))
+                h1, h2 = _span_digests(sub)
                 a1.append(h1)
                 a2.append(h2)
-                ap.append(int(did) * _SPAN_PACK
-                          + np.arange(len(spans), dtype=np.int64))
+                ap.append(int(did) * _SPAN_PACK + idx)
             h1 = (np.concatenate(a1) if a1
                   else np.array([], dtype=np.int64))
             h2 = (np.concatenate(a2) if a2
@@ -989,7 +1004,10 @@ def line_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
     out = span_dedup(ds, text_col=text_col, id_col=id_col,
                      driver_budget=driver_budget, partitions=partitions,
                      unit_fn=lambda t: (t or "").split("\n"),
-                     join_str="\n")
+                     join_str="\n",
+                     # blank lines are paragraph separators, not dedup
+                     # units: never elected, always kept in place
+                     dedupable_fn=lambda s: s.strip() != "")
     return out.rename_columns([id_col, "n_lines", "n_kept", "dedup_text"])
 
 

@@ -103,14 +103,34 @@ def parse_warc_bytes(data: bytes) -> pa.Table:
                 # GzipFile stops at member end; loop for the next one
         data = b"".join(parts)
     rows = _parse_warc_stream(data)
-    ts = pa.array([r["warc_ts"] or None for r in rows], type=pa.string())
     import pyarrow.compute as pc
+
+    # WARC 1.0 dates are second-granular; WARC 1.1 allows fractional
+    # seconds (2024-01-01T00:00:00.123Z — legal and present in real
+    # crawls). Arrow strptime has no fractional-seconds directive, so
+    # split any ".ddd" off the second field and re-add it as a
+    # microsecond duration instead of silently nulling those records.
+    base: list[str | None] = []
+    frac_us: list[int] = []
+    for r in rows:
+        s = r["warc_ts"] or None
+        if s and s.endswith("Z") and "." in s:
+            head, _, tail = s.partition(".")
+            digits = tail[:-1]
+            if digits.isdigit():
+                base.append(head + "Z")
+                frac_us.append(int((digits + "000000")[:6]))
+                continue
+        base.append(s)
+        frac_us.append(0)
+    parsed = pc.strptime(pa.array(base, type=pa.string()),
+                         format="%Y-%m-%dT%H:%M:%SZ", unit="us",
+                         error_is_null=True)
+    parsed = pc.add(parsed, pa.array(frac_us, type=pa.duration("us")))
 
     return pa.table({
         "url": pa.array([r["url"] for r in rows], type=pa.string()),
-        "warc_ts": pc.cast(pc.strptime(ts, format="%Y-%m-%dT%H:%M:%SZ",
-                                       unit="us", error_is_null=True),
-                           pa.timestamp("us")),
+        "warc_ts": pc.cast(parsed, pa.timestamp("us")),
         "html": pa.array([r["html"] for r in rows], type=pa.binary()),
     })
 

@@ -98,16 +98,29 @@ class ImageResizeStage:
                  use_real_codec: bool = False):
         self.out_h, self.out_w = out_h, out_w
         self.image_col, self.id_col = image_col, id_col
+        self._real = False
+        self._Image = None
         if use_real_codec:
             try:
-                from PIL import Image  # noqa: F401
-                self._real = True
+                from PIL import Image
             except ImportError as ex:
                 raise NotImplementedError(
                     "real image decode requires Pillow, which is not "
                     "installed in this environment; use the deterministic "
                     "fake codec (use_real_codec=False)") from ex
-        self._real = use_real_codec
+            self._Image = Image
+            self._real = True
+
+    def _decode(self, blob: bytes) -> "np.ndarray":
+        """Grayscale uint8 (h, w). Real path: PIL decode (any format
+        Pillow reads) → L-mode array; the module import happened once
+        per actor in __init__, never per batch."""
+        if self._real:
+            import io
+
+            with self._Image.open(io.BytesIO(blob)) as im:
+                return np.asarray(im.convert("L"), dtype=np.uint8)
+        return decode_fake_image(blob)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         blobs = batch.column(self.image_col).to_pylist()
@@ -118,7 +131,7 @@ class ImageResizeStage:
                 out_pixels.append(None)
                 means.append(None)
                 continue
-            img = decode_fake_image(blob)
+            img = self._decode(blob)
             small = _resize_nearest(img, self.out_h, self.out_w)
             out_pixels.append(small.tobytes())
             means.append(float(img.mean()))

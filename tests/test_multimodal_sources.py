@@ -53,6 +53,45 @@ class TestMultimodal:
         with pytest.raises(NotImplementedError, match="Pillow"):
             ImageResizeStage(use_real_codec=True)
 
+    def test_real_codec_branch_uses_pil(self, monkeypatch):
+        """With a (stubbed) PIL importable and use_real_codec=True, the
+        stage must decode through PIL — not silently fall back to the
+        fake codec (the fake decoder would reject these bytes)."""
+        import sys
+        import types
+
+        decoded = np.arange(64, dtype=np.uint8).reshape(8, 8)
+        calls = []
+
+        class _Im:
+            def __enter__(self):
+                return self
+
+            def __exit__(self, *a):
+                return False
+
+            def convert(self, mode):
+                calls.append(mode)
+                return decoded
+
+        image_mod = types.SimpleNamespace(open=lambda buf: _Im())
+        pil = types.ModuleType("PIL")
+        pil.Image = image_mod
+        monkeypatch.setitem(sys.modules, "PIL", pil)
+        monkeypatch.setitem(sys.modules, "PIL.Image", image_mod)
+
+        stage = ImageResizeStage(4, 4, use_real_codec=True)
+        assert stage._real is True
+        batch = pa.table({"id": pa.array([1], type=pa.int64()),
+                          "image": pa.array([b"\x89PNG not-fake-magic"],
+                                            type=pa.binary())})
+        out = stage(batch)
+        assert calls == ["L"]  # PIL path taken, grayscale conversion
+        img = np.frombuffer(out.column("resized")[0].as_py(),
+                            dtype=np.uint8).reshape(4, 4)
+        np.testing.assert_array_equal(img, decoded[::2][:, ::2])
+        assert out.column("mean_pixel")[0].as_py() == decoded.mean()
+
     def test_image_roundtrip(self):
         px = _rng().integers(0, 256, (10, 7)).astype(np.uint8)
         np.testing.assert_array_equal(decode_fake_image(encode_fake_image(px)), px)

@@ -64,6 +64,19 @@ def test_http_envelope_stripped_payload_binary_exact():
         dt.datetime(2024, 1, 2, 3, 4, 5)]
 
 
+def test_warc11_fractional_second_dates_parse():
+    """WARC 1.1 allows fractional seconds (legal in real crawls) —
+    these must parse to microsecond precision, not silently null."""
+    body = b"x"
+    rec = (b"WARC/1.1\r\nWARC-Type: response\r\n"
+           b"WARC-Target-URI: u\r\n"
+           b"WARC-Date: 2024-01-02T03:04:05.123456789Z\r\n"
+           b"Content-Length: 1\r\n\r\n" + body + b"\r\n\r\n")
+    out = parse_warc_bytes(rec)
+    assert out.column("warc_ts").to_pylist() == [
+        dt.datetime(2024, 1, 2, 3, 4, 5, 123456)]  # truncated to us
+
+
 def test_malformed_raises():
     with pytest.raises(ValueError, match="WARC"):
         parse_warc_bytes(b"GARBAGE NOT A WARC")

@@ -407,6 +407,28 @@ def test_line_dedup_distributed_paths_match_broadcast(ray_session):
     assert bcast == dist
 
 
+def test_line_dedup_preserves_blank_lines(ray_session):
+    """Blank lines are paragraph separators, not dedup units (CCNet
+    operates on non-empty lines): every blank line survives in place,
+    in every document, and counts as kept — only real duplicate lines
+    drop."""
+    import ray.data as rd
+
+    from tanml_ray.pipelines.webtext import line_dedup
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2], type=pa.int64()),
+        "text": pa.array([
+            "para one\n\npara two\n\npara three",
+            "intro\n\npara two\n\noutro",     # 'para two' is the dup
+        ], type=pa.string())}))
+    out = {r["doc_id"]: r for r in line_dedup(ds).to_pylist()}
+    assert out[1]["n_lines"] == 5 and out[1]["n_kept"] == 5
+    assert out[1]["dedup_text"] == "para one\n\npara two\n\npara three"
+    assert out[2]["n_lines"] == 5 and out[2]["n_kept"] == 4
+    assert out[2]["dedup_text"] == "intro\n\n\noutro"
+
+
 # ---------------------------------------------------------------------------
 # nb_quality_scores (fastText-style NB quality classifier)
 # ---------------------------------------------------------------------------
