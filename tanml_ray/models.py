@@ -91,6 +91,38 @@ def _fit_logistic(ds, x_cols, y_col, max_iter: int = 8):
     return model
 
 
+class BoostedStumpsModel:
+    """Additive model of depth-1 histogram trees: F(x) = base +
+    Σ stump(x), stump = (feature_idx, threshold, left_val, right_val)
+    routing `x < threshold` — the exact training bin boundary
+    (mlops.boosted_stumps_fit)."""
+
+    def __init__(self, base: float, stumps: list):
+        self.base = float(base)
+        self.stumps = [(int(j), float(t), float(lv), float(rv))
+                       for j, t, lv, rv in stumps]
+
+    def predict(self, X: np.ndarray) -> np.ndarray:
+        X = np.asarray(X, dtype=np.float64)
+        F = np.full(X.shape[0], self.base)
+        for j, thr, lv, rv in self.stumps:
+            F += np.where(X[:, j] < thr, lv, rv)
+        return F
+
+
+@ESTIMATORS.register("boosted_stumps", task="regression",
+                     n_rounds=10, n_bins=32, lr=0.5)
+def _fit_boosted_stumps(ds, x_cols, y_col, n_rounds: int = 10,
+                        n_bins: int = 32, lr: float = 0.5):
+    from tanml_ray.pipelines.mlops import boosted_stumps_fit
+
+    model = boosted_stumps_fit(ds, x_cols, y_col, n_rounds=n_rounds,
+                               n_bins=n_bins, lr=lr)
+    model.fit_info = {"n_rounds": n_rounds, "n_bins": n_bins, "lr": lr,
+                      "n_stumps": len(model.stumps), "base": model.base}
+    return model
+
+
 class _KMeansModel:
     def __init__(self, centers: np.ndarray):
         self.centers = np.asarray(centers, dtype=np.float64)

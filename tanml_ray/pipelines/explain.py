@@ -115,6 +115,121 @@ def permutation_importance(ds, model: Any, feature_cols: list[str],
     })
 
 
+class KernelShapStage:
+    """Actor-pool stage for kernel_shap_summary: holds (model,
+    background matrix, coalition table) — built once per ACTOR — and
+    turns each batch of explain rows into per-feature |shap| partial
+    sums. 2^M·bg_n predict rows per explain row, fully vectorized."""
+
+    def __init__(self, model_ref, bg_ref, x_cols: list[str]):
+        from math import factorial
+
+        import ray
+
+        self.model = ray.get(model_ref)
+        self.B = np.asarray(ray.get(bg_ref), dtype=np.float64)
+        self.x_cols = list(x_cols)
+        M = len(self.x_cols)
+        self.M = M
+        n_coal = 1 << M
+        self.masks = (((np.arange(n_coal)[:, None] >> np.arange(M)[None, :])
+                       & 1) == 1)
+        sizes = self.masks.sum(axis=1)
+        fact = [float(factorial(k)) for k in range(M + 1)]
+        # Shapley weight of the pair (S, S∪{i}) indexed by S's mask:
+        # |S|!·(M−1−|S|)!/M! (rows with |S|=M never appear as an S)
+        self.w = np.array([fact[s] * fact[M - 1 - s] / fact[M]
+                           if s < M else 0.0 for s in sizes])
+        self.pairs = []
+        for i in range(M):
+            no_i = np.flatnonzero(~self.masks[:, i])
+            self.pairs.append((no_i, no_i | (1 << i)))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        X = np.column_stack(
+            [batch.column(c).to_numpy(zero_copy_only=False).astype(np.float64)
+             for c in self.x_cols])
+        bg_n = self.B.shape[0]
+        n_coal = 1 << self.M
+        sad = np.zeros(self.M)
+        base = float("nan")
+        for x in X:
+            # (coalitions, background, features): masked features take
+            # the explain row's value, the rest keep the background's
+            rep = np.where(self.masks[:, None, :], x[None, None, :],
+                           self.B[None, :, :])
+            v = (self.model.predict(rep.reshape(-1, self.M))
+                 .astype(np.float64).reshape(n_coal, bg_n).mean(axis=1))
+            base = float(v[0])  # v(∅) = E_bg[f], identical for every row
+            for i in range(self.M):
+                s0, s1 = self.pairs[i]
+                sad[i] += abs(float((self.w[s0] * (v[s1] - v[s0])).sum()))
+        return pa.Table.from_pylist([{
+            "sad": sad.tolist(), "n": int(len(X)), "base": base}])
+
+
+def kernel_shap_summary(ds, model: Any, x_cols: list[str], id_col: str,
+                        bg_n: int = 100, test_n: int = 50,
+                        concurrency: int = 2,
+                        max_features: int = 12) -> pa.Table:
+    """Model-agnostic KernelSHAP (Lundberg & Lee 2017 §4; reference
+    shap_check.py:138-177 KernelExplainer selection, :244-259 bounded
+    background/test sampling) with FULL coalition enumeration: for
+    M ≤ max_features features, φ_i = Σ_{S⊆F∖{i}} |S|!(M−1−|S|)!/M! ·
+    [v(S∪{i}) − v(S)] with v(S) = mean over the background sample of
+    f(x_S, b_∖S) — the EXACT Shapley value of ANY .predict model under
+    the interventional value function, not a sampled approximation
+    (sampling is pointless at enumerable M; above max_features this
+    raises rather than silently degrading). For a linear model the
+    formula provably collapses to β_i·(x_i − mean_bg(x_i)), which is
+    the validation contract: kernel_shap_orders matches the
+    linear-SHAP closed form and its SQL oracle.
+
+    Background and explain sets are deterministic n-smallest-id
+    prefixes (distributed min-k — the reference's head() sampling,
+    made partition-stable). Explain rows stream through a
+    KernelShapStage actor pool: model + background + coalition table
+    built once per actor, never per batch.
+
+    Returns one row per feature: (feature, mean_abs_shap, base_value),
+    ranked by mean_abs_shap descending (reference summary ordering).
+    """
+    import ray
+    import ray.data as rd
+
+    M = len(x_cols)
+    if M > max_features:
+        raise ValueError(
+            f"{M} features > max_features={max_features}: 2^M coalition "
+            "enumeration is intractable — reduce the feature set or raise "
+            "max_features consciously")
+    bg = sample_min_k(ds, id_col, x_cols, bg_n)
+    ex = sample_min_k(ds, id_col, x_cols, test_n)
+    B = np.column_stack(
+        [bg.column(c).to_numpy(zero_copy_only=False).astype(np.float64)
+         for c in x_cols])
+    model_ref = ray.put(model)
+    bg_ref = ray.put(B)
+    parts = rd.from_arrow(ex).repartition(concurrency).map_batches(
+        KernelShapStage,
+        fn_constructor_kwargs={"model_ref": model_ref, "bg_ref": bg_ref,
+                               "x_cols": x_cols},
+        batch_format="pyarrow", concurrency=concurrency)
+    sad = np.zeros(M)
+    n = 0
+    base = float("nan")
+    for r in collect_pylist(parts):
+        sad += np.asarray(r["sad"])
+        n += int(r["n"])
+        if int(r["n"]):
+            base = float(r["base"])
+    rows = [{"feature": c, "mean_abs_shap": round(float(sad[i] / n), 6),
+             "base_value": round(base, 6)}
+            for i, c in enumerate(x_cols)]
+    rows.sort(key=lambda r: (-r["mean_abs_shap"], r["feature"]))
+    return pa.Table.from_pylist(rows)
+
+
 # ---------------------------------------------------------------------------
 # Model benchmarking: K-fold CV of the IRLS logistic vs the closed-form
 # linear score on the same label (reference flagship: ui/services/cv.py
@@ -195,10 +310,15 @@ def logistic_cv(ds, x_cols: list[str], y_col: str, key_col: str,
 
 
 def model_benchmark(ds, x_cols: list[str], y_col: str, key_col: str,
-                    k: int = 5) -> pa.Table:
-    """Per-(model, fold) benchmark table: IRLS logistic vs closed-form
-    least-squares linear scorer on the identical folds and label —
-    (model, fold, n_test, auc, accuracy)."""
+                    k: int = 5, with_trees: bool = True,
+                    tree_rounds: int = 10) -> pa.Table:
+    """Per-(model, fold) benchmark table on identical folds and label —
+    (model, fold, n_test, auc, accuracy). Three estimator families:
+    IRLS logistic, closed-form univariate linear, and (with_trees)
+    histogram boosted stumps (mlops.boosted_stumps_fit) — the
+    reference benchmarking tab's linear/GLM/tree spread
+    (models/registry.py:34-411, ui evaluation benchmarking tab)
+    rebuilt on the three library-free families."""
     from tanml_ray.pipelines.metrics import auc_exact
     from tanml_ray.pipelines.ranking import _suff_stats
 
@@ -253,6 +373,52 @@ def model_benchmark(ds, x_cols: list[str], y_col: str, key_col: str,
         out_rows.append({"model": "linear_closed_form", "fold": f, "n_test": n,
                          "auc": round(float(auc), 6),
                          "accuracy": round(hit / n, 6) if n else float("nan")})
+
+    if with_trees:
+        from tanml_ray.pipelines.mlops import boosted_stumps_fit
+
+        for f in range(k):
+            def not_fold(batch: pa.Table, fold=f) -> pa.Table:
+                keys = batch.column(key_col).to_numpy(zero_copy_only=False)
+                return batch.filter(pa.array((keys % k) != fold))
+
+            def in_fold(batch: pa.Table, fold=f) -> pa.Table:
+                keys = batch.column(key_col).to_numpy(zero_copy_only=False)
+                return batch.filter(pa.array((keys % k) == fold))
+
+            model = boosted_stumps_fit(
+                ds.map_batches(not_fold, batch_format="pyarrow"),
+                x_cols, y_col, n_rounds=tree_rounds)
+
+            def score_batch(batch: pa.Table, m=model) -> pa.Table:
+                X = np.column_stack(
+                    [batch.column(c).to_numpy(zero_copy_only=False)
+                     .astype(np.float64) for c in x_cols])
+                return batch.append_column(
+                    "score", pa.array(m.predict(X), type=pa.float64()))
+
+            scored = (ds.map_batches(in_fold, batch_format="pyarrow")
+                      .map_batches(score_batch,
+                                   batch_format="pyarrow").materialize())
+            auc = auc_exact(scored, y_col, "score")
+
+            def acc_partial(batch: pa.Table, t=model.base) -> pa.Table:
+                y = batch.column(y_col).to_numpy(zero_copy_only=False)
+                s = batch.column("score").to_numpy(zero_copy_only=False)
+                return pa.table({
+                    "n": pa.array([batch.num_rows], type=pa.int64()),
+                    "hit": pa.array([int(((s >= t) == (y == 1)).sum())],
+                                    type=pa.int64())})
+
+            n = hit = 0
+            for r in collect_pylist(scored.map_batches(
+                    acc_partial, batch_format="pyarrow")):
+                n += r["n"]
+                hit += r["hit"]
+            out_rows.append({"model": "boosted_stumps", "fold": f,
+                             "n_test": n, "auc": round(float(auc), 6),
+                             "accuracy": round(hit / n, 6)
+                             if n else float("nan")})
     out_rows.sort(key=lambda r: (r["model"], r["fold"]))
     return pa.Table.from_pylist(out_rows)
 

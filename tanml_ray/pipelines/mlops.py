@@ -501,6 +501,107 @@ def logistic_inference(ds, x_cols: list[str], y_col: str,
     })
 
 
+def boosted_stumps_fit(ds, x_cols: list[str], y_col: str,
+                       n_rounds: int = 10, n_bins: int = 32,
+                       lr: float = 0.5, min_leaf: int = 1):
+    """Histogram gradient-boosted decision stumps — the library-free
+    tree family (reference models/registry.py:34-411 lists RF/GBM/XGB;
+    sklearn/xgboost are absent here, so the tree family is rebuilt on
+    the LightGBM histogram principle: shuffle-free per-(feature, bin)
+    gradient partials, driver split selection over O(p·n_bins) stats).
+
+    Passes over the data: 1 (per-feature min/max + base mean) +
+    n_rounds. Each round, the residual r = y − F_{t−1}(x) is
+    recomputed IN-TASK from the broadcast stump list (never
+    materialized as a column — at 10¹² rows a residual column per
+    round would dwarf the input); one map_batches pass emits ONE
+    O(p·n_bins) partial row per block; the driver prefix-scans for the
+    variance-reduction-optimal split and appends the lr-scaled stump.
+    Deterministic: equal-width bins from global min/max, argmax
+    tie-break by (feature, bin) order, no RNG.
+
+    Returns a BoostedStumpsModel (models.py) with .predict(X); its
+    `x < threshold` routing is exactly the training bin boundary, so
+    predict matches the histogram fit on every input."""
+    from tanml_ray.models import BoostedStumpsModel
+
+    import ray
+
+    p = len(x_cols)
+
+    def mm_partial(batch: pa.Table) -> pa.Table:
+        X = _matrix(batch, x_cols)
+        y = batch.column(y_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        if not len(y):
+            return pa.Table.from_pylist([])
+        return pa.Table.from_pylist([{
+            "mn": X.min(axis=0).tolist(), "mx": X.max(axis=0).tolist(),
+            "n": int(len(y)), "sy": float(y.sum())}])
+
+    mn = np.full(p, np.inf)
+    mx = np.full(p, -np.inf)
+    n_tot = 0
+    sy = 0.0
+    for r in collect_pylist(ds.map_batches(mm_partial, batch_format="pyarrow")):
+        mn = np.minimum(mn, np.asarray(r["mn"]))
+        mx = np.maximum(mx, np.asarray(r["mx"]))
+        n_tot += int(r["n"])
+        sy += float(r["sy"])
+    if n_tot == 0:
+        return BoostedStumpsModel(0.0, [])
+    base = sy / n_tot
+    edges = [np.linspace(mn[j], mx[j] if mx[j] > mn[j] else mn[j] + 1.0,
+                         n_bins + 1) for j in range(p)]
+    interior = [e[1:-1] for e in edges]
+    stumps: list[tuple[int, float, float, float]] = []
+
+    for _ in range(n_rounds):
+        model_ref = ray.put((base, list(stumps)))
+
+        def hist_partial(batch: pa.Table) -> pa.Table:
+            import ray as _ray
+
+            b0, st = _ray.get(model_ref)
+            X = _matrix(batch, x_cols)
+            y = batch.column(y_col).to_numpy(zero_copy_only=False).astype(np.float64)
+            if not len(y):
+                return pa.Table.from_pylist([])
+            F = np.full(len(y), b0)
+            for j, thr, lv, rv in st:
+                F += np.where(X[:, j] < thr, lv, rv)
+            r = y - F
+            S = np.empty((p, n_bins))
+            C = np.empty((p, n_bins))
+            for j in range(p):
+                b = np.searchsorted(interior[j], X[:, j], side="right")
+                S[j] = np.bincount(b, weights=r, minlength=n_bins)
+                C[j] = np.bincount(b, minlength=n_bins)
+            return pa.Table.from_pylist([{
+                "s": S.ravel().tolist(), "c": C.ravel().tolist()}])
+
+        S = np.zeros((p, n_bins))
+        C = np.zeros((p, n_bins))
+        for r in collect_pylist(ds.map_batches(hist_partial,
+                                               batch_format="pyarrow")):
+            S += np.asarray(r["s"]).reshape(p, n_bins)
+            C += np.asarray(r["c"]).reshape(p, n_bins)
+        SL = S.cumsum(axis=1)[:, :-1]
+        CL = C.cumsum(axis=1)[:, :-1]
+        SR = S.sum(axis=1, keepdims=True) - SL
+        CR = C.sum(axis=1, keepdims=True) - CL
+        valid = (CL >= min_leaf) & (CR >= min_leaf)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            gain = np.where(valid, SL * SL / np.maximum(CL, 1)
+                            + SR * SR / np.maximum(CR, 1), -np.inf)
+        if not np.isfinite(gain).any():
+            break
+        j, s = np.unravel_index(int(np.argmax(gain)), gain.shape)
+        stumps.append((int(j), float(edges[j][s + 1]),
+                       lr * float(SL[j, s] / CL[j, s]),
+                       lr * float(SR[j, s] / CR[j, s])))
+    return BoostedStumpsModel(base, stumps)
+
+
 def linear_fit(ds, x_cols: list[str], y_col: str,
                ridge: float = 0.0) -> dict:
     """Distributed multivariate OLS (optionally ridge): ONE streaming

@@ -1899,6 +1899,104 @@ FROM ranked
 
 
 # ---------------------------------------------------------------------------
+# A11 exact FULL-CORPUS Spearman (reference analysis/correlation.py:
+# 23-42 method="spearman") without a global sort: midranks from
+# integer-grid value counts. Pass 1: per-column (value, count) partials
+# through one grid-bounded shuffle; the driver turns merged counts into
+# per-value midranks (rank = below + (t+1)/2, so 2·rank is an integer).
+# Pass 2: every row maps to its doubled ranks via broadcast
+# searchsorted lookups and reduces integer sufficient statistics — one
+# int64 partial row per batch, summed in arbitrary-precision Python on
+# the driver (O(blocks) rows), so ρ is EXACT-rational until the final
+# division. int64 partials are exact while batch_rows·(2n)² < 2⁶³
+# (n ≲ 10⁶ with 10⁵-row batches; beyond that the partial needs a
+# 128-bit split — documented, not silently lossy).
+# ---------------------------------------------------------------------------
+
+def spearman_lineitem(sf_dir: str) -> pa.Table:
+    import ray
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "lineitem", ["l_quantity", "l_extendedprice"])
+
+    def grids(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+        q = np.rint(batch.column("l_quantity")
+                    .to_numpy(zero_copy_only=False)).astype(np.int64)
+        p = np.rint(batch.column("l_extendedprice")
+                    .to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        return q, p
+
+    def vc(batch: pa.Table) -> pa.Table:
+        q, p = grids(batch)
+        vq, cq = np.unique(q, return_counts=True)
+        vp, cp = np.unique(p, return_counts=True)
+        return pa.table({
+            "col": pa.array(["q"] * len(vq) + ["p"] * len(vp),
+                            type=pa.string()),
+            "v": pa.array(np.concatenate([vq, vp]), type=pa.int64()),
+            "n": pa.array(np.concatenate([cq, cp]), type=pa.int64())})
+
+    counts = collect_pylist(
+        ds.map_batches(vc, batch_format="pyarrow")
+        .groupby(["col", "v"]).aggregate(Sum("n", alias_name="n")))
+    lut: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+    for colkey in ("q", "p"):
+        rows = sorted((r for r in counts if r["col"] == colkey),
+                      key=lambda r: r["v"])
+        vals = np.array([r["v"] for r in rows], dtype=np.int64)
+        cnts = np.array([r["n"] for r in rows], dtype=np.int64)
+        below = np.concatenate([[0], np.cumsum(cnts)[:-1]])
+        # doubled midrank: 2·(below + (t+1)/2) = 2·below + t + 1
+        lut[colkey] = (vals, (2 * below + cnts + 1).astype(np.int64))
+    ref = ray.put(lut)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        lk = _ray.get(ref)
+        q, p = grids(batch)
+        rq = lk["q"][1][np.searchsorted(lk["q"][0], q)]
+        rp = lk["p"][1][np.searchsorted(lk["p"][0], p)]
+        return pa.table({
+            "n": pa.array([len(q)], type=pa.int64()),
+            "sx": pa.array([int(rq.sum())], type=pa.int64()),
+            "sy": pa.array([int(rp.sum())], type=pa.int64()),
+            "sxx": pa.array([int((rq * rq).sum())], type=pa.int64()),
+            "syy": pa.array([int((rp * rp).sum())], type=pa.int64()),
+            "sxy": pa.array([int((rq * rp).sum())], type=pa.int64())})
+
+    n = sx = sy = sxx = syy = sxy = 0
+    for r in collect_pylist(ds.map_batches(partial, batch_format="pyarrow")):
+        n += int(r["n"])
+        sx += int(r["sx"])
+        sy += int(r["sy"])
+        sxx += int(r["sxx"])
+        syy += int(r["syy"])
+        sxy += int(r["sxy"])
+    num = n * sxy - sx * sy
+    den2 = (n * sxx - sx * sx) * (n * syy - sy * sy)
+    rho = float(num) / float(np.sqrt(float(den2))) if den2 > 0 else float("nan")
+    return pa.table({"n": pa.array([n], type=pa.int64()),
+                     "spearman_rho": pa.array([_round6(rho)],
+                                              type=pa.float64())})
+
+
+SPEARMAN_FULL_SQL = """
+WITH ranked AS (
+  SELECT avg(rnq) OVER (PARTITION BY l_quantity) AS rq,
+         avg(rnp) OVER (PARTITION BY l_extendedprice) AS rp
+  FROM (SELECT l_quantity, l_extendedprice,
+               row_number() OVER (ORDER BY l_quantity) AS rnq,
+               row_number() OVER (ORDER BY l_extendedprice) AS rnp
+        FROM lineitem)
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n,
+       round(corr(rq, rp), 6) AS spearman_rho
+FROM ranked
+"""
+
+
+# ---------------------------------------------------------------------------
 # Exact n-gram (word-set) Jaccard similarity with a full SQL oracle —
 # the verification kernel the MinHash pipeline approximates, checked
 # end-to-end on a bounded pair set (doc_id ≤ 60 cross pairs).
@@ -6511,6 +6609,87 @@ SELECT feature, coef, mean_x, mean_abs_shap, base_value FROM (
   SELECT 'custkey', round(c.b2, 6), round(c.a2, 6),
          round(abs(c.b2) * mad.mad2, 6), round(c.ay, 6)
   FROM c, mad
+) ORDER BY mean_abs_shap DESC, feature
+"""
+
+
+# ---------------------------------------------------------------------------
+# Model-agnostic KernelSHAP (explain.kernel_shap_summary) on the
+# linear family, where the enumerated Shapley values provably collapse
+# to the closed form beta_i*(x_i - mean_bg(x_i)) — giving the
+# black-box explainer a FULL value oracle: the SQL refits the OLS from
+# sufficient statistics (the linear_shap machinery), takes the same
+# deterministic 100/50 smallest-id background/explain prefixes, and
+# recomputes mean_abs_shap and the background base value. The engine
+# side computes the values by 2^M coalition ENUMERATION through the
+# actor-pool stage — so a match certifies the whole KernelSHAP path,
+# not just the linear formula.
+# ---------------------------------------------------------------------------
+
+def kernel_shap_orders(sf_dir: str) -> pa.Table:
+    from tanml_ray.models import ESTIMATORS
+    from tanml_ray.pipelines.explain import kernel_shap_summary
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate",
+                                  "o_totalprice", "o_custkey"])
+
+    def derive(batch: pa.Table) -> pa.Table:
+        days = (batch.column("o_orderdate").cast(pa.int64())
+                .to_numpy(zero_copy_only=False) // 86_400_000_000)
+        return pa.table({
+            "id": pc.cast(batch.column("o_orderkey"), pa.int64()),
+            "days": pa.array(days.astype(np.float64), type=pa.float64()),
+            "custkey": pc.cast(batch.column("o_custkey"), pa.float64()),
+            "y": pc.cast(batch.column("o_totalprice"), pa.float64()),
+        })
+
+    dds = ds.map_batches(derive, batch_format="pyarrow")
+    model = ESTIMATORS.fit("linear_closed_form", dds, ["days", "custkey"], "y")
+    return kernel_shap_summary(dds, model, ["days", "custkey"], "id",
+                               bg_n=100, test_n=50)
+
+
+KERNEL_SHAP_SQL = """
+WITH p AS (
+  SELECT o_orderkey AS id,
+         CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS DOUBLE) AS x1,
+         CAST(o_custkey AS DOUBLE) AS x2,
+         CAST(o_totalprice AS DOUBLE) AS y
+  FROM orders
+), s AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n, sum(x1) AS s1, sum(x2) AS s2,
+         sum(y) AS sy, sum(x1*x1) AS s11, sum(x1*x2) AS s12,
+         sum(x2*x2) AS s22, sum(x1*y) AS s1y, sum(x2*y) AS s2y
+  FROM p
+), d AS (
+  SELECT *,
+         n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2) + s2*(s1*s12 - s11*s2) AS det,
+         n*(s1y*s22 - s2y*s12) - sy*(s1*s22 - s12*s2) + s2*(s1*s2y - s1y*s2) AS det1,
+         n*(s11*s2y - s12*s1y) - s1*(s1*s2y - s2*s1y) + sy*(s1*s12 - s11*s2) AS det2
+  FROM s
+), c AS (
+  SELECT det1/det AS b1, det2/det AS b2,
+         sy/n - (det1/det)*(s1/n) - (det2/det)*(s2/n) AS b0
+  FROM d
+), bg AS (
+  SELECT x1, x2 FROM p ORDER BY id LIMIT 100
+), bgm AS (
+  SELECT avg(x1) AS m1, avg(x2) AS m2 FROM bg
+), ex AS (
+  SELECT x1, x2 FROM p ORDER BY id LIMIT 50
+), mad AS (
+  SELECT avg(abs(ex.x1 - bgm.m1)) AS mad1,
+         avg(abs(ex.x2 - bgm.m2)) AS mad2
+  FROM ex, bgm GROUP BY bgm.m1, bgm.m2
+)
+SELECT feature, mean_abs_shap, base_value FROM (
+  SELECT 'days' AS feature, round(abs(c.b1) * mad.mad1, 6) AS mean_abs_shap,
+         round(c.b0 + c.b1*bgm.m1 + c.b2*bgm.m2, 6) AS base_value
+  FROM c, mad, bgm
+  UNION ALL
+  SELECT 'custkey', round(abs(c.b2) * mad.mad2, 6),
+         round(c.b0 + c.b1*bgm.m1 + c.b2*bgm.m2, 6)
+  FROM c, mad, bgm
 ) ORDER BY mean_abs_shap DESC, feature
 """
 

@@ -73,6 +73,31 @@ def from_pandas_table(df):
     return rd.from_pandas(df)
 
 
+def read_pickle_table(path: str):
+    """S7 pickle source (reference utils/data_loader.py:128-132:
+    pd.read_pickle). Driver-side by nature — pickle is a single
+    monolithic stream, not a splittable format — then handed to Ray
+    Data; accepts a pickled DataFrame, a pyarrow Table, or a dict of
+    columns. TRUSTED-INPUT ONLY (same contract as pandas.read_pickle:
+    unpickling executes code; never point it at untrusted bytes)."""
+    import pickle
+
+    import pandas as pd
+    import ray.data as rd
+
+    with open(path, "rb") as f:
+        obj = pickle.load(f)
+    if isinstance(obj, pa.Table):
+        return rd.from_arrow(obj)
+    if isinstance(obj, pd.DataFrame):
+        return rd.from_pandas(obj)
+    if isinstance(obj, dict):
+        return rd.from_arrow(pa.table(obj))
+    raise TypeError(
+        f"unsupported pickle payload {type(obj).__name__}; expected "
+        "DataFrame, pyarrow.Table, or dict of columns")
+
+
 def read_any(path: str, **kwargs):
     """S1+S9: extension dispatch with the reference's unknown-extension
     fallback chain (data_loader.py:161-178): parquet/csv/tsv/json by
@@ -109,6 +134,8 @@ def read_any(path: str, **kwargs):
         from tanml_ray.sources.sav import read_sav
 
         return read_sav(path)
+    if ext in (".pkl", ".pickle"):
+        return read_pickle_table(path)
 
     # unknown extension (.data/.names/.info UCI-style): bounded-head
     # dialect sniffing, reference order (comma/utf-8 → inferred sep →

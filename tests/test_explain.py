@@ -121,10 +121,86 @@ class TestLogisticCVBenchmark:
 
         out = model_benchmark(_ds(self._tbl(n=3000)), ["x1", "x2"], "y",
                               "k", k=3).to_pylist()
-        assert len(out) == 6
+        assert len(out) == 9  # 3 families × 3 folds
         models = [r["model"] for r in out]
         assert models == sorted(models)
+        assert set(models) == {"boosted_stumps", "linear_closed_form",
+                               "logistic_irls"}
         # logistic uses both features, linear only x1 → logistic wins
         log_auc = np.mean([r["auc"] for r in out if r["model"] == "logistic_irls"])
         lin_auc = np.mean([r["auc"] for r in out if r["model"] == "linear_closed_form"])
         assert log_auc > lin_auc
+        # the tree family also sees both features → beats univariate linear
+        tree_auc = np.mean([r["auc"] for r in out if r["model"] == "boosted_stumps"])
+        assert tree_auc > lin_auc
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestKernelShap:
+    def _tbl(self, n=400, seed=11):
+        rng = np.random.default_rng(seed)
+        return pa.table({
+            "id": pa.array(rng.permutation(n), type=pa.int64()),
+            "x1": rng.normal(5, 3, n),
+            "x2": rng.normal(-2, 1, n),
+            "x3": rng.normal(0, 10, n),
+        })
+
+    def test_linear_model_matches_closed_form(self):
+        """Enumerated KernelSHAP on a linear model must equal
+        beta_i * mean_ex|x_i - mean_bg(x_i)| to float precision."""
+        from tanml_ray.pipelines.explain import (kernel_shap_summary,
+                                                 sample_min_k)
+        from tanml_ray.stages.scoring import ClosedFormModel
+
+        tbl = self._tbl()
+        beta = np.array([2.0, -7.0, 0.5])
+        model = ClosedFormModel(beta, 10.0)
+        cols = ["x1", "x2", "x3"]
+        out = {r["feature"]: r for r in kernel_shap_summary(
+            _ds(tbl), model, cols, "id", bg_n=50, test_n=40).to_pylist()}
+
+        bg = sample_min_k(_ds(tbl), "id", cols, 50).to_pandas()
+        ex = sample_min_k(_ds(tbl), "id", cols, 40).to_pandas()
+        base = 10.0 + float(beta @ bg[cols].mean().to_numpy())
+        for i, c in enumerate(cols):
+            expect = abs(beta[i]) * float(
+                (ex[c] - bg[c].mean()).abs().mean())
+            assert out[c]["mean_abs_shap"] == pytest.approx(expect, abs=2e-6)
+            assert out[c]["base_value"] == pytest.approx(base, abs=2e-6)
+
+    def test_nonlinear_model_efficiency_property(self):
+        """Sum of Shapley values over features = f(x) − E_bg[f] for ANY
+        model (efficiency axiom) — checked on a nonlinear interaction
+        model KernelSHAP cannot fake with a linear shortcut."""
+        from tanml_ray.pipelines.explain import KernelShapStage, sample_min_k
+
+        import ray
+
+        class Interact:
+            def predict(self, X):
+                return X[:, 0] * X[:, 1] + np.sin(X[:, 2]) + X[:, 0] ** 2
+
+        tbl = self._tbl()
+        cols = ["x1", "x2", "x3"]
+        bg = sample_min_k(_ds(tbl), "id", cols, 30)
+        B = np.column_stack([bg.column(c).to_numpy() for c in cols])
+        model = Interact()
+        stage = KernelShapStage(ray.put(model), ray.put(B), cols)
+        x = np.array([1.7, -0.4, 2.2])
+        rep = np.where(stage.masks[:, None, :], x[None, None, :],
+                       B[None, :, :])
+        v = (model.predict(rep.reshape(-1, 3))
+             .reshape(len(stage.masks), len(B)).mean(axis=1))
+        phi = np.array([
+            float((stage.w[s0] * (v[s1] - v[s0])).sum())
+            for s0, s1 in stage.pairs])
+        fx = float(model.predict(x[None, :])[0])
+        assert phi.sum() == pytest.approx(fx - float(v[0]), rel=1e-10)
+
+    def test_max_features_guard(self):
+        from tanml_ray.pipelines.explain import kernel_shap_summary
+
+        with pytest.raises(ValueError, match="coalition"):
+            kernel_shap_summary(_ds(self._tbl()), None,
+                                [f"f{i}" for i in range(20)], "id")

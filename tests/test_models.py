@@ -61,7 +61,8 @@ class TestEstimatorRegistry:
     def test_fit_and_predict_each_family(self):
         from tanml_ray.models import ESTIMATORS
 
-        assert ESTIMATORS.list_names() == ["kmeans_lloyd", "linear_closed_form",
+        assert ESTIMATORS.list_names() == ["boosted_stumps", "kmeans_lloyd",
+                                           "linear_closed_form",
                                            "logistic_irls"]
         rng = np.random.default_rng(8)
         n = 4000
@@ -94,3 +95,85 @@ class TestEstimatorRegistry:
             ESTIMATORS.get("gradient_boosting")
         with pytest.raises(ValueError, match="duplicate"):
             ESTIMATORS.register("logistic_irls", task="classification")(lambda *a: None)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestBoostedStumps:
+    def _ds(self, X, y, parts=4):
+        import ray.data as rd
+
+        cols = {f"x{j}": X[:, j] for j in range(X.shape[1])}
+        cols["y"] = y
+        return rd.from_arrow(pa.table(cols)).repartition(parts)
+
+    def test_recovers_step_function(self):
+        """A single-threshold step target is representable by stumps —
+        after a few rounds the fit must be near-exact on train."""
+        from tanml_ray.pipelines.mlops import boosted_stumps_fit
+
+        rng = np.random.default_rng(5)
+        X = rng.uniform(0, 10, (2000, 2))
+        y = np.where(X[:, 0] < 4.0, -3.0, 7.0)
+        # residual error is bounded by histogram quantization (rows in
+        # the one bin straddling the true threshold): ~bin_width/range
+        # of the rows × the step gap — so more bins must mean less error
+        m32 = boosted_stumps_fit(self._ds(X, y), ["x0", "x1"], "y",
+                                 n_rounds=24, lr=0.5, n_bins=32)
+        m128 = boosted_stumps_fit(self._ds(X, y), ["x0", "x1"], "y",
+                                  n_rounds=24, lr=0.5, n_bins=128)
+        e32 = np.abs(m32.predict(X) - y).mean()
+        e128 = np.abs(m128.predict(X) - y).mean()
+        assert e32 < 0.35   # 32 bins: width 0.31 straddle floor
+        assert e128 < 0.12  # 4× bins → ~4× smaller floor
+        assert e128 < e32
+        # first split must be on x0
+        assert m32.stumps[0][0] == 0
+
+    def test_nonlinearity_beats_linear(self):
+        """On the additive-but-nonlinear y = |x0| (symmetric → zero
+        linear signal), the stump ensemble must fit far better than
+        the best linear model (which collapses to ~constant)."""
+        from tanml_ray.pipelines.mlops import boosted_stumps_fit, linear_fit
+
+        rng = np.random.default_rng(6)
+        X = rng.uniform(-3, 3, (3000, 2))
+        y = np.abs(X[:, 0])
+        ds = self._ds(X, y)
+        m = boosted_stumps_fit(ds, ["x0", "x1"], "y", n_rounds=40, lr=0.6)
+        lf = linear_fit(ds, ["x0", "x1"], "y")
+        lin_pred = (lf["intercept"] + X @ np.asarray(lf["coef"]))
+        sse_tree = float(((m.predict(X) - y) ** 2).sum())
+        sse_lin = float(((lin_pred - y) ** 2).sum())
+        assert sse_tree < 0.1 * sse_lin
+
+    def test_partition_invariant_and_deterministic(self):
+        from tanml_ray.pipelines.mlops import boosted_stumps_fit
+
+        rng = np.random.default_rng(7)
+        X = rng.normal(0, 2, (1500, 3))
+        y = X[:, 0] - 2 * np.abs(X[:, 1]) + rng.normal(0, 0.1, 1500)
+        m1 = boosted_stumps_fit(self._ds(X, y, parts=2),
+                                ["x0", "x1", "x2"], "y", n_rounds=8)
+        m2 = boosted_stumps_fit(self._ds(X, y, parts=11),
+                                ["x0", "x1", "x2"], "y", n_rounds=8)
+        # split STRUCTURE (feature, threshold) is layout-exact — edges
+        # come from exact min/max; leaf values are float partial sums,
+        # layout-stable to ~1 ulp
+        assert m1.base == pytest.approx(m2.base, rel=1e-12)
+        assert [(j, t) for j, t, _, _ in m1.stumps] == \
+            [(j, t) for j, t, _, _ in m2.stumps]
+        np.testing.assert_allclose(
+            [(lv, rv) for _, _, lv, rv in m1.stumps],
+            [(lv, rv) for _, _, lv, rv in m2.stumps], rtol=1e-9)
+
+    def test_registry_integration(self):
+        from tanml_ray.models import ESTIMATORS, BoostedStumpsModel
+
+        rng = np.random.default_rng(8)
+        X = rng.uniform(0, 1, (500, 2))
+        y = np.where(X[:, 1] < 0.5, 0.0, 1.0)
+        m = ESTIMATORS.fit("boosted_stumps", self._ds(X, y),
+                           ["x0", "x1"], "y", n_rounds=6)
+        assert isinstance(m, BoostedStumpsModel)
+        assert m.fit_info["n_stumps"] <= 6
+        assert ((m.predict(X) > 0.5) == (y == 1.0)).mean() > 0.97

@@ -192,6 +192,29 @@ class TestReadAnyFallback:
         rows = read_any(str(p)).take_all()
         assert rows[1]["b"] is None  # NA token handling preserved
 
+    def test_pickle_payloads(self, tmp_path):
+        """S7 pickle source: DataFrame, Table and dict payloads land as
+        Datasets; unsupported payloads raise."""
+        import pickle
+
+        import pandas as pd
+
+        from tanml_ray.sources.ingest import read_any
+
+        df = pd.DataFrame({"a": [1, 2], "b": ["x", "y"]})
+        for name, obj in [("df.pkl", df),
+                          ("tbl.pickle", pa.table({"a": [1, 2],
+                                                   "b": ["x", "y"]})),
+                          ("d.pkl", {"a": [1, 2], "b": ["x", "y"]})]:
+            p = tmp_path / name
+            p.write_bytes(pickle.dumps(obj))
+            rows = read_any(str(p)).take_all()
+            assert rows == [{"a": 1, "b": "x"}, {"a": 2, "b": "y"}]
+        bad = tmp_path / "bad.pkl"
+        bad.write_bytes(pickle.dumps([1, 2, 3]))
+        with pytest.raises(TypeError, match="pickle payload"):
+            read_any(str(bad))
+
     def test_unknown_extension_comma(self, tmp_path):
         from tanml_ray.sources.ingest import read_any
 
