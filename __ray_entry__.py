@@ -47,69 +47,99 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from tanml_ray.pipelines import queries as q
 
     return {
+        # ---- driver correctness window (first 50): one exact-oracle
+        # representative per SURVEY-§2 family — validation flagship,
+        # drift, the full dedup/LSH/ANN families, all seven joins,
+        # webtext curation, the coarse-partition event suite, imputes,
+        # SHAP (exact linear + enumerated KernelSHAP) and exact
+        # full-corpus Spearman. Everything below the marker is equally
+        # oracled (tools/check_queries.py runs ALL pairs) but outside
+        # the driver's 50-row sample.
         "profile_lineitem": q.profile_lineitem,
         "q1_pricing_summary": q.q1_pricing_summary,
+        "validate_pages_status": q.validate_pages_status,
+        "drift_pages_report": q.drift_pages_report,
+        "minhash_near_dup_documents": q.minhash_near_dup_documents,
+        "simhash_near_dup_documents": q.simhash_near_dup_documents,
+        "exact_dedup_documents": q.exact_dedup_documents,
+        "span_dedup_documents": q.span_dedup_documents,
+        "line_dedup_documents": q.line_dedup_documents,
+        "incremental_dedup_documents": q.incremental_dedup_documents,
+        "embedding_near_dup_pairs": q.embedding_near_dup_pairs,
+        "ngram_jaccard_pairs_documents": q.ngram_jaccard_pairs_documents,
+        "dup_cluster_sizes_documents": q.dup_cluster_sizes_documents,
+        "knn_cosine_embeddings": q.knn_cosine_embeddings,
+        "knn_cosine_lsh_embeddings": q.knn_cosine_lsh_embeddings,
+        "knn_cosine_ivf_embeddings": q.knn_cosine_ivf_embeddings,
+        "join_orders_customer_broadcast": q.join_orders_customer_broadcast,
+        "join_lineitem_orders_partitioned": q.join_lineitem_orders_partitioned,
+        "asof_join_events": q.asof_join_events,
+        "bloom_semi_join_lineitem": q.bloom_semi_join_lineitem,
+        "anti_join_lineitem": q.anti_join_lineitem,
+        "left_join_customer_orders": q.left_join_customer_orders,
+        "full_outer_join_orders_customer": q.full_outer_join_orders_customer,
+        "referential_lang_violations": q.referential_lang_violations,
+        "leakage_overlap_documents": q.leakage_overlap_documents,
+        "warc_extract_documents": q.warc_extract_documents,
+        "c4_clean_documents": q.c4_clean_documents,
+        "gopher_quality_documents": q.gopher_quality_documents,
+        "unigram_lm_ppl_documents": q.unigram_lm_ppl_documents,
+        "dsir_weights_documents": q.dsir_weights_documents,
+        "ngram_contamination_documents": q.ngram_contamination_documents,
+        "bpe_token_counts_documents": q.bpe_token_counts_documents,
+        "pack_windows_documents": q.pack_windows_documents,
+        "corpus_datacard_documents": q.corpus_datacard_documents,
+        "domain_stats_documents": q.domain_stats_documents,
+        "funnel_events": q.funnel_events,
+        "retention_cohorts_events": q.retention_cohorts_events,
+        "event_transitions_events": q.event_transitions_events,
+        "basket_lift_events": q.basket_lift_events,
+        "user_sessions_events": q.user_sessions_events,
+        "grouped_psi_events": q.grouped_psi_events,
+        "mean_impute_quantity": q.mean_impute_quantity,
+        "knn_impute_quantity": q.knn_impute_quantity,
+        "mode_impute_orderpriority": q.mode_impute_orderpriority,
+        "onehot_orderpriority": q.onehot_orderpriority,
+        "stress_test_orders": q.stress_test_orders,
+        "linear_shap_orders": q.linear_shap_orders,
+        "kernel_shap_orders": q.kernel_shap_orders,
+        "permutation_importance_orders": q.permutation_importance_orders,
+        "spearman_lineitem": q.spearman_lineitem,
+        # ---- beyond the driver window ----
         "lang_distribution_documents": q.lang_distribution_documents,
         "distinct_orderpriority": q.distinct_orderpriority,
         "histogram_quantity": q.histogram_quantity,
         "top10_orders": q.top10_orders,
         "events_daily": q.events_daily,
-        "referential_lang_violations": q.referential_lang_violations,
         "duplicate_user_event_pairs": q.duplicate_user_event_pairs,
         "pearson_corr_lineitem": q.pearson_corr_lineitem,
         "psi_documents_even_odd": q.psi_documents_even_odd,
         "label_encode_mktsegment": q.label_encode_mktsegment,
-        "onehot_orderpriority": q.onehot_orderpriority,
         "token_counts_documents": q.token_counts_documents,
         "dedup_first_per_group": q.dedup_first_per_group,
         "text_quality_documents": q.text_quality_documents,
         "fingerprint_documents": q.fingerprint_documents,
         "langid_documents": q.langid_documents,
         "script_profile_documents": q.script_profile_documents,
-        "pack_windows_documents": q.pack_windows_documents,
-        "leakage_overlap_documents": q.leakage_overlap_documents,
-        "knn_cosine_embeddings": q.knn_cosine_embeddings,
-        "knn_cosine_lsh_embeddings": q.knn_cosine_lsh_embeddings,
-        "knn_cosine_ivf_embeddings": q.knn_cosine_ivf_embeddings,
-        "embedding_near_dup_pairs": q.embedding_near_dup_pairs,
-        "exact_dedup_documents": q.exact_dedup_documents,
-        "minhash_near_dup_documents": q.minhash_near_dup_documents,
-        "simhash_near_dup_documents": q.simhash_near_dup_documents,
         "classification_metrics_orders": q.classification_metrics_orders,
         "regression_metrics_orders": q.regression_metrics_orders,
         "cluster_coverage_lineitem": q.cluster_coverage_lineitem,
-        "stress_test_orders": q.stress_test_orders,
         "vif_lineitem": q.vif_lineitem,
         "hash_split_orders": q.hash_split_orders,
         "first3_per_lang_documents": q.first3_per_lang_documents,
-        "mean_impute_quantity": q.mean_impute_quantity,
-        "mode_impute_orderpriority": q.mode_impute_orderpriority,
         "feature_ranking_lineitem": q.feature_ranking_lineitem,
         "linear_cv_orders": q.linear_cv_orders,
-        "validate_pages_status": q.validate_pages_status,
-        "drift_pages_report": q.drift_pages_report,
         "salted_lang_counts": q.salted_lang_counts,
-        "user_sessions_events": q.user_sessions_events,
         "high_corr_pairs_lineitem": q.high_corr_pairs_lineitem,
         "spearman_sample_lineitem": q.spearman_sample_lineitem,
-        "ngram_jaccard_pairs_documents": q.ngram_jaccard_pairs_documents,
         "iqr_outliers_extendedprice": q.iqr_outliers_extendedprice,
         "rolling_7day_events": q.rolling_7day_events,
         "roc_curve_orders": q.roc_curve_orders,
         "stratified_fold_counts_orders": q.stratified_fold_counts_orders,
         "model_benchmark_orders": q.model_benchmark_orders,
-        "join_orders_customer_broadcast": q.join_orders_customer_broadcast,
-        "join_lineitem_orders_partitioned": q.join_lineitem_orders_partitioned,
-        "asof_join_events": q.asof_join_events,
-        "bloom_semi_join_lineitem": q.bloom_semi_join_lineitem,
         "json_extract_events": q.json_extract_events,
-        "grouped_psi_events": q.grouped_psi_events,
-        "anti_join_lineitem": q.anti_join_lineitem,
-        "permutation_importance_orders": q.permutation_importance_orders,
         "logistic_cv_orders": q.logistic_cv_orders,
         "kendall_sample_lineitem": q.kendall_sample_lineitem,
-        "knn_impute_quantity": q.knn_impute_quantity,
-        "bpe_token_counts_documents": q.bpe_token_counts_documents,
         "curate_documents_stats": q.curate_documents_stats,
         "linear_fit_orders": q.linear_fit_orders,
         "linear_cv_repeated_orders": q.linear_cv_repeated_orders,
@@ -123,28 +153,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_quantiles_by_priority": q.price_quantiles_by_priority,
         "logistic_cv_repeated_orders": q.logistic_cv_repeated_orders,
         "logistic_inference_orders": q.logistic_inference_orders,
-        "gopher_quality_documents": q.gopher_quality_documents,
         "repetition_ngram_documents": q.repetition_ngram_documents,
         "hot_ngram_documents": q.hot_ngram_documents,
         "weighted_sample_documents": q.weighted_sample_documents,
-        "ngram_contamination_documents": q.ngram_contamination_documents,
         "robust_scale_totalprice": q.robust_scale_totalprice,
         "pii_scan_documents": q.pii_scan_documents,
-        "domain_stats_documents": q.domain_stats_documents,
-        "retention_cohorts_events": q.retention_cohorts_events,
         "percent_rank_orders": q.percent_rank_orders,
         "unpivot_orders": q.unpivot_orders,
-        "unigram_lm_ppl_documents": q.unigram_lm_ppl_documents,
         "dedup_keep_best_documents": q.dedup_keep_best_documents,
         "canonical_urls_documents": q.canonical_urls_documents,
         "token_budget_documents": q.token_budget_documents,
         "grouped_split_documents": q.grouped_split_documents,
         "label_centroids_embeddings": q.label_centroids_embeddings,
-        "full_outer_join_orders_customer": q.full_outer_join_orders_customer,
-        "span_dedup_documents": q.span_dedup_documents,
         "nb_quality_documents": q.nb_quality_documents,
         "ppl_buckets_documents": q.ppl_buckets_documents,
-        "incremental_dedup_documents": q.incremental_dedup_documents,
         "normalize_text_documents": q.normalize_text_documents,
         "knn_cosine_pq_embeddings": q.knn_cosine_pq_embeddings,
         "grouped_ols_lineitem": q.grouped_ols_lineitem,
@@ -156,42 +178,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "js_wasserstein_orders": q.js_wasserstein_orders,
         "ridge_path_orders": q.ridge_path_orders,
         "source_overlap_documents": q.source_overlap_documents,
-        "funnel_events": q.funnel_events,
         "cusum_changepoint_events": q.cusum_changepoint_events,
         "benford_totalprice": q.benford_totalprice,
         "pmi_bigrams_documents": q.pmi_bigrams_documents,
         "rollup_orders": q.rollup_orders,
         "dod_change_events": q.dod_change_events,
         "top3_customers_per_segment": q.top3_customers_per_segment,
-        "dup_cluster_sizes_documents": q.dup_cluster_sizes_documents,
         "moments_lineitem": q.moments_lineitem,
         "anova_totalprice_priority": q.anova_totalprice_priority,
         "mad_extendedprice": q.mad_extendedprice,
         "vocab_coverage_documents": q.vocab_coverage_documents,
         "zipf_slope_documents": q.zipf_slope_documents,
         "ntile_deciles_orders": q.ntile_deciles_orders,
-        "event_transitions_events": q.event_transitions_events,
         "ttr_documents": q.ttr_documents,
         "kappa_quality_documents": q.kappa_quality_documents,
-        "line_dedup_documents": q.line_dedup_documents,
         "modified_zscore_outliers_lineitem": q.modified_zscore_outliers_lineitem,
         "cumulative_revenue_events": q.cumulative_revenue_events,
         "entropy_profile": q.entropy_profile,
         "knn_cosine_ivfpq_embeddings": q.knn_cosine_ivfpq_embeddings,
         "daily_value_quantiles_events": q.daily_value_quantiles_events,
         "mannwhitney_quantity_returnflag": q.mannwhitney_quantity_returnflag,
-        "basket_lift_events": q.basket_lift_events,
-        "dsir_weights_documents": q.dsir_weights_documents,
-        "left_join_customer_orders": q.left_join_customer_orders,
         "info_gain_orders": q.info_gain_orders,
         "calibration_nb_documents": q.calibration_nb_documents,
-        "linear_shap_orders": q.linear_shap_orders,
-        "warc_extract_documents": q.warc_extract_documents,
-        "c4_clean_documents": q.c4_clean_documents,
         "bpe_merges_documents": q.bpe_merges_documents,
         "url_filter_documents": q.url_filter_documents,
         "chunk_documents": q.chunk_documents_query,
-        "corpus_datacard_documents": q.corpus_datacard_documents,
+        "model_family_benchmark_orders": q.model_family_benchmark_orders,
     }
 
 
@@ -348,6 +360,9 @@ def oracle_sql() -> dict[str, str]:
         "knn_cosine_ivf_embeddings": q.KNN_SQL,
         "validate_pages_status": q.validate_pages_sql(),
         "drift_pages_report": q.drift_pages_sql(),
-        # logistic_cv (iterative IRLS) and the PQ-compressed ANN variants
-        # remain rows-only driver checks; verified in pytest instead.
+        "kernel_shap_orders": q.KERNEL_SHAP_SQL,
+        "spearman_lineitem": q.SPEARMAN_FULL_SQL,
+        # logistic_cv / boosted stumps (iterative fits) and the
+        # PQ-compressed ANN variants remain rows-only driver checks;
+        # verified in pytest instead.
     }

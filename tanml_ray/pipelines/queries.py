@@ -2684,6 +2684,21 @@ def logistic_cv_orders(sf_dir: str) -> pa.Table:
                        ["x1", "x2"], "label", "o_orderkey", k=3, max_iter=6)
 
 
+def model_family_benchmark_orders(sf_dir: str) -> pa.Table:
+    """Three-estimator-family × k-fold CV benchmark on the shared
+    logistic features: IRLS logistic vs closed-form linear vs histogram
+    boosted stumps (the reference benchmarking tab's linear/GLM/tree
+    spread, models/registry.py:34-411). Rows-only driver check: IRLS
+    and boosting are iterative, not SQL-expressible; the families'
+    fit/predict contracts are pytest-verified (tests/test_models.py,
+    tests/test_explain.py)."""
+    from tanml_ray.pipelines.explain import model_benchmark
+
+    return model_benchmark(_orders_logistic_features(sf_dir),
+                           ["x1", "x2"], "label", "o_orderkey",
+                           k=3, tree_rounds=8)
+
+
 def _orders_logistic_features(sf_dir: str):
     """Shared (x1, x2, label, o_orderkey) projection for the logistic
     family queries (same derivation as logistic_cv_orders)."""
