@@ -167,6 +167,37 @@ def test_domain_stats_counts_and_cap():
     ]
 
 
+@pytest.mark.usefixtures("ray_session")
+def test_domain_stats_many_domains_streams():
+    """Real crawls have 10⁷–10⁸ distinct domains; the operator must
+    stay a Dataset end-to-end (driver sees only the scalar total).
+    Exercised at 250k all-distinct domains here (10⁶ verified once,
+    ~60 s — too slow for every run); the result is consumed via
+    count() and a vectorized filtered probe, never collected whole."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    n = 250_000
+
+    def to_urls(batch):
+        ids = batch["id"]
+        return pa.table({"url": pa.array(
+            [f"https://d{int(i)}.example.com/p" for i in ids])})
+
+    from tanml_ray.pipelines.webtext import domain_stats
+
+    out = domain_stats(rd.range(n, override_num_blocks=16)
+                       .map_batches(to_urls, batch_format="numpy"),
+                       share_cap=1e-7)
+    assert out.count() == n
+    probe = out.map_batches(
+        lambda t: t.filter(pc.equal(t.column("domain"),
+                                    "d123456.example.com")),
+        batch_format="pyarrow").take_all()
+    assert probe == [{"domain": "d123456.example.com", "n_pages": 1,
+                      "share": round(1.0 / n, 6), "over_cap": True}]
+
+
 def test_unigram_lm_scores_hand_computed():
     import ray
 
