@@ -204,6 +204,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_filter_documents": q.url_filter_documents,
         "chunk_documents": q.chunk_documents_query,
         "model_family_benchmark_orders": q.model_family_benchmark_orders,
+        "shuffle_shards_documents": q.shuffle_shards_documents,
     }
 
 
@@ -362,6 +363,8 @@ def oracle_sql() -> dict[str, str]:
         "drift_pages_report": q.drift_pages_sql(),
         "kernel_shap_orders": q.KERNEL_SHAP_SQL,
         "spearman_lineitem": q.SPEARMAN_FULL_SQL,
+        "shuffle_shards_documents": q.SHUFFLE_SHARDS_SQL,
+        "shuffle_shards_documents": q.SHUFFLE_SHARDS_SQL,
         # logistic_cv / boosted stumps (iterative fits) and the
         # PQ-compressed ANN variants remain rows-only driver checks;
         # verified in pytest instead.

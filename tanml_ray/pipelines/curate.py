@@ -339,6 +339,57 @@ def curate_documents(ds, text_col: str = "text", id_col: str = "doc_id",
     return curated, stats
 
 
+def shuffle_shards(ds, id_col: str = "doc_id", n_shards: int = 8,
+                   seed: int = 42, shard_partitions: int | None = None):
+    """Deterministic seeded GLOBAL corpus shuffle into training shards —
+    the export step before tokenized-data writing (every epoch-0 data
+    order in GPT-3/LLaMA-style training comes from exactly this op):
+
+        key   = md5-lower-64(f"{id}:{seed}")   (SQL-reproducible —
+                matches DuckDB md5_number_lower(id || ':' || seed))
+        shard = key % n_shards
+        pos   = rank of (key, id) within the shard
+
+    One shuffle keyed by shard; position assignment is a vectorized
+    argsort INSIDE each shard's partition (each shard lands in exactly
+    one map_groups call — size n_shards so a shard fits a task; for
+    bigger corpora raise n_shards, the standard shard-count knob, or
+    sub-bucket by key prefix). No RNG state: any partitioning, any
+    retry, any cluster size yields byte-identical (id, shard, pos).
+
+    Returns a Dataset of (id_col, shard:int64, pos:int64).
+    """
+    import pyarrow as pa
+
+    from tanml_ray.pipelines.dedup import md5_token_hashes
+
+    def key_batch(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        keys = md5_token_hashes([f"{int(i)}:{seed}" for i in ids])
+        return pa.table({
+            id_col: pa.array(ids.astype(np.int64), type=pa.int64()),
+            "shard": pa.array((keys % np.uint64(n_shards)).astype(np.int64),
+                              type=pa.int64()),
+            # bit-exact uint64 key stored reinterpreted as int64
+            "__key": pa.array(keys.view(np.int64), type=pa.int64())})
+
+    def rank_shard(g: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+
+        keys = g["__key"].to_numpy().view(np.uint64)
+        ids = g[id_col].to_numpy()
+        order = np.lexsort((ids, keys))
+        out = pd.DataFrame({
+            id_col: ids[order],
+            "shard": g["shard"].to_numpy()[order],
+            "pos": np.arange(len(order), dtype=np.int64)})
+        return out
+
+    return (ds.map_batches(key_batch, batch_format="pyarrow")
+            .groupby("shard")
+            .map_groups(rank_shard, batch_format="pandas"))
+
+
 def run_resumable_curation(input_dir: str, out_dir: str,
                            text_col: str = "text", id_col: str = "doc_id",
                            min_tokens: int = 5, max_tokens: int = 100_000,

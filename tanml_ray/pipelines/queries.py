@@ -6629,6 +6629,37 @@ SELECT feature, coef, mean_x, mean_abs_shap, base_value FROM (
 
 
 # ---------------------------------------------------------------------------
+# Deterministic seeded corpus shuffle into training shards
+# (curate.shuffle_shards): the epoch-0 data-order export step of a
+# GPT-3/LLaMA-style training pipeline. The shuffle key is
+# md5-lower-64 of f"{doc_id}:{seed}" — the same bytes DuckDB's
+# md5_number_lower computes — so shard assignment AND within-shard
+# rank have a full SQL oracle.
+# ---------------------------------------------------------------------------
+
+def shuffle_shards_documents(sf_dir: str) -> pa.Table:
+    from tanml_ray.pipelines.curate import shuffle_shards
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    out = shuffle_shards(ds, "doc_id", n_shards=8, seed=42)
+    rows = sorted(collect_pylist(out), key=lambda r: r["doc_id"])
+    return pa.Table.from_pylist(rows)
+
+
+SHUFFLE_SHARDS_SQL = """
+WITH k AS (
+  SELECT doc_id,
+         md5_number_lower(CAST(doc_id AS VARCHAR) || ':42') AS h
+  FROM documents
+)
+SELECT doc_id, CAST(h % 8 AS BIGINT) AS shard,
+       CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id)
+            - 1 AS BIGINT) AS pos
+FROM k ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Model-agnostic KernelSHAP (explain.kernel_shap_summary) on the
 # linear family, where the enumerated Shapley values provably collapse
 # to the closed form beta_i*(x_i - mean_bg(x_i)) — giving the

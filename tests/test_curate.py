@@ -183,3 +183,34 @@ def test_curate_with_c4_clean_stage(ray_session):
     assert (stats["input_rows"] - stats["output_rows"]
             == stats["dropped_c4"] + stats["dropped_quality_or_lang"]
             + stats["dropped_exact_dup"] + stats["dropped_near_dup"])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_shuffle_shards_complete_deterministic_seeded():
+    """Every id appears exactly once; positions within a shard are
+    0..len-1; layout doesn't change the result; a different seed gives
+    a different global order (the whole point of the op)."""
+    import ray.data as rd
+
+    from tanml_ray.pipelines.curate import shuffle_shards
+
+    ids = pa.table({"doc_id": pa.array(list(range(300)), type=pa.int64())})
+
+    def collect(parts, seed=42):
+        ds = rd.from_arrow(ids).repartition(parts)
+        return sorted(shuffle_shards(ds, "doc_id", n_shards=4,
+                                     seed=seed).take_all(),
+                      key=lambda r: r["doc_id"])
+
+    a = collect(3)
+    b = collect(9)
+    assert a == b                                    # layout-invariant
+    assert [r["doc_id"] for r in a] == list(range(300))  # complete
+    by_shard: dict[int, list[int]] = {}
+    for r in a:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    assert set(by_shard) == {0, 1, 2, 3}
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(len(poss)))  # dense ranks
+    c = collect(3, seed=7)
+    assert c != a                                    # seed changes order
