@@ -897,19 +897,19 @@ ORDER BY query_id, sim DESC, e.vec_id
 
 
 def knn_cosine_lsh_embeddings(sf_dir: str) -> pa.Table:
-    """LSH bucketed top-k, full-oracle configuration: (n_bits=4,
-    multiprobe=3) probes every bucket within Hamming 3 of the query's
-    4-bit hyperplane code, which on the sf0.01/sf0.1 fixtures provably
-    covers the true top-10 (verified equal to the exact scan), so the
-    exact-KNN SQL is a real end-to-end oracle of the bucketing +
-    multiprobe + re-rank machinery. The RECALL-oriented operating
-    point (more bits, fewer probes) keeps its recall/determinism
-    contract in tests/test_dedup_text.py."""
+    """LSH bucketed top-k, full-oracle configuration: (n_bits=5,
+    multiprobe=4) probes every bucket within Hamming 4 of the query's
+    5-bit hyperplane code, which on BOTH the sf0.01 and sf0.1 fixtures
+    covers the true top-10 (verified equal to the exact scan at both
+    scales), so the exact-KNN SQL is a real end-to-end oracle of the
+    bucketing + multiprobe + re-rank machinery. The RECALL-oriented
+    operating point (more bits, fewer probes) keeps its
+    recall/determinism contract in tests/test_dedup_text.py."""
     from tanml_ray.pipelines.similarity import knn_cosine_lsh
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     return knn_cosine_lsh(ds, _query_vectors(sf_dir, _KNN_QUERY_IDS), k=10,
-                          n_bits=4, multiprobe=3)
+                          n_bits=5, multiprobe=4)
 
 
 def knn_cosine_ivf_embeddings(sf_dir: str) -> pa.Table:
