@@ -41,17 +41,41 @@ def _perm_coeffs(num_perm: int) -> tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
+_SHINGLE_P = np.uint64(1099511628211)  # FNV-1a prime, odd → bijective ·P
+
+
 def shingle_hashes(text: str, k: int = 5) -> np.ndarray:
-    """Stable 64-bit hashes of the k-char shingles of normalized text."""
+    """Stable 64-bit hashes of the k-CHAR shingles of normalized text.
+
+    Fully vectorized: the normalized string decodes once to a UTF-32
+    codepoint array (char-exact — byte shingles would disagree with
+    the char-substr SQL oracle on any non-ASCII text) and each shingle
+    hashes by k fused multiply-adds over the whole window array —
+    h = ((c₀·P + c₁)·P + …)·P + c_{k−1} mod 2⁶⁴ — instead of
+    materializing k-char Python substrings and object-hashing them
+    (~100× less per-doc CPU; at 10⁹ docs the substring path was the
+    dominant signature cost). The hash VALUES changed in round 4
+    (polynomial vs pd.util.hash_array) — legal because every consumer
+    treats them as an opaque set: exact Jaccard is hash-set Jaccard
+    (identical for any injective-on-the-corpus hash), and LSH banding
+    recall at the 0.6 threshold re-verified exact vs the brute-force
+    SQL oracle at sf0.01 and sf0.1 after the switch."""
     norm = " ".join(text.lower().split())
-    if len(norm) < k:
-        shingles = [norm] if norm else []
-    else:
-        shingles = [norm[i:i + k] for i in range(len(norm) - k + 1)]
-    if not shingles:
+    if not norm:
         return np.empty(0, dtype=np.uint64)
-    return np.unique(pd.util.hash_array(np.asarray(shingles, dtype=object),
-                                        categorize=False))
+    codes = np.frombuffer(norm.encode("utf-32-le"),
+                          dtype=np.uint32).astype(np.uint64)
+    if len(codes) < k:
+        h = 0  # same scheme over the shorter window, python-int mod 2^64
+        for c in codes.tolist():
+            h = (h * 1099511628211 + c) & 0xFFFFFFFFFFFFFFFF
+        return np.array([h], dtype=np.uint64)
+    n = len(codes) - k + 1
+    h = np.zeros(n, dtype=np.uint64)
+    with np.errstate(over="ignore"):  # mod-2^64 wrap IS the hash
+        for j in range(k):
+            h = h * _SHINGLE_P + codes[j:j + n]
+    return np.unique(h)
 
 
 def minhash_signature(hashes: np.ndarray, num_perm: int = 64,
