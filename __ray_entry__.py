@@ -205,6 +205,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_documents": q.chunk_documents_query,
         "model_family_benchmark_orders": q.model_family_benchmark_orders,
         "shuffle_shards_documents": q.shuffle_shards_documents,
+        "hopping_window_events": q.hopping_window_events,
     }
 
 
@@ -364,7 +365,9 @@ def oracle_sql() -> dict[str, str]:
         "kernel_shap_orders": q.KERNEL_SHAP_SQL,
         "spearman_lineitem": q.SPEARMAN_FULL_SQL,
         "shuffle_shards_documents": q.SHUFFLE_SHARDS_SQL,
+        "hopping_window_events": q.HOPPING_WINDOW_SQL,
         "shuffle_shards_documents": q.SHUFFLE_SHARDS_SQL,
+        "hopping_window_events": q.HOPPING_WINDOW_SQL,
         # logistic_cv / boosted stumps (iterative fits) and the
         # PQ-compressed ANN variants remain rows-only driver checks;
         # verified in pytest instead.

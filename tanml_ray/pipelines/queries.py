@@ -2124,6 +2124,70 @@ FROM d ORDER BY event_type, day
 
 
 # ---------------------------------------------------------------------------
+# Hopping (sliding) streaming window aggregate: 2-hour windows hopping
+# every 30 minutes, per event_type — the standard stream-analytics
+# window shape (Flink/Beam HOP). Each event belongs to exactly
+# window_len/hop = 4 windows; the expansion happens INSIDE map_batches
+# with a per-batch (window, type) combiner groupby, so the one shuffle
+# moves per-block window partials, never 4× the events. Windows are
+# epoch-aligned; count and integer-cents revenue ride the same
+# aggregate (exact — no float partials cross tasks).
+# ---------------------------------------------------------------------------
+
+_HOP_US = 30 * 60 * 1_000_000
+_WINDOW_HOPS = 4  # 2-hour window / 30-min hop
+
+
+def hopping_window_events(sf_dir: str) -> pa.Table:
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def expand(batch: pa.Table) -> pd.DataFrame:
+        ts = batch.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        cents = np.rint(batch.column("value")
+                        .to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        et = np.asarray(batch.column("event_type").to_pylist(), dtype=object)
+        base_hop = ts // _HOP_US  # last hop whose window contains ts
+        frames = []
+        for off in range(_WINDOW_HOPS):
+            frames.append(pd.DataFrame({
+                "window_start": (base_hop - off) * _HOP_US,
+                "event_type": et, "n": 1, "cents": cents}))
+        df = pd.concat(frames, ignore_index=True)
+        return (df.groupby(["window_start", "event_type"], as_index=False)
+                .agg(n=("n", "sum"), cents=("cents", "sum")))
+
+    agg = (ds.map_batches(expand, batch_format="pyarrow")
+           .groupby(["window_start", "event_type"])
+           .aggregate(Sum("n", alias_name="n"),
+                      Sum("cents", alias_name="cents")))
+    rows = sorted(collect_pylist(agg),
+                  key=lambda r: (r["window_start"], r["event_type"]))
+    return pa.Table.from_pylist([
+        {"window_start": pd.Timestamp(int(r["window_start"]), unit="us"),
+         "event_type": r["event_type"], "n": int(r["n"]),
+         "revenue": _round6(int(r["cents"]) / 100.0)} for r in rows])
+
+
+HOPPING_WINDOW_SQL = """
+WITH e AS (
+  SELECT epoch_us(ts) AS us, event_type,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+), x AS (
+  SELECT (us // 1800000000 - off) * 1800000000 AS ws, event_type, cents
+  FROM e CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS off)
+)
+SELECT make_timestamp(ws) AS window_start, event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(CAST(sum(cents) AS DOUBLE) / 100.0, 6) AS revenue
+FROM x GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
 # ROC curve points at fixed thresholds (A15 adjunct) + stratified fold
 # balance (K5, RepeatedStratifiedKFold analog) — full SQL oracles.
 # ---------------------------------------------------------------------------
