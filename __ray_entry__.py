@@ -206,6 +206,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "model_family_benchmark_orders": q.model_family_benchmark_orders,
         "shuffle_shards_documents": q.shuffle_shards_documents,
         "hopping_window_events": q.hopping_window_events,
+        "temperature_mix_documents": q.temperature_mix_documents,
     }
 
 
@@ -366,8 +367,10 @@ def oracle_sql() -> dict[str, str]:
         "spearman_lineitem": q.SPEARMAN_FULL_SQL,
         "shuffle_shards_documents": q.SHUFFLE_SHARDS_SQL,
         "hopping_window_events": q.HOPPING_WINDOW_SQL,
+        "temperature_mix_documents": q.TEMPERATURE_MIX_SQL,
         "shuffle_shards_documents": q.SHUFFLE_SHARDS_SQL,
         "hopping_window_events": q.HOPPING_WINDOW_SQL,
+        "temperature_mix_documents": q.TEMPERATURE_MIX_SQL,
         # logistic_cv / boosted stumps (iterative fits) and the
         # PQ-compressed ANN variants remain rows-only driver checks;
         # verified in pytest instead.

@@ -4508,6 +4508,67 @@ def corpus_mixture_documents(sf_dir: str) -> pa.Table:
     return pa.Table.from_pylist(out)
 
 
+# ---------------------------------------------------------------------------
+# Temperature-based sampling weights per source (the XLM-R / mT5
+# multilingual recipe: q_i ∝ p_i^α with α<1 upsamples the tail,
+# Conneau et al. 2020 §3.1). Same bounded per-source token combiner as
+# corpus_mixture; the driver computes natural share p, temperature
+# weight q and the upsample factor q/p on the source-bounded table.
+# ---------------------------------------------------------------------------
+
+_MIX_TEMPERATURE_ALPHA = 0.3
+
+
+def temperature_mix_documents(sf_dir: str) -> pa.Table:
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", ["text", "source"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "source": batch.column("source"),
+            "tokens": pc.fill_null(pc.cast(
+                pc.count_substring_regex(batch.column("text"), r"\S+"),
+                pa.int64()), 0)})
+        g = pa.TableGroupBy(t, "source").aggregate([("tokens", "sum")])
+        return g.rename_columns(["source", "tokens"])
+
+    rows = sorted(collect_pylist(
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("source").aggregate(Sum("tokens", alias_name="tokens"))),
+        key=lambda r: r["source"])
+    toks = np.array([int(r["tokens"]) for r in rows], dtype=np.float64)
+    p = toks / toks.sum()
+    q = p ** _MIX_TEMPERATURE_ALPHA
+    q = q / q.sum()
+    return pa.Table.from_pylist([
+        {"source": r["source"], "tokens": int(r["tokens"]),
+         "p_natural": _round6(float(p[i])),
+         "q_temperature": _round6(float(q[i])),
+         "upsample": _round6(float(q[i] / p[i]))}
+        for i, r in enumerate(rows)])
+
+
+TEMPERATURE_MIX_SQL = """
+WITH have AS (
+  SELECT source, CAST(sum(len(regexp_extract_all(text, '\\S+'))) AS BIGINT)
+         AS tokens
+  FROM documents GROUP BY source
+), tot AS (
+  SELECT sum(CAST(tokens AS DOUBLE)) AS t,
+         sum(pow(tokens / (SELECT sum(CAST(tokens AS DOUBLE)) FROM have),
+                 0.3)) AS z
+  FROM have
+)
+SELECT source, tokens,
+       round(tokens / tot.t, 6) AS p_natural,
+       round(pow(tokens / tot.t, 0.3) / tot.z, 6) AS q_temperature,
+       round((pow(tokens / tot.t, 0.3) / tot.z) / (tokens / tot.t), 6)
+         AS upsample
+FROM have, tot ORDER BY source
+"""
+
+
 def _mixture_sql() -> str:
     cases_w = " ".join(
         f"WHEN '{s}' THEN {w}" for s, w in _MIX_WEIGHTS)
