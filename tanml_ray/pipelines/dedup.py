@@ -1202,15 +1202,22 @@ def exact_dedup_keep_best(ds, text_col: str = "text", id_col: str = "doc_id",
     collisions impossible at 10^12 docs; collision-resistant against
     adversarial input, unlike md5 — see curate._content_digest). Each
     batch pre-reduces to one candidate row per digest before the ONE
-    groupby(digest) shuffle, so the exchange moves (16 B digest, id,
-    quality) per distinct-content-per-block — never text. Output is the
-    kept set (streamed), nothing corpus-sized on the driver.
+    shuffle, so the exchange moves (16 B digest, id, quality) per
+    distinct-content-per-block — never text. The shuffle key is the
+    COARSE hash(digest)%P partition (every digest's candidates land in
+    one partition; in-partition resolution is one vectorized
+    sort + drop_duplicates), never one map_groups call per distinct
+    digest — at 10¹² mostly-unique docs that would be 10¹² tasks.
+    Output is the kept set (streamed), nothing corpus-sized on the
+    driver.
 
     Reference anchor: duplicate detection semantics of
     tanml/checks/data_quality/duplicates.py re-expressed as a
     destructive quality-keeping selector.
     """
     import hashlib
+
+    from tanml_ray.stages.shuffle import with_coarse_partition
 
     def local_best(batch: pa.Table) -> pa.Table:
         texts = batch.column(text_col).to_pylist()
@@ -1227,15 +1234,18 @@ def exact_dedup_keep_best(ds, text_col: str = "text", id_col: str = "doc_id",
         df = df.drop_duplicates("dig", keep="first")
         return pa.Table.from_pandas(df, preserve_index=False)
 
-    def best_of_group(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["q", "id"], ascending=[False, True])
-        r = g.iloc[:1]
-        return pd.DataFrame({id_col: r["id"].to_numpy(dtype=np.int64),
-                             quality_col: r["q"].to_numpy(dtype=np.int64)})
+    def best_of_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["dig", "q", "id"],
+                          ascending=[True, False, True])
+        g = g.drop_duplicates("dig", keep="first")
+        return pd.DataFrame({id_col: g["id"].to_numpy(dtype=np.int64),
+                             quality_col: g["q"].to_numpy(dtype=np.int64)})
 
-    return (ds.map_batches(local_best, batch_format="pyarrow")
-            .groupby("dig").map_groups(best_of_group, batch_format="pandas")
-            .sort(id_col))
+    return (with_coarse_partition(
+        ds.map_batches(local_best, batch_format="pyarrow"), "dig")
+        .groupby("__upart").map_groups(best_of_partition,
+                                       batch_format="pandas")
+        .sort(id_col))
 
 
 def optimal_bands(threshold: float, num_perm: int = 64

@@ -1248,13 +1248,14 @@ def normalize_text_batch(batch: pa.Table, text_col: str = "text",
 # Source-overlap matrix: pairwise Jaccard of the DISTINCT word-n-gram
 # sets of each source — the dataset-level contamination/overlap
 # analytic (which corpora duplicate which). Shape: per-batch local
-# (gram, source) dedupe → one groupby(gram) that emits co-occurrence
-# pair rows (sources-per-gram is bounded by the source count, so a
-# gram contributes at most C(n_sources,2) int rows) → one tiny
-# groupby(pair) Sum. Gram keys here are the strings themselves for
-# bit-parity with the SQL oracle; the 10^12-doc variant would ship
-# 64-bit gram hashes instead (counts-only contract — the hot-ngram
-# rationale).
+# (gram, source) dedupe → ONE coarse hash(gram)%P shuffle (every
+# gram's rows land in one partition; a groupby(gram) would be one
+# map_groups task per distinct trigram — corpus-vocabulary-sized) →
+# vectorized in-partition per-gram source self-merge, pre-aggregated
+# to (sa, sb, n) before leaving the task → one tiny groupby(pair) Sum.
+# Gram keys here are the strings themselves for bit-parity with the
+# SQL oracle; the 10^12-doc variant would ship 64-bit gram hashes
+# instead (counts-only contract — the hot-ngram rationale).
 # ---------------------------------------------------------------------------
 
 def source_overlap(ds, n: int = 3, text_col: str = "text",
@@ -1280,16 +1281,29 @@ def source_overlap(ds, n: int = 3, text_col: str = "text",
         return pa.table({"g": pa.array(gs, type=pa.string()),
                          "src": pa.array(ss, type=pa.string())})
 
-    def pairs_of_gram(g: pa.Table) -> pa.Table:
-        srcs = sorted(set(g.column("src").to_pylist()))
-        rows = [{"sa": a, "sb": a, "n": 1} for a in srcs]
-        rows += [{"sa": srcs[i], "sb": srcs[j], "n": 1}
-                 for i in range(len(srcs)) for j in range(i + 1, len(srcs))]
-        return pa.Table.from_pylist(rows)
+    def pairs_of_partition(g: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
 
-    agg = (ds.map_batches(explode, batch_format="pyarrow")
-           .groupby("g").map_groups(pairs_of_gram, batch_format="pyarrow")
-           .groupby(["sa", "sb"]).aggregate(Sum("n", alias_name="n")))
+        df = g.drop_duplicates(["g", "src"])
+        m = df.merge(df, on="g")
+        m = m[m["src_x"] <= m["src_y"]]  # diag carries per-source sizes
+        out = (m.groupby(["src_x", "src_y"], as_index=False).size()
+               .rename(columns={"src_x": "sa", "src_y": "sb",
+                                "size": "n"}))
+        if out.empty:
+            return pd.DataFrame({"sa": pd.Series(dtype=object),
+                                 "sb": pd.Series(dtype=object),
+                                 "n": pd.Series(dtype="int64")})
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    from tanml_ray.stages.shuffle import with_coarse_partition
+
+    agg = (with_coarse_partition(
+        ds.map_batches(explode, batch_format="pyarrow"), "g")
+        .groupby("__upart").map_groups(pairs_of_partition,
+                                       batch_format="pandas")
+        .groupby(["sa", "sb"]).aggregate(Sum("n", alias_name="n")))
     counts = {(r["sa"], r["sb"]): int(r["n"]) for r in collect_pylist(agg)}
     per = {a: c for (a, b), c in counts.items() if a == b}
     out = []

@@ -47,6 +47,11 @@ QUERIES = [
     "event_transitions_events",
     "basket_lift_events",
     "domain_stats_documents",
+    "dedup_keep_best_documents",
+    "source_overlap_documents",
+    "shuffle_shards_documents",
+    "hopping_window_events",
+    "spearman_lineitem",
 ]
 
 
