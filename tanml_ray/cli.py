@@ -86,6 +86,17 @@ def main(argv: list[str] | None = None) -> int:
                     help="checkpoint the per-file quality stage under "
                          "--out (reruns skip finished input shards)")
 
+    sh = sub.add_parser("shuffle-shards",
+                        help="deterministic seeded corpus shuffle into "
+                             "training shards (curate.shuffle_shards)")
+    sh.add_argument("--input", required=True,
+                    help="parquet path/dir with an integer id column")
+    sh.add_argument("--out", required=True,
+                    help="output dir: hive-partitioned parquet by shard")
+    sh.add_argument("--id-col", default="doc_id")
+    sh.add_argument("--n-shards", type=int, default=8)
+    sh.add_argument("--seed", type=int, default=42)
+
     args = p.parse_args(argv)
 
     # fail fast with a one-line diagnosis BEFORE starting a Ray session
@@ -93,7 +104,8 @@ def main(argv: list[str] | None = None) -> int:
     input_attrs = {"validate": ["input"], "drift-baseline": ["input"],
                    "drift": ["input", "artifact"],
                    "full-report": ["input", "baseline_artifact"],
-                   "curate": ["input"], "ingest-warc": ["input"]}
+                   "curate": ["input"], "ingest-warc": ["input"],
+                   "shuffle-shards": ["input"]}
     for attr in input_attrs.get(args.cmd, []):
         path = getattr(args, attr, None)
         if path and not os.path.exists(path):
@@ -181,6 +193,18 @@ def main(argv: list[str] | None = None) -> int:
                     pads.dataset(args.out).get_fragments())
             print(json.dumps({"files_in": len(paths), "rows": n,
                               "out": args.out}))
+        elif args.cmd == "shuffle-shards":
+            import ray.data as rd
+
+            from tanml_ray.pipelines.curate import shuffle_shards
+
+            ds = rd.read_parquet(args.input)
+            out = shuffle_shards(ds, id_col=args.id_col,
+                                 n_shards=args.n_shards, seed=args.seed)
+            out.write_parquet(args.out, partition_cols=["shard"])
+            print(json.dumps({"rows": out.count(),
+                              "n_shards": args.n_shards,
+                              "seed": args.seed, "out": args.out}))
         elif args.cmd == "curate":
             import ray.data as rd
 
