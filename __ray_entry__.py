@@ -368,9 +368,11 @@ def oracle_sql() -> dict[str, str]:
         "shuffle_shards_documents": q.SHUFFLE_SHARDS_SQL,
         "hopping_window_events": q.HOPPING_WINDOW_SQL,
         "temperature_mix_documents": q.TEMPERATURE_MIX_SQL,
+        "curate_documents_stats": q.CURATE_STATS_SQL,
         "shuffle_shards_documents": q.SHUFFLE_SHARDS_SQL,
         "hopping_window_events": q.HOPPING_WINDOW_SQL,
         "temperature_mix_documents": q.TEMPERATURE_MIX_SQL,
+        "curate_documents_stats": q.CURATE_STATS_SQL,
         # logistic_cv / boosted stumps (iterative fits) and the
         # PQ-compressed ANN variants remain rows-only driver checks;
         # verified in pytest instead.

@@ -2948,12 +2948,80 @@ FROM documents ORDER BY doc_id
 # ---------------------------------------------------------------------------
 
 def curate_documents_stats(sf_dir: str) -> pa.Table:
+    """End-to-end curation accounting. FULL SQL oracle: every stage is
+    SQL-restatable — token-band quality filter, exact keep-first
+    dedup (GROUP BY text), brute-force shingle Jaccard ≥ 0.8 pairs on
+    the survivors, and keep-min-id-per-cluster via a RECURSIVE
+    min-label transitive closure over the pair graph (the SQL twin of
+    dedup.connected_components). LSH recall at 0.8 is exact on the
+    fixtures (verified), so the engine's verified pair set equals the
+    brute-force one."""
     from tanml_ray.pipelines.curate import curate_documents
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     _, stats = curate_documents(ds, min_tokens=3, near_dup_threshold=0.8)
     row = {k: v for k, v in stats.items() if isinstance(v, int)}
     return pa.Table.from_pylist([row])
+
+
+CURATE_STATS_SQL = r"""
+WITH RECURSIVE keepq AS (
+  SELECT doc_id, text FROM documents
+  WHERE len(regexp_extract_all(text, '\S+')) BETWEEN 3 AND 100000
+), exk AS (
+  SELECT min(doc_id) AS doc_id FROM keepq GROUP BY text
+), surv AS (
+  SELECT k.doc_id, k.text FROM keepq k JOIN exk USING (doc_id)
+), norm AS (
+  SELECT doc_id, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS t
+  FROM surv WHERE text IS NOT NULL
+), shl AS (
+  SELECT doc_id, CASE WHEN length(t) < 5 THEN [t] ELSE
+     list_transform(generate_series(1, length(t)-4), i -> substr(t, i, 5))
+     END AS gl
+  FROM norm WHERE length(t) > 0
+), dd AS (
+  SELECT DISTINCT doc_id, unnest(gl) AS g FROM shl
+), cnt AS (
+  SELECT doc_id, count(*) AS n FROM dd GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM dd a JOIN dd b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b
+  WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.8
+), edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs
+), reach AS (
+  SELECT a AS id, a AS r FROM edges
+  UNION
+  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.id
+), roots AS (
+  SELECT id, min(r) AS root FROM reach GROUP BY id
+), dropped AS (
+  SELECT id FROM roots WHERE root < id
+), outp AS (
+  SELECT s.doc_id, s.text FROM surv s
+  LEFT JOIN dropped dr ON s.doc_id = dr.id WHERE dr.id IS NULL
+)
+SELECT
+  (SELECT CAST(count(*) AS BIGINT) FROM documents) AS input_rows,
+  (SELECT CAST(count(*) AS BIGINT) FROM documents)
+    - (SELECT CAST(count(*) AS BIGINT) FROM keepq)
+    AS dropped_quality_or_lang,
+  (SELECT CAST(count(*) AS BIGINT) FROM keepq)
+    - (SELECT CAST(count(*) AS BIGINT) FROM surv) AS dropped_exact_dup,
+  (SELECT CAST(count(*) AS BIGINT) FROM pairs) AS near_dup_pairs,
+  (SELECT CAST(count(DISTINCT root) AS BIGINT) FROM roots)
+    AS near_dup_clusters,
+  (SELECT CAST(count(*) AS BIGINT) FROM dropped) AS dropped_near_dup,
+  (SELECT CAST(count(*) AS BIGINT) FROM outp) AS output_rows,
+  (SELECT CAST(sum(len(regexp_extract_all(text, '\S+'))) AS BIGINT)
+   FROM outp) AS output_ws_tokens
+"""
 
 
 # ---------------------------------------------------------------------------
