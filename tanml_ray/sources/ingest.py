@@ -73,6 +73,51 @@ def from_pandas_table(df):
     return rd.from_pandas(df)
 
 
+def read_orc(paths):
+    """Distributed ORC source: this Ray version has no native
+    `read_orc`, so each file decodes IN-TASK via pyarrow.orc over a
+    binary-files read (the WARC-source recipe — one decode task per
+    file, bytes never touch the driver)."""
+    import ray.data as rd
+
+    ds = rd.read_binary_files(paths, file_extensions=None)
+
+    def parse(batch: pa.Table) -> pa.Table:
+        import io
+
+        from pyarrow import orc
+
+        tables = [orc.ORCFile(io.BytesIO(b.as_py())).read()
+                  for b in batch.column("bytes")]
+        return pa.concat_tables(tables) if tables else pa.table({})
+
+    return ds.map_batches(parse, batch_format="pyarrow")
+
+
+def write_orc(ds, out_dir: str, num_files: int = 8) -> str:
+    """Partitioned ORC sink: repartition then one ORC file per block,
+    written inside the task (resumable layout — one file per shard,
+    never one giant file)."""
+    import os
+    import uuid
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_block(batch: pa.Table) -> pa.Table:
+        from pyarrow import orc
+
+        if batch.num_rows:
+            orc.write_table(
+                batch, os.path.join(out_dir, f"part-{uuid.uuid4().hex}.orc"))
+        return pa.table({"rows": pa.array([batch.num_rows],
+                                          type=pa.int64())})
+
+    (ds.repartition(num_files)
+     .map_batches(write_block, batch_format="pyarrow",
+                  batch_size=None).materialize())
+    return out_dir
+
+
 def read_pickle_table(path: str):
     """S7 pickle source (reference utils/data_loader.py:128-132:
     pd.read_pickle). Driver-side by nature — pickle is a single
@@ -136,6 +181,8 @@ def read_any(path: str, **kwargs):
         return read_sav(path)
     if ext in (".pkl", ".pickle"):
         return read_pickle_table(path)
+    if ext == ".orc":
+        return read_orc(path)
 
     # unknown extension (.data/.names/.info UCI-style): bounded-head
     # dialect sniffing, reference order (comma/utf-8 → inferred sep →
