@@ -101,3 +101,25 @@ def test_funnel_strict_ordering(tmp_path):
     out = {r["step"]: r["users"]
            for r in funnel_events(str(tmp_path)).to_pylist()}
     assert out == {"1_view": 3, "2_click": 2, "3_purchase": 1}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_with_coarse_partition_covers_each_key_once():
+    """Every key's rows land in exactly ONE partition (the correctness
+    contract every coarse-partition consumer relies on), for both
+    integer and string keys, regardless of layout."""
+    import ray.data as rd
+
+    from tanml_ray.stages.shuffle import with_coarse_partition
+
+    ids = list(range(500)) * 2
+    for col, vals in [("k", ids),
+                      ("k", [f"user-{i}" for i in ids])]:
+        ds = rd.from_arrow(pa.table({col: vals})).repartition(7)
+        out = with_coarse_partition(ds, col, n_partitions=16).take_all()
+        parts: dict = {}
+        for r in out:
+            parts.setdefault(r[col], set()).add(r["__upart"])
+        assert len(out) == 1000
+        assert all(len(p) == 1 for p in parts.values())
+        assert all(0 <= next(iter(p)) < 16 for p in parts.values())
