@@ -2809,6 +2809,63 @@ def logistic_inference_orders(sf_dir: str) -> pa.Table:
 
 
 # ---------------------------------------------------------------------------
+# One-step-Newton logistic (the first IRLS iteration from beta=0) —
+# the SQL-anchorable slice of the iterative logistic family: at beta=0
+# every mu is 1/2 and W is 1/4, so the update collapses to the CLOSED
+# FORM beta1 = 4·(XtX)^-1·Xt(y − 1/2), Cramer-expressible exactly like
+# the OLS oracle. The engine side runs the REAL streaming _irls_pass
+# machinery capped at one iteration, so a match certifies the IRLS
+# gradient/information accumulation end-to-end (the converged fit
+# stays a rows-only check — no closed form exists).
+# ---------------------------------------------------------------------------
+
+def logistic_step_orders(sf_dir: str) -> pa.Table:
+    from tanml_ray.pipelines.mlops import logistic_fit
+
+    fit = logistic_fit(_orders_logistic_features(sf_dir),
+                       ["x1", "x2"], "label", max_iter=1)
+    return pa.Table.from_pylist([
+        {"feature": "intercept", "coef_step1": _round6(fit["intercept"])},
+        {"feature": "x1", "coef_step1": _round6(fit["coef"][0])},
+        {"feature": "x2", "coef_step1": _round6(fit["coef"][1])},
+    ])
+
+
+LOGISTIC_STEP_SQL = """
+WITH p AS (
+  SELECT CAST(datediff('day', DATE '1970-01-01',
+                       CAST(o_orderdate AS DATE)) AS DOUBLE)
+           / 1000.0 AS x1,
+         CAST(o_totalprice AS DOUBLE) / 100000.0 AS x2,
+         CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END - 0.5 AS r
+  FROM orders
+), s AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n, sum(x1) AS s1, sum(x2) AS s2,
+         sum(x1*x1) AS s11, sum(x1*x2) AS s12, sum(x2*x2) AS s22,
+         sum(r) AS g0, sum(x1*r) AS g1, sum(x2*r) AS g2
+  FROM p
+), d AS (
+  SELECT *,
+         n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2)
+           + s2*(s1*s12 - s11*s2) AS det,
+         g0*(s11*s22 - s12*s12) - s1*(g1*s22 - s12*g2)
+           + s2*(g1*s12 - s11*g2) AS det0,
+         n*(g1*s22 - g2*s12) - g0*(s1*s22 - s12*s2)
+           + s2*(s1*g2 - g1*s2) AS det1,
+         n*(s11*g2 - s12*g1) - s1*(s1*g2 - s2*g1)
+           + g0*(s1*s12 - s11*s2) AS det2
+  FROM s
+)
+SELECT feature, coef_step1 FROM (
+  SELECT 'intercept' AS feature, round(4 * det0 / det, 6) AS coef_step1
+  FROM d
+  UNION ALL SELECT 'x1', round(4 * det1 / det, 6) FROM d
+  UNION ALL SELECT 'x2', round(4 * det2 / det, 6) FROM d
+)
+"""
+
+
+# ---------------------------------------------------------------------------
 # A11 Kendall tau-b on a bounded deterministic sample (reference
 # analysis/correlation.py:23-42 `method` param) — closes the last A11
 # gap next to spearman_sample_lineitem. Vectorized O(n²) sign kernel on
