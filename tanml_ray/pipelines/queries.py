@@ -2866,6 +2866,102 @@ SELECT feature, coef_step1 FROM (
 
 
 # ---------------------------------------------------------------------------
+# A11 EXACT FULL-CORPUS Kendall tau-b (reference correlation.py:23-42
+# method="kendall") — no O(n²) pair scan and no sample: both columns
+# live on bounded integer grids (quantity ints × price cents), so the
+# concordant/discordant counts derive from the JOINT value-count grid:
+# one combiner-first groupby (rows ≤ grid product, invariant in the
+# row count), then a driver sweep over quantity levels in order,
+# accumulating each level's cents distribution and counting
+# lower/higher predecessors per cell via searchsorted prefix sums —
+# O(levels × grid) integer math. Counts are int64-exact to ~3×10⁹
+# rows (nc ≤ n²/2); beyond that the per-level dot products switch to
+# Python ints. The SQL oracle is the same grid with a double-
+# inequality self-join (DuckDB IEJoin).
+# ---------------------------------------------------------------------------
+
+def kendall_lineitem(sf_dir: str) -> pa.Table:
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "lineitem", ["l_quantity", "l_extendedprice"])
+
+    def jc(batch: pa.Table) -> pa.Table:
+        qv = np.rint(batch.column("l_quantity")
+                     .to_numpy(zero_copy_only=False)).astype(np.int64)
+        cv = np.rint(batch.column("l_extendedprice")
+                     .to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        df = pd.DataFrame({"q": qv, "c": cv})
+        g = df.groupby(["q", "c"], as_index=False).size()
+        return pa.table({"q": pa.array(g["q"].to_numpy(), type=pa.int64()),
+                         "c": pa.array(g["c"].to_numpy(), type=pa.int64()),
+                         "n": pa.array(g["size"].to_numpy().astype(np.int64),
+                                       type=pa.int64())})
+
+    rows = collect_pylist(ds.map_batches(jc, batch_format="pyarrow")
+                          .groupby(["q", "c"])
+                          .aggregate(Sum("n", alias_name="n")))
+    df = pd.DataFrame(rows).sort_values(["q", "c"])
+    grid = np.unique(df["c"].to_numpy())
+    cnt = np.zeros(len(grid), dtype=np.int64)  # cents counts, prior levels
+    prev_total = 0
+    nc = nd = ties_x = 0
+    n = int(df["n"].sum())
+    for _, level in df.groupby("q", sort=True):
+        lc = level["c"].to_numpy()
+        ln = level["n"].to_numpy().astype(np.int64)
+        pos = np.searchsorted(grid, lc)
+        pref = np.concatenate(([0], np.cumsum(cnt)))
+        less = pref[pos]                      # predecessors with cents < c
+        upto = pref[pos + 1]                  # predecessors with cents <= c
+        nc += int((ln * less).sum())
+        nd += int((ln * (prev_total - upto)).sum())
+        lt = int(ln.sum())
+        ties_x += lt * (lt - 1) // 2
+        np.add.at(cnt, pos, ln)
+        prev_total += lt
+    ties_y = 0
+    cgrp = df.groupby("c")["n"].sum().to_numpy()
+    for t in cgrp:
+        ties_y += int(t) * (int(t) - 1) // 2
+    n0 = n * (n - 1) // 2
+    tau = (nc - nd) / float(np.sqrt(float(n0 - ties_x)
+                                    * float(n0 - ties_y)))
+    return pa.Table.from_pylist([{
+        "n": n, "nc": nc, "nd": nd, "ties_x": ties_x, "ties_y": ties_y,
+        "tau_b": _round6(tau)}])
+
+
+KENDALL_FULL_SQL = """
+WITH src AS (
+  SELECT CAST(round(l_quantity) AS BIGINT) AS q,
+         CAST(round(l_extendedprice*100) AS BIGINT) AS c
+  FROM lineitem
+), j AS (
+  SELECT q, c, CAST(count(*) AS DOUBLE) AS n FROM src GROUP BY 1, 2
+), conc AS (
+  SELECT coalesce(sum(a.n*b.n), 0) AS v
+  FROM j a JOIN j b ON b.q < a.q AND b.c < a.c
+), disc AS (
+  SELECT coalesce(sum(a.n*b.n), 0) AS v
+  FROM j a JOIN j b ON b.q < a.q AND b.c > a.c
+), tx AS (
+  SELECT sum(n*(n-1))/2.0 AS v
+  FROM (SELECT CAST(count(*) AS DOUBLE) AS n FROM src GROUP BY q)
+), ty AS (
+  SELECT sum(n*(n-1))/2.0 AS v
+  FROM (SELECT CAST(count(*) AS DOUBLE) AS n FROM src GROUP BY c)
+), nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM src)
+SELECT CAST(nn.n AS BIGINT) AS n,
+       CAST(conc.v AS BIGINT) AS nc, CAST(disc.v AS BIGINT) AS nd,
+       CAST(tx.v AS BIGINT) AS ties_x, CAST(ty.v AS BIGINT) AS ties_y,
+       round((conc.v - disc.v) / sqrt((nn.n*(nn.n-1)/2.0 - tx.v)
+                                      * (nn.n*(nn.n-1)/2.0 - ty.v)), 6)
+         AS tau_b
+FROM conc, disc, tx, ty, nn
+"""
+
+
+# ---------------------------------------------------------------------------
 # A11 Kendall tau-b on a bounded deterministic sample (reference
 # analysis/correlation.py:23-42 `method` param) — closes the last A11
 # gap next to spearman_sample_lineitem. Vectorized O(n²) sign kernel on

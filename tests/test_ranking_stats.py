@@ -117,3 +117,37 @@ class TestRanking:
         s = cv_summary(pa.Table.from_pylist(out))
         assert s["p05"] <= s["p50"] <= s["p95"]
         assert 0.9 < s["mean"] < 1.1
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_kendall_full_grid_matches_naive(tmp_path):
+    """The grid-sweep tau-b must equal the naive O(n²) sign kernel on
+    a small corpus with heavy ties in both columns."""
+    import pyarrow.parquet as pq
+
+    from tanml_ray.pipelines.queries import kendall_lineitem
+
+    rng = np.random.default_rng(3)
+    n = 800
+    q = rng.integers(1, 8, n).astype(np.float64)          # heavy x ties
+    price = (rng.integers(100, 140, n) / 1.0).astype(np.float64)  # y ties
+    pq.write_table(pa.table({"l_quantity": q,
+                             "l_extendedprice": price}),
+                   str(tmp_path / "lineitem.parquet"))
+    out = kendall_lineitem(str(tmp_path)).to_pylist()[0]
+
+    qi = np.rint(q).astype(np.int64)
+    ci = np.rint(price * 100).astype(np.int64)
+    dx = np.sign(qi[:, None] - qi[None, :])
+    dy = np.sign(ci[:, None] - ci[None, :])
+    iu = np.triu_indices(n, 1)
+    s = dx[iu] * dy[iu]
+    nc = int((s > 0).sum())
+    nd = int((s < 0).sum())
+    tx = int((dx[iu] == 0).sum())
+    ty = int((dy[iu] == 0).sum())
+    n0 = n * (n - 1) // 2
+    tau = (nc - nd) / np.sqrt(float(n0 - tx) * float(n0 - ty))
+    assert out["nc"] == nc and out["nd"] == nd
+    assert out["ties_x"] == tx and out["ties_y"] == ty
+    assert out["tau_b"] == pytest.approx(round(tau, 6), abs=1e-9)
