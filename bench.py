@@ -38,6 +38,19 @@ def _scaling_main() -> None:
                              cwd=os.path.dirname(os.path.abspath(__file__))).stdout
         return json.loads(out.strip().splitlines()[-1])
 
+    def steal_jiffies() -> int:
+        """Cumulative hypervisor steal (field 9 of /proc/stat cpu line)
+        — the round-3/4 protocol's loaded-window detector: efficiency
+        and p95 track steal almost monotonically, so every recorded
+        number carries its window (PERF_NOTES)."""
+        try:
+            with open("/proc/stat") as f:
+                return int(f.readline().split()[8])
+        except Exception:
+            return -1
+
+    load0 = open("/proc/loadavg").read().split()[0]
+    steal0 = steal_jiffies()
     run(n_hi)  # warm-up (also synthesizes/caches the fixture)
     # interleave the legs so both sample the same host-load window
     los, his = [], []
@@ -47,6 +60,7 @@ def _scaling_main() -> None:
     lo = min(los, key=lambda r: r["value"])
     hi = min(his, key=lambda r: r["value"])
     eff = (lo["value"] / hi["value"]) / (n_hi / n_lo)
+    steal1 = steal_jiffies()
     print(json.dumps({
         f"sec_{n_lo}": lo["value"], f"sec_{n_hi}": hi["value"],
         "rows": lo["rows"],
@@ -54,7 +68,12 @@ def _scaling_main() -> None:
         f"rows_per_sec_{n_hi}": round(hi["rows"] / hi["value"], 1),
         "scaling_efficiency": round(eff, 3),
         "pipeline": "validate_pages",
-        "protocol": "min of 3 runs per level, fresh ray.init each",
+        "launch_load_1min": load0,
+        "steal_cpu_s": round((steal1 - steal0) / 100.0, 1)
+        if steal0 >= 0 and steal1 >= 0 else None,
+        "protocol": "min of 3 runs per level, fresh ray.init each; "
+                    "steal_cpu_s = /proc/stat hypervisor steal across "
+                    "the whole protocol run (loaded-window detector)",
     }))
 
 
