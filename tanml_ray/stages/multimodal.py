@@ -334,6 +334,62 @@ class AudioFingerprintStage:
                                  self.bucket_partitions)
 
 
+class VideoFingerprintStage:
+    """Actor-pool stage: decode video → sample every k-th frame →
+    pHash each sampled frame → 64-bit video fingerprint = Charikar
+    SimHash over the frame pHashes (per-bit majority across frames:
+    robust to a few edited/reordered frames, unlike hashing the
+    concatenated bytes). Emits the generic fingerprint block-bucket
+    rows — same downstream machinery as text SimHash / image pHash."""
+
+    def __init__(self, every_k: int = 5, video_col: str = "video",
+                 id_col: str = "id", bucket_partitions: int = 64):
+        self.every_k = every_k
+        self.video_col, self.id_col = video_col, id_col
+        self.bucket_partitions = bucket_partitions
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from tanml_ray.pipelines.dedup import explode_fp_blocks, simhash64
+
+        ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
+        keep, fps = [], []
+        for i, blob in enumerate(batch.column(self.video_col).to_pylist()):
+            if blob is None:
+                continue
+            frames = decode_fake_video(blob)
+            fhashes = np.array(
+                [phash64(frames[fi])
+                 for fi in range(0, frames.shape[0], self.every_k)],
+                dtype=np.uint64)
+            if fhashes.size == 0:
+                continue
+            keep.append(int(ids[i]))
+            fps.append(simhash64(fhashes))
+        return explode_fp_blocks(np.asarray(keep, dtype=np.int64),
+                                 np.asarray(fps, dtype=np.uint64),
+                                 self.bucket_partitions)
+
+
+def video_near_dups(ds, max_hamming: int = 6, every_k: int = 5,
+                    video_col: str = "video", id_col: str = "id",
+                    concurrency: int = 2, batch_size: int = 64,
+                    as_dataset: bool = False) -> pa.Table:
+    """Distributed video near-dup pairs: frame-sampled pHash SimHash
+    per video in an actor-pool stage (small batch_size — each decoded
+    row is n_frames·w·h bytes on the heap), then the shared
+    fingerprint candidate machinery. Returns (id_a, id_b, hamming)."""
+    from tanml_ray.pipelines.dedup import fingerprint_near_dups
+
+    buckets = ds.map_batches(
+        VideoFingerprintStage,
+        fn_constructor_kwargs={"every_k": every_k, "video_col": video_col,
+                               "id_col": id_col},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency)
+    return fingerprint_near_dups(buckets, max_hamming=max_hamming,
+                                 as_dataset=as_dataset)
+
+
 def audio_near_dups(ds, max_hamming: int = 6, audio_col: str = "audio",
                     id_col: str = "id", concurrency: int = 2,
                     batch_size: int = 256,

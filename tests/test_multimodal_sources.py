@@ -434,3 +434,54 @@ class TestAudioFingerprintDedup:
         got = {(r["id_a"], r["id_b"]) for r in pairs}
         assert (100, 101) in got
         assert all(a >= 100 for a, _ in got)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestVideoNearDup:
+    def test_finds_planted_edited_copy(self):
+        """A video with a few re-shot (noise-perturbed) frames must
+        still pair with its original (per-bit majority across frame
+        pHashes absorbs minority-frame edits); unrelated videos with
+        random content must not pair."""
+        import ray.data as rd
+
+        from tanml_ray.stages.multimodal import (encode_fake_video,
+                                                 video_near_dups)
+
+        rng = np.random.default_rng(23)
+        # structured base: smooth gradient frames (pHash-stable)
+        t = np.arange(24 * 24, dtype=np.float64).reshape(24, 24)
+        base = np.stack([((t * (1 + f / 40.0)) % 251).astype(np.uint8)
+                         for f in range(20)])
+        edited = base.copy()
+        edited[3] = rng.integers(0, 256, (24, 24)).astype(np.uint8)
+        edited[11] = rng.integers(0, 256, (24, 24)).astype(np.uint8)
+        rows = [{"id": 100, "video": encode_fake_video(base)},
+                {"id": 101, "video": encode_fake_video(edited)},
+                {"id": 102, "video": None}]
+        rows += [{"id": i, "video": encode_fake_video(
+                     rng.integers(0, 256, (20, 24, 24)).astype(np.uint8))}
+                 for i in range(10)]
+        ds = rd.from_arrow(pa.Table.from_pylist(rows)).repartition(3)
+        pairs = video_near_dups(ds, max_hamming=6, every_k=2).to_pylist()
+        got = {(r["id_a"], r["id_b"]) for r in pairs}
+        assert (100, 101) in got
+        assert all(a >= 100 for a, _ in got)
+
+    def test_deterministic_across_layouts(self):
+        import ray.data as rd
+
+        from tanml_ray.stages.multimodal import (encode_fake_video,
+                                                 video_near_dups)
+
+        rng = np.random.default_rng(9)
+        rows = [{"id": i, "video": encode_fake_video(
+                    rng.integers(0, 256, (12, 16, 16)).astype(np.uint8))}
+                for i in range(8)]
+        rows.append({"id": 50, "video": rows[0]["video"]})
+        a = video_near_dups(rd.from_arrow(pa.Table.from_pylist(rows))
+                            .repartition(2), max_hamming=3).to_pylist()
+        b = video_near_dups(rd.from_arrow(pa.Table.from_pylist(rows))
+                            .repartition(5), max_hamming=3).to_pylist()
+        assert a == b
+        assert {(r["id_a"], r["id_b"]) for r in a} == {(0, 50)}
