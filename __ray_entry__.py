@@ -209,6 +209,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "temperature_mix_documents": q.temperature_mix_documents,
         "logistic_step_orders": q.logistic_step_orders,
         "kendall_lineitem": q.kendall_lineitem,
+        "woe_iv_orders": q.woe_iv_orders,
     }
 
 
@@ -373,12 +374,14 @@ def oracle_sql() -> dict[str, str]:
         "curate_documents_stats": q.CURATE_STATS_SQL,
         "logistic_step_orders": q.LOGISTIC_STEP_SQL,
         "kendall_lineitem": q.KENDALL_FULL_SQL,
+        "woe_iv_orders": q.WOE_IV_SQL,
         "shuffle_shards_documents": q.SHUFFLE_SHARDS_SQL,
         "hopping_window_events": q.HOPPING_WINDOW_SQL,
         "temperature_mix_documents": q.TEMPERATURE_MIX_SQL,
         "curate_documents_stats": q.CURATE_STATS_SQL,
         "logistic_step_orders": q.LOGISTIC_STEP_SQL,
         "kendall_lineitem": q.KENDALL_FULL_SQL,
+        "woe_iv_orders": q.WOE_IV_SQL,
         # logistic_cv / boosted stumps (iterative fits) and the
         # PQ-compressed ANN variants remain rows-only driver checks;
         # verified in pytest instead.

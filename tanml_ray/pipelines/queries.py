@@ -2809,6 +2809,110 @@ def logistic_inference_orders(sf_dir: str) -> pa.Table:
 
 
 # ---------------------------------------------------------------------------
+# WOE / Information Value binning (the credit-scoring staple the
+# reference's model-validation domain runs on; upgrades A21's
+# pseudo-IV to the real weight-of-evidence table): decile bins by
+# exact PERCENTILE_DISC thresholds on the integer cents grid
+# (VALUE-based assignment — no rank-tie splitting, so any partitioning
+# yields identical bins), per-bin good/bad counts from the same
+# grid-bounded value-count shuffle, +0.5 numerator smoothing on both
+# sides identically. One combiner shuffle; driver math on the grid.
+# ---------------------------------------------------------------------------
+
+def woe_iv_orders(sf_dir: str) -> pa.Table:
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "orders", ["o_totalprice", "o_orderstatus"])
+
+    def vc(batch: pa.Table) -> pa.Table:
+        cents = np.rint(batch.column("o_totalprice")
+                        .to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        bad = pc.equal(batch.column("o_orderstatus"), "F") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame({"v": cents, "bad": bad})
+        g = df.groupby("v", as_index=False).agg(n=("bad", "size"),
+                                                n_bad=("bad", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    rows = sorted(collect_pylist(
+        ds.map_batches(vc, batch_format="pyarrow")
+        .groupby("v").aggregate(Sum("n", alias_name="n"),
+                                Sum("n_bad", alias_name="n_bad"))),
+        key=lambda r: r["v"])
+    vals = np.array([r["v"] for r in rows], dtype=np.int64)
+    cnts = np.array([r["n"] for r in rows], dtype=np.int64)
+    bads = np.array([r["n_bad"] for r in rows], dtype=np.int64)
+    cum = np.cumsum(cnts)
+    n = int(cum[-1])
+    # PERCENTILE_DISC thresholds: value at sorted index floor(q·(n−1))
+    thr = np.array([vals[np.searchsorted(
+        cum, int(np.floor(q * (n - 1))) + 1, side="left")]
+        for q in (0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9)],
+        dtype=np.int64)
+    bins = 1 + (vals[:, None] > thr[None, :]).sum(axis=1)
+    B = int(bads.sum())
+    G = n - B
+    out = []
+    iv = 0.0
+    per_bin = {}
+    for b in range(1, 11):
+        sel = bins == b
+        nb = int(bads[sel].sum())
+        ng = int(cnts[sel].sum()) - nb
+        woe = float(np.log(((ng + 0.5) / G) / ((nb + 0.5) / B)))
+        iv += ((ng + 0.5) / G - (nb + 0.5) / B) * woe
+        per_bin[b] = (int(cnts[sel].sum()), ng, nb, woe)
+    for b in range(1, 11):
+        tot, ng, nb, woe = per_bin[b]
+        out.append({"bin": b, "n": tot, "n_good": ng, "n_bad": nb,
+                    "woe": _round6(woe), "iv_total": _round6(iv)})
+    return pa.Table.from_pylist(out)
+
+
+WOE_IV_SQL = """
+WITH src AS (
+  SELECT CAST(round(o_totalprice*100) AS BIGINT) AS v,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS bad
+  FROM orders
+), th AS (
+  SELECT quantile_disc(v, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS t
+  FROM src
+), binned AS (
+  SELECT 1 + (CASE WHEN v > t[1] THEN 1 ELSE 0 END)
+           + (CASE WHEN v > t[2] THEN 1 ELSE 0 END)
+           + (CASE WHEN v > t[3] THEN 1 ELSE 0 END)
+           + (CASE WHEN v > t[4] THEN 1 ELSE 0 END)
+           + (CASE WHEN v > t[5] THEN 1 ELSE 0 END)
+           + (CASE WHEN v > t[6] THEN 1 ELSE 0 END)
+           + (CASE WHEN v > t[7] THEN 1 ELSE 0 END)
+           + (CASE WHEN v > t[8] THEN 1 ELSE 0 END)
+           + (CASE WHEN v > t[9] THEN 1 ELSE 0 END) AS bin,
+         bad
+  FROM src, th
+), agg AS (
+  SELECT bin, CAST(count(*) AS BIGINT) AS n,
+         CAST(count(*) - sum(bad) AS BIGINT) AS n_good,
+         CAST(sum(bad) AS BIGINT) AS n_bad
+  FROM binned GROUP BY bin
+), tot AS (
+  SELECT CAST(sum(n_good) AS DOUBLE) AS g,
+         CAST(sum(n_bad) AS DOUBLE) AS b FROM agg
+), woe AS (
+  SELECT agg.bin, agg.n, agg.n_good, agg.n_bad,
+         ln(((agg.n_good + 0.5) / tot.g) / ((agg.n_bad + 0.5) / tot.b))
+           AS w,
+         ((agg.n_good + 0.5) / tot.g - (agg.n_bad + 0.5) / tot.b)
+           * ln(((agg.n_good + 0.5) / tot.g)
+                / ((agg.n_bad + 0.5) / tot.b)) AS ivc
+  FROM agg, tot
+)
+SELECT bin, n, n_good, n_bad, round(w, 6) AS woe,
+       round((SELECT sum(ivc) FROM woe), 6) AS iv_total
+FROM woe ORDER BY bin
+"""
+
+
+# ---------------------------------------------------------------------------
 # One-step-Newton logistic (the first IRLS iteration from beta=0) —
 # the SQL-anchorable slice of the iterative logistic family: at beta=0
 # every mu is 1/2 and W is 1/4, so the update collapses to the CLOSED
