@@ -210,6 +210,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "logistic_step_orders": q.logistic_step_orders,
         "kendall_lineitem": q.kendall_lineitem,
         "woe_iv_orders": q.woe_iv_orders,
+        "score_ks_orders": q.score_ks_orders,
     }
 
 
@@ -375,6 +376,7 @@ def oracle_sql() -> dict[str, str]:
         "logistic_step_orders": q.LOGISTIC_STEP_SQL,
         "kendall_lineitem": q.KENDALL_FULL_SQL,
         "woe_iv_orders": q.WOE_IV_SQL,
+        "score_ks_orders": q.SCORE_KS_SQL,
         "shuffle_shards_documents": q.SHUFFLE_SHARDS_SQL,
         "hopping_window_events": q.HOPPING_WINDOW_SQL,
         "temperature_mix_documents": q.TEMPERATURE_MIX_SQL,
@@ -382,6 +384,7 @@ def oracle_sql() -> dict[str, str]:
         "logistic_step_orders": q.LOGISTIC_STEP_SQL,
         "kendall_lineitem": q.KENDALL_FULL_SQL,
         "woe_iv_orders": q.WOE_IV_SQL,
+        "score_ks_orders": q.SCORE_KS_SQL,
         # logistic_cv / boosted stumps (iterative fits) and the
         # PQ-compressed ANN variants remain rows-only driver checks;
         # verified in pytest instead.

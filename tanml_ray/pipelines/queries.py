@@ -2809,6 +2809,69 @@ def logistic_inference_orders(sf_dir: str) -> pa.Table:
 
 
 # ---------------------------------------------------------------------------
+# KS discrimination statistic (the credit-scoring model metric: max
+# |CDF_good − CDF_bad| over the score). The deterministic age-sigmoid
+# scorer is strictly monotone in order age, and KS is invariant under
+# strictly monotone transforms — so the statistic computes EXACTLY on
+# the integer day grid (no float-equality grouping hazards): one
+# grid-bounded per-label value-count shuffle, driver cumsums.
+# ---------------------------------------------------------------------------
+
+def score_ks_orders(sf_dir: str) -> pa.Table:
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_orderstatus"])
+
+    def vc(batch: pa.Table) -> pa.Table:
+        days = (batch.column("o_orderdate").cast(pa.int64())
+                .to_numpy(zero_copy_only=False) // 86_400_000_000)
+        bad = pc.equal(batch.column("o_orderstatus"), "F") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame({"v": days.astype(np.int64), "bad": bad})
+        g = df.groupby("v", as_index=False).agg(n=("bad", "size"),
+                                                n_bad=("bad", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    rows = sorted(collect_pylist(
+        ds.map_batches(vc, batch_format="pyarrow")
+        .groupby("v").aggregate(Sum("n", alias_name="n"),
+                                Sum("n_bad", alias_name="n_bad"))),
+        key=lambda r: r["v"])
+    n = np.array([r["n"] for r in rows], dtype=np.int64)
+    nb = np.array([r["n_bad"] for r in rows], dtype=np.int64)
+    ng = n - nb
+    B, G = int(nb.sum()), int(ng.sum())
+    d = np.abs(np.cumsum(nb) / B - np.cumsum(ng) / G)
+    return pa.Table.from_pylist([{
+        "n_good": G, "n_bad": B, "ks": _round6(float(d.max()))}])
+
+
+SCORE_KS_SQL = """
+WITH src AS (
+  SELECT CAST(datediff('day', DATE '1970-01-01',
+                       CAST(o_orderdate AS DATE)) AS BIGINT) AS v,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS bad
+  FROM orders
+), grid AS (
+  SELECT v, CAST(sum(bad) AS BIGINT) AS nb,
+         CAST(count(*) - sum(bad) AS BIGINT) AS ng
+  FROM src GROUP BY v
+), tot AS (
+  SELECT CAST(sum(nb) AS DOUBLE) AS b, CAST(sum(ng) AS DOUBLE) AS g
+  FROM grid
+), walk AS (
+  SELECT abs(sum(nb) OVER w / tot.b - sum(ng) OVER w / tot.g) AS d
+  FROM grid, tot
+  WINDOW w AS (ORDER BY v ROWS UNBOUNDED PRECEDING)
+)
+SELECT (SELECT CAST(g AS BIGINT) FROM tot) AS n_good,
+       (SELECT CAST(b AS BIGINT) FROM tot) AS n_bad,
+       round(max(d), 6) AS ks
+FROM walk
+"""
+
+
+# ---------------------------------------------------------------------------
 # WOE / Information Value binning (the credit-scoring staple the
 # reference's model-validation domain runs on; upgrades A21's
 # pseudo-IV to the real weight-of-evidence table): decile bins by
