@@ -211,6 +211,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kendall_lineitem": q.kendall_lineitem,
         "woe_iv_orders": q.woe_iv_orders,
         "score_ks_orders": q.score_ks_orders,
+        "gains_lift_orders": q.gains_lift_orders,
     }
 
 
@@ -377,6 +378,7 @@ def oracle_sql() -> dict[str, str]:
         "kendall_lineitem": q.KENDALL_FULL_SQL,
         "woe_iv_orders": q.WOE_IV_SQL,
         "score_ks_orders": q.SCORE_KS_SQL,
+        "gains_lift_orders": q.GAINS_LIFT_SQL,
         "shuffle_shards_documents": q.SHUFFLE_SHARDS_SQL,
         "hopping_window_events": q.HOPPING_WINDOW_SQL,
         "temperature_mix_documents": q.TEMPERATURE_MIX_SQL,
@@ -385,6 +387,7 @@ def oracle_sql() -> dict[str, str]:
         "kendall_lineitem": q.KENDALL_FULL_SQL,
         "woe_iv_orders": q.WOE_IV_SQL,
         "score_ks_orders": q.SCORE_KS_SQL,
+        "gains_lift_orders": q.GAINS_LIFT_SQL,
         # logistic_cv / boosted stumps (iterative fits) and the
         # PQ-compressed ANN variants remain rows-only driver checks;
         # verified in pytest instead.

@@ -2809,6 +2809,104 @@ def logistic_inference_orders(sf_dir: str) -> pa.Table:
 
 
 # ---------------------------------------------------------------------------
+# Cumulative gains / lift decile table (the model-validation companion
+# of the KS statistic: how many bads the top-k score deciles capture).
+# Score = the deterministic age sigmoid, strictly DECREASING in order
+# age — so decile 1 (top scores) = smallest day values, and the bins
+# come from the same exact PERCENTILE_DISC machinery as WOE
+# (value-based, partition-invariant). One grid-bounded per-label
+# value-count shuffle; cumulative capture and lift are driver math.
+# ---------------------------------------------------------------------------
+
+def gains_lift_orders(sf_dir: str) -> pa.Table:
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_orderstatus"])
+
+    def vc(batch: pa.Table) -> pa.Table:
+        days = (batch.column("o_orderdate").cast(pa.int64())
+                .to_numpy(zero_copy_only=False) // 86_400_000_000)
+        bad = pc.equal(batch.column("o_orderstatus"), "F") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame({"v": days.astype(np.int64), "bad": bad})
+        g = df.groupby("v", as_index=False).agg(n=("bad", "size"),
+                                                n_bad=("bad", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    rows = sorted(collect_pylist(
+        ds.map_batches(vc, batch_format="pyarrow")
+        .groupby("v").aggregate(Sum("n", alias_name="n"),
+                                Sum("n_bad", alias_name="n_bad"))),
+        key=lambda r: r["v"])
+    vals = np.array([r["v"] for r in rows], dtype=np.int64)
+    cnts = np.array([r["n"] for r in rows], dtype=np.int64)
+    bads = np.array([r["n_bad"] for r in rows], dtype=np.int64)
+    cum = np.cumsum(cnts)
+    n = int(cum[-1])
+    B = int(bads.sum())
+    thr = np.array([vals[np.searchsorted(
+        cum, int(np.floor(q * (n - 1))) + 1, side="left")]
+        for q in (0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9)],
+        dtype=np.int64)
+    # decile 1 = SMALLEST days (highest score)
+    dec = 1 + (vals[:, None] > thr[None, :]).sum(axis=1)
+    out = []
+    cn = cb = 0
+    for d in range(1, 11):
+        sel = dec == d
+        dn = int(cnts[sel].sum())
+        db = int(bads[sel].sum())
+        cn += dn
+        cb += db
+        out.append({
+            "decile": d, "n": dn, "n_bad": db,
+            "bad_rate": _round6(db / dn) if dn else None,
+            "cum_capture": _round6(cb / B) if B else None,
+            "lift": _round6((cb / cn) / (B / n)) if cn and B else None})
+    return pa.Table.from_pylist(out)
+
+
+GAINS_LIFT_SQL = """
+WITH src AS (
+  SELECT CAST(datediff('day', DATE '1970-01-01',
+                       CAST(o_orderdate AS DATE)) AS BIGINT) AS v,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS bad
+  FROM src_orders
+), th AS (
+  SELECT quantile_disc(v, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS t
+  FROM src
+), dec AS (
+  SELECT 1 + (CASE WHEN v > t[1] THEN 1 ELSE 0 END)
+           + (CASE WHEN v > t[2] THEN 1 ELSE 0 END)
+           + (CASE WHEN v > t[3] THEN 1 ELSE 0 END)
+           + (CASE WHEN v > t[4] THEN 1 ELSE 0 END)
+           + (CASE WHEN v > t[5] THEN 1 ELSE 0 END)
+           + (CASE WHEN v > t[6] THEN 1 ELSE 0 END)
+           + (CASE WHEN v > t[7] THEN 1 ELSE 0 END)
+           + (CASE WHEN v > t[8] THEN 1 ELSE 0 END)
+           + (CASE WHEN v > t[9] THEN 1 ELSE 0 END) AS decile,
+         bad
+  FROM src, th
+), agg AS (
+  SELECT decile, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(bad) AS BIGINT) AS n_bad
+  FROM dec GROUP BY decile
+), tot AS (
+  SELECT CAST(sum(n) AS DOUBLE) AS nn, CAST(sum(n_bad) AS DOUBLE) AS bb
+  FROM agg
+)
+SELECT decile, n, n_bad,
+       round(CAST(n_bad AS DOUBLE) / n, 6) AS bad_rate,
+       round(sum(n_bad) OVER w / tot.bb, 6) AS cum_capture,
+       round((sum(n_bad) OVER w / sum(n) OVER w) / (tot.bb / tot.nn), 6)
+         AS lift
+FROM agg, tot
+WINDOW w AS (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+ORDER BY decile
+""".replace("src_orders", "orders")
+
+
+# ---------------------------------------------------------------------------
 # KS discrimination statistic (the credit-scoring model metric: max
 # |CDF_good − CDF_bad| over the score). The deterministic age-sigmoid
 # scorer is strictly monotone in order age, and KS is invariant under
