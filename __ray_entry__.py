@@ -98,14 +98,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_psi_events": q.grouped_psi_events,
         "mean_impute_quantity": q.mean_impute_quantity,
         "knn_impute_quantity": q.knn_impute_quantity,
-        "mode_impute_orderpriority": q.mode_impute_orderpriority,
+        "classification_metrics_orders": q.classification_metrics_orders,
         "onehot_orderpriority": q.onehot_orderpriority,
-        "stress_test_orders": q.stress_test_orders,
+        "kendall_lineitem": q.kendall_lineitem,
         "linear_shap_orders": q.linear_shap_orders,
         "kernel_shap_orders": q.kernel_shap_orders,
         "permutation_importance_orders": q.permutation_importance_orders,
         "spearman_lineitem": q.spearman_lineitem,
         # ---- beyond the driver window ----
+        "mode_impute_orderpriority": q.mode_impute_orderpriority,
+        "stress_test_orders": q.stress_test_orders,
         "lang_distribution_documents": q.lang_distribution_documents,
         "distinct_orderpriority": q.distinct_orderpriority,
         "histogram_quantity": q.histogram_quantity,
@@ -121,7 +123,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint_documents": q.fingerprint_documents,
         "langid_documents": q.langid_documents,
         "script_profile_documents": q.script_profile_documents,
-        "classification_metrics_orders": q.classification_metrics_orders,
         "regression_metrics_orders": q.regression_metrics_orders,
         "cluster_coverage_lineitem": q.cluster_coverage_lineitem,
         "vif_lineitem": q.vif_lineitem,
