@@ -52,9 +52,13 @@ def _scaling_main() -> None:
     load0 = open("/proc/loadavg").read().split()[0]
     steal0 = steal_jiffies()
     run(n_hi)  # warm-up (also synthesizes/caches the fixture)
-    # interleave the legs so both sample the same host-load window
+    # interleave the legs so both sample the same host-load window;
+    # GRAFT_SCALE_RUNS raises the per-level sample on noisy days (each
+    # extra pair costs ~100 s but another chance for both legs to land
+    # in the same quiet phase)
+    n_pairs = max(1, int(os.environ.get("GRAFT_SCALE_RUNS", "3")))
     los, his = [], []
-    for _ in range(3):
+    for _ in range(n_pairs):
         los.append(run(n_lo))
         his.append(run(n_hi))
     lo = min(los, key=lambda r: r["value"])
@@ -71,7 +75,7 @@ def _scaling_main() -> None:
         "launch_load_1min": load0,
         "steal_cpu_s": round((steal1 - steal0) / 100.0, 1)
         if steal0 >= 0 and steal1 >= 0 else None,
-        "protocol": "min of 3 runs per level, fresh ray.init each; "
+        "protocol": f"min of {n_pairs} runs per level, fresh ray.init each; "
                     "steal_cpu_s = /proc/stat hypervisor steal across "
                     "the whole protocol run (loaded-window detector)",
     }))
