@@ -223,6 +223,9 @@ def kernel_shap_summary(ds, model: Any, x_cols: list[str], id_col: str,
         n += int(r["n"])
         if int(r["n"]):
             base = float(r["base"])
+    if n == 0:
+        raise ValueError(
+            "kernel_shap_summary: empty explain set (dataset has no rows)")
     rows = [{"feature": c, "mean_abs_shap": round(float(sad[i] / n), 6),
              "base_value": round(base, 6)}
             for i, c in enumerate(x_cols)]

@@ -2838,6 +2838,13 @@ def gains_lift_orders(sf_dir: str) -> pa.Table:
         .groupby("v").aggregate(Sum("n", alias_name="n"),
                                 Sum("n_bad", alias_name="n_bad"))),
         key=lambda r: r["v"])
+    if not rows:
+        return pa.table({"decile": pa.array([], type=pa.int64()),
+                         "n": pa.array([], type=pa.int64()),
+                         "n_bad": pa.array([], type=pa.int64()),
+                         "bad_rate": pa.array([], type=pa.float64()),
+                         "cum_capture": pa.array([], type=pa.float64()),
+                         "lift": pa.array([], type=pa.float64())})
     vals = np.array([r["v"] for r in rows], dtype=np.int64)
     cnts = np.array([r["n"] for r in rows], dtype=np.int64)
     bads = np.array([r["n_bad"] for r in rows], dtype=np.int64)
@@ -2935,6 +2942,9 @@ def score_ks_orders(sf_dir: str) -> pa.Table:
         .groupby("v").aggregate(Sum("n", alias_name="n"),
                                 Sum("n_bad", alias_name="n_bad"))),
         key=lambda r: r["v"])
+    if not rows:
+        return pa.Table.from_pylist([{"n_good": 0, "n_bad": 0,
+                                      "ks": None}])
     n = np.array([r["n"] for r in rows], dtype=np.int64)
     nb = np.array([r["n_bad"] for r in rows], dtype=np.int64)
     ng = n - nb
@@ -3000,6 +3010,13 @@ def woe_iv_orders(sf_dir: str) -> pa.Table:
         .groupby("v").aggregate(Sum("n", alias_name="n"),
                                 Sum("n_bad", alias_name="n_bad"))),
         key=lambda r: r["v"])
+    if not rows:
+        return pa.table({"bin": pa.array([], type=pa.int64()),
+                         "n": pa.array([], type=pa.int64()),
+                         "n_good": pa.array([], type=pa.int64()),
+                         "n_bad": pa.array([], type=pa.int64()),
+                         "woe": pa.array([], type=pa.float64()),
+                         "iv_total": pa.array([], type=pa.float64())})
     vals = np.array([r["v"] for r in rows], dtype=np.int64)
     cnts = np.array([r["n"] for r in rows], dtype=np.int64)
     bads = np.array([r["n_bad"] for r in rows], dtype=np.int64)
@@ -3165,6 +3182,10 @@ def kendall_lineitem(sf_dir: str) -> pa.Table:
     rows = collect_pylist(ds.map_batches(jc, batch_format="pyarrow")
                           .groupby(["q", "c"])
                           .aggregate(Sum("n", alias_name="n")))
+    if not rows:
+        return pa.Table.from_pylist([{
+            "n": 0, "nc": 0, "nd": 0, "ties_x": 0, "ties_y": 0,
+            "tau_b": None}])
     df = pd.DataFrame(rows).sort_values(["q", "c"])
     grid = np.unique(df["c"].to_numpy())
     cnt = np.zeros(len(grid), dtype=np.int64)  # cents counts, prior levels
