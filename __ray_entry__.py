@@ -213,6 +213,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "woe_iv_orders": q.woe_iv_orders,
         "score_ks_orders": q.score_ks_orders,
         "gains_lift_orders": q.gains_lift_orders,
+        "score_psi_orders": q.score_psi_orders,
     }
 
 
@@ -380,6 +381,7 @@ def oracle_sql() -> dict[str, str]:
         "woe_iv_orders": q.WOE_IV_SQL,
         "score_ks_orders": q.SCORE_KS_SQL,
         "gains_lift_orders": q.GAINS_LIFT_SQL,
+        "score_psi_orders": q.SCORE_PSI_SQL,
         "shuffle_shards_documents": q.SHUFFLE_SHARDS_SQL,
         "hopping_window_events": q.HOPPING_WINDOW_SQL,
         "temperature_mix_documents": q.TEMPERATURE_MIX_SQL,
@@ -389,6 +391,7 @@ def oracle_sql() -> dict[str, str]:
         "woe_iv_orders": q.WOE_IV_SQL,
         "score_ks_orders": q.SCORE_KS_SQL,
         "gains_lift_orders": q.GAINS_LIFT_SQL,
+        "score_psi_orders": q.SCORE_PSI_SQL,
         # logistic_cv / boosted stumps (iterative fits) and the
         # PQ-compressed ANN variants remain rows-only driver checks;
         # verified in pytest instead.

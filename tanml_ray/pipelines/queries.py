@@ -2809,6 +2809,110 @@ def logistic_inference_orders(sf_dir: str) -> pa.Table:
 
 
 # ---------------------------------------------------------------------------
+# Scorecard stability PSI (the fourth member of the credit-validation
+# trifecta+1: WOE/IV, KS, gains — and PSI of the SCORE distribution
+# between populations): decile thresholds fit on the EXPECTED
+# population (even order keys, the "development sample"), both
+# populations binned through those same thresholds, reference PSI
+# formula (full-n denominators, zero→1e-8). The score is monotone in
+# order age, so everything computes exactly on the integer day grid —
+# one (day, parity) value-count combiner shuffle, driver math.
+# ---------------------------------------------------------------------------
+
+def score_psi_orders(sf_dir: str) -> pa.Table:
+    from ray.data.aggregate import Sum
+
+    from tanml_ray.kernels.drift_math import psi_from_counts
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+
+    def vc(batch: pa.Table) -> pa.Table:
+        days = (batch.column("o_orderdate").cast(pa.int64())
+                .to_numpy(zero_copy_only=False) // 86_400_000_000)
+        par = (batch.column("o_orderkey").to_numpy(zero_copy_only=False)
+               % 2).astype(np.int64)
+        df = pd.DataFrame({"v": days.astype(np.int64), "p": par})
+        g = df.groupby(["v", "p"], as_index=False).size()
+        return pa.table({"v": pa.array(g["v"].to_numpy(), type=pa.int64()),
+                         "p": pa.array(g["p"].to_numpy(), type=pa.int64()),
+                         "n": pa.array(g["size"].to_numpy()
+                                       .astype(np.int64), type=pa.int64())})
+
+    rows = sorted(collect_pylist(
+        ds.map_batches(vc, batch_format="pyarrow")
+        .groupby(["v", "p"]).aggregate(Sum("n", alias_name="n"))),
+        key=lambda r: (r["v"], r["p"]))
+    vals = np.unique(np.array([r["v"] for r in rows], dtype=np.int64))
+    ne = np.zeros(len(vals), dtype=np.int64)
+    na = np.zeros(len(vals), dtype=np.int64)
+    vi = {int(v): i for i, v in enumerate(vals)}
+    for r in rows:
+        (ne if r["p"] == 0 else na)[vi[int(r["v"])]] += int(r["n"])
+    cum = np.cumsum(ne)
+    n_exp = int(cum[-1])
+    thr = np.array([vals[np.searchsorted(
+        cum, int(np.floor(q * (n_exp - 1))) + 1, side="left")]
+        for q in (0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9)],
+        dtype=np.int64)
+    bins = 1 + (vals[:, None] > thr[None, :]).sum(axis=1)
+    e = np.array([int(ne[bins == b].sum()) for b in range(1, 11)],
+                 dtype=np.float64)
+    a = np.array([int(na[bins == b].sum()) for b in range(1, 11)],
+                 dtype=np.float64)
+    psi = psi_from_counts(e, a)
+    out = [{"bin": b, "n_expected": int(e[b - 1]),
+            "n_actual": int(a[b - 1]),
+            "psi_total": _round6(float(psi))} for b in range(1, 11)]
+    return pa.Table.from_pylist(out)
+
+
+SCORE_PSI_SQL = """
+WITH src AS (
+  SELECT CAST(datediff('day', DATE '1970-01-01',
+                       CAST(o_orderdate AS DATE)) AS BIGINT) AS v,
+         o_orderkey % 2 AS p
+  FROM orders
+), th AS (
+  SELECT quantile_disc(v, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS t
+  FROM src WHERE p = 0
+), binned AS (
+  SELECT 1 + (CASE WHEN v > t[1] THEN 1 ELSE 0 END)
+           + (CASE WHEN v > t[2] THEN 1 ELSE 0 END)
+           + (CASE WHEN v > t[3] THEN 1 ELSE 0 END)
+           + (CASE WHEN v > t[4] THEN 1 ELSE 0 END)
+           + (CASE WHEN v > t[5] THEN 1 ELSE 0 END)
+           + (CASE WHEN v > t[6] THEN 1 ELSE 0 END)
+           + (CASE WHEN v > t[7] THEN 1 ELSE 0 END)
+           + (CASE WHEN v > t[8] THEN 1 ELSE 0 END)
+           + (CASE WHEN v > t[9] THEN 1 ELSE 0 END) AS bin,
+         p
+  FROM src, th
+), agg AS (
+  SELECT bin,
+         CAST(count(*) FILTER (WHERE p = 0) AS BIGINT) AS n_expected,
+         CAST(count(*) FILTER (WHERE p = 1) AS BIGINT) AS n_actual
+  FROM binned GROUP BY bin
+), tot AS (
+  SELECT CAST(sum(n_expected) AS DOUBLE) AS te,
+         CAST(sum(n_actual) AS DOUBLE) AS ta FROM agg
+), terms AS (
+  SELECT (CASE WHEN n_actual / tot.ta = 0 THEN 1e-8
+               ELSE n_actual / tot.ta END
+          - CASE WHEN n_expected / tot.te = 0 THEN 1e-8
+                 ELSE n_expected / tot.te END)
+         * ln((CASE WHEN n_actual / tot.ta = 0 THEN 1e-8
+                    ELSE n_actual / tot.ta END)
+              / (CASE WHEN n_expected / tot.te = 0 THEN 1e-8
+                      ELSE n_expected / tot.te END)) AS term
+  FROM agg, tot
+)
+SELECT bin, n_expected, n_actual,
+       round((SELECT sum(term) FROM terms), 6) AS psi_total
+FROM agg ORDER BY bin
+"""
+
+
+# ---------------------------------------------------------------------------
 # Cumulative gains / lift decile table (the model-validation companion
 # of the KS statistic: how many bads the top-k score deciles capture).
 # Score = the deterministic age sigmoid, strictly DECREASING in order
