@@ -7,6 +7,11 @@ opaque binary columns ... STUB the decode step"). The Ray-side
 plumbing — schema, batch sizing, actor signature, output layout — is
 real and tested; the codec is either
 
+  * a REAL stdlib tier (stages/codecs.py): BMP / binary PGM / PPM
+    images, RIFF PCM WAV audio (stdlib `wave`), and uncompressed
+    8-bit-DIB AVI video — genuine interchange formats decoded with
+    numpy + the standard library only, auto-detected by magic bytes
+    in every stage below, or
   * a real library decode (PIL / soundfile) IF importable — this
     container has neither, so that path raises a clear
     NotImplementedError naming the missing dependency, or
@@ -74,6 +79,58 @@ def decode_fake_video(blob: bytes) -> np.ndarray:
     return np.frombuffer(blob[10:10 + n * w * h], dtype=np.uint8).reshape(n, h, w)
 
 
+# -- magic-byte format dispatch (fake codec | stdlib real codecs) ------------
+
+def decode_image_auto(blob: bytes, pil_image=None) -> np.ndarray:
+    """Decode an image blob to uint8 (h, w) grayscale, dispatching on
+    magic bytes: FIMG (fake), BMP, binary PGM/PPM (stdlib tier —
+    stages/codecs.py), else PIL if a module was supplied."""
+    from tanml_ray.stages import codecs
+
+    head = bytes(blob[:4])
+    if head == IMAGE_MAGIC:
+        return decode_fake_image(blob)
+    if head[:2] == b"BM":
+        return codecs.decode_bmp_gray(blob)
+    if head[:2] in (b"P5", b"P6"):
+        return codecs.decode_pnm_gray(blob)
+    if pil_image is not None:
+        import io
+
+        with pil_image.open(io.BytesIO(blob)) as im:
+            return np.asarray(im.convert("L"), dtype=np.uint8)
+    raise ValueError(
+        f"unsupported image format (magic {head!r}): FIMG/BMP/PGM/PPM "
+        "decode with the stdlib tier; other formats need Pillow "
+        "(use_real_codec=True)")
+
+
+def decode_audio_auto(blob: bytes) -> tuple[int, np.ndarray]:
+    """(rate, int16 samples) from FAUD (fake) or RIFF PCM WAV."""
+    from tanml_ray.stages import codecs
+
+    if blob[:4] == AUDIO_MAGIC:
+        return decode_fake_audio(blob)
+    if blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
+        return codecs.decode_wav(blob)
+    raise ValueError(
+        f"unsupported audio format (magic {bytes(blob[:4])!r}): "
+        "FAUD and PCM WAV decode with the stdlib tier")
+
+
+def decode_video_auto(blob: bytes) -> np.ndarray:
+    """uint8 (n, h, w) frames from FVID (fake) or uncompressed-DIB AVI."""
+    from tanml_ray.stages import codecs
+
+    if blob[:4] == VIDEO_MAGIC:
+        return decode_fake_video(blob)
+    if blob[:4] == b"RIFF" and blob[8:12] == b"AVI ":
+        return codecs.decode_avi_gray(blob)
+    raise ValueError(
+        f"unsupported video format (magic {bytes(blob[:4])!r}): "
+        "FVID and uncompressed-DIB AVI decode with the stdlib tier")
+
+
 def _resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     h, w = img.shape
     ri = (np.arange(out_h) * h // out_h).clip(max=h - 1)
@@ -112,15 +169,11 @@ class ImageResizeStage:
             self._real = True
 
     def _decode(self, blob: bytes) -> "np.ndarray":
-        """Grayscale uint8 (h, w). Real path: PIL decode (any format
-        Pillow reads) → L-mode array; the module import happened once
-        per actor in __init__, never per batch."""
-        if self._real:
-            import io
-
-            with self._Image.open(io.BytesIO(blob)) as im:
-                return np.asarray(im.convert("L"), dtype=np.uint8)
-        return decode_fake_image(blob)
+        """Grayscale uint8 (h, w). FIMG/BMP/PGM/PPM decode via the
+        stdlib tier regardless of use_real_codec; other formats go
+        through PIL when available (imported once per ACTOR in
+        __init__, never per batch)."""
+        return decode_image_auto(blob, self._Image if self._real else None)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         blobs = batch.column(self.image_col).to_pylist()
@@ -162,7 +215,7 @@ class AudioFeatureStage:
                 energies.append(None)
                 durs.append(None)
                 continue
-            rate, samples = decode_fake_audio(blob)
+            rate, samples = decode_audio_auto(blob)
             n = (len(samples) // self.frame) * self.frame
             if n:
                 frames = samples[:n].astype(np.float64).reshape(-1, self.frame)
@@ -192,7 +245,7 @@ class VideoFrameSampleStage:
         for vid_id, blob in zip(ids, batch.column(self.video_col).to_pylist()):
             if blob is None:
                 continue
-            frames = decode_fake_video(blob)
+            frames = decode_video_auto(blob)
             for fi in range(0, frames.shape[0], self.every_k):
                 out_id.append(vid_id)
                 out_frame_no.append(fi)
@@ -254,7 +307,7 @@ class ImagePhashStage:
             if blob is None:
                 continue
             keep.append(int(ids[i]))
-            fps.append(phash64(decode_fake_image(blob)))
+            fps.append(phash64(decode_image_auto(blob)))
         return explode_fp_blocks(np.asarray(keep, dtype=np.int64),
                                  np.asarray(fps, dtype=np.uint64),
                                  self.bucket_partitions)
@@ -321,7 +374,7 @@ class AudioFingerprintStage:
         for i, blob in enumerate(batch.column(self.audio_col).to_pylist()):
             if blob is None:
                 continue
-            _, samples = decode_fake_audio(blob)
+            _, samples = decode_audio_auto(blob)
             if len(samples) < 2 * self.frame:
                 # too short for an energy contour — the degenerate
                 # fingerprint 0 would make every short clip a
@@ -356,7 +409,7 @@ class VideoFingerprintStage:
         for i, blob in enumerate(batch.column(self.video_col).to_pylist()):
             if blob is None:
                 continue
-            frames = decode_fake_video(blob)
+            frames = decode_video_auto(blob)
             fhashes = np.array(
                 [phash64(frames[fi])
                  for fi in range(0, frames.shape[0], self.every_k)],
