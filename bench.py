@@ -204,7 +204,7 @@ def main() -> None:
         # Both sides read pre-synthesized parquet (synthesis is fixture
         # cost, not engine cost — it used to run inside these timers);
         # column pruning keeps html out of the scan.
-        import ray.data as rd
+        from tanml_ray.sources.ingest import read_parquet_clean
 
         current_dir = synthesize_pages_parquet(
             sf_dir, f"/tmp/tanml_pages_{sf_tag}_r{repeat}f{num_files}_current",
@@ -212,14 +212,14 @@ def main() -> None:
         drift_cols = ["text", "lang", "warc_ts"]
         baseline = timed("drift_baseline",
                          lambda: build_drift_baseline(
-                             rd.read_parquet(pages_dir, columns=drift_cols,
-                                             override_num_blocks=n_files),
+                             read_parquet_clean(pages_dir, columns=drift_cols,
+                                                override_num_blocks=n_files),
                              "text_len", "week"))
         timed("drift_compare",
               lambda: compute_drift(baseline,
-                                    rd.read_parquet(current_dir,
-                                                    columns=drift_cols,
-                                                    override_num_blocks=n_files)))
+                                    read_parquet_clean(current_dir,
+                                                       columns=drift_cols,
+                                                       override_num_blocks=n_files)))
         rows_processed += 2 * rep.summary["rows"]
 
         # 3. analytic core over lineitem (largest testdata table)

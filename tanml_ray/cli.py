@@ -17,6 +17,7 @@ import argparse
 import json
 import os
 import sys
+from tanml_ray.sources.ingest import read_parquet_clean
 
 
 def _ensure_ray(num_cpus: int | None) -> None:
@@ -129,7 +130,7 @@ def main(argv: list[str] | None = None) -> int:
 
             from tanml_ray.pipelines.drift import build_drift_baseline
 
-            ds = rd.read_parquet(args.input)
+            ds = read_parquet_clean(args.input)
             baseline = build_drift_baseline(ds, args.value_col, args.bucket)
             baseline.save(args.artifact)
             print(json.dumps({"groups": len(baseline.groups),
@@ -140,7 +141,7 @@ def main(argv: list[str] | None = None) -> int:
             from tanml_ray.pipelines.drift import DriftBaseline, compute_drift
 
             baseline = DriftBaseline.load(args.artifact)
-            table, summary = compute_drift(baseline, rd.read_parquet(args.input))
+            table, summary = compute_drift(baseline, read_parquet_clean(args.input))
             if args.report_out:
                 import pyarrow.parquet as pq
 
@@ -198,7 +199,7 @@ def main(argv: list[str] | None = None) -> int:
 
             from tanml_ray.pipelines.curate import shuffle_shards
 
-            ds = rd.read_parquet(args.input)
+            ds = read_parquet_clean(args.input)
             out = shuffle_shards(ds, id_col=args.id_col,
                                  n_shards=args.n_shards, seed=args.seed)
             out.write_parquet(args.out, partition_cols=["shard"])
@@ -224,7 +225,7 @@ def main(argv: list[str] | None = None) -> int:
                     allowed_langs=langs,
                     near_dup_threshold=args.near_dup_threshold)
             else:
-                ds = rd.read_parquet(args.input)
+                ds = read_parquet_clean(args.input)
                 _, stats = curate_documents(
                     ds, text_col=args.text_col, id_col=args.id_col,
                     min_tokens=args.min_tokens, allowed_langs=langs,

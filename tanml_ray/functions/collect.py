@@ -22,3 +22,15 @@ def collect_table(ds, batch_size: int = 65536) -> pa.Table:
 
 def collect_pylist(ds, batch_size: int = 65536) -> list[dict]:
     return collect_table(ds, batch_size).to_pylist()
+
+
+def from_pandas_clean(df, preserve_index: bool = False) -> pa.Table:
+    """`pa.Table.from_pandas` WITHOUT the b'pandas' schema metadata.
+
+    The metadata makes `hash(schema)` raise (pyarrow hashes the
+    metadata dict), which defeats Ray Data's block-schema
+    deduplication and spams "Failed to hash the schemas" warnings on
+    every downstream stage — always use this inside map_batches fns
+    that build their output from a DataFrame."""
+    return (pa.Table.from_pandas(df, preserve_index=preserve_index)
+            .replace_schema_metadata(None))

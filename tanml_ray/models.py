@@ -11,6 +11,8 @@ Dataset) and predicts through the ScorerStage actor-pool contract
 
     linear_closed_form   one-pass Gram OLS (optional ridge), regression
     logistic_irls        distributed IRLS logistic, classification
+    boosted_stumps       histogram gradient-boosted stumps, regression
+    gaussian_nb          one-pass Gaussian Naive Bayes, classification
     kmeans_lloyd         distributed Lloyd (unsupervised; .predict →
                          nearest-center label)
 
@@ -120,6 +122,41 @@ def _fit_boosted_stumps(ds, x_cols, y_col, n_rounds: int = 10,
                                n_bins=n_bins, lr=lr)
     model.fit_info = {"n_rounds": n_rounds, "n_bins": n_bins, "lr": lr,
                       "n_stumps": len(model.stumps), "base": model.base}
+    return model
+
+
+class GaussianNBModel:
+    """Gaussian Naive Bayes scorer: predict(X) returns the log
+    posterior odds ln P(y=1|x) − ln P(y=0|x) (monotone in the class-1
+    probability, so AUC/threshold-at-0 semantics match the logistic
+    scorer's log-odds scale)."""
+
+    def __init__(self, priors: dict, means: np.ndarray, varis: np.ndarray):
+        self.priors = {int(k): float(v) for k, v in priors.items()}
+        self.means = np.asarray(means, dtype=np.float64)
+        self.vars = np.asarray(varis, dtype=np.float64)
+
+    def _log_lik(self, X: np.ndarray, cls: int) -> np.ndarray:
+        mu, var = self.means[cls], self.vars[cls]
+        return (-0.5 * (np.log(2.0 * np.pi * var)
+                        + (X - mu) ** 2 / var)).sum(axis=1)
+
+    def predict(self, X: np.ndarray) -> np.ndarray:
+        X = np.asarray(X, dtype=np.float64)
+        return (np.log(self.priors[1]) + self._log_lik(X, 1)
+                - np.log(self.priors[0]) - self._log_lik(X, 0))
+
+
+@ESTIMATORS.register("gaussian_nb", task="classification",
+                     var_smoothing=1e-9)
+def _fit_gaussian_nb(ds, x_cols, y_col, var_smoothing: float = 1e-9):
+    from tanml_ray.pipelines.mlops import gaussian_nb_fit
+
+    out = gaussian_nb_fit(ds, x_cols, y_col, var_smoothing=var_smoothing)
+    model = GaussianNBModel(out["priors"], out["means"], out["vars"])
+    model.fit_info = {"n": out["n"], "priors": out["priors"],
+                      "means": out["means"].tolist(),
+                      "vars": out["vars"].tolist()}
     return model
 
 

@@ -31,7 +31,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from tanml_ray.functions.collect import collect_pylist
+from tanml_ray.functions.collect import from_pandas_clean, collect_pylist
+from tanml_ray.sources.ingest import read_parquet_clean
 
 
 def quality_filter_batch(batch: pa.Table, text_col: str, id_col: str,
@@ -240,7 +241,7 @@ def curate_documents(ds, text_col: str = "text", id_col: str = "doc_id",
         df = pd.DataFrame({"dig": digs, "keep_id": ids})
         g = df.groupby("dig", as_index=False).agg(keep_id=("keep_id", "min"),
                                                   n=("keep_id", "size"))
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return from_pandas_clean(g, preserve_index=False)
 
     from ray.data.aggregate import Min, Sum
 
@@ -477,7 +478,7 @@ def run_resumable_curation(input_dir: str, out_dir: str,
     tmp_dir = final_dir + ".tmp"
     shutil.rmtree(tmp_dir, ignore_errors=True)
     curated, stats = curate_documents(
-        rd.read_parquet(stage1_files),
+        read_parquet_clean(stage1_files),
         text_col=text_col, id_col=id_col,
         near_dup_threshold=near_dup_threshold,
         out_dir=tmp_dir,

@@ -25,7 +25,8 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from tanml_ray.functions.collect import collect_pylist
+from tanml_ray.functions.collect import from_pandas_clean, collect_pylist
+from tanml_ray.sources.ingest import read_parquet_clean
 
 # fixed odd multipliers for the universal-hash family h_i(x) = a_i*x + b_i
 _MINHASH_SEED_A = 0x9E3779B97F4A7C15
@@ -160,7 +161,7 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
                            "keep_id": batch.column(id_col).to_numpy(zero_copy_only=False)})
         g = df.groupby("h", as_index=False).agg(keep_id=("keep_id", "min"),
                                                 n=("keep_id", "size"))
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return from_pandas_clean(g, preserve_index=False)
 
     return (ds.map_batches(local, batch_format="pyarrow")
             .groupby("h")
@@ -1232,7 +1233,7 @@ def exact_dedup_keep_best(ds, text_col: str = "text", id_col: str = "doc_id",
         df = df.sort_values(["dig", "q", "id"],
                             ascending=[True, False, True])
         df = df.drop_duplicates("dig", keep="first")
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return from_pandas_clean(df, preserve_index=False)
 
     def best_of_partition(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["dig", "q", "id"],
@@ -1404,7 +1405,7 @@ def dedup_against_index(new_ds, index_dir: str, text_col: str = "text",
                 .view(np.uint64) % np.uint64(buckets)).cast(pa.int64()),
             "__side": pa.array(["i"] * n, type=pa.string())})
 
-    idx = rd.read_parquet(paths).map_batches(tag_index,
+    idx = read_parquet_clean(paths).map_batches(tag_index,
                                              batch_format="pyarrow")
 
     def resolve(g: pa.Table) -> pa.Table:

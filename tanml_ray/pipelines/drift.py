@@ -30,6 +30,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from tanml_ray.functions.collect import from_pandas_clean
 from tanml_ray.kernels.drift_math import (
     drift_summary_status,
     ks_from_histograms,
@@ -211,7 +212,7 @@ def _value_count_partials(ds, value_col: str, bucket_unit: str):
         df = _augment(batch, value_col, bucket_unit).dropna(subset=["value"])
         g = (df.groupby(["lang", "bucket", "value"], as_index=False)
              .size().rename(columns={"size": "n"}))
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return from_pandas_clean(g, preserve_index=False)
 
     return ds.map_batches(partial, batch_format="pyarrow")
 
@@ -228,7 +229,7 @@ def _merge_value_count_partials(partials, pre_combine: bool = True) -> dict[tupl
         def combine(t: pa.Table) -> pa.Table:
             g = (t.to_pandas().groupby(["lang", "bucket", "value"],
                                        as_index=False)["n"].sum())
-            return pa.Table.from_pandas(g, preserve_index=False)
+            return from_pandas_clean(g, preserve_index=False)
 
         partials = (partials.repartition(8)
                     .map_batches(combine, batch_format="pyarrow",
@@ -505,7 +506,7 @@ class ValueCountVerify:
         df = _augment(batch, self.value_col, self.bucket_unit).dropna(subset=["value"])
         g = (df.groupby(["lang", "bucket", "value"], as_index=False)
              .size().rename(columns={"size": "n"}))
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return from_pandas_clean(g, preserve_index=False)
 
 
 def compute_drift_actor_pool(baseline: DriftBaseline, current_ds,

@@ -33,7 +33,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from tanml_ray.functions.collect import collect_pylist
+from tanml_ray.functions.collect import from_pandas_clean, collect_pylist
 
 
 def sample_min_k(ds, id_col: str, cols: list[str], n: int) -> pa.Table:
@@ -50,7 +50,7 @@ def sample_min_k(ds, id_col: str, cols: list[str], n: int) -> pa.Table:
 
     parts = collect_pylist(ds.map_batches(local_topk, batch_format="pyarrow"))
     df = pd.DataFrame(parts).sort_values(id_col, kind="mergesort").head(n)
-    return pa.Table.from_pandas(df.reset_index(drop=True), preserve_index=False)
+    return from_pandas_clean(df.reset_index(drop=True), preserve_index=False)
 
 
 def permutation_importance(ds, model: Any, feature_cols: list[str],
@@ -314,14 +314,15 @@ def logistic_cv(ds, x_cols: list[str], y_col: str, key_col: str,
 
 def model_benchmark(ds, x_cols: list[str], y_col: str, key_col: str,
                     k: int = 5, with_trees: bool = True,
-                    tree_rounds: int = 10) -> pa.Table:
+                    tree_rounds: int = 10, with_nb: bool = True) -> pa.Table:
     """Per-(model, fold) benchmark table on identical folds and label —
-    (model, fold, n_test, auc, accuracy). Three estimator families:
-    IRLS logistic, closed-form univariate linear, and (with_trees)
-    histogram boosted stumps (mlops.boosted_stumps_fit) — the
-    reference benchmarking tab's linear/GLM/tree spread
+    (model, fold, n_test, auc, accuracy). Four estimator families:
+    IRLS logistic, closed-form univariate linear, (with_trees)
+    histogram boosted stumps (mlops.boosted_stumps_fit), and (with_nb)
+    one-pass Gaussian Naive Bayes (mlops.gaussian_nb_fit) — the
+    reference benchmarking tab's linear/GLM/tree/NB spread
     (models/registry.py:34-411, ui evaluation benchmarking tab)
-    rebuilt on the three library-free families."""
+    rebuilt on the library-free families of models.ESTIMATORS."""
     from tanml_ray.pipelines.metrics import auc_exact
     from tanml_ray.pipelines.ranking import _suff_stats
 
@@ -419,6 +420,54 @@ def model_benchmark(ds, x_cols: list[str], y_col: str, key_col: str,
                 n += r["n"]
                 hit += r["hit"]
             out_rows.append({"model": "boosted_stumps", "fold": f,
+                             "n_test": n, "auc": round(float(auc), 6),
+                             "accuracy": round(hit / n, 6)
+                             if n else float("nan")})
+
+    if with_nb:
+        from tanml_ray.models import ESTIMATORS
+
+        for f in range(k):
+            def not_fold(batch: pa.Table, fold=f) -> pa.Table:
+                keys = batch.column(key_col).to_numpy(zero_copy_only=False)
+                return batch.filter(pa.array((keys % k) != fold))
+
+            def in_fold(batch: pa.Table, fold=f) -> pa.Table:
+                keys = batch.column(key_col).to_numpy(zero_copy_only=False)
+                return batch.filter(pa.array((keys % k) == fold))
+
+            model = ESTIMATORS.fit(
+                "gaussian_nb",
+                ds.map_batches(not_fold, batch_format="pyarrow"),
+                x_cols, y_col)
+
+            def score_batch(batch: pa.Table, m=model) -> pa.Table:
+                X = np.column_stack(
+                    [batch.column(c).to_numpy(zero_copy_only=False)
+                     .astype(np.float64) for c in x_cols])
+                return batch.append_column(
+                    "score", pa.array(m.predict(X), type=pa.float64()))
+
+            scored = (ds.map_batches(in_fold, batch_format="pyarrow")
+                      .map_batches(score_batch,
+                                   batch_format="pyarrow").materialize())
+            auc = auc_exact(scored, y_col, "score")
+
+            # score is log posterior odds → decision threshold 0
+            def acc_partial(batch: pa.Table) -> pa.Table:
+                y = batch.column(y_col).to_numpy(zero_copy_only=False)
+                s = batch.column("score").to_numpy(zero_copy_only=False)
+                return pa.table({
+                    "n": pa.array([batch.num_rows], type=pa.int64()),
+                    "hit": pa.array([int(((s >= 0.0) == (y == 1)).sum())],
+                                    type=pa.int64())})
+
+            n = hit = 0
+            for r in collect_pylist(scored.map_batches(
+                    acc_partial, batch_format="pyarrow")):
+                n += r["n"]
+                hit += r["hit"]
+            out_rows.append({"model": "gaussian_nb", "fold": f,
                              "n_test": n, "auc": round(float(auc), 6),
                              "accuracy": round(hit / n, 6)
                              if n else float("nan")})

@@ -234,13 +234,21 @@ def hash_split_counts(ds, key_col: str, value_col: str,
 
 def first_n_per_group(ds, group_col: str, id_col: str, n: int) -> pa.Table:
     """Per-group head-n by id order (stratified-sample building block,
-    K4): groupby + map_groups."""
+    K4). Shuffles by COARSE hash(group)%P — one vectorized pandas task
+    per partition, never one map_groups call per distinct group — so
+    it is safe for high-cardinality group keys, not just per-lang
+    heads. The collected result must still be small (n × #groups)."""
     import pandas as pd
 
-    def head(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(id_col).head(n)
+    from tanml_ray.stages.shuffle import with_coarse_partition
 
-    out = ds.groupby(group_col).map_groups(head, batch_format="pandas")
+    def head(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["__upart"])
+        return (g.sort_values([group_col, id_col], kind="mergesort")
+                 .groupby(group_col, sort=False).head(n))
+
+    out = (with_coarse_partition(ds, group_col)
+           .groupby("__upart").map_groups(head, batch_format="pandas"))
     rows = sorted(collect_pylist(out), key=lambda r: (r[group_col], r[id_col]))
     return pa.Table.from_pylist(rows)
 
@@ -469,6 +477,67 @@ def logistic_fit(ds, x_cols: list[str], y_col: str,
         H, _ = _irls_pass(ds, x_cols, y_col, beta)
         out["information"] = H
     return out
+
+
+def gaussian_nb_fit(ds, x_cols: list[str], y_col: str,
+                    var_smoothing: float = 1e-9) -> dict:
+    """Gaussian Naive Bayes over numeric features — the numeric-feature
+    sibling of the multinomial NB text classifier
+    (webtext.nb_quality_scores), registered as the fifth estimator
+    family (reference models/registry.py:34-411 lists GaussianNB among
+    its sklearn classifiers). ONE combiner-first distributed pass: each
+    batch emits per-(class, feature) (n, Σx, Σx²) rows, a
+    2·p-key groupby Sum merges them, and the driver closes the
+    class priors + per-feature Gaussians (sklearn-style variance
+    smoothing: + var_smoothing · max feature variance). Returns
+    {priors: {0: p0, 1: p1}, means: (2, p), vars: (2, p), n: int}."""
+    from ray.data.aggregate import Sum
+
+    p = len(x_cols)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        y = batch.column(y_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        X = np.column_stack(
+            [batch.column(c).to_numpy(zero_copy_only=False).astype(np.float64)
+             for c in x_cols])
+        rows = {"cls": [], "feat": [], "n": [], "sx": [], "sxx": []}
+        for cls in (0, 1):
+            sel = X[y == cls]
+            if not sel.shape[0]:
+                continue
+            for j in range(p):
+                rows["cls"].append(cls)
+                rows["feat"].append(j)
+                rows["n"].append(sel.shape[0])
+                rows["sx"].append(float(sel[:, j].sum()))
+                rows["sxx"].append(float((sel[:, j] ** 2).sum()))
+        return pa.table({"cls": pa.array(rows["cls"], type=pa.int64()),
+                         "feat": pa.array(rows["feat"], type=pa.int64()),
+                         "n": pa.array(rows["n"], type=pa.int64()),
+                         "sx": pa.array(rows["sx"], type=pa.float64()),
+                         "sxx": pa.array(rows["sxx"], type=pa.float64())})
+
+    merged = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby(["cls", "feat"])
+              .aggregate(Sum("n", alias_name="n"),
+                         Sum("sx", alias_name="sx"),
+                         Sum("sxx", alias_name="sxx")))
+    n_c = np.zeros(2, dtype=np.int64)
+    means = np.zeros((2, p))
+    varis = np.zeros((2, p))
+    for r in collect_pylist(merged):
+        c, j, n = int(r["cls"]), int(r["feat"]), int(r["n"])
+        n_c[c] = n
+        mu = r["sx"] / n
+        means[c, j] = mu
+        varis[c, j] = max(r["sxx"] / n - mu * mu, 0.0)
+    if n_c[0] == 0 or n_c[1] == 0:
+        raise ValueError(f"degenerate NB training labels (n0={n_c[0]}, "
+                         f"n1={n_c[1]}); both classes must be non-empty")
+    varis += var_smoothing * varis.max()
+    n = int(n_c.sum())
+    return {"priors": {0: n_c[0] / n, 1: n_c[1] / n},
+            "means": means, "vars": varis, "n": n}
 
 
 def logistic_inference(ds, x_cols: list[str], y_col: str,

@@ -20,13 +20,14 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from tanml_ray.functions.collect import collect_pylist
+from tanml_ray.functions.collect import from_pandas_clean, collect_pylist
+from tanml_ray.sources.ingest import read_parquet_clean
 
 
 def _read(sf_dir: str, table: str, columns: list[str] | None = None):
     import ray.data as rd
 
-    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    return read_parquet_clean(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
 def _round6(x):
@@ -561,11 +562,12 @@ def duplicate_user_event_pairs(sf_dir: str) -> pa.Table:
 
     ds = _read(sf_dir, "events", ["user_id", "event_type"])
 
-    def partial(batch: pa.Table) -> pd.DataFrame:
+    def partial(batch: pa.Table) -> pa.Table:
         df = pd.DataFrame({"user_id": batch.column("user_id").to_numpy(zero_copy_only=False),
                            "event_type": batch.column("event_type").to_pylist()})
-        return df.groupby(["user_id", "event_type"], as_index=False).size().rename(
-            columns={"size": "n"})
+        return from_pandas_clean(
+            df.groupby(["user_id", "event_type"], as_index=False).size().rename(
+                columns={"size": "n"}))
 
     agg = (ds.map_batches(partial, batch_format="pyarrow")
            .groupby(["user_id", "event_type"])
@@ -2749,13 +2751,13 @@ def logistic_cv_orders(sf_dir: str) -> pa.Table:
 
 
 def model_family_benchmark_orders(sf_dir: str) -> pa.Table:
-    """Three-estimator-family × k-fold CV benchmark on the shared
+    """Four-estimator-family × k-fold CV benchmark on the shared
     logistic features: IRLS logistic vs closed-form linear vs histogram
-    boosted stumps (the reference benchmarking tab's linear/GLM/tree
-    spread, models/registry.py:34-411). Rows-only driver check: IRLS
-    and boosting are iterative, not SQL-expressible; the families'
-    fit/predict contracts are pytest-verified (tests/test_models.py,
-    tests/test_explain.py)."""
+    boosted stumps vs Gaussian Naive Bayes (the reference benchmarking
+    tab's linear/GLM/tree/NB spread, models/registry.py:34-411).
+    Rows-only driver check: IRLS and boosting are iterative, not
+    SQL-expressible; the families' fit/predict contracts are
+    pytest-verified (tests/test_models.py, tests/test_explain.py)."""
     from tanml_ray.pipelines.explain import model_benchmark
 
     return model_benchmark(_orders_logistic_features(sf_dir),
@@ -2935,7 +2937,7 @@ def gains_lift_orders(sf_dir: str) -> pa.Table:
         df = pd.DataFrame({"v": days.astype(np.int64), "bad": bad})
         g = df.groupby("v", as_index=False).agg(n=("bad", "size"),
                                                 n_bad=("bad", "sum"))
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return from_pandas_clean(g, preserve_index=False)
 
     rows = sorted(collect_pylist(
         ds.map_batches(vc, batch_format="pyarrow")
@@ -3039,7 +3041,7 @@ def score_ks_orders(sf_dir: str) -> pa.Table:
         df = pd.DataFrame({"v": days.astype(np.int64), "bad": bad})
         g = df.groupby("v", as_index=False).agg(n=("bad", "size"),
                                                 n_bad=("bad", "sum"))
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return from_pandas_clean(g, preserve_index=False)
 
     rows = sorted(collect_pylist(
         ds.map_batches(vc, batch_format="pyarrow")
@@ -3107,7 +3109,7 @@ def woe_iv_orders(sf_dir: str) -> pa.Table:
         df = pd.DataFrame({"v": cents, "bad": bad})
         g = df.groupby("v", as_index=False).agg(n=("bad", "size"),
                                                 n_bad=("bad", "sum"))
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return from_pandas_clean(g, preserve_index=False)
 
     rows = sorted(collect_pylist(
         ds.map_batches(vc, batch_format="pyarrow")
@@ -3981,21 +3983,22 @@ def retention_cohorts_events(sf_dir: str) -> pa.Table:
 
     ds = _read(sf_dir, "events", ["ts", "user_id"])
 
-    def local(batch: pa.Table) -> pd.DataFrame:
+    def local(batch: pa.Table) -> pa.Table:
         day = pc.floor_temporal(batch.column("ts"), unit="day")
         df = pd.DataFrame({"user_id": batch.column("user_id")
                            .to_numpy(zero_copy_only=False),
                            "day": day.to_numpy(zero_copy_only=False)})
-        return df.drop_duplicates()
+        return from_pandas_clean(df.drop_duplicates())
 
-    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+    def per_partition(g: pd.DataFrame) -> pa.Table:
         g = g.drop_duplicates(["user_id", "day"])
         cohort = g.groupby("user_id")["day"].transform("min")
         out = pd.DataFrame({
             "cohort": cohort,
             "day_offset": (g["day"] - cohort).dt.days.astype("int64")})
-        return (out.groupby(["cohort", "day_offset"], as_index=False)
-                .size().rename(columns={"size": "n"}))
+        return from_pandas_clean(
+            out.groupby(["cohort", "day_offset"], as_index=False)
+            .size().rename(columns={"size": "n"}))
 
     cells = (with_coarse_partition(
         ds.map_batches(local, batch_format="pyarrow"), "user_id")
@@ -4398,7 +4401,7 @@ def full_outer_join_orders_customer(sf_dir: str) -> pa.Table:
         ).groupby(["has_order", "has_cust"], as_index=False).agg(
             n=("custkey", "size"), sum_price_c=("price_c", "sum"),
             sum_acct_c=("acct_c", "sum"))
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return from_pandas_clean(g, preserve_index=False)
 
     acc: dict[tuple, list[int]] = {}
     for r in collect_pylist(
@@ -4875,7 +4878,7 @@ def mutual_info_orders(sf_dir: str) -> pa.Table:
             "p": batch.column("o_orderpriority").to_pylist(),
             "s": batch.column("o_orderstatus").to_pylist(), "c": 1})
         g = df.groupby(["p", "s"], as_index=False).sum()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return from_pandas_clean(g, preserve_index=False)
 
     joint = {(r["p"], r["s"]): int(r["c"])
              for r in collect_pylist(
@@ -5497,7 +5500,7 @@ def cusum_changepoint_events(sf_dir: str) -> pa.Table:
                     .to_numpy(zero_copy_only=False) * 100).astype(np.int64)
         df = pd.DataFrame({"day": day.to_pylist(), "s": u, "c": 1})
         g = df.groupby("day", as_index=False).sum()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return from_pandas_clean(g, preserve_index=False)
 
     rows = sorted(collect_pylist(
         ds.map_batches(partial, batch_format="pyarrow")
@@ -5810,7 +5813,7 @@ def top3_customers_per_segment(sf_dir: str) -> pa.Table:
         df["seg"] = df["custkey"].map(seg_map)
         df = df.sort_values(["seg", "cents", "custkey"],
                             ascending=[True, False, True])
-        return pa.Table.from_pandas(df.groupby("seg", as_index=False).head(3),
+        return from_pandas_clean(df.groupby("seg", as_index=False).head(3),
                                     preserve_index=False)
 
     cand = collect_pylist(spend.map_batches(top3_partial,
@@ -6921,14 +6924,14 @@ def basket_lift_events(sf_dir: str) -> pa.Table:
 
     ds = _read(sf_dir, "events", ["user_id", "event_type"])
 
-    def local(batch: pa.Table) -> pd.DataFrame:
+    def local(batch: pa.Table) -> pa.Table:
         df = pd.DataFrame({
             "user_id": batch.column("user_id").to_numpy(zero_copy_only=False),
             "event_type": batch.column("event_type")
             .to_numpy(zero_copy_only=False)})
-        return df.drop_duplicates()
+        return from_pandas_clean(df.drop_duplicates())
 
-    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+    def per_partition(g: pd.DataFrame) -> pa.Table:
         ut = g.drop_duplicates(["user_id", "event_type"])
         singles = (ut.groupby("event_type", as_index=False).size()
                    .rename(columns={"event_type": "a", "size": "n"}))
@@ -6943,7 +6946,7 @@ def basket_lift_events(sf_dir: str) -> pa.Table:
         out = pd.concat([singles[["a", "b", "n"]], pairs[["a", "b", "n"]],
                          nu], ignore_index=True)
         out["n"] = out["n"].astype("int64")
-        return out
+        return from_pandas_clean(out)
 
     counts = collect_pylist(
         with_coarse_partition(

@@ -19,6 +19,7 @@ from __future__ import annotations
 from typing import Any
 
 from tanml_ray.registry import CheckResult
+from tanml_ray.sources.ingest import read_parquet_clean
 
 DRIFT_SEVERE_PSI = 0.2
 STRESS_DELTA_MAX = 0.1
@@ -132,7 +133,7 @@ def run_full_report(input_dir: str, out_dir: str,
         from tanml_ray.pipelines.drift import DriftBaseline, compute_drift
 
         baseline = DriftBaseline.load(baseline_artifact)
-        table, drift_summary = compute_drift(baseline, rd.read_parquet(input_dir))
+        table, drift_summary = compute_drift(baseline, read_parquet_clean(input_dir))
         pq.write_table(table, os.path.join(out_dir, "drift.parquet"))
         report["drift_summary"] = drift_summary
         report["drift_table"] = table.to_pylist()

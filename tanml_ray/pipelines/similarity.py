@@ -19,6 +19,7 @@ import pandas as pd
 import pyarrow as pa
 
 from tanml_ray.functions.collect import collect_pylist
+from tanml_ray.sources.ingest import read_parquet_clean
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:
@@ -291,7 +292,7 @@ def knn_cosine_ivf_indexed(index_dir: str, queries: dict[int, np.ndarray],
         return pa.table({"query_id": pa.array([], type=pa.int64()),
                          "vec_id": pa.array([], type=pa.int64()),
                          "sim": pa.array([], type=pa.float64())})
-    return knn_cosine(rd.read_parquet(paths), queries, k=k,
+    return knn_cosine(read_parquet_clean(paths), queries, k=k,
                       id_col=meta["id_col"], vec_col=meta["vec_col"])
 
 
@@ -343,7 +344,7 @@ def knn_cosine_lsh_indexed(index_dir: str, queries: dict[int, np.ndarray],
         return pa.table({"query_id": pa.array([], type=pa.int64()),
                          "vec_id": pa.array([], type=pa.int64()),
                          "sim": pa.array([], type=pa.float64())})
-    ds = rd.read_parquet(paths)
+    ds = read_parquet_clean(paths)
     return knn_cosine(ds, queries, k=k, id_col=id_col, vec_col=vec_col)
 
 
@@ -751,7 +752,7 @@ def knn_cosine_ivfpq(index_dir: str, queries: dict[int, np.ndarray],
                          "sim": pa.array(np.take_along_axis(sims, idx, axis=1)
                                          .ravel(), type=pa.float64())})
 
-    partials = rd.read_parquet(paths).map_batches(local_topk,
+    partials = read_parquet_clean(paths).map_batches(local_topk,
                                                   batch_format="pyarrow")
     return _merge_topk(collect_pylist(partials), k,
                        exclude_self=exclude_self)

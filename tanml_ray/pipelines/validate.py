@@ -38,6 +38,7 @@ from tanml_ray.stages.constraints import (
     evaluate_constraints,
 )
 from tanml_ray.stages.profile import make_profile_partials
+from tanml_ray.sources.ingest import read_parquet_clean
 
 MIXED_SCHEMA = pa.schema([
     ("kind", pa.string()),            # violation | status | partial | uhash
@@ -202,7 +203,7 @@ def run_pages_validation(source, out_dir: str | None = None,
     import ray.data as rd
 
     if isinstance(source, str):
-        ds = rd.read_parquet(source, include_paths=True,
+        ds = read_parquet_clean(source, include_paths=True,
                              override_num_blocks=override_num_blocks)
     else:
         ds = source
@@ -409,7 +410,7 @@ def run_pages_validation(source, out_dir: str | None = None,
             # bounded by the candidate row count (true dups + rare
             # collision partners), not the input size
             if isinstance(source, str):
-                resolve_src = rd.read_parquet(source, columns=["url"])
+                resolve_src = read_parquet_clean(source, columns=["url"])
             else:
                 resolve_src = ds.select_columns(["url"])
             resolved = collect_pylist(

@@ -20,6 +20,33 @@ import pyarrow.compute as pc
 NA_TOKENS = ["?", "NA", "", "NULL", "null", "N/A", "na"]
 
 
+def read_parquet_clean(paths, columns: list[str] | None = None, **kwargs):
+    """`ray.data.read_parquet` with the file's b'pandas' schema
+    metadata stripped AT THE READ (via an explicit metadata-free
+    `schema=`), so every downstream block schema is hashable and Ray
+    Data's block-schema deduplication works — pandas-written parquet
+    (all the testdata tables) otherwise makes `hash(schema)` raise
+    "unhashable type: 'dict'" in every fused read stage. No extra
+    stage; the parquet row-count fast path for `ds.count()` is
+    preserved (a strip map_batches would lose it)."""
+    import ray.data as rd
+
+    if "schema" not in kwargs:
+        import pyarrow.parquet as pq
+
+        first = paths[0] if isinstance(paths, (list, tuple)) else paths
+        try:
+            sch = pq.read_schema(first)
+        except Exception:
+            sch = None  # directory / remote path — let Ray infer
+        if sch is not None and sch.metadata:
+            sch = sch.remove_metadata()
+            if columns is not None:
+                sch = pa.schema([sch.field(c) for c in columns])
+            kwargs["schema"] = sch
+    return rd.read_parquet(paths, columns=columns, **kwargs)
+
+
 def read_csv_normalized(paths, delimiter: str = ",", **kwargs):
     """ray.data CSV reader with the reference's null-token handling."""
     from pyarrow import csv as pacsv
@@ -157,7 +184,7 @@ def read_any(path: str, **kwargs):
 
     ext = os.path.splitext(path)[1].lower()
     if ext == ".parquet":
-        return rd.read_parquet(path, **kwargs)
+        return read_parquet_clean(path, **kwargs)
     if ext == ".csv":
         return read_csv_normalized(path, **kwargs)
     if ext in (".tsv", ".tab"):
@@ -321,8 +348,9 @@ def read_xlsx_table(path: str, sheet_index: int = 0) -> pa.Table:
             cols[i].append(r.get(i))
     import pandas as pd
 
-    return pa.Table.from_pandas(pd.DataFrame(dict(zip(names, cols))),
-                                preserve_index=False)
+    from tanml_ray.functions.collect import from_pandas_clean
+
+    return from_pandas_clean(pd.DataFrame(dict(zip(names, cols))))
 
 
 def read_xlsx(path: str, sheet_index: int = 0):

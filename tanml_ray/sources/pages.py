@@ -28,6 +28,7 @@ import pandas as pd
 import pyarrow as pa
 
 from tanml_ray.functions.html_text import render_html
+from tanml_ray.sources.ingest import read_parquet_clean
 
 TS_BASE_US = np.int64(pd.Timestamp("2025-01-01").value // 1000)   # timestamp[us]
 TS_END_US = np.int64(pd.Timestamp("2025-04-01").value // 1000)    # valid range end
@@ -138,7 +139,7 @@ def pages_dataset(sf_dir: str, variant: str = "baseline", repeat: int = 1,
     """Lazy Ray Dataset of synthetic pages derived from sf_dir/documents."""
     import ray.data as rd
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text", "lang"],
                          override_num_blocks=override_num_blocks)
     return ds.map_batches(

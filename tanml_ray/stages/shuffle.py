@@ -66,7 +66,21 @@ def salted_group_sum(ds, key_cols: list[str], value_col: str,
     return stage2
 
 
-def with_coarse_partition(ds, key_col: str, n_partitions: int = 64,
+def auto_partitions(ds, floor: int = 64, per_file: int = 4) -> int:
+    """Coarse-partition count scaled to the input: ~`per_file` coarse
+    partitions per input file (file count is the only size signal
+    available without executing a lazy Dataset), never below `floor`.
+    Keeps per-partition task memory bounded as the corpus grows — a
+    FIXED P=64 over 10⁹ users would put ~1.6×10⁷ users' rows into one
+    pandas group per task."""
+    try:
+        n_files = len(ds.input_files())
+    except Exception:
+        n_files = 0
+    return max(floor, per_file * n_files)
+
+
+def with_coarse_partition(ds, key_col: str, n_partitions: int | None = None,
                           part_col: str = "__upart"):
     """Append ``hash(key) % P`` as an int32 partition column.
 
@@ -75,7 +89,14 @@ def with_coarse_partition(ds, key_col: str, n_partitions: int = 64,
     exactly ONE coarse partition, so a per-partition vectorized
     resolution is correct, while the shuffle fans into P groups instead
     of one map_groups call per key (at 10⁸+ keys the per-group task
-    overhead dominates everything else)."""
+    overhead dominates everything else).
+
+    ``n_partitions=None`` (default) scales P with the input via
+    `auto_partitions`; pass an explicit P only when a downstream
+    contract needs a fixed fan-out."""
+    if n_partitions is None:
+        n_partitions = auto_partitions(ds)
+
     def add_part(batch: pa.Table) -> pa.Table:
         keys = batch.column(key_col).to_numpy(zero_copy_only=False)
         if keys.dtype == object:
@@ -89,7 +110,7 @@ def with_coarse_partition(ds, key_col: str, n_partitions: int = 64,
 
 
 def sessionize(ds, user_col: str, ts_col: str, gap_minutes: float = 30.0,
-               user_partitions: int = 64):
+               user_partitions: int | None = None):
     """Stream-shaped sessionization (ray_guide 'Streaming-shaped
     workloads'): partition by user, sort by ts within the user, split
     sessions at gaps > gap_minutes. Returns (user, session_id,

@@ -33,6 +33,7 @@ from typing import Any
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
+from tanml_ray.sources.ingest import read_parquet_clean
 
 ENGINE_VERSION = "1"
 
@@ -106,7 +107,7 @@ def run_resumable_validation(input_dir: str, out_dir: str,
     processed = 0
     for w in range(0, len(todo), wave_size):
         wave = todo[w:w + wave_size]
-        ds = rd.read_parquet(wave, include_paths=True)
+        ds = read_parquet_clean(wave, include_paths=True)
         mixed = ds.map_batches(ValidateBatch(constraints=cons),
                                batch_format="pyarrow").materialize()
 

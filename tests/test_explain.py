@@ -121,11 +121,11 @@ class TestLogisticCVBenchmark:
 
         out = model_benchmark(_ds(self._tbl(n=3000)), ["x1", "x2"], "y",
                               "k", k=3).to_pylist()
-        assert len(out) == 9  # 3 families × 3 folds
+        assert len(out) == 12  # 4 families × 3 folds
         models = [r["model"] for r in out]
         assert models == sorted(models)
-        assert set(models) == {"boosted_stumps", "linear_closed_form",
-                               "logistic_irls"}
+        assert set(models) == {"boosted_stumps", "gaussian_nb",
+                               "linear_closed_form", "logistic_irls"}
         # logistic uses both features, linear only x1 → logistic wins
         log_auc = np.mean([r["auc"] for r in out if r["model"] == "logistic_irls"])
         lin_auc = np.mean([r["auc"] for r in out if r["model"] == "linear_closed_form"])

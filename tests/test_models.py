@@ -61,7 +61,8 @@ class TestEstimatorRegistry:
     def test_fit_and_predict_each_family(self):
         from tanml_ray.models import ESTIMATORS
 
-        assert ESTIMATORS.list_names() == ["boosted_stumps", "kmeans_lloyd",
+        assert ESTIMATORS.list_names() == ["boosted_stumps", "gaussian_nb",
+                                           "kmeans_lloyd",
                                            "linear_closed_form",
                                            "logistic_irls"]
         rng = np.random.default_rng(8)
@@ -87,6 +88,45 @@ class TestEstimatorRegistry:
         km = ESTIMATORS.fit("kmeans_lloyd", ds, ["x1", "x2"], k=4)
         labels = km.predict(np.column_stack([x1, x2])[:100])
         assert set(np.unique(labels)) <= {0.0, 1.0, 2.0, 3.0}
+
+        nb = ESTIMATORS.fit("gaussian_nb", ds, ["x1", "x2"], "y_cls")
+        s_hi = nb.predict(np.array([[2.0, 0.0]]))[0]
+        s_lo = nb.predict(np.array([[-2.0, 0.0]]))[0]
+        assert s_hi > 0.0 > s_lo   # log posterior odds separate classes
+
+    def test_gaussian_nb_matches_numpy_and_partitioning(self):
+        """Distributed sufficient-statistics NB == driver-side numpy NB
+        exactly (up to fp sum order), invariant to partition count."""
+        from tanml_ray.models import ESTIMATORS
+
+        rng = np.random.default_rng(17)
+        n = 3000
+        x1 = rng.normal(0, 1, n)
+        x2 = rng.normal(0, 2, n)
+        y = (x1 + 0.5 * x2 + rng.normal(0, 1, n) > 0).astype(np.int64)
+        t = pa.table({"x1": x1, "x2": x2, "y": y})
+
+        m3 = ESTIMATORS.fit("gaussian_nb", _ds(t, parts=3), ["x1", "x2"], "y")
+        m11 = ESTIMATORS.fit("gaussian_nb", _ds(t, parts=11), ["x1", "x2"], "y")
+
+        X = np.column_stack([x1, x2])
+        mu = np.stack([X[y == c].mean(axis=0) for c in (0, 1)])
+        var = np.stack([X[y == c].var(axis=0) for c in (0, 1)])
+        var += 1e-9 * var.max()
+        assert m3.means == pytest.approx(mu, rel=1e-9)
+        assert m3.vars == pytest.approx(var, rel=1e-6)
+        assert m3.priors[1] == pytest.approx((y == 1).mean(), rel=1e-12)
+        # partition invariance of predictions
+        q = np.array([[0.3, -1.2], [-0.7, 0.4], [2.0, 2.0]])
+        assert m3.predict(q) == pytest.approx(m11.predict(q), rel=1e-9)
+
+        # matches the exact closed-form NB log-odds on a probe point
+        def ll(xrow, c):
+            return (-0.5 * (np.log(2 * np.pi * var[c])
+                            + (xrow - mu[c]) ** 2 / var[c])).sum()
+        pri = [(y == 0).mean(), (y == 1).mean()]
+        want = np.log(pri[1]) - np.log(pri[0]) + ll(q[0], 1) - ll(q[0], 0)
+        assert m3.predict(q[:1])[0] == pytest.approx(want, rel=1e-9)
 
     def test_unknown_and_duplicate_rejected(self):
         from tanml_ray.models import ESTIMATORS
