@@ -382,17 +382,8 @@ def oracle_sql() -> dict[str, str]:
         "score_ks_orders": q.SCORE_KS_SQL,
         "gains_lift_orders": q.GAINS_LIFT_SQL,
         "score_psi_orders": q.SCORE_PSI_SQL,
-        "shuffle_shards_documents": q.SHUFFLE_SHARDS_SQL,
-        "hopping_window_events": q.HOPPING_WINDOW_SQL,
-        "temperature_mix_documents": q.TEMPERATURE_MIX_SQL,
-        "curate_documents_stats": q.CURATE_STATS_SQL,
-        "logistic_step_orders": q.LOGISTIC_STEP_SQL,
-        "kendall_lineitem": q.KENDALL_FULL_SQL,
-        "woe_iv_orders": q.WOE_IV_SQL,
-        "score_ks_orders": q.SCORE_KS_SQL,
-        "gains_lift_orders": q.GAINS_LIFT_SQL,
-        "score_psi_orders": q.SCORE_PSI_SQL,
-        # logistic_cv / boosted stumps (iterative fits) and the
-        # PQ-compressed ANN variants remain rows-only driver checks;
-        # verified in pytest instead.
+        "logistic_cv_orders": q.LOGISTIC_CV_SQL,
+        # converged-IRLS logistic CV / boosted stumps (iterative fits)
+        # and the PQ-compressed ANN variants remain rows-only driver
+        # checks; verified in pytest instead.
     }

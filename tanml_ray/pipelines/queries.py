@@ -2722,10 +2722,17 @@ FROM u ORDER BY rank
 
 
 # ---------------------------------------------------------------------------
-# IRLS logistic K-fold CV (pipelines/explain.py) — iterative fit is not
-# SQL-expressible → rows-only driver check; coefficient recovery and
-# fold accounting are pytest-verified (tests/test_logistic.py,
-# test_explain.py).
+# Logistic K-fold CV (pipelines/explain.py), FIXED-STEP configuration:
+# max_iter is pinned to TWO Newton steps, which makes every per-fold
+# coefficient a closed-form expression of train-fold sufficient
+# statistics — step 1 is the β=0 start (W = I/4, β₁ = 4·(XᵀX)⁻¹Xᵀ(y−½),
+# the Cramer solve proven by logistic_step_orders), step 2 re-weights
+# per-row through μ = σ(Xβ₁) and solves H δ = Xᵀ(y−μ) once more. The
+# DuckDB oracle unrolls both steps per fold and replicates the exact
+# midrank Mann-Whitney AUC + accuracy@0.5 of metrics.auc_exact, so the
+# full CV pipeline (fold split → 2-pass distributed fit → score →
+# rank) is hash-verified end-to-end. Converged-IRLS CV keeps its
+# rows-only contract under logistic_cv_repeated_orders.
 # ---------------------------------------------------------------------------
 
 def logistic_cv_orders(sf_dir: str) -> pa.Table:
@@ -2747,7 +2754,87 @@ def logistic_cv_orders(sf_dir: str) -> pa.Table:
         })
 
     return logistic_cv(ds.map_batches(derive, batch_format="pyarrow"),
-                       ["x1", "x2"], "label", "o_orderkey", k=3, max_iter=6)
+                       ["x1", "x2"], "label", "o_orderkey", k=3, max_iter=2)
+
+
+def _logistic_cv_sql(k: int = 3) -> str:
+    """Generate the unrolled k-fold two-Newton-step logistic CV oracle.
+
+    Per fold: Cramer 3×3 solves for both Newton steps on the train
+    folds (symmetric normal matrix [[A,B,C],[B,D,E],[C,E,F]]), sigmoid
+    scores on the test fold, midrank-tie AUC via
+    rank() + count() OVER (PARTITION BY score), accuracy@0.5."""
+    blocks, selects = [], []
+    for f in range(k):
+        blocks.append(f"""
+tr_{f} AS (SELECT x1, x2, y FROM feat WHERE okey % {k} <> {f}),
+te_{f} AS (SELECT x1, x2, y FROM feat WHERE okey % {k} = {f}),
+s1_{f} AS (
+  SELECT CAST(count(*) AS DOUBLE) AS a, sum(x1) AS b, sum(x2) AS c,
+         sum(x1*x1) AS d, sum(x1*x2) AS e, sum(x2*x2) AS f,
+         sum(y - 0.5) AS g0, sum(x1*(y - 0.5)) AS g1,
+         sum(x2*(y - 0.5)) AS g2
+  FROM tr_{f}
+), b1_{f} AS (
+  SELECT 4 * (g0*(d*f - e*e) - b*(g1*f - e*g2) + c*(g1*e - d*g2))
+           / (a*(d*f - e*e) - b*(b*f - e*c) + c*(b*e - d*c)) AS c0,
+         4 * (a*(g1*f - g2*e) - g0*(b*f - e*c) + c*(b*g2 - g1*c))
+           / (a*(d*f - e*e) - b*(b*f - e*c) + c*(b*e - d*c)) AS c1,
+         4 * (a*(d*g2 - g1*e) - b*(b*g2 - g1*c) + g0*(b*e - d*c))
+           / (a*(d*f - e*e) - b*(b*f - e*c) + c*(b*e - d*c)) AS c2
+  FROM s1_{f}
+), m_{f} AS (
+  SELECT x1, x2, y,
+         1.0 / (1.0 + exp(-(c0 + c1*x1 + c2*x2))) AS mu
+  FROM tr_{f}, b1_{f}
+), s2_{f} AS (
+  SELECT sum(mu*(1-mu)) AS a, sum(mu*(1-mu)*x1) AS b,
+         sum(mu*(1-mu)*x2) AS c, sum(mu*(1-mu)*x1*x1) AS d,
+         sum(mu*(1-mu)*x1*x2) AS e, sum(mu*(1-mu)*x2*x2) AS f,
+         sum(y - mu) AS g0, sum(x1*(y - mu)) AS g1,
+         sum(x2*(y - mu)) AS g2
+  FROM m_{f}
+), b2_{f} AS (
+  SELECT b1.c0 + (g0*(d*f - e*e) - b*(g1*f - e*g2) + c*(g1*e - d*g2))
+           / (a*(d*f - e*e) - b*(b*f - e*c) + c*(b*e - d*c)) AS c0,
+         b1.c1 + (a*(g1*f - g2*e) - g0*(b*f - e*c) + c*(b*g2 - g1*c))
+           / (a*(d*f - e*e) - b*(b*f - e*c) + c*(b*e - d*c)) AS c1,
+         b1.c2 + (a*(d*g2 - g1*e) - b*(b*g2 - g1*c) + g0*(b*e - d*c))
+           / (a*(d*f - e*e) - b*(b*f - e*c) + c*(b*e - d*c)) AS c2
+  FROM s2_{f}, b1_{f} b1
+), sc_{f} AS (
+  SELECT y, 1.0 / (1.0 + exp(-(c0 + c1*x1 + c2*x2))) AS s
+  FROM te_{f}, b2_{f}
+), rk_{f} AS (
+  SELECT y, s, rank() OVER (ORDER BY s) AS rmin,
+         count(*) OVER (PARTITION BY s) AS grp
+  FROM sc_{f}
+), ag_{f} AS (
+  SELECT sum(CASE WHEN y = 1 THEN rmin + (grp - 1) / 2.0 END) AS rpos,
+         sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS np,
+         sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS nn,
+         count(*) AS n,
+         sum(CASE WHEN (s >= 0.5) = (y = 1) THEN 1 ELSE 0 END) AS hit
+  FROM rk_{f}
+)""")
+        selects.append(
+            f"SELECT CAST(0 AS BIGINT) AS rep, CAST({f} AS BIGINT) AS fold, "
+            f"CAST(n AS BIGINT) AS n_test, "
+            f"round((rpos - np*(np+1)/2.0) / (np*nn), 6) AS auc, "
+            f"round(hit * 1.0 / n, 6) AS accuracy FROM ag_{f}")
+    return ("WITH feat AS (\n"
+            "  SELECT o_orderkey AS okey,\n"
+            "         (9131 - datediff('day', DATE '1970-01-01',\n"
+            "                          CAST(o_orderdate AS DATE))) / 365.0 AS x1,\n"
+            "         CAST(o_totalprice AS DOUBLE) / 100000.0 AS x2,\n"
+            "         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y\n"
+            "  FROM orders\n"
+            ")," + ",".join(blocks)
+            + "\nSELECT * FROM (\n" + "\nUNION ALL ".join(selects)
+            + ") ORDER BY fold")
+
+
+LOGISTIC_CV_SQL = _logistic_cv_sql(3)
 
 
 def model_family_benchmark_orders(sf_dir: str) -> pa.Table:
