@@ -1902,85 +1902,28 @@ FROM ranked
 
 # ---------------------------------------------------------------------------
 # A11 exact FULL-CORPUS Spearman (reference analysis/correlation.py:
-# 23-42 method="spearman") without a global sort: midranks from
-# integer-grid value counts. Pass 1: per-column (value, count) partials
-# through one grid-bounded shuffle; the driver turns merged counts into
-# per-value midranks (rank = below + (t+1)/2, so 2·rank is an integer).
-# Pass 2: every row maps to its doubled ranks via broadcast
-# searchsorted lookups and reduces integer sufficient statistics — one
-# int64 partial row per batch, summed in arbitrary-precision Python on
-# the driver (O(blocks) rows), so ρ is EXACT-rational until the final
-# division. int64 partials are exact while batch_rows·(2n)² < 2⁶³
-# (n ≲ 10⁶ with 10⁵-row batches; beyond that the partial needs a
-# 128-bit split — documented, not silently lossy).
+# 23-42 method="spearman") over the RAW CONTINUOUS columns — no
+# integer-grid precondition: stages/rank.spearman_continuous range-
+# partitions each column by sampled cut values (side='right' binning
+# keeps tie groups whole, so within-bin midranks are globally exact
+# for ANY cut choice), chains the x-rank pass into the y-rank pass so
+# no row-id join is needed, and reduces per-bin arbitrary-precision
+# sufficient statistics — exact at any corpus size, no driver LUT.
+# The retired grid-LUT variant required both columns on bounded
+# integer grids; this path ranks arbitrary float columns, matching
+# the oracle's rank-over-raw-value semantics term for term.
 # ---------------------------------------------------------------------------
 
 def spearman_lineitem(sf_dir: str) -> pa.Table:
-    import ray
-    from ray.data.aggregate import Sum
+    from tanml_ray.stages.rank import spearman_continuous
 
     ds = _read(sf_dir, "lineitem", ["l_quantity", "l_extendedprice"])
-
-    def grids(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
-        q = np.rint(batch.column("l_quantity")
-                    .to_numpy(zero_copy_only=False)).astype(np.int64)
-        p = np.rint(batch.column("l_extendedprice")
-                    .to_numpy(zero_copy_only=False) * 100).astype(np.int64)
-        return q, p
-
-    def vc(batch: pa.Table) -> pa.Table:
-        q, p = grids(batch)
-        vq, cq = np.unique(q, return_counts=True)
-        vp, cp = np.unique(p, return_counts=True)
-        return pa.table({
-            "col": pa.array(["q"] * len(vq) + ["p"] * len(vp),
-                            type=pa.string()),
-            "v": pa.array(np.concatenate([vq, vp]), type=pa.int64()),
-            "n": pa.array(np.concatenate([cq, cp]), type=pa.int64())})
-
-    counts = collect_pylist(
-        ds.map_batches(vc, batch_format="pyarrow")
-        .groupby(["col", "v"]).aggregate(Sum("n", alias_name="n")))
-    lut: dict[str, tuple[np.ndarray, np.ndarray]] = {}
-    for colkey in ("q", "p"):
-        rows = sorted((r for r in counts if r["col"] == colkey),
-                      key=lambda r: r["v"])
-        vals = np.array([r["v"] for r in rows], dtype=np.int64)
-        cnts = np.array([r["n"] for r in rows], dtype=np.int64)
-        below = np.concatenate([[0], np.cumsum(cnts)[:-1]])
-        # doubled midrank: 2·(below + (t+1)/2) = 2·below + t + 1
-        lut[colkey] = (vals, (2 * below + cnts + 1).astype(np.int64))
-    ref = ray.put(lut)
-
-    def partial(batch: pa.Table) -> pa.Table:
-        import ray as _ray
-
-        lk = _ray.get(ref)
-        q, p = grids(batch)
-        rq = lk["q"][1][np.searchsorted(lk["q"][0], q)]
-        rp = lk["p"][1][np.searchsorted(lk["p"][0], p)]
-        return pa.table({
-            "n": pa.array([len(q)], type=pa.int64()),
-            "sx": pa.array([int(rq.sum())], type=pa.int64()),
-            "sy": pa.array([int(rp.sum())], type=pa.int64()),
-            "sxx": pa.array([int((rq * rq).sum())], type=pa.int64()),
-            "syy": pa.array([int((rp * rp).sum())], type=pa.int64()),
-            "sxy": pa.array([int((rq * rp).sum())], type=pa.int64())})
-
-    n = sx = sy = sxx = syy = sxy = 0
-    for r in collect_pylist(ds.map_batches(partial, batch_format="pyarrow")):
-        n += int(r["n"])
-        sx += int(r["sx"])
-        sy += int(r["sy"])
-        sxx += int(r["sxx"])
-        syy += int(r["syy"])
-        sxy += int(r["sxy"])
-    num = n * sxy - sx * sy
-    den2 = (n * sxx - sx * sx) * (n * syy - sy * sy)
-    rho = float(num) / float(np.sqrt(float(den2))) if den2 > 0 else float("nan")
-    return pa.table({"n": pa.array([n], type=pa.int64()),
-                     "spearman_rho": pa.array([_round6(rho)],
+    out = spearman_continuous(ds, "l_quantity", "l_extendedprice")
+    return pa.table({"n": pa.array([out["n"]], type=pa.int64()),
+                     "spearman_rho": pa.array([_round6(out["rho"])],
                                               type=pa.float64())})
+
+
 
 
 SPEARMAN_FULL_SQL = """
