@@ -383,7 +383,8 @@ def oracle_sql() -> dict[str, str]:
         "gains_lift_orders": q.GAINS_LIFT_SQL,
         "score_psi_orders": q.SCORE_PSI_SQL,
         "logistic_cv_orders": q.LOGISTIC_CV_SQL,
+        "knn_cosine_pq_embeddings": q.PQ_KNN_SQL,
+        "knn_cosine_ivfpq_embeddings": q.IVFPQ_KNN_SQL,
         # converged-IRLS logistic CV / boosted stumps (iterative fits)
-        # and the PQ-compressed ANN variants remain rows-only driver
-        # checks; verified in pytest instead.
+        # remain rows-only driver checks; verified in pytest instead.
     }

@@ -916,8 +916,11 @@ def knn_cosine_lsh_embeddings(sf_dir: str) -> pa.Table:
 
 def knn_cosine_ivf_embeddings(sf_dir: str) -> pa.Table:
     """Approximate IVF top-k over a centroid-partitioned index built
-    under /tmp — rows-only check (recall vs exact is the pytest
-    contract, tests/test_dedup_text.py TestIvfIndexedKnn)."""
+    under /tmp. Driver oracle: the exact KNN_SQL — n_probe=6 covers
+    the true top-10 on both fixture scales (verified), so the
+    build→prune→re-rank machinery is checked end-to-end; recall vs
+    exact also stays a pytest contract (tests/test_dedup_text.py
+    TestIvfIndexedKnn)."""
     import os
 
     from tanml_ray.pipelines.similarity import (
@@ -4732,8 +4735,13 @@ FROM norm ORDER BY doc_id
 
 
 def knn_cosine_pq_embeddings(sf_dir: str) -> pa.Table:
-    """Approximate PQ/ADC top-k — rows-only check (recall vs exact is
-    the pytest contract, tests/test_shuffle.py::test_pq_*)."""
+    """Approximate PQ/ADC top-k with a FULL SQL oracle: the codebook
+    training is deterministic (md5-sampled seeds + 5 Lloyd iterations,
+    no RNG, partition-order independent), so the entire pipeline —
+    seed selection, every Lloyd re-assignment/re-average, encoding,
+    and the asymmetric-distance top-k — unrolls into one DuckDB query
+    (PQ_KNN_SQL). Recall vs the exact scan stays the pytest contract
+    (tests/test_shuffle.py::test_pq_*)."""
     from tanml_ray.pipelines.similarity import (
         build_pq_codebook,
         knn_cosine_pq,
@@ -4745,6 +4753,85 @@ def knn_cosine_pq_embeddings(sf_dir: str) -> pa.Table:
     codes = pq_encode(ds, cb).materialize()
     return knn_cosine_pq(codes, cb, _query_vectors(sf_dir, _KNN_QUERY_IDS),
                          k=10)
+
+
+def _pq_knn_sql(m: int = 8, ksub: int = 16, dim: int = 64, iters: int = 5,
+                k: int = 10, query_ids: tuple[int, ...] = _KNN_QUERY_IDS) -> str:
+    """Generate the unrolled PQ/ADC oracle: normalize → md5-ordered
+    seeds → `iters` Lloyd steps per sub-space (argmin re-assignment
+    with (dist, j) tie order = np.argmin's first-min; empty clusters
+    keep the old centroid via coalesce, matching the nz-mask update)
+    → final codes → per-query ADC sim = Σ q·centroid[code], top-k by
+    raw sim with vec_id tiebreak."""
+    dsub = dim // m
+    parts = [f"""
+WITH vraw AS MATERIALIZED (
+  SELECT vec_id, CAST(t.i AS BIGINT) AS dimn,
+         CAST(embedding[t.i] AS DOUBLE) AS val
+  FROM embeddings, range(1, {dim + 1}) t(i)
+), nrm AS MATERIALIZED (
+  SELECT vec_id, greatest(sqrt(sum(val*val)), 1e-30) AS nv
+  FROM vraw GROUP BY 1
+), vsub AS MATERIALIZED (
+  SELECT v.vec_id, (v.dimn - 1) // {dsub} AS sub,
+         (v.dimn - 1) % {dsub} AS sd, v.val / n.nv AS val
+  FROM vraw v JOIN nrm n USING (vec_id)
+), seeds AS MATERIALIZED (
+  SELECT vec_id,
+         row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS j
+  FROM embeddings
+  ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {ksub}
+), c_0 AS MATERIALIZED (
+  SELECT vs.sub, s.j, vs.sd, vs.val AS c
+  FROM seeds s JOIN vsub vs ON vs.vec_id = s.vec_id
+)"""]
+    prev = "c_0"
+    for t in range(1, iters + 1):
+        parts.append(f""", a_{t} AS MATERIALIZED (
+  SELECT vs.vec_id, vs.sub, ct.j, sum((vs.val - ct.c)*(vs.val - ct.c)) AS dist
+  FROM vsub vs JOIN {prev} ct ON ct.sub = vs.sub AND ct.sd = vs.sd
+  GROUP BY 1, 2, 3
+), asn_{t} AS MATERIALIZED (
+  SELECT vec_id, sub, j FROM a_{t}
+  QUALIFY row_number() OVER (PARTITION BY vec_id, sub
+                             ORDER BY dist, j) = 1
+), c_{t} AS MATERIALIZED (
+  SELECT ct.sub, ct.j, ct.sd, coalesce(u.c, ct.c) AS c
+  FROM {prev} ct LEFT JOIN (
+    SELECT a.sub, a.j, vs.sd, sum(vs.val) / count(*) AS c
+    FROM asn_{t} a JOIN vsub vs ON vs.vec_id = a.vec_id AND vs.sub = a.sub
+    GROUP BY 1, 2, 3
+  ) u ON u.sub = ct.sub AND u.j = ct.j AND u.sd = ct.sd
+)""")
+        prev = f"c_{t}"
+    qid_list = ", ".join(str(q) for q in query_ids)
+    parts.append(f""", af AS MATERIALIZED (
+  SELECT vs.vec_id, vs.sub, ct.j, sum((vs.val - ct.c)*(vs.val - ct.c)) AS dist
+  FROM vsub vs JOIN {prev} ct ON ct.sub = vs.sub AND ct.sd = vs.sd
+  GROUP BY 1, 2, 3
+), codes AS MATERIALIZED (
+  SELECT vec_id, sub, j FROM af
+  QUALIFY row_number() OVER (PARTITION BY vec_id, sub
+                             ORDER BY dist, j) = 1
+), vq AS MATERIALIZED (
+  SELECT vec_id AS query_id, sub, sd, val FROM vsub
+  WHERE vec_id IN ({qid_list})
+), sims AS MATERIALIZED (
+  SELECT qv.query_id, cd.vec_id, sum(qv.val * cf.c) AS sim
+  FROM codes cd
+  JOIN {prev} cf ON cf.sub = cd.sub AND cf.j = cd.j
+  JOIN vq qv ON qv.sub = cf.sub AND qv.sd = cf.sd
+  WHERE cd.vec_id <> qv.query_id
+  GROUP BY 1, 2
+)
+SELECT query_id, vec_id, round(sim, 6) AS sim FROM sims
+QUALIFY row_number() OVER (PARTITION BY query_id
+                           ORDER BY sim DESC, vec_id) <= {k}
+ORDER BY query_id, round(sim, 6) DESC, vec_id""")
+    return "".join(parts)
+
+
+PQ_KNN_SQL = _pq_knn_sql()
 
 
 # ---------------------------------------------------------------------------
@@ -4820,7 +4907,7 @@ def grouped_ols_lineitem(sf_dir: str) -> pa.Table:
 
 
 GROUPED_OLS_SQL = """
-WITH s AS (
+WITH s AS MATERIALIZED (
   SELECT l_returnflag,
          count(*) AS n,
          sum(CAST(round(l_quantity) AS BIGINT)) AS sx,
@@ -4865,16 +4952,16 @@ def embedding_covariance_embeddings(sf_dir: str) -> pa.Table:
 
 
 EMBEDDING_COV_SQL = """
-WITH dims AS (
+WITH dims AS MATERIALIZED (
   SELECT unnest(generate_series(1, 64)) AS i
-), pairs AS (
+), pairs AS MATERIALIZED (
   SELECT d1.i AS i, d2.i AS j FROM dims d1, dims d2 WHERE d1.i <= d2.i
-), q AS (
+), q AS MATERIALIZED (
   SELECT p.i, p.j,
          CAST(floor(CAST(embedding[p.i] AS DOUBLE) * 65536) AS BIGINT) AS xi,
          CAST(floor(CAST(embedding[p.j] AS DOUBLE) * 65536) AS BIGINT) AS xj
   FROM embeddings, pairs p
-), s AS (
+), s AS MATERIALIZED (
   SELECT i, j, count(*) AS n, sum(xi) AS si, sum(xj) AS sj,
          sum(xi*xj) AS sij
   FROM q GROUP BY i, j
@@ -4938,13 +5025,13 @@ def mutual_info_orders(sf_dir: str) -> pa.Table:
 
 
 MUTUAL_INFO_SQL = """
-WITH joint AS (
+WITH joint AS MATERIALIZED (
   SELECT o_orderpriority AS p, o_orderstatus AS s, count(*) AS c
   FROM orders GROUP BY p, s
 ), tot AS (SELECT sum(c) AS n FROM joint),
 px AS (SELECT p, sum(c) AS cx FROM joint GROUP BY p),
 py AS (SELECT s, sum(c) AS cy FROM joint GROUP BY s),
-cells AS (
+cells AS MATERIALIZED (
   SELECT px.p, px.cx, py.s, py.cy, coalesce(j.c, 0) AS c
   FROM px CROSS JOIN py
   LEFT JOIN joint j ON j.p = px.p AND j.s = py.s
@@ -5090,7 +5177,7 @@ def winsorize_totalprice(sf_dir: str) -> pa.Table:
 
 
 WINSORIZE_SQL = """
-WITH qs AS (
+WITH qs AS MATERIALIZED (
   SELECT quantile_cont(CAST(round(o_totalprice*100) AS BIGINT), 0.01)/100.0
            AS lo,
          quantile_cont(CAST(round(o_totalprice*100) AS BIGINT), 0.99)/100.0
@@ -5194,11 +5281,11 @@ def temperature_mix_documents(sf_dir: str) -> pa.Table:
 
 
 TEMPERATURE_MIX_SQL = """
-WITH have AS (
+WITH have AS MATERIALIZED (
   SELECT source, CAST(sum(len(regexp_extract_all(text, '\\S+'))) AS BIGINT)
          AS tokens
   FROM documents GROUP BY source
-), tot AS (
+), tot AS MATERIALIZED (
   SELECT sum(CAST(tokens AS DOUBLE)) AS t,
          sum(pow(tokens / (SELECT sum(CAST(tokens AS DOUBLE)) FROM have),
                  0.3)) AS z
@@ -5219,7 +5306,7 @@ def _mixture_sql() -> str:
     srcs = ", ".join(f"('{s}')" for s, _ in _MIX_WEIGHTS)
     return f"""
 WITH targets(source) AS (VALUES {srcs}),
-have AS (
+have AS MATERIALIZED (
   SELECT source, count(*) AS n_docs,
          sum(len(regexp_extract_all(text, '\\S+'))) AS tokens
   FROM documents GROUP BY source
@@ -5295,21 +5382,21 @@ def js_wasserstein_orders(sf_dir: str) -> pa.Table:
 
 
 JS_WASSERSTEIN_SQL = """
-WITH ca AS (
+WITH ca AS MATERIALIZED (
   SELECT CAST(round(o_totalprice*100) AS BIGINT) AS v, count(*) AS c
   FROM orders WHERE o_orderkey % 2 = 0 GROUP BY v
-), cb AS (
+), cb AS MATERIALIZED (
   SELECT CAST(round(o_totalprice*100) AS BIGINT) AS v, count(*) AS c
   FROM orders WHERE o_orderkey % 2 <> 0 GROUP BY v
-), grid AS (
+), grid AS MATERIALIZED (
   SELECT v FROM ca UNION SELECT v FROM cb
-), j AS (
+), j AS MATERIALIZED (
   SELECT g.v, coalesce(ca.c, 0) AS ca, coalesce(cb.c, 0) AS cb
   FROM grid g LEFT JOIN ca USING (v) LEFT JOIN cb USING (v)
-), tot AS (
+), tot AS MATERIALIZED (
   SELECT CAST(sum(ca) AS DOUBLE) AS na, CAST(sum(cb) AS DOUBLE) AS nb
   FROM j
-), w AS (
+), w AS MATERIALIZED (
   SELECT v, sum(ca) OVER (ORDER BY v) / tot.na AS fa,
          sum(cb) OVER (ORDER BY v) / tot.nb AS fb,
          lead(v) OVER (ORDER BY v) AS nv,
@@ -5364,19 +5451,19 @@ def ridge_path_orders(sf_dir: str) -> pa.Table:
 
 
 RIDGE_PATH_SQL = """
-WITH p AS (
+WITH p AS MATERIALIZED (
   SELECT CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS DOUBLE) AS x1,
          CAST(o_custkey AS DOUBLE) AS x2,
          CAST(o_totalprice AS DOUBLE) AS y
   FROM orders
-), s AS (
+), s AS MATERIALIZED (
   SELECT CAST(count(*) AS DOUBLE) AS n, sum(x1) AS s1, sum(x2) AS s2,
          sum(y) AS sy, sum(x1*x1) AS s11, sum(x1*x2) AS s12,
          sum(x2*x2) AS s22, sum(x1*y) AS s1y, sum(x2*y) AS s2y,
          sum(y*y) AS syy
   FROM p
 ), lam(l) AS (VALUES (0.0), (1e9), (1e12)),
-d AS (
+d AS MATERIALIZED (
   SELECT s.*, lam.l,
          (n+l)*((s11+l)*(s22+l) - s12*s12) - s1*(s1*(s22+l) - s12*s2)
            + s2*(s1*s12 - (s11+l)*s2) AS det,
@@ -5414,19 +5501,19 @@ def source_overlap_documents(sf_dir: str) -> pa.Table:
 
 
 SOURCE_OVERLAP_SQL = r"""
-WITH docs AS (
+WITH docs AS MATERIALIZED (
   SELECT source, regexp_extract_all(text, '\S+') AS ws FROM documents
-), idx AS (
+), idx AS MATERIALIZED (
   SELECT source, ws, unnest(generate_series(1, len(ws) - 2)) AS i
   FROM docs WHERE len(ws) >= 3
-), tg AS (
+), tg AS MATERIALIZED (
   SELECT DISTINCT source, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
   FROM idx
-), pr AS (
+), pr AS MATERIALIZED (
   SELECT a.source AS sa, b.source AS sb, count(*) AS inter
   FROM tg a JOIN tg b ON a.g = b.g AND a.source < b.source
   GROUP BY sa, sb
-), per AS (
+), per AS MATERIALIZED (
   SELECT source, count(*) AS n FROM tg GROUP BY source
 )
 SELECT p.sa, p.sb,
@@ -5489,14 +5576,14 @@ def funnel_events(sf_dir: str) -> pa.Table:
 
 
 FUNNEL_SQL = """
-WITH v AS (
+WITH v AS MATERIALIZED (
   SELECT user_id, min(ts) AS t1 FROM events
   WHERE event_type = 'view' GROUP BY user_id
-), c AS (
+), c AS MATERIALIZED (
   SELECT e.user_id, min(e.ts) AS t2
   FROM events e JOIN v USING (user_id)
   WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id
-), p AS (
+), p AS MATERIALIZED (
   SELECT e.user_id, min(e.ts) AS t3
   FROM events e JOIN c USING (user_id)
   WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id
@@ -5555,13 +5642,13 @@ def cusum_changepoint_events(sf_dir: str) -> pa.Table:
 
 
 CUSUM_SQL = """
-WITH d AS (
+WITH d AS MATERIALIZED (
   SELECT date_trunc('day', ts) AS day,
          sum(CAST(round(value*100) AS BIGINT)) AS s, count(*) AS c
   FROM events GROUP BY day
-), t AS (
+), t AS MATERIALIZED (
   SELECT CAST(sum(s) AS DOUBLE) / sum(c) AS mu FROM d
-), cs AS (
+), cs AS MATERIALIZED (
   SELECT day,
          sum(CAST(s AS DOUBLE)/c - t.mu) OVER (ORDER BY day) AS cusum
   FROM d, t
@@ -5605,11 +5692,11 @@ def benford_totalprice(sf_dir: str) -> pa.Table:
 
 
 BENFORD_SQL = """
-WITH digits AS (
+WITH digits AS MATERIALIZED (
   SELECT CAST(substr(CAST(CAST(round(o_totalprice*100) AS BIGINT)
                           AS VARCHAR), 1, 1) AS BIGINT) AS digit
   FROM orders
-), obs AS (
+), obs AS MATERIALIZED (
   SELECT digit, count(*) AS n FROM digits GROUP BY digit
 ), tot AS (SELECT CAST(sum(n) AS DOUBLE) AS t FROM obs),
 d9(digit) AS (VALUES (1),(2),(3),(4),(5),(6),(7),(8),(9))
@@ -5675,19 +5762,19 @@ def pmi_bigrams_documents(sf_dir: str) -> pa.Table:
 
 
 PMI_BIGRAMS_SQL = r"""
-WITH toks AS (
+WITH toks AS MATERIALIZED (
   SELECT regexp_extract_all(text, '\S+') AS ws FROM documents
-), uni AS (
+), uni AS MATERIALIZED (
   SELECT unnest(ws) AS w FROM toks
-), cu AS (
+), cu AS MATERIALIZED (
   SELECT w, count(*) AS c FROM uni GROUP BY w
-), bi AS (
+), bi AS MATERIALIZED (
   SELECT ws[i] AS w1, ws[i+1] AS w2
   FROM (SELECT ws, unnest(generate_series(1, len(ws) - 1)) AS i
         FROM toks WHERE len(ws) >= 2)
-), cb AS (
+), cb AS MATERIALIZED (
   SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY w1, w2
-), tot AS (
+), tot AS MATERIALIZED (
   SELECT (SELECT CAST(sum(c) AS DOUBLE) FROM cu) AS t,
          (SELECT CAST(sum(c12) AS DOUBLE) FROM cb) AS n
 )
@@ -5794,7 +5881,7 @@ def dod_change_events(sf_dir: str) -> pa.Table:
 
 
 DOD_CHANGE_SQL = """
-WITH d AS (
+WITH d AS MATERIALIZED (
   SELECT date_trunc('day', ts) AS day, CAST(count(*) AS BIGINT) AS n
   FROM events GROUP BY 1)
 SELECT day, n, lag(n) OVER (ORDER BY day) AS prev_n,
@@ -5863,11 +5950,11 @@ def top3_customers_per_segment(sf_dir: str) -> pa.Table:
 
 
 TOP3_PER_SEGMENT_SQL = """
-WITH spend AS (
+WITH spend AS MATERIALIZED (
   SELECT o_custkey,
          sum(CAST(round(o_totalprice*100) AS BIGINT)) AS cents
   FROM orders GROUP BY o_custkey),
-ranked AS (
+ranked AS MATERIALIZED (
   SELECT c.c_mktsegment, s.o_custkey AS custkey, s.cents,
          row_number() OVER (PARTITION BY c.c_mktsegment
                             ORDER BY s.cents DESC, s.o_custkey) AS rk
@@ -5929,12 +6016,12 @@ def dup_cluster_sizes_documents(sf_dir: str) -> pa.Table:
 
 
 DUP_CLUSTER_SIZES_SQL = """
-WITH eff AS (
+WITH eff AS MATERIALIZED (
   SELECT CASE WHEN doc_id % 5 >= 3
               THEN 'dup-' || CAST(doc_id // 20 AS VARCHAR)
               ELSE text END AS text
   FROM documents),
-clusters AS (
+clusters AS MATERIALIZED (
   SELECT text, CAST(count(*) AS BIGINT) AS sz FROM eff GROUP BY text)
 SELECT sz AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
 FROM clusters GROUP BY sz ORDER BY sz
@@ -5988,7 +6075,7 @@ def moments_lineitem(sf_dir: str) -> pa.Table:
 
 
 MOMENTS_SQL = """
-WITH s AS (
+WITH s AS MATERIALIZED (
   SELECT 'l_quantity' AS col, CAST(count(*) AS BIGINT) AS n,
          CAST(sum(CAST(u AS HUGEINT)) AS DOUBLE) AS s1,
          CAST(sum(CAST(u AS HUGEINT)*u) AS DOUBLE) AS s2,
@@ -6002,7 +6089,7 @@ WITH s AS (
          CAST(sum(CAST(u AS HUGEINT)*u*u) AS DOUBLE),
          CAST(sum(CAST(u AS HUGEINT)*u*u*u) AS DOUBLE)
   FROM (SELECT CAST(round(l_extendedprice*100) AS BIGINT) AS u FROM lineitem)
-), m AS (
+), m AS MATERIALIZED (
   SELECT col, n, s1/n AS mean, s2/n - (s1/n)*(s1/n) AS m2,
          s3/n - 3*(s1/n)*(s2/n) + 2*pow(s1/n, 3) AS m3,
          s4/n - 4*(s1/n)*(s3/n) + 6*(s1/n)*(s1/n)*(s2/n)
@@ -6063,17 +6150,17 @@ def anova_totalprice_priority(sf_dir: str) -> pa.Table:
 
 
 ANOVA_SQL = """
-WITH g AS (
+WITH g AS MATERIALIZED (
   SELECT o_orderpriority AS grp, CAST(count(*) AS BIGINT) AS n,
          sum(CAST(round(o_totalprice*100) AS BIGINT)) AS su,
          sum(CAST(CAST(round(o_totalprice*100) AS BIGINT) AS HUGEINT)
              * CAST(round(o_totalprice*100) AS BIGINT)) AS suu
   FROM orders GROUP BY 1),
-tot AS (
+tot AS MATERIALIZED (
   SELECT CAST(sum(n) AS BIGINT) AS n_tot,
          CAST(sum(su) AS DOUBLE) / CAST(sum(n) AS DOUBLE) AS grand,
          CAST(count(*) AS BIGINT) AS k FROM g),
-parts AS (
+parts AS MATERIALIZED (
   SELECT sum(n * (CAST(su AS DOUBLE)/n - grand)
                * (CAST(su AS DOUBLE)/n - grand)
              ORDER BY grp) AS ssb,
@@ -6136,11 +6223,11 @@ def mad_extendedprice(sf_dir: str) -> pa.Table:
 
 
 MAD_SQL = """
-WITH u AS (
+WITH u AS MATERIALIZED (
   SELECT CAST(round(l_extendedprice*100) AS BIGINT) AS u FROM lineitem),
-med AS (
+med AS MATERIALIZED (
   SELECT CAST(round(2 * quantile_cont(u, 0.5)) AS BIGINT) AS m2 FROM u),
-dev AS (
+dev AS MATERIALIZED (
   SELECT quantile_cont(abs(2*u.u - med.m2), 0.5) / 2.0 / 100.0 AS mad
   FROM u, med)
 SELECT round((SELECT quantile_cont(u, 0.5) FROM u) / 100.0, 6) AS median,
@@ -6191,11 +6278,11 @@ def vocab_coverage_documents(sf_dir: str) -> pa.Table:
 
 
 VOCAB_COVERAGE_SQL = r"""
-WITH cu AS (
+WITH cu AS MATERIALIZED (
   SELECT w, CAST(count(*) AS BIGINT) AS c
   FROM (SELECT unnest(regexp_extract_all(text, '\S+')) AS w FROM documents)
   GROUP BY w),
-r AS (
+r AS MATERIALIZED (
   SELECT c, row_number() OVER (ORDER BY c DESC, w) AS rk FROM cu),
 t AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM cu)
 SELECT k, (SELECT CAST(sum(c) AS BIGINT) FROM r WHERE rk <= k)
@@ -6245,11 +6332,11 @@ def zipf_slope_documents(sf_dir: str) -> pa.Table:
 
 
 ZIPF_SQL = r"""
-WITH cu AS (
+WITH cu AS MATERIALIZED (
   SELECT w, CAST(count(*) AS BIGINT) AS c
   FROM (SELECT unnest(regexp_extract_all(text, '\S+')) AS w FROM documents)
   GROUP BY w),
-top AS (
+top AS MATERIALIZED (
   SELECT ln(c) AS y,
          ln(CAST(row_number() OVER (ORDER BY c DESC, w) AS DOUBLE)) AS x
   FROM cu ORDER BY c DESC, w LIMIT 100)
@@ -6316,7 +6403,7 @@ def ntile_deciles_orders(sf_dir: str) -> pa.Table:
 
 
 NTILE_SQL = """
-WITH u AS (
+WITH u AS MATERIALIZED (
   SELECT CAST(round(o_totalprice*100) AS BIGINT) AS u, o_orderkey
   FROM orders),
 t AS (SELECT u, ntile(10) OVER (ORDER BY u, o_orderkey) AS tile FROM u)
@@ -6379,7 +6466,7 @@ def event_transitions_events(sf_dir: str) -> pa.Table:
 
 
 EVENT_TRANSITIONS_SQL = """
-WITH s AS (
+WITH s AS MATERIALIZED (
   SELECT event_type,
          lead(event_type) OVER (PARTITION BY user_id
                                 ORDER BY ts, event_id) AS nxt
@@ -6425,7 +6512,7 @@ def ttr_documents(sf_dir: str) -> pa.Table:
 
 
 TTR_SQL = r"""
-WITH toks AS (
+WITH toks AS MATERIALIZED (
   SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS w
   FROM documents)
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
@@ -6477,7 +6564,7 @@ def kappa_quality_documents(sf_dir: str) -> pa.Table:
 
 
 KAPPA_SQL = """
-WITH sig AS (
+WITH sig AS MATERIALIZED (
   SELECT CASE WHEN len(regexp_extract_all(text, '\\S+'))
                    BETWEEN 50 AND 100000
               AND len(regexp_extract_all(text, '\\S'))
@@ -6491,14 +6578,14 @@ WITH sig AS (
             THEN 1 ELSE 0 END AS a,
          CASE WHEN n_chars >= 500 THEN 1 ELSE 0 END AS b
   FROM documents),
-c AS (
+c AS MATERIALIZED (
   SELECT CAST(sum(CASE WHEN a=0 AND b=0 THEN 1 ELSE 0 END) AS BIGINT) AS n00,
          CAST(sum(CASE WHEN a=0 AND b=1 THEN 1 ELSE 0 END) AS BIGINT) AS n01,
          CAST(sum(CASE WHEN a=1 AND b=0 THEN 1 ELSE 0 END) AS BIGINT) AS n10,
          CAST(sum(CASE WHEN a=1 AND b=1 THEN 1 ELSE 0 END) AS BIGINT) AS n11,
          CAST(count(*) AS DOUBLE) AS n
   FROM sig),
-p AS (
+p AS MATERIALIZED (
   SELECT n00, n01, n10, n11,
          (n00 + n11) / n AS po,
          ((n10 + n11) / n) * ((n01 + n11) / n)
@@ -6535,16 +6622,16 @@ def line_dedup_documents(sf_dir: str) -> pa.Table:
 
 
 LINE_DEDUP_SQL = r"""
-WITH toks AS (
+WITH toks AS MATERIALIZED (
   SELECT doc_id,
          unnest(regexp_extract_all(text, '\S+')) AS w,
          generate_subscripts(regexp_extract_all(text, '\S+'), 1) AS ord
   FROM documents WHERE len(regexp_extract_all(text, '\S+')) >= 1
-), lines0 AS (
+), lines0 AS MATERIALIZED (
   SELECT doc_id, (ord - 1) // 12 AS lidx,
          string_agg(w, ' ' ORDER BY ord) AS line
   FROM toks GROUP BY doc_id, (ord - 1) // 12
-), ranked AS (
+), ranked AS MATERIALIZED (
   SELECT doc_id, lidx, line,
          row_number() OVER (PARTITION BY line
                             ORDER BY doc_id, lidx) AS rn
@@ -6628,13 +6715,13 @@ def modified_zscore_outliers_lineitem(sf_dir: str) -> pa.Table:
 
 
 MODIFIED_ZSCORE_SQL = """
-WITH u AS (
+WITH u AS MATERIALIZED (
   SELECT l_extendedprice AS x,
          CAST(round(l_extendedprice*100) AS BIGINT) AS u FROM lineitem),
-med AS (
+med AS MATERIALIZED (
   SELECT quantile_cont(u, 0.5) / 100.0 AS med,
          CAST(round(2 * quantile_cont(u, 0.5)) AS BIGINT) AS m2 FROM u),
-madv AS (
+madv AS MATERIALIZED (
   SELECT med.med,
          quantile_cont(abs(2*u.u - med.m2), 0.5) / 2.0 / 100.0 AS mad
   FROM u, med GROUP BY med.med, med.m2),
@@ -6687,7 +6774,7 @@ def cumulative_revenue_events(sf_dir: str) -> pa.Table:
 
 
 CUMULATIVE_REVENUE_SQL = """
-WITH d AS (
+WITH d AS MATERIALIZED (
   SELECT date_trunc('day', ts) AS day,
          sum(CAST(round(value*100) AS BIGINT)) AS cents
   FROM events GROUP BY 1),
@@ -6741,7 +6828,7 @@ def entropy_profile(sf_dir: str) -> pa.Table:
 
 
 ENTROPY_PROFILE_SQL = """
-WITH cells AS (
+WITH cells AS MATERIALIZED (
   SELECT 'orders' AS tbl, 'o_orderstatus' AS col,
          o_orderstatus AS v, count(*) AS n FROM orders GROUP BY 3
   UNION ALL
@@ -6754,11 +6841,11 @@ WITH cells AS (
   UNION ALL
   SELECT 'events', 'event_type', event_type, count(*)
   FROM events GROUP BY 3),
-tot AS (
+tot AS MATERIALIZED (
   SELECT tbl, col, CAST(sum(n) AS DOUBLE) AS t,
          CAST(count(*) AS BIGINT) AS k
   FROM cells GROUP BY tbl, col),
-e AS (
+e AS MATERIALIZED (
   SELECT c.tbl, c.col, tot.k,
          sum(-(c.n / tot.t) * log2(c.n / tot.t) ORDER BY c.v) AS ent
   FROM cells c JOIN tot ON c.tbl = tot.tbl AND c.col = tot.col
@@ -6779,6 +6866,11 @@ FROM e ORDER BY tbl, col
 # ---------------------------------------------------------------------------
 
 def knn_cosine_ivfpq_embeddings(sf_dir: str) -> pa.Table:
+    """IVF-PQ ADC top-k with a FULL SQL oracle (IVFPQ_KNN_SQL): the
+    coarse √n-centroid k-means, residual PQ codebook, n_probe cell
+    pruning and coarse+fine ADC scoring all unroll into one DuckDB
+    query — both Lloyd chains are deterministic (diagonal init /
+    md5-ordered seeds, no RNG)."""
     import os
 
     from tanml_ray.pipelines.similarity import (
@@ -6794,6 +6886,156 @@ def knn_cosine_ivfpq_embeddings(sf_dir: str) -> pa.Table:
         build_ivfpq_index(ds, idx, m=8, ksub=16)
     return knn_cosine_ivfpq(idx, _query_vectors(sf_dir, _KNN_QUERY_IDS),
                             k=10, n_probe=8)
+
+
+def _ivfpq_knn_sql(m: int = 8, ksub: int = 16, dim: int = 64,
+                   iters: int = 5, k: int = 10, n_probe: int = 8,
+                   query_ids: tuple[int, ...] = _KNN_QUERY_IDS) -> str:
+    """Generate the unrolled IVF-PQ oracle: the coarse k-means
+    (diagonal min/max init over √n centroids, `iters` Lloyd steps —
+    similarity._kmeans_unit_vectors), residuals r = v − centroid[cell],
+    the residual PQ codebook (md5 seeds + `iters` Lloyd steps,
+    normalize=False), encoding, per-query n_probe cell pruning, and
+    ADC sim = q·centroid[cell] + Σ q_sub·code_centroid — all as one
+    DuckDB query. √n centroids come from a bounded range(4096) filtered
+    by the in-SQL k = max(2, ⌊√max(n,4)⌋), so the same string is exact
+    at every sf."""
+    dsub = dim // m
+    parts = [f"""
+WITH vraw AS MATERIALIZED (
+  SELECT vec_id, CAST(t.i AS BIGINT) AS dimn,
+         CAST(embedding[t.i] AS DOUBLE) AS val
+  FROM embeddings, range(1, {dim + 1}) t(i)
+), nrm AS MATERIALIZED (
+  SELECT vec_id, greatest(sqrt(sum(val*val)), 1e-30) AS nv
+  FROM vraw GROUP BY 1
+), vfull AS MATERIALIZED (
+  SELECT v.vec_id, v.dimn, v.val / n.nv AS val
+  FROM vraw v JOIN nrm n USING (vec_id)
+), kk AS MATERIALIZED (
+  SELECT greatest(2, CAST(floor(sqrt(greatest(count(*), 4))) AS BIGINT)) AS k
+  FROM embeddings
+), mmx AS MATERIALIZED (
+  SELECT dimn, min(val) AS lo, max(val) AS hi FROM vfull GROUP BY 1
+), g_0 AS MATERIALIZED (
+  SELECT CAST(t.j AS BIGINT) AS j, x.dimn,
+         x.lo + (t.j + 0.5) / kk.k * (x.hi - x.lo) AS c
+  FROM range(0, 4096) t(j), kk, mmx x WHERE t.j < kk.k
+)"""]
+    prev = "g_0"
+    for t in range(1, iters + 1):
+        parts.append(f""", ga_{t} AS MATERIALIZED (
+  SELECT v.vec_id, g.j, sum((v.val - g.c)*(v.val - g.c)) AS dist
+  FROM vfull v JOIN {prev} g ON g.dimn = v.dimn
+  GROUP BY 1, 2
+), gasn_{t} AS MATERIALIZED (
+  SELECT vec_id, j FROM ga_{t}
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, j) = 1
+), g_{t} AS MATERIALIZED (
+  SELECT g.j, g.dimn, coalesce(u.c, g.c) AS c
+  FROM {prev} g LEFT JOIN (
+    SELECT a.j, v.dimn, sum(v.val) / count(*) AS c
+    FROM gasn_{t} a JOIN vfull v ON v.vec_id = a.vec_id
+    GROUP BY 1, 2
+  ) u ON u.j = g.j AND u.dimn = g.dimn
+)""")
+        prev = f"g_{t}"
+    gfin = prev
+    parts.append(f""", cga AS MATERIALIZED (
+  SELECT v.vec_id, g.j, sum((v.val - g.c)*(v.val - g.c)) AS dist
+  FROM vfull v JOIN {gfin} g ON g.dimn = v.dimn
+  GROUP BY 1, 2
+), cell AS MATERIALIZED (
+  SELECT vec_id, j AS cell FROM cga
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, j) = 1
+), rsub AS MATERIALIZED (
+  SELECT v.vec_id, (v.dimn - 1) // {dsub} AS sub,
+         (v.dimn - 1) % {dsub} AS sd, v.val - g.c AS val
+  FROM vfull v
+  JOIN cell ce ON ce.vec_id = v.vec_id
+  JOIN {gfin} g ON g.j = ce.cell AND g.dimn = v.dimn
+), seeds AS MATERIALIZED (
+  SELECT vec_id,
+         row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS j
+  FROM embeddings
+  ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {ksub}
+), r_0 AS MATERIALIZED (
+  SELECT rs.sub, s.j, rs.sd, rs.val AS c
+  FROM seeds s JOIN rsub rs ON rs.vec_id = s.vec_id
+)""")
+    prev = "r_0"
+    for t in range(1, iters + 1):
+        parts.append(f""", ra_{t} AS MATERIALIZED (
+  SELECT rs.vec_id, rs.sub, ct.j, sum((rs.val - ct.c)*(rs.val - ct.c)) AS dist
+  FROM rsub rs JOIN {prev} ct ON ct.sub = rs.sub AND ct.sd = rs.sd
+  GROUP BY 1, 2, 3
+), rasn_{t} AS MATERIALIZED (
+  SELECT vec_id, sub, j FROM ra_{t}
+  QUALIFY row_number() OVER (PARTITION BY vec_id, sub
+                             ORDER BY dist, j) = 1
+), r_{t} AS MATERIALIZED (
+  SELECT ct.sub, ct.j, ct.sd, coalesce(u.c, ct.c) AS c
+  FROM {prev} ct LEFT JOIN (
+    SELECT a.sub, a.j, rs.sd, sum(rs.val) / count(*) AS c
+    FROM rasn_{t} a JOIN rsub rs ON rs.vec_id = a.vec_id AND rs.sub = a.sub
+    GROUP BY 1, 2, 3
+  ) u ON u.sub = ct.sub AND u.j = ct.j AND u.sd = ct.sd
+)""")
+        prev = f"r_{t}"
+    rfin = prev
+    qid_list = ", ".join(str(q) for q in query_ids)
+    parts.append(f""", rf AS MATERIALIZED (
+  SELECT rs.vec_id, rs.sub, ct.j, sum((rs.val - ct.c)*(rs.val - ct.c)) AS dist
+  FROM rsub rs JOIN {rfin} ct ON ct.sub = rs.sub AND ct.sd = rs.sd
+  GROUP BY 1, 2, 3
+), codes AS MATERIALIZED (
+  SELECT vec_id, sub, j FROM rf
+  QUALIFY row_number() OVER (PARTITION BY vec_id, sub
+                             ORDER BY dist, j) = 1
+), vq AS MATERIALIZED (
+  SELECT vec_id AS query_id, dimn, val FROM vfull
+  WHERE vec_id IN ({qid_list})
+), vqsub AS MATERIALIZED (
+  SELECT query_id, (dimn - 1) // {dsub} AS sub,
+         (dimn - 1) % {dsub} AS sd, val
+  FROM vq
+), qd AS MATERIALIZED (
+  SELECT q.query_id, g.j, sum((q.val - g.c)*(q.val - g.c)) AS dist
+  FROM vq q JOIN {gfin} g ON g.dimn = q.dimn
+  GROUP BY 1, 2
+), probed AS MATERIALIZED (
+  SELECT DISTINCT j FROM (
+    SELECT query_id, j FROM qd
+    QUALIFY row_number() OVER (PARTITION BY query_id
+                               ORDER BY dist, j) <= {n_probe})
+), cand AS MATERIALIZED (
+  SELECT ce.vec_id, ce.cell FROM cell ce JOIN probed p ON p.j = ce.cell
+), qcoarse AS MATERIALIZED (
+  SELECT q.query_id, g.j AS cell, sum(q.val * g.c) AS coarse
+  FROM vq q JOIN {gfin} g ON g.dimn = q.dimn
+  GROUP BY 1, 2
+), fine AS MATERIALIZED (
+  SELECT qv.query_id, cd.vec_id, sum(qv.val * cf.c) AS fine
+  FROM codes cd
+  JOIN cand ca ON ca.vec_id = cd.vec_id
+  JOIN {rfin} cf ON cf.sub = cd.sub AND cf.j = cd.j
+  JOIN vqsub qv ON qv.sub = cf.sub AND qv.sd = cf.sd
+  WHERE cd.vec_id <> qv.query_id
+  GROUP BY 1, 2
+), sims AS MATERIALIZED (
+  SELECT f.query_id, f.vec_id, qc.coarse + f.fine AS sim
+  FROM fine f
+  JOIN cand ca ON ca.vec_id = f.vec_id
+  JOIN qcoarse qc ON qc.query_id = f.query_id AND qc.cell = ca.cell
+)
+SELECT query_id, vec_id, round(sim, 6) AS sim FROM sims
+QUALIFY row_number() OVER (PARTITION BY query_id
+                           ORDER BY sim DESC, vec_id) <= {k}
+ORDER BY query_id, round(sim, 6) DESC, vec_id""")
+    return "".join(parts)
+
+
+IVFPQ_KNN_SQL = _ivfpq_knn_sql()
 
 
 # ---------------------------------------------------------------------------
