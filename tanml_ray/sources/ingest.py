@@ -195,6 +195,10 @@ def read_any(path: str, **kwargs):
         return read_feather_table(path)
     if ext in (".xlsx",):
         return read_xlsx(path, **kwargs)
+    if ext in (".xls",):
+        from tanml_ray.sources.xls import read_xls
+
+        return read_xls(path, **kwargs)
     if ext == ".dta":
         return read_stata(path)
     if ext in (".sas7bdat", ".xpt"):
