@@ -66,7 +66,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "line_dedup_documents": q.line_dedup_documents,
         "incremental_dedup_documents": q.incremental_dedup_documents,
         "embedding_near_dup_pairs": q.embedding_near_dup_pairs,
-        "ngram_jaccard_pairs_documents": q.ngram_jaccard_pairs_documents,
+        "logistic_cv_orders": q.logistic_cv_orders,
         "dup_cluster_sizes_documents": q.dup_cluster_sizes_documents,
         "knn_cosine_embeddings": q.knn_cosine_embeddings,
         "knn_cosine_lsh_embeddings": q.knn_cosine_lsh_embeddings,
@@ -74,9 +74,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_orders_customer_broadcast": q.join_orders_customer_broadcast,
         "join_lineitem_orders_partitioned": q.join_lineitem_orders_partitioned,
         "asof_join_events": q.asof_join_events,
-        "bloom_semi_join_lineitem": q.bloom_semi_join_lineitem,
+        "knn_cosine_pq_embeddings": q.knn_cosine_pq_embeddings,
         "anti_join_lineitem": q.anti_join_lineitem,
-        "left_join_customer_orders": q.left_join_customer_orders,
+        "knn_cosine_ivfpq_embeddings": q.knn_cosine_ivfpq_embeddings,
         "full_outer_join_orders_customer": q.full_outer_join_orders_customer,
         "referential_lang_violations": q.referential_lang_violations,
         "leakage_overlap_documents": q.leakage_overlap_documents,
@@ -139,7 +139,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_fold_counts_orders": q.stratified_fold_counts_orders,
         "model_benchmark_orders": q.model_benchmark_orders,
         "json_extract_events": q.json_extract_events,
-        "logistic_cv_orders": q.logistic_cv_orders,
+        "ngram_jaccard_pairs_documents": q.ngram_jaccard_pairs_documents,
         "kendall_sample_lineitem": q.kendall_sample_lineitem,
         "curate_documents_stats": q.curate_documents_stats,
         "linear_fit_orders": q.linear_fit_orders,
@@ -169,7 +169,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nb_quality_documents": q.nb_quality_documents,
         "ppl_buckets_documents": q.ppl_buckets_documents,
         "normalize_text_documents": q.normalize_text_documents,
-        "knn_cosine_pq_embeddings": q.knn_cosine_pq_embeddings,
+        "bloom_semi_join_lineitem": q.bloom_semi_join_lineitem,
         "grouped_ols_lineitem": q.grouped_ols_lineitem,
         "embedding_covariance_embeddings": q.embedding_covariance_embeddings,
         "mutual_info_orders": q.mutual_info_orders,
@@ -196,7 +196,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "modified_zscore_outliers_lineitem": q.modified_zscore_outliers_lineitem,
         "cumulative_revenue_events": q.cumulative_revenue_events,
         "entropy_profile": q.entropy_profile,
-        "knn_cosine_ivfpq_embeddings": q.knn_cosine_ivfpq_embeddings,
+        "left_join_customer_orders": q.left_join_customer_orders,
         "daily_value_quantiles_events": q.daily_value_quantiles_events,
         "mannwhitney_quantity_returnflag": q.mannwhitney_quantity_returnflag,
         "info_gain_orders": q.info_gain_orders,
@@ -385,6 +385,7 @@ def oracle_sql() -> dict[str, str]:
         "logistic_cv_orders": q.LOGISTIC_CV_SQL,
         "knn_cosine_pq_embeddings": q.PQ_KNN_SQL,
         "knn_cosine_ivfpq_embeddings": q.IVFPQ_KNN_SQL,
+        "logistic_cv_repeated_orders": q.LOGISTIC_CV_REP_SQL,
         # converged-IRLS logistic CV / boosted stumps (iterative fits)
         # remain rows-only driver checks; verified in pytest instead.
     }

@@ -2703,81 +2703,101 @@ def logistic_cv_orders(sf_dir: str) -> pa.Table:
                        ["x1", "x2"], "label", "o_orderkey", k=3, max_iter=2)
 
 
-def _logistic_cv_sql(k: int = 3) -> str:
-    """Generate the unrolled k-fold two-Newton-step logistic CV oracle.
+_DEFAULT_CV_X1 = ("(9131 - datediff('day', DATE '1970-01-01',\n"
+                  "                 CAST(o_orderdate AS DATE))) / 365.0")
 
-    Per fold: Cramer 3×3 solves for both Newton steps on the train
-    folds (symmetric normal matrix [[A,B,C],[B,D,E],[C,E,F]]), sigmoid
-    scores on the test fold, midrank-tie AUC via
-    rank() + count() OVER (PARTITION BY score), accuracy@0.5."""
+
+def _logistic_cv_sql(k: int = 3, n_repeats: int = 1,
+                     x1_sql: str | None = None) -> str:
+    """Generate the unrolled (repeated) k-fold two-Newton-step logistic
+    CV oracle.
+
+    Per (rep, fold): Cramer 3×3 solves for both Newton steps on the
+    train folds (symmetric normal matrix [[A,B,C],[B,D,E],[C,E,F]]),
+    sigmoid scores on the test fold, midrank-tie AUC via
+    rank() + count() OVER (PARTITION BY score), accuracy@0.5. Repeat 0
+    folds are key % k; repeat r ≥ 1 mixes through the prime P=1000003
+    with multiplier (48271·r + 12345) % P — ranking.repeated_fold."""
+    P = 1000003
     blocks, selects = [], []
-    for f in range(k):
-        blocks.append(f"""
-tr_{f} AS (SELECT x1, x2, y FROM feat WHERE okey % {k} <> {f}),
-te_{f} AS (SELECT x1, x2, y FROM feat WHERE okey % {k} = {f}),
-s1_{f} AS (
+    for r in range(n_repeats):
+        if r == 0:
+            fold_expr = f"okey % {k}"
+        else:
+            m = (48271 * r + 12345) % P or 1
+            fold_expr = f"((okey % {P}) * {m}) % {P} % {k}"
+        for f in range(k):
+            blocks.append(_cv_fold_block(f"{r}_{f}", fold_expr, f))
+            selects.append(
+                f"SELECT CAST({r} AS BIGINT) AS rep, "
+                f"CAST({f} AS BIGINT) AS fold, "
+                f"CAST(n AS BIGINT) AS n_test, "
+                f"round((rpos - np*(np+1)/2.0) / (np*nn), 6) AS auc, "
+                f"round(hit * 1.0 / n, 6) AS accuracy FROM ag_{r}_{f}")
+    x1 = x1_sql or _DEFAULT_CV_X1
+    return ("WITH feat AS (\n"
+            "  SELECT o_orderkey AS okey,\n"
+            f"         {x1} AS x1,\n"
+            "         CAST(o_totalprice AS DOUBLE) / 100000.0 AS x2,\n"
+            "         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y\n"
+            "  FROM orders\n"
+            ")," + ",".join(blocks)
+            + "\nSELECT * FROM (\n" + "\nUNION ALL ".join(selects)
+            + ") ORDER BY rep, fold")
+
+
+def _cv_fold_block(tag: str, fold_expr: str, f: int) -> str:
+    return f"""
+tr_{tag} AS (SELECT x1, x2, y FROM feat WHERE {fold_expr} <> {f}),
+te_{tag} AS (SELECT x1, x2, y FROM feat WHERE {fold_expr} = {f}),
+s1_{tag} AS (
   SELECT CAST(count(*) AS DOUBLE) AS a, sum(x1) AS b, sum(x2) AS c,
          sum(x1*x1) AS d, sum(x1*x2) AS e, sum(x2*x2) AS f,
          sum(y - 0.5) AS g0, sum(x1*(y - 0.5)) AS g1,
          sum(x2*(y - 0.5)) AS g2
-  FROM tr_{f}
-), b1_{f} AS (
+  FROM tr_{tag}
+), b1_{tag} AS (
   SELECT 4 * (g0*(d*f - e*e) - b*(g1*f - e*g2) + c*(g1*e - d*g2))
            / (a*(d*f - e*e) - b*(b*f - e*c) + c*(b*e - d*c)) AS c0,
          4 * (a*(g1*f - g2*e) - g0*(b*f - e*c) + c*(b*g2 - g1*c))
            / (a*(d*f - e*e) - b*(b*f - e*c) + c*(b*e - d*c)) AS c1,
          4 * (a*(d*g2 - g1*e) - b*(b*g2 - g1*c) + g0*(b*e - d*c))
            / (a*(d*f - e*e) - b*(b*f - e*c) + c*(b*e - d*c)) AS c2
-  FROM s1_{f}
-), m_{f} AS (
+  FROM s1_{tag}
+), m_{tag} AS (
   SELECT x1, x2, y,
          1.0 / (1.0 + exp(-(c0 + c1*x1 + c2*x2))) AS mu
-  FROM tr_{f}, b1_{f}
-), s2_{f} AS (
+  FROM tr_{tag}, b1_{tag}
+), s2_{tag} AS (
   SELECT sum(mu*(1-mu)) AS a, sum(mu*(1-mu)*x1) AS b,
          sum(mu*(1-mu)*x2) AS c, sum(mu*(1-mu)*x1*x1) AS d,
          sum(mu*(1-mu)*x1*x2) AS e, sum(mu*(1-mu)*x2*x2) AS f,
          sum(y - mu) AS g0, sum(x1*(y - mu)) AS g1,
          sum(x2*(y - mu)) AS g2
-  FROM m_{f}
-), b2_{f} AS (
+  FROM m_{tag}
+), b2_{tag} AS (
   SELECT b1.c0 + (g0*(d*f - e*e) - b*(g1*f - e*g2) + c*(g1*e - d*g2))
            / (a*(d*f - e*e) - b*(b*f - e*c) + c*(b*e - d*c)) AS c0,
          b1.c1 + (a*(g1*f - g2*e) - g0*(b*f - e*c) + c*(b*g2 - g1*c))
            / (a*(d*f - e*e) - b*(b*f - e*c) + c*(b*e - d*c)) AS c1,
          b1.c2 + (a*(d*g2 - g1*e) - b*(b*g2 - g1*c) + g0*(b*e - d*c))
            / (a*(d*f - e*e) - b*(b*f - e*c) + c*(b*e - d*c)) AS c2
-  FROM s2_{f}, b1_{f} b1
-), sc_{f} AS (
+  FROM s2_{tag}, b1_{tag} b1
+), sc_{tag} AS (
   SELECT y, 1.0 / (1.0 + exp(-(c0 + c1*x1 + c2*x2))) AS s
-  FROM te_{f}, b2_{f}
-), rk_{f} AS (
+  FROM te_{tag}, b2_{tag}
+), rk_{tag} AS (
   SELECT y, s, rank() OVER (ORDER BY s) AS rmin,
          count(*) OVER (PARTITION BY s) AS grp
-  FROM sc_{f}
-), ag_{f} AS (
+  FROM sc_{tag}
+), ag_{tag} AS (
   SELECT sum(CASE WHEN y = 1 THEN rmin + (grp - 1) / 2.0 END) AS rpos,
          sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS np,
          sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS nn,
          count(*) AS n,
          sum(CASE WHEN (s >= 0.5) = (y = 1) THEN 1 ELSE 0 END) AS hit
-  FROM rk_{f}
-)""")
-        selects.append(
-            f"SELECT CAST(0 AS BIGINT) AS rep, CAST({f} AS BIGINT) AS fold, "
-            f"CAST(n AS BIGINT) AS n_test, "
-            f"round((rpos - np*(np+1)/2.0) / (np*nn), 6) AS auc, "
-            f"round(hit * 1.0 / n, 6) AS accuracy FROM ag_{f}")
-    return ("WITH feat AS (\n"
-            "  SELECT o_orderkey AS okey,\n"
-            "         (9131 - datediff('day', DATE '1970-01-01',\n"
-            "                          CAST(o_orderdate AS DATE))) / 365.0 AS x1,\n"
-            "         CAST(o_totalprice AS DOUBLE) / 100000.0 AS x2,\n"
-            "         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y\n"
-            "  FROM orders\n"
-            ")," + ",".join(blocks)
-            + "\nSELECT * FROM (\n" + "\nUNION ALL ".join(selects)
-            + ") ORDER BY fold")
+  FROM rk_{tag}
+)"""
 
 
 LOGISTIC_CV_SQL = _logistic_cv_sql(3)
@@ -2822,14 +2842,23 @@ def _orders_logistic_features(sf_dir: str):
 def logistic_cv_repeated_orders(sf_dir: str) -> pa.Table:
     """Repeated K-fold logistic CV + the reference's distribution
     roll-up (cv.py:205-222): per-(rep, fold) AUC/accuracy rows from 2
-    repeats × 3 folds. Rows-only check (IRLS is iterative, not
-    SQL-expressible); the fold mechanics share the SQL-oracled
-    linear_cv_repeated_orders re-keying."""
+    repeats × 3 folds, FIXED-STEP configuration (max_iter=2) so the
+    prime-mixed repeat-1 fold map (ranking.repeated_fold) is
+    hash-verified end-to-end by LOGISTIC_CV_REP_SQL — the same
+    unrolled two-Newton-step oracle as logistic_cv_orders with the
+    ((key % P)·m) % P % k fold predicate per repeat. Converged IRLS
+    keeps its rows-only representative in logistic_inference_orders."""
     from tanml_ray.pipelines.explain import logistic_cv
 
     return logistic_cv(_orders_logistic_features(sf_dir),
                        ["x1", "x2"], "label", "o_orderkey",
-                       k=3, max_iter=6, n_repeats=2)
+                       k=3, max_iter=2, n_repeats=2)
+
+
+LOGISTIC_CV_REP_SQL = _logistic_cv_sql(
+    3, n_repeats=2,
+    x1_sql=("CAST(datediff('day', DATE '1970-01-01',\n"
+            "              CAST(o_orderdate AS DATE)) AS DOUBLE) / 1000.0"))
 
 
 def logistic_inference_orders(sf_dir: str) -> pa.Table:

@@ -52,6 +52,9 @@ FAST_QUERIES = [
     "mannwhitney_quantity_returnflag", "basket_lift_events",
     "dsir_weights_documents", "script_profile_documents",
     "pack_windows_documents",
+    # round-5 families
+    "logistic_cv_orders", "logistic_cv_repeated_orders",
+    "spearman_lineitem", "knn_cosine_pq_embeddings",
 ]
 
 
