@@ -205,6 +205,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_filter_documents": q.url_filter_documents,
         "chunk_documents": q.chunk_documents_query,
         "model_family_benchmark_orders": q.model_family_benchmark_orders,
+        "image_near_dup_multimodal": q.image_near_dup_multimodal,
+        "audio_near_dup_multimodal": q.audio_near_dup_multimodal,
+        "video_near_dup_multimodal": q.video_near_dup_multimodal,
         "shuffle_shards_documents": q.shuffle_shards_documents,
         "hopping_window_events": q.hopping_window_events,
         "temperature_mix_documents": q.temperature_mix_documents,

@@ -8388,3 +8388,107 @@ SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
          AS n_windows
 FROM cum ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Multimodal near-dup suite over REAL interchange formats (stdlib
+# codec tier, stages/codecs.py): deterministic doc_id-seeded binary
+# columns — cross-format planted duplicate pairs (same pixels as BMP
+# for even ids, PGM for odd; PCM WAV audio; uncompressed-DIB AVI
+# video) — run through the actor-pool decode→fingerprint→coarse-bucket
+# pipelines (stages/multimodal.py). Decode + pHash/fingerprint are not
+# SQL-expressible → rows-only driver checks; the expected pair sets
+# ((4k, 4k+1) exactly) and codec round-trips are pytest contracts
+# (tests/test_codecs.py, tests/test_multimodal_sources.py). Fixture
+# sizes are bounded (first N doc_ids) so the gate stays fast; the
+# pipelines themselves are the 100-TB path (per-actor decode state,
+# small batches, bucketed fingerprint shuffle — no driver decode).
+# ---------------------------------------------------------------------------
+
+def _mm_pattern(key: int, h: int = 32, w: int = 32) -> np.ndarray:
+    """Deterministic 8-bit gradient pattern for pattern id `key`."""
+    a, b, c = 3 + key % 11, 5 + key % 7, (17 * key) % 251
+    i = np.arange(h)[:, None]
+    j = np.arange(w)[None, :]
+    return ((a * i + b * j + c) % 256).astype(np.uint8)
+
+
+def _mm_pair_key(doc_id: int) -> int:
+    """Plant pairs (4k, 4k+1): both share pattern 4k+1; 4k+2 and 4k+3
+    stay unique."""
+    return doc_id + 1 if doc_id % 4 == 0 else doc_id
+
+
+def image_near_dup_multimodal(sf_dir: str) -> pa.Table:
+    from tanml_ray.stages.codecs import encode_bmp_gray, encode_pgm
+    from tanml_ray.stages.multimodal import image_near_dups
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = [int(x) for x in
+               batch.column("doc_id").to_numpy(zero_copy_only=False)
+               if x <= 120]
+        blobs = []
+        for d in ids:
+            px = _mm_pattern(_mm_pair_key(d))
+            blobs.append(encode_bmp_gray(px) if d % 2 == 0
+                         else encode_pgm(px))
+        return pa.table({"id": pa.array(ids, type=pa.int64()),
+                         "image": pa.array(blobs, type=pa.binary())})
+
+    return image_near_dups(ds.map_batches(synth, batch_format="pyarrow"),
+                           max_hamming=0)
+
+
+def audio_near_dup_multimodal(sf_dir: str) -> pa.Table:
+    from tanml_ray.stages.codecs import encode_wav_pcm16
+    from tanml_ray.stages.multimodal import audio_near_dups
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = [int(x) for x in
+               batch.column("doc_id").to_numpy(zero_copy_only=False)
+               if x <= 60]
+        blobs = []
+        n = 65536
+        t = np.arange(n) / 16000.0
+        frame_idx = np.arange(n) // 1024         # 64 fingerprint frames
+        for d in ids:
+            k = _mm_pair_key(d)
+            # key-dependent per-frame energy ENVELOPE — the
+            # fingerprint is the sign pattern of frame-energy deltas,
+            # so the envelope (not the carrier) must carry the key
+            env = 0.55 + 0.45 * np.sin(1.7 * (k + 1) * frame_idx + k)
+            wave = np.sin(2 * np.pi * (220 + 13 * (k % 40)) * t) * env
+            blobs.append(encode_wav_pcm16(
+                np.rint(wave * 28000).astype(np.int16)))
+        return pa.table({"id": pa.array(ids, type=pa.int64()),
+                         "audio": pa.array(blobs, type=pa.binary())})
+
+    return audio_near_dups(ds.map_batches(synth, batch_format="pyarrow"),
+                           max_hamming=0)
+
+
+def video_near_dup_multimodal(sf_dir: str) -> pa.Table:
+    from tanml_ray.stages.codecs import encode_avi_gray
+    from tanml_ray.stages.multimodal import video_near_dups
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = [int(x) for x in
+               batch.column("doc_id").to_numpy(zero_copy_only=False)
+               if x <= 40]
+        blobs = []
+        for d in ids:
+            k = _mm_pair_key(d)
+            frames = np.stack([np.roll(_mm_pattern(k), f, axis=1)
+                               for f in range(12)])
+            blobs.append(encode_avi_gray(frames))
+        return pa.table({"id": pa.array(ids, type=pa.int64()),
+                         "video": pa.array(blobs, type=pa.binary())})
+
+    return video_near_dups(ds.map_batches(synth, batch_format="pyarrow"),
+                           max_hamming=0, every_k=3)

@@ -127,3 +127,22 @@ def test_query_matches_oracle(name, sf_dir, oracle_con):
     assert list(mine.columns) == list(ref.columns)
     assert len(mine) == len(ref)
     pd.testing.assert_frame_equal(mine, ref, check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_multimodal_near_dup_planted_pairs(sf_dir):
+    """The cross-format planted duplicate sets ((4k, 4k+1) exactly —
+    BMP↔PGM images, WAV energy contours, AVI frame fingerprints) are
+    recovered exactly and nothing else pairs (rows-only in the driver,
+    exact-set here)."""
+    from tanml_ray.pipelines import queries as q
+
+    img = q.image_near_dup_multimodal(sf_dir).to_pandas()
+    assert set(zip(img.id_a, img.id_b)) == \
+        {(k, k + 1) for k in range(0, 120, 4)}
+    aud = q.audio_near_dup_multimodal(sf_dir).to_pandas()
+    assert set(zip(aud.id_a, aud.id_b)) == \
+        {(k, k + 1) for k in range(0, 60, 4)}
+    vid = q.video_near_dup_multimodal(sf_dir).to_pandas()
+    assert set(zip(vid.id_a, vid.id_b)) == \
+        {(k, k + 1) for k in range(0, 40, 4)}
