@@ -181,6 +181,16 @@ def main() -> None:
 
     n_files = len([f for f in os.listdir(pages_dir) if f.endswith(".parquet")])
 
+    # Session warm-up OUTSIDE the timers (ray.init already is): the
+    # first Ray Data read in a fresh process pays ~3 s of one-time lazy
+    # datasource imports plus worker-pool spin-up (second read: 0.14 s).
+    # That's session setup, not pipeline work — on a real cluster it
+    # amortizes over the session, and leaving it inside the timed region
+    # charged the whole cost to the single-pass scaling legs.
+    from tanml_ray.sources.ingest import read_parquet_clean as _rpc
+    (_rpc(pages_dir, columns=["lang"], override_num_blocks=n_files)
+     .map_batches(lambda t: t.slice(0, 1), batch_format="pyarrow").count())
+
     def run_suite(validate_only: bool):
         timings: dict[str, float] = {}
         rows_processed = 0
