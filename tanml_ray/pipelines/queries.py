@@ -7961,6 +7961,84 @@ def bpe_merges_documents(sf_dir: str) -> pa.Table:
                      num_merges=64)
 
 
+def _bpe_merges_sql(num_merges: int = 64) -> str:
+    """Unrolled BPE-train oracle (webtext._bpe_merge_loop): the greedy
+    merge loop is deterministic — per round, the (left, right) pair
+    maximizing summed occurrence count wins, ties break lexicographically
+    (Python tuple order == DuckDB binary collation on UTF-8), and merges
+    stop below pair_count 2 — so `num_merges` rounds unroll into chained
+    MATERIALIZED CTEs exactly like the PQ/IVF-PQ Lloyd chains (DuckDB
+    inlines non-materialized CTEs exponentially). Greedy left-to-right
+    non-overlapping application inside a word (the only overlap hazard
+    is a run of consecutive match positions, e.g. 'aaaa' under (a,a))
+    is expressed per run of consecutive positions: keep alternating
+    members starting at the first (pos − run_min even). Words untouched
+    by the round's winner pass through via ANTI JOIN instead of being
+    rebuilt. Verified token-for-token against bpe_train at sf0.001 /
+    0.01 / 0.1 and against _bpe_merge_loop on adversarial toy corpora
+    (same-char runs, alternations, multibyte, sub-2 early stop)."""
+    parts = [r"""
+WITH wc AS MATERIALIZED (
+  SELECT t.w AS word, CAST(count(*) AS BIGINT) AS n
+  FROM documents, unnest(regexp_extract_all(text, '\S+')) AS t(w)
+  WHERE text IS NOT NULL
+  GROUP BY 1
+), state_0 AS MATERIALIZED (
+  SELECT word, list_append(regexp_extract_all(word, '.'), '</w>') AS toks, n
+  FROM wc
+)"""]
+    for k in range(num_merges):
+        parts.append(f""", pc_{k} AS MATERIALIZED (
+  SELECT u.p[1] AS l, u.p[2] AS r, CAST(sum(n) AS BIGINT) AS cnt
+  FROM state_{k}, unnest(list_zip(toks, toks[2:])) AS u(p)
+  WHERE u.p[2] IS NOT NULL
+  GROUP BY 1, 2
+), best_{k} AS MATERIALIZED (
+  SELECT l, r, cnt FROM pc_{k} WHERE cnt >= 2
+  ORDER BY cnt DESC, l, r LIMIT 1
+), pos_{k} AS MATERIALIZED (
+  SELECT word, n, generate_subscripts(toks, 1) AS pos, unnest(toks) AS tok
+  FROM state_{k}
+), m_{k} AS MATERIALIZED (
+  SELECT a.word, a.pos
+  FROM pos_{k} a
+  JOIN pos_{k} b ON b.word = a.word AND b.pos = a.pos + 1
+  CROSS JOIN best_{k} s
+  WHERE a.tok = s.l AND b.tok = s.r
+), sel_{k} AS MATERIALIZED (
+  SELECT word, pos FROM (
+    SELECT word, pos,
+           pos - row_number() OVER (PARTITION BY word ORDER BY pos) AS grp
+    FROM m_{k}) t
+  QUALIFY (pos - min(pos) OVER (PARTITION BY word, grp)) % 2 = 0
+), chg_{k} AS MATERIALIZED (
+  SELECT DISTINCT word FROM sel_{k}
+), state_{k + 1} AS MATERIALIZED (
+  SELECT p.word,
+         list(CASE WHEN s1.pos IS NOT NULL THEN p.tok || nxt.tok
+                   ELSE p.tok END ORDER BY p.pos) AS toks,
+         min(p.n) AS n
+  FROM pos_{k} p
+  JOIN chg_{k} c ON c.word = p.word
+  LEFT JOIN sel_{k} s1 ON s1.word = p.word AND s1.pos = p.pos
+  LEFT JOIN sel_{k} s2 ON s2.word = p.word AND s2.pos = p.pos - 1
+  LEFT JOIN pos_{k} nxt ON nxt.word = p.word AND nxt.pos = p.pos + 1
+  WHERE s2.pos IS NULL
+  GROUP BY p.word
+  UNION ALL
+  SELECT s.word, s.toks, s.n FROM state_{k} s
+  ANTI JOIN chg_{k} c ON s.word = c.word
+)""")
+    sels = "\nUNION ALL\n".join(
+        f'SELECT CAST({k} AS BIGINT) AS rank, l AS "left", r AS "right", '
+        f"cnt AS pair_count FROM best_{k}" for k in range(num_merges))
+    parts.append(f"\nSELECT * FROM (\n{sels}\n) ORDER BY rank")
+    return "".join(parts)
+
+
+BPE_MERGES_SQL = _bpe_merges_sql()
+
+
 # ---------------------------------------------------------------------------
 # URL blocklist filtering end-to-end (webtext.url_filter; RefinedWeb
 # §3.1 methodology). The fixture synthesizes urls from (source, lang,
