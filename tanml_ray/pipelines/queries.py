@@ -406,33 +406,62 @@ def daily_active_users_hll_events(sf_dir: str) -> pa.Table:
     (batch, day) — never user ids) merge under one bounded
     groupby(day). At 10¹² rows the exact path's unique-pair shuffle
     scales with distinct (day, user) pairs; this one ships a constant
-    ~4 KB per day per block. Rows-only driver check; the ±2% accuracy
-    contract vs the exact count is pytest-enforced
-    (tests/test_kernels.py pattern)."""
-    import pandas as pd
+    ~4 KB per day per block.
 
-    from tanml_ray.kernels.hll import HyperLogLog
+    An HLL sketch is fully DETERMINISTIC given the hash function
+    (register max is order-independent), so with md5-lower-64 user
+    hashes (= DuckDB ``md5_number_lower``) the whole estimator is
+    bit-reproducible in SQL: DAU_HLL_SQL recomputes every register,
+    the exact-integer harmonic denominator Σ 2^(53−M_j) (HUGEINT —
+    no float-sum order sensitivity), and the Flajolet linear-counting
+    branch. rho uses exact bit-length (frexp / bin()), not float
+    log2, which rounds UP at w = 2^k − 1 for k ≳ 48."""
+    import hashlib
+    import math
+
+    import pandas as pd
 
     ds = _read(sf_dir, "events", ["ts", "user_id"])
     P = 12
+    M = 1 << P
+    WBITS = 64 - P  # 52: frexp-exact (< 2^53)
 
     def partial(batch: pa.Table) -> pd.DataFrame:
         day = pc.floor_temporal(batch.column("ts"), unit="day") \
             .to_numpy(zero_copy_only=False)
         uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(uid, return_inverse=True)
+        hu = np.fromiter(
+            (int.from_bytes(hashlib.md5(str(int(u)).encode()).digest()[8:],
+                            "little") for u in uniq),
+            dtype=np.uint64, count=len(uniq))
+        h = hu[inv]
         rows = []
         for d in np.unique(day):
-            h = HyperLogLog(p=P)
-            h.update(uid[day == d])
-            rows.append({"day": d, "regs": h.to_state()[1]})
+            hd = h[day == d]
+            idx = (hd >> np.uint64(WBITS)).astype(np.int64)
+            w = (hd & np.uint64((1 << WBITS) - 1)).astype(np.float64)
+            # exact bit-length via frexp exponent (w < 2^53 ⇒ exact);
+            # rho = WBITS - (bitlen-1), and frexp(0).exp = 0 ⇒ rho 53.
+            rho = (WBITS + 1 - np.frexp(w)[1]).astype(np.uint8)
+            regs = np.zeros(M, dtype=np.uint8)
+            np.maximum.at(regs, idx, rho)
+            rows.append({"day": d, "regs": regs.tobytes()})
         return pd.DataFrame(rows)
 
     def merge_day(g: pd.DataFrame) -> pd.DataFrame:
-        h = HyperLogLog(p=P)
+        regs = np.zeros(M, dtype=np.uint8)
         for blob in g["regs"]:
-            h.merge(HyperLogLog.from_state((P, blob)))
+            np.maximum(regs, np.frombuffer(blob, dtype=np.uint8), out=regs)
+        # exact integer denominator, scaled by 2^53: Σ 2^(53 - M_j)
+        cnt = np.bincount(regs, minlength=WBITS + 2)
+        s = sum(int(c) << (WBITS + 1 - r) for r, c in enumerate(cnt) if c)
+        alpha = 0.7213 / (1.0 + 1.079 / M)
+        raw = alpha * M * M * float(1 << (WBITS + 1)) / float(s)
+        v = int(cnt[0])
+        est = M * math.log(M / v) if (raw <= 2.5 * M and v > 0) else raw
         return pd.DataFrame([{"day": g["day"].iloc[0],
-                              "dau_approx": int(h.estimate())}])
+                              "dau_approx": float(est)}])
 
     agg = (ds.map_batches(partial, batch_format="pyarrow")
            .groupby("day").map_groups(merge_day, batch_format="pandas"))
@@ -440,6 +469,47 @@ def daily_active_users_hll_events(sf_dir: str) -> pa.Table:
             for r in collect_pylist(agg)]
     rows.sort(key=lambda r: r["day"])
     return pa.Table.from_pylist(rows)
+
+
+# The HLL estimator replayed in pure SQL: identical md5 hashes,
+# identical registers (order-free MAX), identical exact-HUGEINT
+# harmonic denominator, identical float op order in the estimate.
+DAU_HLL_SQL = """
+WITH h AS (
+  SELECT date_trunc('day', ts) AS day,
+         md5_number_lower(CAST(user_id AS VARCHAR)) AS h
+  FROM events
+),
+reg AS (
+  SELECT day,
+         CAST(h >> 52 AS INTEGER) AS idx,
+         MAX(CASE WHEN (h & ((1::UBIGINT << 52) - 1)) = 0 THEN 53
+                  ELSE 53 - length(bin(h & ((1::UBIGINT << 52) - 1)))
+             END) AS m_j
+  FROM h GROUP BY day, idx
+),
+agg AS (
+  SELECT day,
+         SUM(1::HUGEINT << (53 - m_j)) AS s_present,
+         COUNT(*) AS n_regs
+  FROM reg GROUP BY day
+),
+est AS (
+  SELECT day,
+         4096 - n_regs AS v_zero,
+         0.7213 / (1.0 + 1.079 / 4096) * 4096 * 4096
+           * 9007199254740992.0
+           / CAST(s_present
+                  + (4096::HUGEINT - n_regs) * (1::HUGEINT << 53)
+                  AS DOUBLE) AS raw
+  FROM agg
+)
+SELECT day,
+       CASE WHEN raw <= 2.5 * 4096 AND v_zero > 0
+            THEN 4096 * ln(4096.0 / v_zero)
+            ELSE raw END AS dau_approx
+FROM est ORDER BY day
+"""
 
 
 def price_quantiles_by_priority(sf_dir: str) -> pa.Table:
