@@ -77,7 +77,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine_pq_embeddings": q.knn_cosine_pq_embeddings,
         "anti_join_lineitem": q.anti_join_lineitem,
         "knn_cosine_ivfpq_embeddings": q.knn_cosine_ivfpq_embeddings,
-        "full_outer_join_orders_customer": q.full_outer_join_orders_customer,
+        # HLL distinct sketch — named in the north-star; exact md5
+        # register oracle (DAU_HLL_SQL) as of round 5.
+        "daily_active_users_hll_events": q.daily_active_users_hll_events,
         "referential_lang_violations": q.referential_lang_violations,
         "leakage_overlap_documents": q.leakage_overlap_documents,
         "warc_extract_documents": q.warc_extract_documents,
@@ -149,7 +151,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "linear_cv_repeated_summary_orders": q.linear_cv_repeated_summary_orders,
         "daily_active_users_events": q.daily_active_users_events,
         "pivot_priority_status_orders": q.pivot_priority_status_orders,
-        "daily_active_users_hll_events": q.daily_active_users_hll_events,
+        "full_outer_join_orders_customer": q.full_outer_join_orders_customer,
         "price_quantiles_by_priority_tdigest": q.price_quantiles_by_priority_tdigest,
         "price_quantiles_by_priority": q.price_quantiles_by_priority,
         "logistic_cv_repeated_orders": q.logistic_cv_repeated_orders,
