@@ -318,16 +318,14 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
                              "jaccard": pa.array([], type=pa.float64())})
 
     if sigs.size_bytes() <= sig_driver_budget:
-        # --- bounded driver prefilter: one vectorized pass over the
-        # budget-bounded sig matrix (searchsorted pair lookups)
-        cand_df = pd.DataFrame(collect_pylist(cand))
-        if cand_df.empty:
-            if as_dataset:
-                import ray.data as _rd
-
-                return _rd.from_arrow(empty_result)
-            return empty_result
-        cand_df = cand_df.drop_duplicates()
+        # --- bounded driver path. The est-Jaccard prefilter gathers
+        # the (budget-bounded) sig matrix anyway, so the banded
+        # bucketization runs vectorized over the SAME matrix — no
+        # bucket-row dataset, no groupby shuffle, no candidate
+        # collect round-trip. Band hashes, bucket membership,
+        # bucket_cap chunking and the resulting pair set are
+        # IDENTICAL to the distributed path (the sig_driver_budget=0
+        # equality pytest pins this).
         all_ids: list[np.ndarray] = []
         all_sigs: list[np.ndarray] = []
         for t in sigs.iter_batches(batch_size=8192, batch_format="pyarrow"):
@@ -336,10 +334,41 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
             all_ids.append(ids_arr)
             all_sigs.append(np.frombuffer(blob, dtype=np.uint64)
                             .reshape(len(ids_arr), num_perm))
+        if not all_ids or sum(len(a) for a in all_ids) == 0:
+            if as_dataset:
+                import ray.data as _rd
+
+                return _rd.from_arrow(empty_result)
+            return empty_result
         id_vec = np.concatenate(all_ids)
         sig_mat = np.vstack(all_sigs)
         order = np.argsort(id_vec)
         id_vec, sig_mat = id_vec[order], sig_mat[order]
+        out_a, out_b = [], []
+        for bi in range(bands):
+            band = sig_mat[:, bi * rows_per_band:(bi + 1) * rows_per_band]
+            bh = np.zeros(len(id_vec), dtype=np.uint64)
+            for c in range(rows_per_band):
+                bh = bh * np.uint64(0x100000001B3) + band[:, c]
+            bh = (bh & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
+            o = np.argsort(bh, kind="stable")
+            bh_s, ids_s = bh[o], id_vec[o]
+            start = 0
+            for end in np.flatnonzero(np.diff(bh_s)).tolist() + [len(bh_s) - 1]:
+                if end > start:
+                    u = np.unique(ids_s[start:end + 1])
+                    for pa_, pb_ in _bucket_pairs(u, bucket_cap):
+                        out_a.append(pa_)
+                        out_b.append(pb_)
+                start = end + 1
+        if not out_a:
+            if as_dataset:
+                import ray.data as _rd
+
+                return _rd.from_arrow(empty_result)
+            return empty_result
+        cand_df = pd.DataFrame({"id_a": np.concatenate(out_a),
+                                "id_b": np.concatenate(out_b)}).drop_duplicates()
         ids_a = cand_df["id_a"].to_numpy()
         ids_b = cand_df["id_b"].to_numpy()
         sa = sig_mat[np.searchsorted(id_vec, ids_a)]
