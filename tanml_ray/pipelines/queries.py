@@ -127,13 +127,12 @@ PROFILE_LINEITEM_SQL = ("SELECT * FROM (" + "\n  UNION ALL".join(
 
 # ---------------------------------------------------------------------------
 # TPC-H Q1-style pricing summary: the canonical pre-aggregated groupby.
-# Partial per-batch combine (pandas groupby inside map_batches) → tiny
-# groupby-sum shuffle → finalize. Money integerized (exact).
+# Partial per-batch combine (pandas groupby inside map_batches) → streaming
+# driver merge over the tiny (blocks × ~6-key) partial table. Money
+# integerized (exact).
 # ---------------------------------------------------------------------------
 
 def q1_pricing_summary(sf_dir: str) -> pa.Table:
-    from ray.data.aggregate import Sum
-
     cols = ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
             "l_discount", "l_tax", "l_shipdate"]
     ds = _read(sf_dir, "lineitem", cols)
@@ -169,25 +168,35 @@ def q1_pricing_summary(sf_dir: str) -> pa.Table:
         return g
 
     parts = ds.map_batches(partial, batch_format="pyarrow")
-    agg = (parts.groupby(["l_returnflag", "l_linestatus"])
-           .aggregate(Sum("qty", alias_name="qty"),
-                      Sum("price_c", alias_name="price_c"),
-                      Sum("disc_price_u", alias_name="disc_price_u"),
-                      Sum("charge_u", alias_name="charge_u"),
-                      Sum("disc_c", alias_name="disc_c"),
-                      Sum("n", alias_name="n")))
+    # The group key space is tiny (return-flag × line-status ≈ 6) while
+    # the partial table is O(blocks × keys) rows, so a streaming driver
+    # merge with Python ints (exact at ANY corpus size — int64 Sum
+    # aggregation could overflow the 1e-6-unit charge column at extreme
+    # scale) replaces the sort-based all-to-all Aggregate, whose fixed
+    # shuffle cost dominated this query at bench scale.
+    _metrics = ("qty", "price_c", "disc_price_u", "charge_u", "disc_c", "n")
+    totals: dict[tuple, list] = {}
+    for t in parts.iter_batches(batch_size=None, batch_format="pyarrow"):
+        if t.num_rows == 0:
+            continue
+        rf = t.column("l_returnflag").to_pylist()
+        ls = t.column("l_linestatus").to_pylist()
+        mcols = [t.column(c).to_pylist() for c in _metrics]
+        for i in range(t.num_rows):
+            acc = totals.setdefault((rf[i], ls[i]), [0] * len(_metrics))
+            for j, col in enumerate(mcols):
+                acc[j] += col[i]
     rows = []
-    for r in collect_pylist(agg):
-        n = r["n"]
+    for (rf_k, ls_k), (qty, price_c, disc_price_u, charge_u, disc_c, n) in totals.items():
         rows.append({
-            "l_returnflag": r["l_returnflag"], "l_linestatus": r["l_linestatus"],
-            "sum_qty": float(r["qty"]),
-            "sum_base_price": r["price_c"] / 100.0,
-            "sum_disc_price": r["disc_price_u"] / 10000.0,
-            "sum_charge": r["charge_u"] / 1000000.0,
-            "avg_qty": _round6(r["qty"] / n),
-            "avg_price": _round6(r["price_c"] / 100.0 / n),
-            "avg_disc": _round6(r["disc_c"] / 100.0 / n),
+            "l_returnflag": rf_k, "l_linestatus": ls_k,
+            "sum_qty": float(qty),
+            "sum_base_price": price_c / 100.0,
+            "sum_disc_price": disc_price_u / 10000.0,
+            "sum_charge": charge_u / 1000000.0,
+            "avg_qty": _round6(qty / n),
+            "avg_price": _round6(price_c / 100.0 / n),
+            "avg_disc": _round6(disc_c / 100.0 / n),
             "count_order": n,
         })
     return pa.Table.from_pylist(sorted(rows, key=lambda r: (r["l_returnflag"], r["l_linestatus"])))
