@@ -180,6 +180,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_mixture_documents": q.corpus_mixture_documents,
         "js_wasserstein_orders": q.js_wasserstein_orders,
         "ridge_path_orders": q.ridge_path_orders,
+        "pca_project_embeddings": q.pca_project_embeddings,
         "source_overlap_documents": q.source_overlap_documents,
         "cusum_changepoint_events": q.cusum_changepoint_events,
         "benford_totalprice": q.benford_totalprice,
@@ -393,6 +394,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_cosine_pq_embeddings": q.PQ_KNN_SQL,
         "knn_cosine_ivfpq_embeddings": q.IVFPQ_KNN_SQL,
         "logistic_cv_repeated_orders": q.LOGISTIC_CV_REP_SQL,
+        "pca_project_embeddings": q.PCA_PROJECT_SQL,
         # converged-IRLS logistic CV / boosted stumps (iterative fits)
         # remain rows-only driver checks; verified in pytest instead.
     }

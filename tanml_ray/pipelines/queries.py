@@ -8649,3 +8649,111 @@ def video_near_dup_multimodal(sf_dir: str) -> pa.Table:
 
     return video_near_dups(ds.map_batches(synth, batch_format="pyarrow"),
                            max_hamming=0, every_k=3)
+
+
+# ---------------------------------------------------------------------------
+# Distributed PCA projection (mlops.pca_project) with a FULL closed-form
+# SQL oracle on a 2-component slice: the covariance pass accumulates
+# EXACT integer sufficient statistics of the 2^16-grid-quantized
+# components (bit-identical between engine and SQL — float32→double is
+# exact, ×65536 is a power-of-two multiply, floor matches on both
+# sides), and a 2×2 symmetric eigenproblem has the closed form
+# λ = (tr ± sqrt((a−c)² + 4b²))/2 with eigenvector (b, λ−a), so the
+# whole fit — covariance → eigenvectors → sign-fix → projection — is
+# SQL-expressible. numpy eigh and the closed form agree to ~1 ulp;
+# round-6 output absorbs it. The 64-dim path (driver eigh of the d×d
+# matrix) is the same operator with the same suffstats pass and stays
+# pytest-covered (test_pca_project_orders_variance).
+# Reference analog: dimensionality reduction ahead of model fits /
+# embedding near-dup; the reference has no PCA (builder's-brief
+# addition for training-data pipelines).
+# ---------------------------------------------------------------------------
+
+def pca_project_embeddings(sf_dir: str) -> pa.Table:
+    from tanml_ray.pipelines.mlops import pca_project
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def slice2(batch: pa.Table) -> pa.Table:
+        v = np.stack(batch.column("embedding").to_pylist()).astype(np.float64)
+        return pa.table({
+            "vec_id": batch.column("vec_id"),
+            "v2": pa.array([row.tolist() for row in v[:, :2]],
+                           type=pa.list_(pa.float64()))})
+
+    out = pca_project(ds.map_batches(slice2, batch_format="pyarrow"),
+                      n_components=2, vec_col="v2", id_col="vec_id")
+
+    def unpack(batch: pa.Table) -> pa.Table:
+        p = np.stack(batch.column("pc").to_pylist())
+        return pa.table({
+            "vec_id": batch.column("vec_id"),
+            "pc1": pa.array(np.round(p[:, 0], 6), type=pa.float64()),
+            "pc2": pa.array(np.round(p[:, 1], 6), type=pa.float64())})
+
+    from tanml_ray.functions.collect import collect_table
+
+    return collect_table(out.map_batches(unpack, batch_format="pyarrow"))
+
+
+PCA_PROJECT_SQL = """
+WITH p AS MATERIALIZED (
+  SELECT vec_id,
+         CAST(embedding[1] AS DOUBLE) AS v0,
+         CAST(embedding[2] AS DOUBLE) AS v1
+  FROM embeddings
+), q AS MATERIALIZED (
+  SELECT vec_id, v0, v1,
+         CAST(floor(v0 * 65536.0) AS BIGINT) AS x0,
+         CAST(floor(v1 * 65536.0) AS BIGINT) AS x1
+  FROM p
+), s AS MATERIALIZED (
+  SELECT count(*) AS n,
+         sum(CAST(x0 AS HUGEINT)) AS s0, sum(CAST(x1 AS HUGEINT)) AS s1,
+         sum(CAST(x0 AS HUGEINT) * x0) AS g00,
+         sum(CAST(x0 AS HUGEINT) * x1) AS g01,
+         sum(CAST(x1 AS HUGEINT) * x1) AS g11
+  FROM q
+), cov AS MATERIALIZED (
+  -- mirrors embedding_covariance: (float(g) - float(s_i)*float(s_j)/n)
+  -- / (n-1) / (grid*grid), evaluated in doubles in the same order
+  SELECT ((CAST(g00 AS DOUBLE) - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE) / n)
+            / (n - 1)) / (65536.0 * 65536.0) AS a,
+         ((CAST(g01 AS DOUBLE) - CAST(s0 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
+            / (n - 1)) / (65536.0 * 65536.0) AS b,
+         ((CAST(g11 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
+            / (n - 1)) / (65536.0 * 65536.0) AS c
+  FROM s
+), eig AS MATERIALIZED (
+  SELECT a, b, c,
+         (a + c + sqrt((a - c) * (a - c) + 4.0 * b * b)) / 2.0 AS l1,
+         (a + c - sqrt((a - c) * (a - c) + 4.0 * b * b)) / 2.0 AS l2
+  FROM cov
+), vecs AS MATERIALIZED (
+  -- eigenvector (b, λ−a) (b ≠ 0 on these fixtures), normalized, then
+  -- sign-fixed: the largest-|loading| coordinate made positive
+  -- (ties → the FIRST coordinate, matching np.argmax)
+  SELECT
+    CASE WHEN (CASE WHEN abs(b / n1) >= abs((l1 - a) / n1)
+                    THEN b / n1 ELSE (l1 - a) / n1 END) < 0
+         THEN -b / n1 ELSE b / n1 END AS c10,
+    CASE WHEN (CASE WHEN abs(b / n1) >= abs((l1 - a) / n1)
+                    THEN b / n1 ELSE (l1 - a) / n1 END) < 0
+         THEN -(l1 - a) / n1 ELSE (l1 - a) / n1 END AS c11,
+    CASE WHEN (CASE WHEN abs(b / n2) >= abs((l2 - a) / n2)
+                    THEN b / n2 ELSE (l2 - a) / n2 END) < 0
+         THEN -b / n2 ELSE b / n2 END AS c20,
+    CASE WHEN (CASE WHEN abs(b / n2) >= abs((l2 - a) / n2)
+                    THEN b / n2 ELSE (l2 - a) / n2 END) < 0
+         THEN -(l2 - a) / n2 ELSE (l2 - a) / n2 END AS c21
+  FROM (SELECT a, b, l1, l2,
+               sqrt(b * b + (l1 - a) * (l1 - a)) AS n1,
+               sqrt(b * b + (l2 - a) * (l2 - a)) AS n2
+        FROM eig)
+)
+SELECT q.vec_id,
+       round(q.v0 * v.c10 + q.v1 * v.c11, 6) AS pc1,
+       round(q.v0 * v.c20 + q.v1 * v.c21, 6) AS pc2
+FROM q, vecs v
+ORDER BY q.vec_id
+"""
