@@ -181,6 +181,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "js_wasserstein_orders": q.js_wasserstein_orders,
         "ridge_path_orders": q.ridge_path_orders,
         "pca_project_embeddings": q.pca_project_embeddings,
+        "poisson_step_lineitem": q.poisson_step_lineitem,
         "source_overlap_documents": q.source_overlap_documents,
         "cusum_changepoint_events": q.cusum_changepoint_events,
         "benford_totalprice": q.benford_totalprice,
@@ -395,6 +396,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_cosine_ivfpq_embeddings": q.IVFPQ_KNN_SQL,
         "logistic_cv_repeated_orders": q.LOGISTIC_CV_REP_SQL,
         "pca_project_embeddings": q.PCA_PROJECT_SQL,
+        "poisson_step_lineitem": q.POISSON_STEP_SQL,
         # converged-IRLS logistic CV / boosted stumps (iterative fits)
         # remain rows-only driver checks; verified in pytest instead.
     }

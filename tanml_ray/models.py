@@ -11,6 +11,8 @@ Dataset) and predicts through the ScorerStage actor-pool contract
 
     linear_closed_form   one-pass Gram OLS (optional ridge), regression
     logistic_irls        distributed IRLS logistic, classification
+    poisson_newton       distributed Newton-scoring Poisson GLM
+                         (log link, count regression)
     boosted_stumps       histogram gradient-boosted stumps, regression
     gaussian_nb          one-pass Gaussian Naive Bayes, classification
     kmeans_lloyd         distributed Lloyd (unsupervised; .predict →
@@ -89,6 +91,24 @@ def _fit_logistic(ds, x_cols, y_col, max_iter: int = 8):
 
     out = logistic_fit(ds, x_cols, y_col, max_iter=max_iter)
     model = ClosedFormModel(out["coef"], out["intercept"], sigmoid=True)
+    model.fit_info = out
+    return model
+
+
+class PoissonModel(ClosedFormModel):
+    """Log-link GLM scorer: predict(X) returns the expected count
+    exp(w·x + b)."""
+
+    def predict(self, X: np.ndarray) -> np.ndarray:
+        return np.exp(np.asarray(X, dtype=np.float64) @ self.w + self.b)
+
+
+@ESTIMATORS.register("poisson_newton", task="regression", max_iter=8)
+def _fit_poisson(ds, x_cols, y_col, max_iter: int = 8):
+    from tanml_ray.pipelines.mlops import poisson_fit
+
+    out = poisson_fit(ds, x_cols, y_col, max_iter=max_iter)
+    model = PoissonModel(out["coef"], out["intercept"])
     model.fit_info = out
     return model
 

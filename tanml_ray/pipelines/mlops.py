@@ -479,6 +479,64 @@ def logistic_fit(ds, x_cols: list[str], y_col: str,
     return out
 
 
+def _poisson_pass(ds, x_cols: list[str], y_col: str,
+                  beta: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """One streaming Poisson-Newton pass at `beta` (log link): returns
+    (XᵀWX, Xᵀ(y−μ)) summed over all blocks with μ = exp(Xβ) and
+    W = diag(μ) — the canonical-link Fisher scoring weights. Same
+    combiner-first shape as the logistic `_irls_pass`: each block ships
+    one (p², p) partial, the driver merges O(blocks) of them."""
+    import ray
+
+    p = len(x_cols) + 1
+    bref = ray.put(beta.copy())
+
+    def step_partial(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        b = _ray.get(bref)
+        X = np.column_stack([np.ones(batch.num_rows),
+                             _matrix(batch, x_cols)])
+        y = batch.column(y_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        mu = np.exp(X @ b)
+        XtWX = X.T @ (X * mu[:, None])
+        Xtz = X.T @ (y - mu)
+        return pa.Table.from_pylist([{
+            "xtwx": XtWX.ravel().tolist(), "xtz": Xtz.tolist()}])
+
+    H = np.zeros((p, p))
+    g = np.zeros(p)
+    for r in collect_pylist(ds.map_batches(step_partial, batch_format="pyarrow")):
+        H += np.asarray(r["xtwx"]).reshape(p, p)
+        g += np.asarray(r["xtz"])
+    return H, g
+
+
+def poisson_fit(ds, x_cols: list[str], y_col: str,
+                max_iter: int = 8, tol: float = 1e-8) -> dict:
+    """Poisson regression (log link) via distributed Newton scoring —
+    the count-response GLM sibling of `logistic_fit` (reference
+    models/registry.py lists Poisson among its sklearn regressors).
+    Each iteration is ONE streaming pass; at β=0 every μ is 1 and
+    W = I, so the first update has the closed form (XᵀX)⁻¹Xᵀ(y−1) —
+    the SQL-anchorable slice the `poisson_step_lineitem` oracle unrolls
+    (two steps; the converged fit has no closed form). Returns
+    {intercept, coef, rate_ratios, n_iter}."""
+    p = len(x_cols) + 1
+    beta = np.zeros(p)
+
+    for it in range(max_iter):
+        H, g = _poisson_pass(ds, x_cols, y_col, beta)
+        delta = np.linalg.solve(H + 1e-10 * np.eye(p), g)
+        beta = beta + delta
+        if float(np.abs(delta).max()) < tol:
+            break
+    return {"intercept": float(beta[0]),
+            "coef": beta[1:].tolist(),
+            "rate_ratios": np.exp(beta[1:]).tolist(),
+            "n_iter": it + 1}
+
+
 def gaussian_nb_fit(ds, x_cols: list[str], y_col: str,
                     var_smoothing: float = 1e-9) -> dict:
     """Gaussian Naive Bayes over numeric features — the numeric-feature

@@ -8757,3 +8757,97 @@ SELECT q.vec_id,
 FROM q, vecs v
 ORDER BY q.vec_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Two-step-Newton Poisson GLM (mlops.poisson_fit capped at 2
+# iterations) — the SQL-anchorable slice of the count-response GLM
+# family: at beta=0 every mu is exp(0)=1 and W=I, so step 1 has the
+# closed form (XtX)^-1 Xt(y-1) (Cramer 3x3, the OLS oracle shape), and
+# step 2 unrolls with per-row exp(eta) exactly like the fixed-step
+# logistic CV oracle. The engine runs the REAL streaming _poisson_pass
+# machinery, so a match certifies the Poisson gradient/information
+# accumulation end-to-end; the converged fit (poisson_newton estimator
+# family, models.py) has no closed form and stays pytest-covered.
+# ---------------------------------------------------------------------------
+
+def poisson_step_lineitem(sf_dir: str) -> pa.Table:
+    from tanml_ray.pipelines.mlops import poisson_fit
+
+    ds = _read(sf_dir, "lineitem", ["l_quantity", "l_discount", "l_tax"])
+
+    def derive(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "x1": pc.multiply(pc.cast(batch.column("l_discount"),
+                                      pa.float64()), 10.0),
+            "x2": pc.multiply(pc.cast(batch.column("l_tax"),
+                                      pa.float64()), 10.0),
+            "y": pc.cast(batch.column("l_quantity"), pa.float64()),
+        })
+
+    fit = poisson_fit(ds.map_batches(derive, batch_format="pyarrow"),
+                      ["x1", "x2"], "y", max_iter=2)
+    return pa.Table.from_pylist([
+        {"feature": "intercept", "coef_step2": _round6(fit["intercept"])},
+        {"feature": "x1", "coef_step2": _round6(fit["coef"][0])},
+        {"feature": "x2", "coef_step2": _round6(fit["coef"][1])},
+    ])
+
+
+POISSON_STEP_SQL = """
+WITH p AS MATERIALIZED (
+  SELECT CAST(l_quantity AS DOUBLE) AS y,
+         CAST(l_discount AS DOUBLE) * 10.0 AS x1,
+         CAST(l_tax AS DOUBLE) * 10.0 AS x2
+  FROM lineitem
+), s AS MATERIALIZED (
+  -- step 1 at beta=0: mu=1, W=I -> delta = (XtX)^-1 Xt(y-1)
+  SELECT CAST(count(*) AS DOUBLE) AS n, sum(x1) AS s1, sum(x2) AS s2,
+         sum(x1*x1) AS s11, sum(x1*x2) AS s12, sum(x2*x2) AS s22,
+         sum(y - 1) AS g0, sum(x1*(y - 1)) AS g1, sum(x2*(y - 1)) AS g2
+  FROM p
+), b1 AS MATERIALIZED (
+  SELECT (g0*(s11*s22 - s12*s12) - s1*(g1*s22 - s12*g2)
+            + s2*(g1*s12 - s11*g2)) / det AS b0,
+         (n*(g1*s22 - g2*s12) - g0*(s1*s22 - s12*s2)
+            + s2*(s1*g2 - g1*s2)) / det AS bx1,
+         (n*(s11*g2 - s12*g1) - s1*(s1*g2 - s2*g1)
+            + g0*(s1*s12 - s11*s2)) / det AS bx2
+  FROM (SELECT s.*,
+               n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2)
+                 + s2*(s1*s12 - s11*s2) AS det
+        FROM s)
+), m AS MATERIALIZED (
+  -- step 2: mu = exp(X beta1), W = diag(mu)
+  SELECT p.y, p.x1, p.x2,
+         exp(b1.b0 + b1.bx1 * p.x1 + b1.bx2 * p.x2) AS mu
+  FROM p, b1
+), h AS MATERIALIZED (
+  SELECT sum(mu) AS h00, sum(mu*x1) AS h01, sum(mu*x2) AS h02,
+         sum(mu*x1*x1) AS h11, sum(mu*x1*x2) AS h12,
+         sum(mu*x2*x2) AS h22,
+         sum(y - mu) AS g0, sum(x1*(y - mu)) AS g1,
+         sum(x2*(y - mu)) AS g2
+  FROM m
+), d2 AS MATERIALIZED (
+  SELECT h.*,
+         h00*(h11*h22 - h12*h12) - h01*(h01*h22 - h12*h02)
+           + h02*(h01*h12 - h11*h02) AS det,
+         g0*(h11*h22 - h12*h12) - h01*(g1*h22 - h12*g2)
+           + h02*(g1*h12 - h11*g2) AS det0,
+         h00*(g1*h22 - g2*h12) - g0*(h01*h22 - h12*h02)
+           + h02*(h01*g2 - g1*h02) AS det1,
+         h00*(h11*g2 - h12*g1) - h01*(h01*g2 - h02*g1)
+           + g0*(h01*h12 - h11*h02) AS det2
+  FROM h
+)
+SELECT feature, coef_step2 FROM (
+  SELECT 'intercept' AS feature,
+         round(b1.b0 + d2.det0 / d2.det, 6) AS coef_step2
+  FROM b1, d2
+  UNION ALL SELECT 'x1', round(b1.bx1 + d2.det1 / d2.det, 6)
+  FROM b1, d2
+  UNION ALL SELECT 'x2', round(b1.bx2 + d2.det2 / d2.det, 6)
+  FROM b1, d2
+)
+"""

@@ -217,3 +217,40 @@ class TestBoostedStumps:
         assert isinstance(m, BoostedStumpsModel)
         assert m.fit_info["n_stumps"] <= 6
         assert ((m.predict(X) > 0.5) == (y == 1.0)).mean() > 0.97
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestPoissonFit:
+    def test_recovers_rates_and_partition_invariance(self):
+        """Converged Newton Poisson recovers the generating log-rates;
+        the fit is partition-count invariant (same Newton trajectory up
+        to fp sum order)."""
+        from tanml_ray.models import ESTIMATORS
+        from tanml_ray.pipelines.mlops import poisson_fit
+
+        rng = np.random.default_rng(11)
+        n = 6000
+        x1 = rng.uniform(0, 1, n)
+        x2 = rng.uniform(0, 1, n)
+        lam = np.exp(0.5 + 1.2 * x1 - 0.8 * x2)
+        y = rng.poisson(lam).astype(np.float64)
+        t = pa.table({"x1": x1, "x2": x2, "y": y})
+
+        out = poisson_fit(_ds(t, parts=4), ["x1", "x2"], "y")
+        assert out["intercept"] == pytest.approx(0.5, abs=0.1)
+        assert out["coef"][0] == pytest.approx(1.2, abs=0.15)
+        assert out["coef"][1] == pytest.approx(-0.8, abs=0.15)
+        assert out["n_iter"] < 8    # converged before the cap
+
+        out9 = poisson_fit(_ds(t, parts=9), ["x1", "x2"], "y")
+        assert out9["intercept"] == pytest.approx(out["intercept"], rel=1e-8)
+        assert out9["coef"] == pytest.approx(out["coef"], rel=1e-8)
+
+        # registry contract: predict returns expected counts exp(eta)
+        m = ESTIMATORS.fit("poisson_newton", _ds(t, parts=4),
+                           ["x1", "x2"], "y")
+        pred = m.predict(np.array([[0.5, 0.5]]))[0]
+        assert pred == pytest.approx(np.exp(0.5 + 1.2 * 0.5 - 0.8 * 0.5),
+                                     rel=0.1)
+        assert (m.predict(np.array([[1.0, 0.0]]))[0]
+                > m.predict(np.array([[0.0, 1.0]]))[0])
