@@ -182,6 +182,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ridge_path_orders": q.ridge_path_orders,
         "pca_project_embeddings": q.pca_project_embeddings,
         "poisson_step_lineitem": q.poisson_step_lineitem,
+        "logistic_wald_step_orders": q.logistic_wald_step_orders,
         "source_overlap_documents": q.source_overlap_documents,
         "cusum_changepoint_events": q.cusum_changepoint_events,
         "benford_totalprice": q.benford_totalprice,
@@ -397,6 +398,7 @@ def oracle_sql() -> dict[str, str]:
         "logistic_cv_repeated_orders": q.LOGISTIC_CV_REP_SQL,
         "pca_project_embeddings": q.PCA_PROJECT_SQL,
         "poisson_step_lineitem": q.POISSON_STEP_SQL,
+        "logistic_wald_step_orders": q.LOGISTIC_WALD_STEP_SQL,
         # converged-IRLS logistic CV / boosted stumps (iterative fits)
         # remain rows-only driver checks; verified in pytest instead.
     }

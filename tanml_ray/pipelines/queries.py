@@ -8851,3 +8851,111 @@ SELECT feature, coef_step2 FROM (
   FROM b1, d2
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# Fixed-step Wald inference (2 Newton iterations + the Fisher
+# information at the resulting beta) — the SQL-anchorable slice of
+# logistic_inference (mlops.py:601): the engine runs the REAL
+# logistic_fit(with_information=True) machinery capped at 2 steps, so
+# a match certifies the whole inference chain end-to-end — IRLS
+# gradient/information accumulation, the extra information pass at the
+# final beta, and the Wald algebra se_i = sqrt((H^-1)_ii), z = beta/se,
+# OR = exp(beta). The 3x3 inverse diagonal is Cramer-expressible
+# (cofactor/det of the symmetric normal matrix); p-values are omitted
+# here (DuckDB has no erf/erfc) and stay on the converged rows-only
+# representative logistic_inference_orders.
+# ---------------------------------------------------------------------------
+
+def logistic_wald_step_orders(sf_dir: str) -> pa.Table:
+    from tanml_ray.pipelines.mlops import logistic_fit
+
+    fit = logistic_fit(_orders_logistic_features(sf_dir),
+                       ["x1", "x2"], "label", max_iter=2,
+                       with_information=True)
+    beta = np.concatenate([[fit["intercept"]], np.asarray(fit["coef"])])
+    cov = np.linalg.inv(fit["information"])
+    se = np.sqrt(np.maximum(np.diag(cov), 0.0))
+    z = beta / se
+    return pa.table({
+        "feature": pa.array(["(intercept)", "x1", "x2"], type=pa.string()),
+        "coef_step2": pa.array(np.round(beta, 6), type=pa.float64()),
+        "std_err": pa.array(np.round(se, 6), type=pa.float64()),
+        "z": pa.array(np.round(z, 6), type=pa.float64()),
+        "odds_ratio": pa.array(np.round(np.exp(beta), 6),
+                               type=pa.float64()),
+    })
+
+
+LOGISTIC_WALD_STEP_SQL = """
+WITH feat AS MATERIALIZED (
+  SELECT CAST(datediff('day', DATE '1970-01-01',
+                       CAST(o_orderdate AS DATE)) AS DOUBLE) / 1000.0 AS x1,
+         CAST(o_totalprice AS DOUBLE) / 100000.0 AS x2,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+  FROM orders
+), s1 AS MATERIALIZED (
+  SELECT CAST(count(*) AS DOUBLE) AS a, sum(x1) AS b, sum(x2) AS c,
+         sum(x1*x1) AS d, sum(x1*x2) AS e, sum(x2*x2) AS f,
+         sum(y - 0.5) AS g0, sum(x1*(y - 0.5)) AS g1,
+         sum(x2*(y - 0.5)) AS g2
+  FROM feat
+), b1 AS MATERIALIZED (
+  SELECT 4 * (g0*(d*f - e*e) - b*(g1*f - e*g2) + c*(g1*e - d*g2))
+           / (a*(d*f - e*e) - b*(b*f - e*c) + c*(b*e - d*c)) AS c0,
+         4 * (a*(g1*f - g2*e) - g0*(b*f - e*c) + c*(b*g2 - g1*c))
+           / (a*(d*f - e*e) - b*(b*f - e*c) + c*(b*e - d*c)) AS c1,
+         4 * (a*(d*g2 - g1*e) - b*(b*g2 - g1*c) + g0*(b*e - d*c))
+           / (a*(d*f - e*e) - b*(b*f - e*c) + c*(b*e - d*c)) AS c2
+  FROM s1
+), m AS MATERIALIZED (
+  SELECT x1, x2, y,
+         1.0 / (1.0 + exp(-(c0 + c1*x1 + c2*x2))) AS mu
+  FROM feat, b1
+), s2 AS MATERIALIZED (
+  SELECT sum(mu*(1-mu)) AS a, sum(mu*(1-mu)*x1) AS b,
+         sum(mu*(1-mu)*x2) AS c, sum(mu*(1-mu)*x1*x1) AS d,
+         sum(mu*(1-mu)*x1*x2) AS e, sum(mu*(1-mu)*x2*x2) AS f,
+         sum(y - mu) AS g0, sum(x1*(y - mu)) AS g1,
+         sum(x2*(y - mu)) AS g2
+  FROM m
+), b2 AS MATERIALIZED (
+  SELECT b1.c0 + (g0*(d*f - e*e) - b*(g1*f - e*g2) + c*(g1*e - d*g2))
+           / (a*(d*f - e*e) - b*(b*f - e*c) + c*(b*e - d*c)) AS c0,
+         b1.c1 + (a*(g1*f - g2*e) - g0*(b*f - e*c) + c*(b*g2 - g1*c))
+           / (a*(d*f - e*e) - b*(b*f - e*c) + c*(b*e - d*c)) AS c1,
+         b1.c2 + (a*(d*g2 - g1*e) - b*(b*g2 - g1*c) + g0*(b*e - d*c))
+           / (a*(d*f - e*e) - b*(b*f - e*c) + c*(b*e - d*c)) AS c2
+  FROM s2, b1
+), mi AS MATERIALIZED (
+  -- the extra information pass at the FINAL beta (logistic_fit
+  -- with_information=True): W = mu2(1-mu2)
+  SELECT 1.0 / (1.0 + exp(-(c0 + c1*x1 + c2*x2))) AS mu, x1, x2
+  FROM feat, b2
+), h AS MATERIALIZED (
+  SELECT sum(mu*(1-mu)) AS a, sum(mu*(1-mu)*x1) AS b,
+         sum(mu*(1-mu)*x2) AS c, sum(mu*(1-mu)*x1*x1) AS d,
+         sum(mu*(1-mu)*x1*x2) AS e, sum(mu*(1-mu)*x2*x2) AS f
+  FROM mi
+), w AS MATERIALIZED (
+  -- Wald SEs: sqrt of the symmetric-cofactor diagonal of H^-1
+  SELECT sqrt((d*f - e*e) / det) AS se0,
+         sqrt((a*f - c*c) / det) AS se1,
+         sqrt((a*d - b*b) / det) AS se2
+  FROM (SELECT h.*,
+               a*(d*f - e*e) - b*(b*f - e*c) + c*(b*e - d*c) AS det
+        FROM h)
+)
+SELECT feature, coef_step2, std_err, z, odds_ratio FROM (
+  SELECT '(intercept)' AS feature, round(b2.c0, 6) AS coef_step2,
+         round(w.se0, 6) AS std_err, round(b2.c0 / w.se0, 6) AS z,
+         round(exp(b2.c0), 6) AS odds_ratio
+  FROM b2, w
+  UNION ALL
+  SELECT 'x1', round(b2.c1, 6), round(w.se1, 6),
+         round(b2.c1 / w.se1, 6), round(exp(b2.c1), 6) FROM b2, w
+  UNION ALL
+  SELECT 'x2', round(b2.c2, 6), round(w.se2, 6),
+         round(b2.c2 / w.se2, 6), round(exp(b2.c2), 6) FROM b2, w
+)
+"""
