@@ -55,6 +55,8 @@ FAST_QUERIES = [
     # round-5 families
     "logistic_cv_orders", "logistic_cv_repeated_orders",
     "spearman_lineitem", "knn_cosine_pq_embeddings",
+    "pca_project_embeddings", "poisson_step_lineitem",
+    "logistic_wald_step_orders",
 ]
 
 
