@@ -810,9 +810,19 @@ def ridge_path(ds, x_cols: list[str], y_col: str,
 # ---------------------------------------------------------------------------
 
 def embedding_covariance(ds, vec_col: str = "embedding",
-                         grid: int = 1 << 16) -> tuple[np.ndarray, int]:
+                         grid: int = 1 << 16,
+                         fan_in: int = 32) -> tuple[np.ndarray, int]:
     """Returns (cov, n): the exact sample covariance (ddof=1) of the
-    grid-quantized embedding components, in ORIGINAL units."""
+    grid-quantized embedding components, in ORIGINAL units.
+
+    Scale path: the per-batch partials (one (1 + d + d²)-int64 row per
+    ~10³ vectors) would number ~10⁶ at 10⁹ vectors — too much to
+    stream raw to the driver — so they are pre-merged in ≤ `fan_in`
+    distributed groups with EXACT Python-int sums (int64 would
+    overflow once ~10⁶ block Grams accumulate) shipped as decimal
+    strings; the driver then merges O(fan_in) rows regardless of
+    corpus size. Integer addition is associative, so the result is
+    bit-identical at any fan_in / partitioning."""
     def partial(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return pa.table({"n": pa.array([], type=pa.int64()),
@@ -831,14 +841,36 @@ def embedding_covariance(ds, vec_col: str = "embedding",
             "g": pa.array([(x.T @ x).ravel().tolist()],
                           type=pa.list_(pa.int64()))})
 
+    def merge_exact(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"n": pa.array([], type=pa.int64()),
+                             "s": pa.array([], type=pa.string()),
+                             "g": pa.array([], type=pa.string())})
+        mn = 0
+        ms = None
+        mg = None
+        for r in batch.to_pylist():
+            mn += int(r["n"])
+            rs = [int(v) for v in r["s"]]
+            rg = [int(v) for v in r["g"]]
+            ms = rs if ms is None else [a + b for a, b in zip(ms, rs)]
+            mg = rg if mg is None else [a + b for a, b in zip(mg, rg)]
+        return pa.table({
+            "n": pa.array([mn], type=pa.int64()),
+            "s": pa.array([" ".join(map(str, ms))], type=pa.string()),
+            "g": pa.array([" ".join(map(str, mg))], type=pa.string())})
+
+    merged = (ds.map_batches(partial, batch_format="pyarrow")
+                .repartition(fan_in)
+                .map_batches(merge_exact, batch_format="pyarrow",
+                             batch_size=None))
     n = 0
     s = None
     g = None
-    for r in collect_pylist(ds.map_batches(partial,
-                                           batch_format="pyarrow")):
+    for r in collect_pylist(merged):
         n += int(r["n"])
-        rs = [int(v) for v in r["s"]]
-        rg = [int(v) for v in r["g"]]
+        rs = [int(t) for t in r["s"].split()]
+        rg = [int(t) for t in r["g"].split()]
         s = rs if s is None else [a + b for a, b in zip(s, rs)]
         g = rg if g is None else [a + b for a, b in zip(g, rg)]
     if n < 2:
