@@ -69,7 +69,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "logistic_cv_orders": q.logistic_cv_orders,
         "dup_cluster_sizes_documents": q.dup_cluster_sizes_documents,
         "knn_cosine_embeddings": q.knn_cosine_embeddings,
-        "knn_cosine_lsh_embeddings": q.knn_cosine_lsh_embeddings,
+        # dimensionality reduction (round-5 addition, closed-form
+        # 2x2-eigen SQL oracle); LSH-knn moved below the marker — it
+        # shares KNN_SQL with the exact scan and IVF stays in-window.
+        "pca_project_embeddings": q.pca_project_embeddings,
         "knn_cosine_ivf_embeddings": q.knn_cosine_ivf_embeddings,
         "join_orders_customer_broadcast": q.join_orders_customer_broadcast,
         "join_lineitem_orders_partitioned": q.join_lineitem_orders_partitioned,
@@ -95,7 +98,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_events": q.funnel_events,
         "retention_cohorts_events": q.retention_cohorts_events,
         "event_transitions_events": q.event_transitions_events,
-        "basket_lift_events": q.basket_lift_events,
+        # count-response GLM (round-5 addition, 2-step-unrolled
+        # Cramer+exp SQL oracle); basket_lift moved below the marker —
+        # the coarse-partition event suite keeps 4 in-window reps.
+        "poisson_step_lineitem": q.poisson_step_lineitem,
         "user_sessions_events": q.user_sessions_events,
         "grouped_psi_events": q.grouped_psi_events,
         "mean_impute_quantity": q.mean_impute_quantity,
@@ -180,8 +186,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_mixture_documents": q.corpus_mixture_documents,
         "js_wasserstein_orders": q.js_wasserstein_orders,
         "ridge_path_orders": q.ridge_path_orders,
-        "pca_project_embeddings": q.pca_project_embeddings,
-        "poisson_step_lineitem": q.poisson_step_lineitem,
+        "knn_cosine_lsh_embeddings": q.knn_cosine_lsh_embeddings,
+        "basket_lift_events": q.basket_lift_events,
         "logistic_wald_step_orders": q.logistic_wald_step_orders,
         "source_overlap_documents": q.source_overlap_documents,
         "cusum_changepoint_events": q.cusum_changepoint_events,
