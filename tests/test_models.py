@@ -64,7 +64,8 @@ class TestEstimatorRegistry:
         assert ESTIMATORS.list_names() == ["boosted_stumps", "gaussian_nb",
                                            "kmeans_lloyd",
                                            "linear_closed_form",
-                                           "logistic_irls"]
+                                           "logistic_irls",
+                                           "poisson_newton"]
         rng = np.random.default_rng(8)
         n = 4000
         x1 = rng.normal(0, 1, n)
