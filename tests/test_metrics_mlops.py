@@ -231,6 +231,29 @@ def test_embedding_covariance_matches_numpy():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_embedding_covariance_fan_in_merge_path():
+    """Many partials (64 input partitions) through small fan_in groups:
+    the distributed big-int pre-merge must be bitwise-identical to the
+    wide-fan_in path and to driver numpy on the quantized grid."""
+    import ray.data as rd
+
+    from tanml_ray.pipelines.mlops import embedding_covariance
+
+    rng = np.random.default_rng(7)
+    v = rng.standard_normal((5000, 6)).astype(np.float32)
+    t = pa.table({"embedding": pa.array([r for r in v],
+                                        type=pa.list_(pa.float32()))})
+    ds = rd.from_arrow(t).repartition(64)
+    cov4, n = embedding_covariance(ds, fan_in=4)
+    cov32, _ = embedding_covariance(ds, fan_in=32)
+    assert n == 5000
+    assert np.array_equal(cov4, cov32)
+    grid = 1 << 16
+    q = np.floor(v.astype(np.float64) * grid) / grid
+    assert np.allclose(cov4, np.cov(q, rowvar=False, ddof=1), atol=1e-9)
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_pca_project_orders_variance():
     import ray.data as rd
 
