@@ -151,6 +151,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kendall_sample_lineitem": q.kendall_sample_lineitem,
         "curate_documents_stats": q.curate_documents_stats,
         "linear_fit_orders": q.linear_fit_orders,
+        "lda_fit_orders": q.lda_fit_orders,
+        "knn_classify_orders": q.knn_classify_orders,
         "linear_cv_repeated_orders": q.linear_cv_repeated_orders,
         "order_shipweek_counts": q.order_shipweek_counts,
         "tfidf_top_terms_documents": q.tfidf_top_terms_documents,
@@ -296,6 +298,8 @@ def oracle_sql() -> dict[str, str]:
         "bpe_token_counts_documents": q.BPE_TOKEN_COUNTS_SQL,
         "bpe_merges_documents": q.BPE_MERGES_SQL,
         "linear_fit_orders": q.LINEAR_FIT_SQL,
+        "lda_fit_orders": q.LDA_FIT_SQL,
+        "knn_classify_orders": q.KNN_CLASSIFY_SQL,
         "linear_cv_repeated_orders": q.LINEAR_CV_REPEATED_SQL,
         "order_shipweek_counts": q.RANGE_JOIN_SQL,
         "tfidf_top_terms_documents": q.TFIDF_SQL,

@@ -15,6 +15,10 @@ Dataset) and predicts through the ScorerStage actor-pool contract
                          (log link, count regression)
     boosted_stumps       histogram gradient-boosted stumps, regression
     gaussian_nb          one-pass Gaussian Naive Bayes, classification
+    lda_closed_form      one-pass pooled-covariance linear discriminant
+                         (exact integer sufficient statistics)
+    knn_classifier       k-NN majority vote (bounded-train registry
+                         entry; streaming scan = mlops.knn_classify)
     kmeans_lloyd         distributed Lloyd (unsupervised; .predict →
                          nearest-center label)
 
@@ -177,6 +181,77 @@ def _fit_gaussian_nb(ds, x_cols, y_col, var_smoothing: float = 1e-9):
     model.fit_info = {"n": out["n"], "priors": out["priors"],
                       "means": out["means"].tolist(),
                       "vars": out["vars"].tolist()}
+    return model
+
+
+class LDAModel:
+    """Equal-covariance Gaussian discriminant scorer: predict(X)
+    returns wᵀx + b — the exact log posterior odds ln P(y=1|x) −
+    ln P(y=0|x) under the pooled-covariance model (same log-odds scale
+    as the logistic scorer, so AUC/threshold-at-0 semantics match)."""
+
+    def __init__(self, coef, intercept: float):
+        self.w = np.asarray(coef, dtype=np.float64)
+        self.b = float(intercept)
+
+    def predict(self, X: np.ndarray) -> np.ndarray:
+        return np.asarray(X, dtype=np.float64) @ self.w + self.b
+
+
+@ESTIMATORS.register("lda_closed_form", task="classification")
+def _fit_lda(ds, x_cols, y_col):
+    from tanml_ray.pipelines.mlops import lda_fit
+
+    out = lda_fit(ds, x_cols, y_col)
+    model = LDAModel(out["coef"], out["intercept"])
+    model.fit_info = out
+    return model
+
+
+class KnnModel:
+    """k-NN majority-vote scorer over a held training matrix:
+    predict(X) returns the positive-neighbor fraction among the k
+    nearest train rows (ties broken by (d², train id), matching
+    mlops.knn_classify's global order). The registry entry holds a
+    BOUNDED train set (max_train-guarded gather); the streaming
+    corpus-scan path for unbounded train sides is
+    mlops.knn_classify (broadcast the small test side, scan train)."""
+
+    def __init__(self, train_X: np.ndarray, train_y: np.ndarray,
+                 train_ids: np.ndarray, k: int):
+        self.X = np.asarray(train_X, dtype=np.float64)
+        self.y = np.asarray(train_y, dtype=np.int64)
+        self.ids = np.asarray(train_ids, dtype=np.int64)
+        self.k = int(k)
+
+    def predict(self, X: np.ndarray) -> np.ndarray:
+        X = np.asarray(X, dtype=np.float64)
+        out = np.empty(X.shape[0])
+        top = min(self.k, self.X.shape[0])
+        for i in range(X.shape[0]):
+            d2 = ((self.X - X[i]) ** 2).sum(axis=1)
+            order = np.lexsort((self.ids, d2))[:top]
+            out[i] = self.y[order].mean()
+        return out
+
+
+@ESTIMATORS.register("knn_classifier", task="classification",
+                     k=5, max_train=1_000_000)
+def _fit_knn(ds, x_cols, y_col, k: int = 5, max_train: int = 1_000_000,
+             id_col: str | None = None):
+    from tanml_ray.functions.collect import collect_pylist
+
+    rows = collect_pylist(ds)
+    if len(rows) > max_train:
+        raise ValueError(f"{len(rows)} train rows exceed max_train="
+                         f"{max_train}; use mlops.knn_classify (streaming "
+                         f"corpus scan) at this scale")
+    X = np.array([[r[c] for c in x_cols] for r in rows], dtype=np.float64)
+    y = np.array([r[y_col] for r in rows], dtype=np.int64)
+    ids = (np.array([r[id_col] for r in rows], dtype=np.int64)
+           if id_col else np.arange(len(rows), dtype=np.int64))
+    model = KnnModel(X, y, ids, k)
+    model.fit_info = {"k": k, "n_train": len(rows)}
     return model
 
 

@@ -598,6 +598,177 @@ def gaussian_nb_fit(ds, x_cols: list[str], y_col: str,
             "means": means, "vars": varis, "n": n}
 
 
+def lda_fit(ds, x_cols: list[str], y_col: str) -> dict:
+    """Fisher / Gaussian linear discriminant analysis — the
+    equal-covariance sibling of gaussian_nb_fit (reference
+    models/registry.py:34-411 lists LinearDiscriminantAnalysis among
+    its sklearn classifiers). ONE streaming pass accumulates EXACT
+    per-class integer sufficient statistics (n_c, Σx, Σxxᵀ — features
+    must be integer-valued, the repo-wide integer-units convention, so
+    the partials merge as Python bigints bit-identically under any
+    partitioning), then the driver closes the pooled within-class
+    covariance Σ̂ = S_w/(n−2) and the Bayes discriminant
+
+        w = Σ̂⁻¹(μ₁ − μ₀),  b = −½·wᵀ(μ₀+μ₁) + ln(n₁/n₀)
+
+    (score(x) = wᵀx + b is the exact log posterior odds under the
+    equal-covariance Gaussian model). For p=2 the inverse is the
+    explicit cofactor formula, term-ordered to mirror the SQL oracle
+    (queries.LDA_FIT_SQL); larger p uses np.linalg.solve. Returns
+    {n0, n1, coef, intercept, means}."""
+    import math
+
+    p = len(x_cols)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        y = batch.column(y_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        X = np.column_stack(
+            [batch.column(c).to_numpy(zero_copy_only=False).astype(np.int64)
+             for c in x_cols])
+        rows = []
+        for cls in (0, 1):
+            sel = X[y == cls]
+            if not sel.shape[0]:
+                continue
+            rows.append({"cls": cls, "n": int(sel.shape[0]),
+                         "s": sel.sum(axis=0).tolist(),
+                         "m": (sel.T @ sel).ravel().tolist()})
+        return pa.Table.from_pylist(rows)
+
+    n_c = [0, 0]
+    s_c = [[0] * p, [0] * p]                      # Python ints: exact
+    m_c = [[0] * (p * p), [0] * (p * p)]
+    for r in collect_pylist(ds.map_batches(partial, batch_format="pyarrow")):
+        c = int(r["cls"])
+        n_c[c] += r["n"]
+        for j in range(p):
+            s_c[c][j] += int(r["s"][j])
+        for j in range(p * p):
+            m_c[c][j] += int(r["m"][j])
+    if n_c[0] == 0 or n_c[1] == 0:
+        raise ValueError(f"degenerate LDA training labels (n0={n_c[0]}, "
+                         f"n1={n_c[1]}); both classes must be non-empty")
+    n0, n1 = n_c
+    dof = n0 + n1 - 2
+    # pooled within-class scatter / covariance, same float-op order as
+    # the SQL oracle: (M0 − s0·s0ᵀ/n0 + (M1 − s1·s1ᵀ/n1)) / dof
+    cov = np.empty((p, p))
+    for i in range(p):
+        for j in range(p):
+            cov[i, j] = (float(m_c[0][i * p + j])
+                         - float(s_c[0][i]) * float(s_c[0][j]) / n0
+                         + (float(m_c[1][i * p + j])
+                            - float(s_c[1][i]) * float(s_c[1][j]) / n1)) / dof
+    mu0 = np.array([float(s) / n0 for s in s_c[0]])
+    mu1 = np.array([float(s) / n1 for s in s_c[1]])
+    dm = mu1 - mu0
+    if p == 2:   # explicit cofactor solve, mirrored in LDA_FIT_SQL
+        det = cov[0, 0] * cov[1, 1] - cov[0, 1] * cov[0, 1]
+        w = np.array([(cov[1, 1] * dm[0] - cov[0, 1] * dm[1]) / det,
+                      (cov[0, 0] * dm[1] - cov[0, 1] * dm[0]) / det])
+    else:
+        w = np.linalg.solve(cov, dm)
+    b = -0.5 * float(w @ (mu0 + mu1)) + math.log(n1 / n0)
+    return {"n0": n0, "n1": n1, "coef": w.tolist(), "intercept": float(b),
+            "means": (mu0.tolist(), mu1.tolist())}
+
+
+def knn_classify(ds, id_col: str, label_col: str, feature_cols: list[str],
+                 test_mod: int = 997, k: int = 5,
+                 max_test: int = 100_000) -> pa.Table:
+    """Distributed k-nearest-neighbor classification (reference
+    models/registry.py:34-411 lists KNeighborsClassifier) — the
+    labeled-vote sibling of knn_impute's broadcast-and-scan shape.
+
+    Deterministic split: rows with ``id % test_mod == 0`` are the test
+    set; everything else trains. Pass 1 gathers the (bounded,
+    max_test-guarded — at 10¹² rows classification runs shard-by-shard
+    so the broadcast query side stays small) test feature matrix and
+    broadcasts it once via ray.put. Pass 2 streams the train corpus;
+    each block computes EXACT int64 squared euclidean distances
+    (features must be integer-valued) from every test row to its train
+    rows and keeps a local top-k under the GLOBAL total order
+    (d², train id) — integer distances make the tie-break exact, no
+    rounding epsilon needed. The driver merges the ≤ k·n_blocks
+    candidates per test row and majority-votes the k nearest labels.
+    Returns (id, n_pos, pred) sorted by id — bit-identical under any
+    partitioning and exactly reproducible in SQL
+    (queries.KNN_CLASSIFY_SQL: cross join + row_number ≤ k)."""
+    import ray
+
+    def collect_test(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        m = (ids % test_mod) == 0
+        cols = {"id": pa.array(ids[m], type=pa.int64())}
+        for c in feature_cols:
+            cols[c] = pa.array(
+                batch.column(c).to_numpy(zero_copy_only=False)[m]
+                .astype(np.int64), type=pa.int64())
+        return pa.table(cols)
+
+    test_rows = collect_pylist(ds.map_batches(collect_test,
+                                              batch_format="pyarrow"))
+    if not test_rows:
+        return pa.table({"id": pa.array([], type=pa.int64()),
+                         "n_pos": pa.array([], type=pa.int64()),
+                         "pred": pa.array([], type=pa.int64())})
+    if len(test_rows) > max_test:
+        raise ValueError(f"{len(test_rows)} test rows exceed max_test="
+                         f"{max_test}; classify shard-by-shard at this scale")
+    t_ids = np.array([r["id"] for r in test_rows], dtype=np.int64)
+    t_mat = np.array([[r[c] for c in feature_cols] for r in test_rows],
+                     dtype=np.int64)
+    tref = ray.put((t_ids, t_mat))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        ti, tm = _ray.get(tref)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        train = (ids % test_mod) != 0
+        if not train.any():
+            return pa.table({"tid": pa.array([], type=pa.int64()),
+                             "did": pa.array([], type=pa.int64()),
+                             "d2": pa.array([], type=pa.int64()),
+                             "y": pa.array([], type=pa.int64())})
+        did = ids[train].astype(np.int64)
+        y = batch.column(label_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)[train]
+        X = np.column_stack(
+            [batch.column(c).to_numpy(zero_copy_only=False)[train]
+             .astype(np.int64) for c in feature_cols])
+        out = {"tid": [], "did": [], "d2": [], "y": []}
+        top = min(k, len(did))
+        for i in range(len(ti)):
+            diff = X - tm[i]
+            d2 = (diff * diff).sum(axis=1)        # exact int64
+            # candidates = everything ≤ the kth smallest distance, then
+            # the global (d², id) order decides among boundary ties
+            kth = np.partition(d2, top - 1)[top - 1]
+            cand = np.nonzero(d2 <= kth)[0]
+            order = np.lexsort((did[cand], d2[cand]))[:top]
+            sel = cand[order]
+            out["tid"].extend([int(ti[i])] * len(sel))
+            out["did"].extend(did[sel].tolist())
+            out["d2"].extend(d2[sel].tolist())
+            out["y"].extend(y[sel].tolist())
+        return pa.table({kk: pa.array(v, type=pa.int64())
+                         for kk, v in out.items()})
+
+    import pandas as pd
+
+    cand = pd.DataFrame(collect_pylist(
+        ds.map_batches(local_topk, batch_format="pyarrow")))
+    rows = []
+    for tid, g in cand.groupby("tid"):
+        g = g.sort_values(["d2", "did"], kind="mergesort").head(k)
+        n_pos = int(g["y"].sum())
+        rows.append({"id": int(tid), "n_pos": n_pos,
+                     "pred": int(n_pos * 2 > k)})
+    rows.sort(key=lambda r: r["id"])
+    return pa.Table.from_pylist(rows)
+
+
 def logistic_inference(ds, x_cols: list[str], y_col: str,
                        max_iter: int = 8) -> pa.Table:
     """Per-coefficient inference table — the reference's logistic

@@ -3775,6 +3775,122 @@ FROM d
 """
 
 
+def _orders_lda_features(sf_dir: str):
+    """Shared derive for the LDA / kNN classifier queries: integer
+    features (floor-dollars totalprice, custkey — the integer-units
+    convention that keeps the sufficient statistics / distances exact
+    under any partitioning) + binary urgency label."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice",
+                                  "o_custkey", "o_orderpriority"])
+
+    def derive(batch: pa.Table) -> pa.Table:
+        price = batch.column("o_totalprice").to_numpy(zero_copy_only=False)
+        pri = batch.column("o_orderpriority").to_numpy(zero_copy_only=False)
+        y = np.isin(pri.astype(str), ["1-URGENT", "2-HIGH"]).astype(np.int64)
+        return pa.table({
+            "id": pc.cast(batch.column("o_orderkey"), pa.int64()),
+            "x1": pa.array(np.floor(price.astype(np.float64)).astype(np.int64),
+                           type=pa.int64()),
+            "x2": pc.cast(batch.column("o_custkey"), pa.int64()),
+            "y": pa.array(y, type=pa.int64()),
+        })
+
+    return ds.map_batches(derive, batch_format="pyarrow")
+
+
+def lda_fit_orders(sf_dir: str) -> pa.Table:
+    from tanml_ray.pipelines.mlops import lda_fit
+
+    out = lda_fit(_orders_lda_features(sf_dir), ["x1", "x2"], "y")
+    return pa.Table.from_pylist([{
+        "n0": out["n0"], "n1": out["n1"],
+        "coef_price": _round6(out["coef"][0]),
+        "coef_cust": _round6(out["coef"][1]),
+        "intercept": _round6(out["intercept"]),
+    }])
+
+
+LDA_FIT_SQL = """
+WITH f AS (
+  SELECT CAST(floor(o_totalprice) AS BIGINT) AS x1,
+         CAST(o_custkey AS BIGINT) AS x2,
+         CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+              THEN 1 ELSE 0 END AS y
+  FROM orders),
+s AS (
+  SELECT y, count(*) AS n, sum(x1) AS s1, sum(x2) AS s2,
+         sum(x1*x1) AS s11, sum(x1*x2) AS s12, sum(x2*x2) AS s22
+  FROM f GROUP BY y),
+piv AS (
+  SELECT
+    max(CASE WHEN y=0 THEN n END) AS n0, max(CASE WHEN y=1 THEN n END) AS n1,
+    max(CASE WHEN y=0 THEN s1 END) AS a1, max(CASE WHEN y=0 THEN s2 END) AS a2,
+    max(CASE WHEN y=0 THEN s11 END) AS a11,
+    max(CASE WHEN y=0 THEN s12 END) AS a12,
+    max(CASE WHEN y=0 THEN s22 END) AS a22,
+    max(CASE WHEN y=1 THEN s1 END) AS b1, max(CASE WHEN y=1 THEN s2 END) AS b2,
+    max(CASE WHEN y=1 THEN s11 END) AS b11,
+    max(CASE WHEN y=1 THEN s12 END) AS b12,
+    max(CASE WHEN y=1 THEN s22 END) AS b22
+  FROM s),
+cv AS (
+  SELECT n0, n1,
+    (CAST(a11 AS DOUBLE) - CAST(a1 AS DOUBLE)*CAST(a1 AS DOUBLE)/n0
+     + (CAST(b11 AS DOUBLE) - CAST(b1 AS DOUBLE)*CAST(b1 AS DOUBLE)/n1))
+      / (n0+n1-2) AS c11,
+    (CAST(a12 AS DOUBLE) - CAST(a1 AS DOUBLE)*CAST(a2 AS DOUBLE)/n0
+     + (CAST(b12 AS DOUBLE) - CAST(b1 AS DOUBLE)*CAST(b2 AS DOUBLE)/n1))
+      / (n0+n1-2) AS c12,
+    (CAST(a22 AS DOUBLE) - CAST(a2 AS DOUBLE)*CAST(a2 AS DOUBLE)/n0
+     + (CAST(b22 AS DOUBLE) - CAST(b2 AS DOUBLE)*CAST(b2 AS DOUBLE)/n1))
+      / (n0+n1-2) AS c22,
+    CAST(b1 AS DOUBLE)/n1 - CAST(a1 AS DOUBLE)/n0 AS dm1,
+    CAST(b2 AS DOUBLE)/n1 - CAST(a2 AS DOUBLE)/n0 AS dm2,
+    CAST(a1 AS DOUBLE)/n0 AS m01, CAST(a2 AS DOUBLE)/n0 AS m02,
+    CAST(b1 AS DOUBLE)/n1 AS m11, CAST(b2 AS DOUBLE)/n1 AS m12
+  FROM piv),
+w AS (
+  SELECT n0, n1, m01, m02, m11, m12,
+    (c22*dm1 - c12*dm2)/(c11*c22 - c12*c12) AS w1,
+    (c11*dm2 - c12*dm1)/(c11*c22 - c12*c12) AS w2
+  FROM cv)
+SELECT CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
+       round(w1, 6) AS coef_price, round(w2, 6) AS coef_cust,
+       round(-0.5*(w1*(m01+m11) + w2*(m02+m12))
+             + ln(CAST(n1 AS DOUBLE)/n0), 6) AS intercept
+FROM w
+"""
+
+
+def knn_classify_orders(sf_dir: str) -> pa.Table:
+    from tanml_ray.pipelines.mlops import knn_classify
+
+    return knn_classify(_orders_lda_features(sf_dir), "id", "y",
+                        ["x1", "x2"], test_mod=997, k=5)
+
+
+KNN_CLASSIFY_SQL = """
+WITH f AS (
+  SELECT CAST(o_orderkey AS BIGINT) AS id,
+         CAST(floor(o_totalprice) AS BIGINT) AS x1,
+         CAST(o_custkey AS BIGINT) AS x2,
+         CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+              THEN 1 ELSE 0 END AS y
+  FROM orders),
+tst AS (SELECT * FROM f WHERE id % 997 = 0),
+trn AS (SELECT * FROM f WHERE id % 997 <> 0),
+d AS (
+  SELECT t.id AS tid, r.id AS did,
+         (t.x1-r.x1)*(t.x1-r.x1) + (t.x2-r.x2)*(t.x2-r.x2) AS d2, r.y
+  FROM tst t CROSS JOIN trn r),
+rk AS (SELECT *, row_number() OVER (PARTITION BY tid ORDER BY d2, did) AS rn
+       FROM d)
+SELECT tid AS id, CAST(sum(y) AS BIGINT) AS n_pos,
+       CAST(CASE WHEN sum(y)*2 > 5 THEN 1 ELSE 0 END AS BIGINT) AS pred
+FROM rk WHERE rn <= 5 GROUP BY tid ORDER BY tid
+"""
+
+
 # ---------------------------------------------------------------------------
 # Web-text curation layer (pipelines/webtext.py): Gopher quality rules,
 # within-doc duplicate-n-gram repetition, corpus hot-n-gram boilerplate

@@ -62,7 +62,8 @@ class TestEstimatorRegistry:
         from tanml_ray.models import ESTIMATORS
 
         assert ESTIMATORS.list_names() == ["boosted_stumps", "gaussian_nb",
-                                           "kmeans_lloyd",
+                                           "kmeans_lloyd", "knn_classifier",
+                                           "lda_closed_form",
                                            "linear_closed_form",
                                            "logistic_irls",
                                            "poisson_newton"]
@@ -255,3 +256,107 @@ class TestPoissonFit:
                                      rel=0.1)
         assert (m.predict(np.array([[1.0, 0.0]]))[0]
                 > m.predict(np.array([[0.0, 1.0]]))[0])
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestLDAAndKnn:
+    def _cls_data(self, n=4000, seed=23):
+        """Integer-valued features (the LDA/kNN exactness convention)
+        with a linearly separable-ish class structure."""
+        rng = np.random.default_rng(seed)
+        y = (rng.random(n) < 0.4).astype(np.int64)
+        x1 = np.rint(rng.normal(0, 40, n) + 120 * y).astype(np.int64)
+        x2 = np.rint(rng.normal(0, 60, n) - 80 * y).astype(np.int64)
+        ids = np.arange(1, n + 1, dtype=np.int64)
+        return pa.table({"id": ids, "x1": x1, "x2": x2, "y": y})
+
+    def test_lda_matches_numpy_and_partitioning(self):
+        from tanml_ray.models import ESTIMATORS
+
+        t = self._cls_data()
+        m3 = ESTIMATORS.fit("lda_closed_form", _ds(t, parts=3),
+                            ["x1", "x2"], "y")
+        m11 = ESTIMATORS.fit("lda_closed_form", _ds(t, parts=11),
+                             ["x1", "x2"], "y")
+        # integer sufficient statistics → bit-identical across partitionings
+        assert m3.w.tolist() == m11.w.tolist()
+        assert m3.b == m11.b
+
+        X = np.column_stack([t.column("x1").to_numpy(),
+                             t.column("x2").to_numpy()]).astype(np.float64)
+        y = t.column("y").to_numpy()
+        mu0, mu1 = X[y == 0].mean(axis=0), X[y == 1].mean(axis=0)
+        X0, X1 = X[y == 0] - mu0, X[y == 1] - mu1
+        cov = (X0.T @ X0 + X1.T @ X1) / (len(y) - 2)
+        w = np.linalg.solve(cov, mu1 - mu0)
+        b = -0.5 * w @ (mu0 + mu1) + np.log((y == 1).sum() / (y == 0).sum())
+        assert m3.w == pytest.approx(w, rel=1e-9)
+        assert m3.b == pytest.approx(b, rel=1e-9)
+        # the discriminant separates the classes on the training means
+        assert m3.predict(mu1[None, :])[0] > 0 > m3.predict(mu0[None, :])[0]
+
+    def test_lda_degenerate_labels_raise(self):
+        from tanml_ray.models import ESTIMATORS
+
+        t = pa.table({"x1": np.arange(10, dtype=np.int64),
+                      "x2": np.arange(10, dtype=np.int64) * 2,
+                      "y": np.zeros(10, dtype=np.int64)})
+        with pytest.raises(ValueError, match="degenerate LDA"):
+            ESTIMATORS.fit("lda_closed_form", _ds(t, 2), ["x1", "x2"], "y")
+
+    def test_knn_classify_matches_bruteforce_and_partitioning(self):
+        from tanml_ray.pipelines.mlops import knn_classify
+
+        t = self._cls_data(n=2500, seed=31)
+        out3 = knn_classify(_ds(t, 3), "id", "y", ["x1", "x2"],
+                            test_mod=97, k=5).to_pylist()
+        out9 = knn_classify(_ds(t, 9), "id", "y", ["x1", "x2"],
+                            test_mod=97, k=5).to_pylist()
+        assert out3 == out9          # partition-invariant neighbor set
+
+        ids = t.column("id").to_numpy()
+        X = np.column_stack([t.column("x1").to_numpy(),
+                             t.column("x2").to_numpy()]).astype(np.int64)
+        y = t.column("y").to_numpy()
+        tst = ids % 97 == 0
+        want = []
+        for tid in ids[tst]:
+            q = X[ids == tid][0]
+            d2 = ((X[~tst] - q) ** 2).sum(axis=1)
+            order = np.lexsort((ids[~tst], d2))[:5]
+            n_pos = int(y[~tst][order].sum())
+            want.append({"id": int(tid), "n_pos": n_pos,
+                         "pred": int(n_pos * 2 > 5)})
+        assert out3 == want
+
+    def test_knn_classify_tie_break_is_deterministic(self):
+        """Duplicate feature rows at the k boundary: the global
+        (d², train id) order must pick the SMALLEST train ids."""
+        from tanml_ray.pipelines.mlops import knn_classify
+
+        # test row id=10 at (0,0); 8 train rows all at distance 1,
+        # labels chosen so the vote depends on which 5 survive
+        ids = np.array([10, 1, 2, 3, 4, 5, 6, 7, 8], dtype=np.int64)
+        x1 = np.array([0, 1, 1, 1, 1, -1, -1, -1, -1], dtype=np.int64)
+        x2 = np.zeros(9, dtype=np.int64)
+        y = np.array([0, 1, 1, 1, 0, 0, 0, 0, 0], dtype=np.int64)
+        t = pa.table({"id": ids, "x1": x1, "x2": x2, "y": y})
+        for parts in (1, 4):
+            out = knn_classify(_ds(t, parts), "id", "y", ["x1", "x2"],
+                               test_mod=10, k=5).to_pylist()
+            # nearest 5 by (d2=1, id): ids 1..5 → labels 1,1,1,0,0 → pred 1
+            assert out == [{"id": 10, "n_pos": 3, "pred": 1}]
+
+    def test_knn_registry_entry_predicts(self):
+        from tanml_ray.models import ESTIMATORS
+
+        t = self._cls_data(n=1200, seed=7)
+        m = ESTIMATORS.fit("knn_classifier", _ds(t, 4), ["x1", "x2"], "y",
+                           id_col="id", k=5)
+        X = np.column_stack([t.column("x1").to_numpy(),
+                             t.column("x2").to_numpy()]).astype(np.float64)
+        y = t.column("y").to_numpy()
+        mu0, mu1 = X[y == 0].mean(axis=0), X[y == 1].mean(axis=0)
+        # class-mean probes vote overwhelmingly for their own class
+        assert m.predict(mu1[None, :])[0] > 0.5
+        assert m.predict(mu0[None, :])[0] < 0.5
