@@ -17,6 +17,8 @@ Dataset) and predicts through the ScorerStage actor-pool contract
     gaussian_nb          one-pass Gaussian Naive Bayes, classification
     lda_closed_form      one-pass pooled-covariance linear discriminant
                          (exact integer sufficient statistics)
+    qda_closed_form      one-pass per-class-covariance quadratic
+                         discriminant (same exact suffstats pass)
     knn_classifier       k-NN majority vote (bounded-train registry
                          entry; streaming scan = mlops.knn_classify)
     kmeans_lloyd         distributed Lloyd (unsupervised; .predict →
@@ -204,6 +206,38 @@ def _fit_lda(ds, x_cols, y_col):
 
     out = lda_fit(ds, x_cols, y_col)
     model = LDAModel(out["coef"], out["intercept"])
+    model.fit_info = out
+    return model
+
+
+class QDAModel:
+    """Per-class-covariance Gaussian discriminant scorer: predict(X)
+    returns the exact log posterior odds ln P(y=1|x) − ln P(y=0|x)
+    under the quadratic (per-class Σ) model — same log-odds scale as
+    the LDA/logistic scorers."""
+
+    def __init__(self, n0: int, n1: int, means, invs, logdets):
+        self.const = (np.log(n1 / n0)
+                      - 0.5 * (logdets[1] - logdets[0]))
+        self.means = [np.asarray(m, dtype=np.float64) for m in means]
+        self.invs = [np.asarray(iv, dtype=np.float64) for iv in invs]
+
+    def predict(self, X: np.ndarray) -> np.ndarray:
+        X = np.asarray(X, dtype=np.float64)
+        q = []
+        for c in (0, 1):
+            d = X - self.means[c]
+            q.append(((d @ self.invs[c]) * d).sum(axis=1))
+        return self.const - 0.5 * (q[1] - q[0])
+
+
+@ESTIMATORS.register("qda_closed_form", task="classification")
+def _fit_qda(ds, x_cols, y_col):
+    from tanml_ray.pipelines.mlops import qda_fit
+
+    out = qda_fit(ds, x_cols, y_col)
+    model = QDAModel(out["n0"], out["n1"], out["means"], out["invs"],
+                     out["logdets"])
     model.fit_info = out
     return model
 

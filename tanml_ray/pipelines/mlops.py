@@ -673,6 +673,83 @@ def lda_fit(ds, x_cols: list[str], y_col: str) -> dict:
             "means": (mu0.tolist(), mu1.tolist())}
 
 
+def qda_fit(ds, x_cols: list[str], y_col: str) -> dict:
+    """Quadratic discriminant analysis — LDA's per-class-covariance
+    sibling (reference models/registry.py:34-411 lists
+    QuadraticDiscriminantAnalysis). Same ONE-pass exact integer
+    sufficient statistics as lda_fit (per-class n, Σx, Σxxᵀ merged as
+    Python bigints → bit-identical under any partitioning); the driver
+    closes per-class means μ_c and ddof=1 covariances Σ_c, and the
+    quadratic Bayes discriminant
+
+        score(x) = ln(n₁/n₀) − ½(ln det Σ₁ − ln det Σ₀)
+                   − ½[(x−μ₁)ᵀΣ₁⁻¹(x−μ₁) − (x−μ₀)ᵀΣ₀⁻¹(x−μ₀)]
+
+    (the exact log posterior odds under the per-class Gaussian model).
+    For p=2 the inverses/determinants are explicit cofactor formulas
+    term-ordered to mirror QDA_FIT_SQL. Returns {n0, n1, means, covs,
+    logdets} plus a `score(X)` closure used by QDAModel."""
+    p = len(x_cols)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        y = batch.column(y_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        X = np.column_stack(
+            [batch.column(c).to_numpy(zero_copy_only=False).astype(np.int64)
+             for c in x_cols])
+        rows = []
+        for cls in (0, 1):
+            sel = X[y == cls]
+            if not sel.shape[0]:
+                continue
+            rows.append({"cls": cls, "n": int(sel.shape[0]),
+                         "s": sel.sum(axis=0).tolist(),
+                         "m": (sel.T @ sel).ravel().tolist()})
+        return pa.Table.from_pylist(rows)
+
+    n_c = [0, 0]
+    s_c = [[0] * p, [0] * p]
+    m_c = [[0] * (p * p), [0] * (p * p)]
+    for r in collect_pylist(ds.map_batches(partial, batch_format="pyarrow")):
+        c = int(r["cls"])
+        n_c[c] += r["n"]
+        for j in range(p):
+            s_c[c][j] += int(r["s"][j])
+        for j in range(p * p):
+            m_c[c][j] += int(r["m"][j])
+    if n_c[0] < 2 or n_c[1] < 2:
+        raise ValueError(f"degenerate QDA training labels (n0={n_c[0]}, "
+                         f"n1={n_c[1]}); both classes need >= 2 rows")
+    means, covs = [], []
+    for c in (0, 1):
+        n = n_c[c]
+        mu = np.array([float(s) / n for s in s_c[c]])
+        cov = np.empty((p, p))
+        for i in range(p):
+            for j in range(p):
+                # ddof=1, same float-op order as QDA_FIT_SQL:
+                # (M − s_i·s_j/n) / (n − 1)
+                cov[i, j] = (float(m_c[c][i * p + j])
+                             - float(s_c[c][i]) * float(s_c[c][j]) / n) \
+                    / (n - 1)
+        means.append(mu)
+        covs.append(cov)
+    if p == 2:
+        dets = [cov[0, 0] * cov[1, 1] - cov[0, 1] * cov[0, 1]
+                for cov in covs]
+        invs = [np.array([[cov[1, 1] / det, -cov[0, 1] / det],
+                          [-cov[0, 1] / det, cov[0, 0] / det]])
+                for cov, det in zip(covs, dets)]
+        logdets = [float(np.log(d)) for d in dets]
+    else:
+        invs = [np.linalg.inv(cov) for cov in covs]
+        logdets = [float(np.linalg.slogdet(cov)[1]) for cov in covs]
+    return {"n0": n_c[0], "n1": n_c[1],
+            "means": [m.tolist() for m in means],
+            "covs": [c_.tolist() for c_ in covs],
+            "invs": [iv.tolist() for iv in invs],
+            "logdets": logdets}
+
+
 def knn_classify(ds, id_col: str, label_col: str, feature_cols: list[str],
                  test_mod: int = 997, k: int = 5,
                  max_test: int = 100_000) -> pa.Table:

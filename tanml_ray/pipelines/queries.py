@@ -3862,6 +3862,91 @@ FROM w
 """
 
 
+def qda_fit_orders(sf_dir: str) -> pa.Table:
+    """QDA on the same integer features/label as LDA; the output pins
+    the whole fit — class counts, per-class covariance log-dets, and
+    the quadratic discriminant score evaluated at each class mean
+    (q_own ≡ 0 there, so the cross-class Mahalanobis term is isolated
+    and any drift in means/covariances/inverses shows up)."""
+    from tanml_ray.pipelines.mlops import qda_fit
+    from tanml_ray.models import QDAModel
+
+    out = qda_fit(_orders_lda_features(sf_dir), ["x1", "x2"], "y")
+    model = QDAModel(out["n0"], out["n1"], out["means"], out["invs"],
+                     out["logdets"])
+    s0 = float(model.predict(np.array([out["means"][0]]))[0])
+    s1 = float(model.predict(np.array([out["means"][1]]))[0])
+    return pa.Table.from_pylist([{
+        "n0": out["n0"], "n1": out["n1"],
+        "logdet0": _round6(out["logdets"][0]),
+        "logdet1": _round6(out["logdets"][1]),
+        "score_mu0": _round6(s0),
+        "score_mu1": _round6(s1),
+    }])
+
+
+QDA_FIT_SQL = """
+WITH f AS (
+  SELECT CAST(floor(o_totalprice) AS BIGINT) AS x1,
+         CAST(o_custkey AS BIGINT) AS x2,
+         CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+              THEN 1 ELSE 0 END AS y
+  FROM orders),
+s AS (
+  SELECT y, count(*) AS n, sum(x1) AS s1, sum(x2) AS s2,
+         sum(x1*x1) AS s11, sum(x1*x2) AS s12, sum(x2*x2) AS s22
+  FROM f GROUP BY y),
+piv AS (
+  SELECT
+    max(CASE WHEN y=0 THEN n END) AS n0, max(CASE WHEN y=1 THEN n END) AS n1,
+    max(CASE WHEN y=0 THEN s1 END) AS a1, max(CASE WHEN y=0 THEN s2 END) AS a2,
+    max(CASE WHEN y=0 THEN s11 END) AS a11,
+    max(CASE WHEN y=0 THEN s12 END) AS a12,
+    max(CASE WHEN y=0 THEN s22 END) AS a22,
+    max(CASE WHEN y=1 THEN s1 END) AS b1, max(CASE WHEN y=1 THEN s2 END) AS b2,
+    max(CASE WHEN y=1 THEN s11 END) AS b11,
+    max(CASE WHEN y=1 THEN s12 END) AS b12,
+    max(CASE WHEN y=1 THEN s22 END) AS b22
+  FROM s),
+cv AS (
+  SELECT n0, n1,
+    (CAST(a11 AS DOUBLE) - CAST(a1 AS DOUBLE)*CAST(a1 AS DOUBLE)/n0)
+      / (n0-1) AS c011,
+    (CAST(a12 AS DOUBLE) - CAST(a1 AS DOUBLE)*CAST(a2 AS DOUBLE)/n0)
+      / (n0-1) AS c012,
+    (CAST(a22 AS DOUBLE) - CAST(a2 AS DOUBLE)*CAST(a2 AS DOUBLE)/n0)
+      / (n0-1) AS c022,
+    (CAST(b11 AS DOUBLE) - CAST(b1 AS DOUBLE)*CAST(b1 AS DOUBLE)/n1)
+      / (n1-1) AS c111,
+    (CAST(b12 AS DOUBLE) - CAST(b1 AS DOUBLE)*CAST(b2 AS DOUBLE)/n1)
+      / (n1-1) AS c112,
+    (CAST(b22 AS DOUBLE) - CAST(b2 AS DOUBLE)*CAST(b2 AS DOUBLE)/n1)
+      / (n1-1) AS c122,
+    CAST(a1 AS DOUBLE)/n0 AS m01, CAST(a2 AS DOUBLE)/n0 AS m02,
+    CAST(b1 AS DOUBLE)/n1 AS m11, CAST(b2 AS DOUBLE)/n1 AS m12
+  FROM piv),
+dt AS (
+  SELECT *, c011*c022 - c012*c012 AS det0, c111*c122 - c112*c112 AS det1,
+         ln(CAST(n1 AS DOUBLE)/n0) - 0.5*(ln(c111*c122 - c112*c112)
+                                          - ln(c011*c022 - c012*c012)) AS cst
+  FROM cv),
+q AS (
+  SELECT *,
+    -- Mahalanobis of mu0 under class-1, matmul-nested like the engine:
+    -- d·(d@inv): d1*(d1*i00 + d2*i10) + d2*(d1*i01 + d2*i11)
+    (m01-m11)*((m01-m11)*(c122/det1) + (m02-m12)*(-c112/det1))
+      + (m02-m12)*((m01-m11)*(-c112/det1) + (m02-m12)*(c111/det1)) AS q1m0,
+    (m11-m01)*((m11-m01)*(c022/det0) + (m12-m02)*(-c012/det0))
+      + (m12-m02)*((m11-m01)*(-c012/det0) + (m12-m02)*(c011/det0)) AS q0m1
+  FROM dt)
+SELECT CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
+       round(ln(det0), 6) AS logdet0, round(ln(det1), 6) AS logdet1,
+       round(cst - 0.5*(q1m0 - 0.0), 6) AS score_mu0,
+       round(cst - 0.5*(0.0 - q0m1), 6) AS score_mu1
+FROM q
+"""
+
+
 def knn_classify_orders(sf_dir: str) -> pa.Table:
     from tanml_ray.pipelines.mlops import knn_classify
 

@@ -66,7 +66,8 @@ class TestEstimatorRegistry:
                                            "lda_closed_form",
                                            "linear_closed_form",
                                            "logistic_irls",
-                                           "poisson_newton"]
+                                           "poisson_newton",
+                                           "qda_closed_form"]
         rng = np.random.default_rng(8)
         n = 4000
         x1 = rng.normal(0, 1, n)
@@ -294,6 +295,39 @@ class TestLDAAndKnn:
         assert m3.b == pytest.approx(b, rel=1e-9)
         # the discriminant separates the classes on the training means
         assert m3.predict(mu1[None, :])[0] > 0 > m3.predict(mu0[None, :])[0]
+
+    def test_qda_matches_numpy_and_partitioning(self):
+        from tanml_ray.models import ESTIMATORS
+
+        t = self._cls_data(n=3500, seed=41)
+        m3 = ESTIMATORS.fit("qda_closed_form", _ds(t, parts=3),
+                            ["x1", "x2"], "y")
+        m11 = ESTIMATORS.fit("qda_closed_form", _ds(t, parts=11),
+                             ["x1", "x2"], "y")
+        q = np.array([[50.0, -30.0], [0.0, 0.0], [120.0, -80.0]])
+        # integer suffstats → bit-identical fit across partitionings
+        assert m3.predict(q).tolist() == m11.predict(q).tolist()
+
+        X = np.column_stack([t.column("x1").to_numpy(),
+                             t.column("x2").to_numpy()]).astype(np.float64)
+        y = t.column("y").to_numpy()
+        mus = [X[y == c].mean(axis=0) for c in (0, 1)]
+        covs = [np.cov(X[y == c].T, ddof=1) for c in (0, 1)]
+        pri = [(y == c).sum() for c in (0, 1)]
+
+        def want(xrow):
+            out = np.log(pri[1] / pri[0])
+            for c, sgn in ((1, -0.5), (0, 0.5)):
+                d = xrow - mus[c]
+                out += sgn * (np.linalg.slogdet(covs[c])[1]
+                              + d @ np.linalg.solve(covs[c], d))
+            return out
+
+        for i in range(len(q)):
+            assert m3.predict(q[i:i + 1])[0] == pytest.approx(want(q[i]),
+                                                              rel=1e-9)
+        # quadratic model separates the class means like LDA does
+        assert m3.predict(mus[1][None, :])[0] > 0 > m3.predict(mus[0][None, :])[0]
 
     def test_lda_degenerate_labels_raise(self):
         from tanml_ray.models import ESTIMATORS
