@@ -153,6 +153,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "linear_fit_orders": q.linear_fit_orders,
         "lda_fit_orders": q.lda_fit_orders,
         "qda_fit_orders": q.qda_fit_orders,
+        "multinomial_nb_lineitem": q.multinomial_nb_lineitem,
         "knn_classify_orders": q.knn_classify_orders,
         "linear_cv_repeated_orders": q.linear_cv_repeated_orders,
         "order_shipweek_counts": q.order_shipweek_counts,
@@ -301,6 +302,7 @@ def oracle_sql() -> dict[str, str]:
         "linear_fit_orders": q.LINEAR_FIT_SQL,
         "lda_fit_orders": q.LDA_FIT_SQL,
         "qda_fit_orders": q.QDA_FIT_SQL,
+        "multinomial_nb_lineitem": q.MULTINOMIAL_NB_SQL,
         "knn_classify_orders": q.KNN_CLASSIFY_SQL,
         "linear_cv_repeated_orders": q.LINEAR_CV_REPEATED_SQL,
         "order_shipweek_counts": q.RANGE_JOIN_SQL,

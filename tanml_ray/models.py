@@ -19,6 +19,8 @@ Dataset) and predicts through the ScorerStage actor-pool contract
                          (exact integer sufficient statistics)
     qda_closed_form      one-pass per-class-covariance quadratic
                          discriminant (same exact suffstats pass)
+    multinomial_nb       one-pass Laplace-smoothed multinomial NB over
+                         integer count features
     knn_classifier       k-NN majority vote (bounded-train registry
                          entry; streaming scan = mlops.knn_classify)
     kmeans_lloyd         distributed Lloyd (unsupervised; .predict →
@@ -238,6 +240,30 @@ def _fit_qda(ds, x_cols, y_col):
     out = qda_fit(ds, x_cols, y_col)
     model = QDAModel(out["n0"], out["n1"], out["means"], out["invs"],
                      out["logdets"])
+    model.fit_info = out
+    return model
+
+
+class MultinomialNBModel:
+    """Multinomial NB scorer: predict(X) returns the log posterior
+    odds ln(n1/n0) + Σ_j x_j·(ln θ₁ⱼ − ln θ₀ⱼ) — same log-odds scale
+    as the other classification scorers."""
+
+    def __init__(self, n0: int, n1: int, log_theta):
+        self.const = np.log(n1 / n0)
+        self.dlt = (np.asarray(log_theta[1], dtype=np.float64)
+                    - np.asarray(log_theta[0], dtype=np.float64))
+
+    def predict(self, X: np.ndarray) -> np.ndarray:
+        return self.const + np.asarray(X, dtype=np.float64) @ self.dlt
+
+
+@ESTIMATORS.register("multinomial_nb", task="classification", alpha=1.0)
+def _fit_multinomial_nb(ds, x_cols, y_col, alpha: float = 1.0):
+    from tanml_ray.pipelines.mlops import multinomial_nb_fit
+
+    out = multinomial_nb_fit(ds, x_cols, y_col, alpha=alpha)
+    model = MultinomialNBModel(out["n0"], out["n1"], out["log_theta"])
     model.fit_info = out
     return model
 

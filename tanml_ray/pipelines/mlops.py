@@ -750,6 +750,56 @@ def qda_fit(ds, x_cols: list[str], y_col: str) -> dict:
             "logdets": logdets}
 
 
+def multinomial_nb_fit(ds, x_cols: list[str], y_col: str,
+                       alpha: float = 1.0) -> dict:
+    """Multinomial Naive Bayes over nonnegative integer count features
+    — the numeric-feature registry sibling of the text classifier
+    (webtext.nb_quality_scores; reference models/registry.py:34-411
+    lists MultinomialNB). ONE streaming pass of exact integer
+    sufficient statistics (per-class n and per-feature count totals,
+    merged as Python bigints → bit-identical under any partitioning);
+    the driver closes Laplace-smoothed log feature probabilities
+
+        ln θ_cj = ln (T_cj + α) − ln (Σ_j T_cj + α·p)
+
+    Returns {n0, n1, log_theta: (2, p), totals: (2, p)}."""
+    import math
+
+    p = len(x_cols)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        y = batch.column(y_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        X = np.column_stack(
+            [batch.column(c).to_numpy(zero_copy_only=False).astype(np.int64)
+             for c in x_cols])
+        if (X < 0).any():
+            raise ValueError("multinomial NB requires nonnegative counts")
+        rows = []
+        for cls in (0, 1):
+            sel = X[y == cls]
+            if not sel.shape[0]:
+                continue
+            rows.append({"cls": cls, "n": int(sel.shape[0]),
+                         "t": sel.sum(axis=0).tolist()})
+        return pa.Table.from_pylist(rows)
+
+    n_c = [0, 0]
+    t_c = [[0] * p, [0] * p]
+    for r in collect_pylist(ds.map_batches(partial, batch_format="pyarrow")):
+        c = int(r["cls"])
+        n_c[c] += r["n"]
+        for j in range(p):
+            t_c[c][j] += int(r["t"][j])
+    if n_c[0] == 0 or n_c[1] == 0:
+        raise ValueError(f"degenerate NB training labels (n0={n_c[0]}, "
+                         f"n1={n_c[1]}); both classes must be non-empty")
+    log_theta = [[math.log(float(t_c[c][j]) + alpha)
+                  - math.log(float(sum(t_c[c])) + alpha * p)
+                  for j in range(p)] for c in (0, 1)]
+    return {"n0": n_c[0], "n1": n_c[1], "log_theta": log_theta,
+            "totals": [list(t) for t in t_c]}
+
+
 def knn_classify(ds, id_col: str, label_col: str, feature_cols: list[str],
                  test_mod: int = 997, k: int = 5,
                  max_test: int = 100_000) -> pa.Table:

@@ -3947,6 +3947,62 @@ FROM q
 """
 
 
+def multinomial_nb_lineitem(sf_dir: str) -> pa.Table:
+    """Multinomial NB over genuine count features (l_quantity,
+    l_linenumber), label = returned line (l_returnflag='R'). The four
+    Laplace-smoothed log feature probabilities pin the whole fit."""
+    from tanml_ray.pipelines.mlops import multinomial_nb_fit
+
+    ds = _read(sf_dir, "lineitem", ["l_quantity", "l_linenumber",
+                                    "l_returnflag"])
+
+    def derive(batch: pa.Table) -> pa.Table:
+        rf = batch.column("l_returnflag").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "x1": pc.cast(pc.round(batch.column("l_quantity")), pa.int64()),
+            "x2": pc.cast(batch.column("l_linenumber"), pa.int64()),
+            "y": pa.array((rf.astype(str) == "R").astype(np.int64),
+                          type=pa.int64()),
+        })
+
+    out = multinomial_nb_fit(ds.map_batches(derive, batch_format="pyarrow"),
+                             ["x1", "x2"], "y")
+    return pa.Table.from_pylist([{
+        "n0": out["n0"], "n1": out["n1"],
+        "lt0_qty": _round6(out["log_theta"][0][0]),
+        "lt0_line": _round6(out["log_theta"][0][1]),
+        "lt1_qty": _round6(out["log_theta"][1][0]),
+        "lt1_line": _round6(out["log_theta"][1][1]),
+    }])
+
+
+MULTINOMIAL_NB_SQL = """
+WITH f AS (
+  SELECT CAST(round(l_quantity) AS BIGINT) AS x1,
+         CAST(l_linenumber AS BIGINT) AS x2,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+  FROM lineitem),
+s AS (
+  SELECT y, count(*) AS n, sum(x1) AS t1, sum(x2) AS t2 FROM f GROUP BY y),
+piv AS (
+  SELECT
+    max(CASE WHEN y=0 THEN n END) AS n0, max(CASE WHEN y=1 THEN n END) AS n1,
+    max(CASE WHEN y=0 THEN t1 END) AS a1, max(CASE WHEN y=0 THEN t2 END) AS a2,
+    max(CASE WHEN y=1 THEN t1 END) AS b1, max(CASE WHEN y=1 THEN t2 END) AS b2
+  FROM s)
+SELECT CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
+  round(ln(CAST(a1 AS DOUBLE) + 1.0)
+        - ln(CAST(a1 + a2 AS DOUBLE) + 2.0), 6) AS lt0_qty,
+  round(ln(CAST(a2 AS DOUBLE) + 1.0)
+        - ln(CAST(a1 + a2 AS DOUBLE) + 2.0), 6) AS lt0_line,
+  round(ln(CAST(b1 AS DOUBLE) + 1.0)
+        - ln(CAST(b1 + b2 AS DOUBLE) + 2.0), 6) AS lt1_qty,
+  round(ln(CAST(b2 AS DOUBLE) + 1.0)
+        - ln(CAST(b1 + b2 AS DOUBLE) + 2.0), 6) AS lt1_line
+FROM piv
+"""
+
+
 def knn_classify_orders(sf_dir: str) -> pa.Table:
     from tanml_ray.pipelines.mlops import knn_classify
 

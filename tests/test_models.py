@@ -66,6 +66,7 @@ class TestEstimatorRegistry:
                                            "lda_closed_form",
                                            "linear_closed_form",
                                            "logistic_irls",
+                                           "multinomial_nb",
                                            "poisson_newton",
                                            "qda_closed_form"]
         rng = np.random.default_rng(8)
@@ -328,6 +329,39 @@ class TestLDAAndKnn:
                                                               rel=1e-9)
         # quadratic model separates the class means like LDA does
         assert m3.predict(mus[1][None, :])[0] > 0 > m3.predict(mus[0][None, :])[0]
+
+    def test_multinomial_nb_matches_closed_form_and_partitioning(self):
+        from tanml_ray.models import ESTIMATORS
+
+        rng = np.random.default_rng(13)
+        n = 3000
+        y = (rng.random(n) < 0.3).astype(np.int64)
+        # class 1 draws higher x1 counts, class 0 higher x2
+        x1 = rng.poisson(3 + 5 * y)
+        x2 = rng.poisson(8 - 4 * y)
+        t = pa.table({"x1": x1.astype(np.int64), "x2": x2.astype(np.int64),
+                      "y": y})
+        m3 = ESTIMATORS.fit("multinomial_nb", _ds(t, 3), ["x1", "x2"], "y")
+        m11 = ESTIMATORS.fit("multinomial_nb", _ds(t, 11), ["x1", "x2"], "y")
+        assert m3.dlt.tolist() == m11.dlt.tolist()   # bit-identical fit
+        assert m3.const == m11.const
+
+        T = np.array([[x1[y == c].sum(), x2[y == c].sum()] for c in (0, 1)],
+                     dtype=np.float64)
+        lt = np.log(T + 1.0) - np.log(T.sum(axis=1, keepdims=True) + 2.0)
+        assert m3.dlt == pytest.approx(lt[1] - lt[0], rel=1e-12)
+        # a high-x1 count vector votes class 1, high-x2 votes class 0
+        assert m3.predict(np.array([[20.0, 1.0]]))[0] > 0
+        assert m3.predict(np.array([[1.0, 20.0]]))[0] < 0
+
+    def test_multinomial_nb_rejects_negative_counts(self):
+        from tanml_ray.models import ESTIMATORS
+
+        t = pa.table({"x1": np.array([-1, 2, 3], dtype=np.int64),
+                      "x2": np.ones(3, dtype=np.int64),
+                      "y": np.array([0, 1, 0], dtype=np.int64)})
+        with pytest.raises(Exception, match="nonnegative"):
+            ESTIMATORS.fit("multinomial_nb", _ds(t, 1), ["x1", "x2"], "y")
 
     def test_lda_degenerate_labels_raise(self):
         from tanml_ray.models import ESTIMATORS
