@@ -1613,9 +1613,13 @@ def bpe_token_stats(ds, num_merges: int = 200, text_col: str = "text",
     merges = bpe_train(ds, num_merges=num_merges, text_col=text_col,
                        min_count=min_count)
     ref = ray.put(merges)
+    # (1, N) autoscaling pool: small inputs (tests, tail shards) may
+    # arrive as a single block, and a fixed-size pool would idle N−1
+    # actors (and warn); the pool still scales out to `concurrency`
+    # when the block count supports it.
     return ds.map_batches(
         BpeEncoder, fn_constructor_args=(ref, text_col, id_col),
-        batch_format="pyarrow", concurrency=concurrency)
+        batch_format="pyarrow", concurrency=(1, concurrency))
 
 
 # ---------------------------------------------------------------------------
