@@ -77,7 +77,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_orders_customer_broadcast": q.join_orders_customer_broadcast,
         "join_lineitem_orders_partitioned": q.join_lineitem_orders_partitioned,
         "asof_join_events": q.asof_join_events,
-        "knn_cosine_pq_embeddings": q.knn_cosine_pq_embeddings,
+        # discriminant-family rep (round-5 session-4 addition): exact
+        # integer-suffstats LDA with the cofactor solve mirrored in
+        # SQL; PQ-knn rotated below the marker — IVFPQ stays in-window
+        # as the product-quantization rep.
+        "lda_fit_orders": q.lda_fit_orders,
         "anti_join_lineitem": q.anti_join_lineitem,
         "knn_cosine_ivfpq_embeddings": q.knn_cosine_ivfpq_embeddings,
         # HLL distinct sketch — named in the north-star; exact md5
@@ -151,7 +155,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kendall_sample_lineitem": q.kendall_sample_lineitem,
         "curate_documents_stats": q.curate_documents_stats,
         "linear_fit_orders": q.linear_fit_orders,
-        "lda_fit_orders": q.lda_fit_orders,
+        "knn_cosine_pq_embeddings": q.knn_cosine_pq_embeddings,
         "qda_fit_orders": q.qda_fit_orders,
         "multinomial_nb_lineitem": q.multinomial_nb_lineitem,
         "knn_classify_orders": q.knn_classify_orders,
@@ -227,7 +231,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hopping_window_events": q.hopping_window_events,
         "temperature_mix_documents": q.temperature_mix_documents,
         "logistic_step_orders": q.logistic_step_orders,
-        "kendall_lineitem": q.kendall_lineitem,
         "woe_iv_orders": q.woe_iv_orders,
         "score_ks_orders": q.score_ks_orders,
         "gains_lift_orders": q.gains_lift_orders,
