@@ -118,6 +118,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "permutation_importance_orders": q.permutation_importance_orders,
         "spearman_lineitem": q.spearman_lineitem,
         # ---- beyond the driver window ----
+        "interval_window_events": q.interval_window_events,
+        "band_join_pairs_events": q.band_join_pairs_events,
         "mode_impute_orderpriority": q.mode_impute_orderpriority,
         "stress_test_orders": q.stress_test_orders,
         "lang_distribution_documents": q.lang_distribution_documents,
@@ -293,6 +295,8 @@ def oracle_sql() -> dict[str, str]:
         "join_orders_customer_broadcast": q.JOIN_BROADCAST_SQL,
         "join_lineitem_orders_partitioned": q.JOIN_PARTITIONED_SQL,
         "asof_join_events": q.ASOF_SQL,
+        "interval_window_events": q.INTERVAL_WINDOW_SQL,
+        "band_join_pairs_events": q.BAND_JOIN_SQL,
         "bloom_semi_join_lineitem": q.BLOOM_SEMI_SQL,
         "json_extract_events": q.JSON_EXTRACT_SQL,
         "grouped_psi_events": q.GROUPED_PSI_SQL,

@@ -9216,3 +9216,174 @@ SELECT feature, coef_step2, std_err, z, odds_ratio FROM (
          round(b2.c2 / w.se2, 6), round(exp(b2.c2), 6) FROM b2, w
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# Interval-lookup join (§2.4 addition): count/revenue of events falling
+# inside 20 derived half-open time windows. The window table is SMALL
+# (20 rows, derived from one global min/max aggregate) so the join is a
+# broadcast interval lookup — np.searchsorted against the window edges
+# inside every map_batches task — never an all-to-all non-equi shuffle.
+# All arithmetic is integer (epoch-us, cents) so the SQL oracle is
+# bit-identical. Partitioning assumption: none — any block layout works;
+# the single shuffle moves 20-row (window, partial) tables.
+# ---------------------------------------------------------------------------
+
+_N_WINDOWS = 20
+
+
+def interval_window_events(sf_dir: str) -> pa.Table:
+    from ray.data.aggregate import Max, Min, Sum
+
+    ds = _read(sf_dir, "events", ["ts", "value"])
+
+    def to_us(batch: pa.Table) -> pa.Table:
+        us = batch.column("ts").cast(pa.int64())
+        return pa.table({"us": us, "value": batch.column("value")})
+
+    us_ds = ds.map_batches(to_us, batch_format="pyarrow")
+    # One tiny global aggregate derives the window table (20 rows).
+    b = us_ds.aggregate(Min("us"), Max("us"))
+    mn, mx = int(b["min(us)"]), int(b["max(us)"])
+    span = mx - mn + 1
+    starts = np.array([mn + (k * span) // _N_WINDOWS
+                       for k in range(_N_WINDOWS)], dtype=np.int64)
+    width = span // (2 * _N_WINDOWS)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        cents = np.rint(batch.column("value")
+                        .to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        # window k contains ts iff starts[k] <= us < starts[k] + width
+        k = np.searchsorted(starts, us, side="right") - 1
+        inside = (k >= 0) & (us < starts[np.clip(k, 0, None)] + width)
+        df = pd.DataFrame({"window_id": k[inside], "n": 1,
+                           "cents": cents[inside]})
+        return (df.groupby("window_id", as_index=False)
+                .agg(n=("n", "sum"), cents=("cents", "sum")))
+
+    agg = (_read(sf_dir, "events", ["ts", "value"])
+           .map_batches(partial, batch_format="pyarrow")
+           .groupby("window_id")
+           .aggregate(Sum("n", alias_name="n"),
+                      Sum("cents", alias_name="cents")))
+    got = {int(r["window_id"]): (int(r["n"]), int(r["cents"]))
+           for r in collect_pylist(agg)}
+    return pa.Table.from_pylist([
+        {"window_id": k,
+         "window_start": pd.Timestamp(int(starts[k]), unit="us"),
+         "n": got.get(k, (0, 0))[0],
+         "revenue": _round6(got.get(k, (0, 0))[1] / 100.0)}
+        for k in range(_N_WINDOWS)])
+
+
+INTERVAL_WINDOW_SQL = """
+WITH b AS (
+  SELECT min(epoch_us(ts)) AS mn, max(epoch_us(ts)) - min(epoch_us(ts)) + 1 AS span
+  FROM events
+), w AS (
+  SELECT CAST(i AS BIGINT) AS window_id,
+         mn + (i * span) // 20 AS ws, span // 40 AS width
+  FROM b CROSS JOIN range(0, 20) t(i)
+), e AS (
+  SELECT epoch_us(ts) AS us, CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+)
+SELECT w.window_id, make_timestamp(w.ws) AS window_start,
+       CAST(count(e.us) AS BIGINT) AS n,
+       round(COALESCE(sum(e.cents), 0) / 100.0, 6) AS revenue
+FROM w LEFT JOIN e ON e.us >= w.ws AND e.us < w.ws + w.width
+GROUP BY w.window_id, w.ws ORDER BY w.window_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Band (range) self-join (§2.4 addition): pairs of events by the SAME
+# user within a 60-second band (0 < Δts ≤ 60s), counted per
+# (earlier_type, later_type). The non-equi join never materializes
+# pairs across tasks: rows shuffle ONCE by coarse hash(user)%P, each
+# partition sorts by (user, ts) and enumerates band windows with a
+# monotonic composite key + searchsorted (the key offset exceeds the
+# global ts span, so a window can never leak into the next user's
+# segment), and only (type_a, type_b, count) partials leave the task.
+# Skew note: per-task work is Σ window occupancy, bounded by band
+# width × per-user event rate — salt the user key if one user carries
+# a pathological event density.
+# ---------------------------------------------------------------------------
+
+_BAND_US = 60 * 1_000_000
+
+
+def band_join_pairs_events(sf_dir: str) -> pa.Table:
+    from ray.data.aggregate import Max, Min, Sum
+
+    from tanml_ray.stages.shuffle import with_coarse_partition
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    def to_cols(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": batch.column("user_id"),
+            "us": batch.column("ts").cast(pa.int64()),
+            "event_type": batch.column("event_type")})
+
+    cols = ds.map_batches(to_cols, batch_format="pyarrow")
+    b = cols.aggregate(Min("us"), Max("us"))
+    offset = np.int64(int(b["max(us)"]) - int(b["min(us)"]) + _BAND_US + 1)
+
+    empty = pa.table({"type_a": pa.array([], type=pa.string()),
+                      "type_b": pa.array([], type=pa.string()),
+                      "n": pa.array([], type=pa.int64())})
+
+    def pairs_of_partition(g: pd.DataFrame) -> pa.Table:
+        if not len(g):
+            return empty
+        g = g.sort_values(["user_id", "us"], kind="mergesort")
+        us = g["us"].to_numpy(np.int64)
+        uid = g["user_id"].to_numpy(np.int64)
+        et = g["event_type"].to_numpy()
+        # dense per-partition user rank -> strictly monotonic composite key
+        urank = pd.factorize(uid, sort=True)[0].astype(np.int64)
+        if (int(urank[-1]) + 1) * int(offset) + int(us.max()) >= 2 ** 63:
+            # composite key would overflow int64: raise P (auto_partitions
+            # already scales with input) so fewer users share a partition
+            raise ValueError(
+                "band join composite key overflows int64; "
+                "increase the coarse partition count")
+        key = urank * offset + us
+        lo = np.searchsorted(key, key, side="right")       # strictly later
+        hi = np.searchsorted(key, key + _BAND_US, side="right")
+        cnt = hi - lo
+        total = int(cnt.sum())
+        if not total:
+            return empty
+        rep_i = np.repeat(np.arange(len(us)), cnt)
+        offs = np.arange(total) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+        idx_j = np.repeat(lo, cnt) + offs
+        df = pd.DataFrame({"type_a": et[rep_i], "type_b": et[idx_j], "n": 1})
+        out = df.groupby(["type_a", "type_b"], as_index=False).agg(
+            n=("n", "sum"))
+        return from_pandas_clean(out)
+
+    parts = (with_coarse_partition(cols, "user_id")
+             .groupby("__upart")
+             .map_groups(lambda g: pairs_of_partition(
+                 g.drop(columns=["__upart"])), batch_format="pandas"))
+    agg = parts.groupby(["type_a", "type_b"]).aggregate(
+        Sum("n", alias_name="n"))
+    rows = sorted(collect_pylist(agg), key=lambda r: (r["type_a"], r["type_b"]))
+    return pa.Table.from_pylist([
+        {"type_a": r["type_a"], "type_b": r["type_b"], "n": int(r["n"])}
+        for r in rows])
+
+
+BAND_JOIN_SQL = """
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       CAST(count(*) AS BIGINT) AS n
+FROM e a JOIN e b
+  ON a.user_id = b.user_id AND b.us > a.us AND b.us - a.us <= 60000000
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
