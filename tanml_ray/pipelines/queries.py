@@ -9387,3 +9387,111 @@ FROM e a JOIN e b
   ON a.user_id = b.user_id AND b.us > a.us AND b.us - a.us <= 60000000
 GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# Fixed-iteration PageRank over the event-type transition graph — the
+# iterative-graph-algorithm representative. The DISTRIBUTED work is the
+# edge build (same single coarse hash(user)%P shuffle as
+# event_transitions: per-partition sort + vectorized lead, only
+# (from, to, count) partials leave the tasks) plus a tiny distinct-node
+# aggregate; the power iteration itself runs on the driver over the
+# node×node matrix, which is |event_type|² — O(10²) floats at ANY
+# corpus size, so the driver step does not grow with the data. Damping
+# 0.85, 5 iterations, dangling mass redistributed uniformly; the SQL
+# oracle unrolls the same 5 steps as MATERIALIZED CTEs (DuckDB would
+# otherwise inline the recursion exponentially).
+# ---------------------------------------------------------------------------
+
+_PR_D = 0.85
+_PR_ITERS = 5
+
+
+def pagerank_event_types(sf_dir: str) -> pa.Table:
+    from ray.data.aggregate import Sum
+    from tanml_ray.stages.shuffle import with_coarse_partition
+
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts", "event_type"])
+
+    def pairs_part(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        u = g["user_id"].to_numpy()
+        et = g["event_type"].to_numpy()
+        same = u[1:] == u[:-1]
+        frm, to = et[:-1][same], et[1:][same]
+        if frm.size == 0:
+            return pd.DataFrame({"from_type": pd.Series(dtype=object),
+                                 "to_type": pd.Series(dtype=object),
+                                 "n": pd.Series(dtype="int64")})
+        out = (pd.DataFrame({"from_type": frm, "to_type": to})
+               .groupby(["from_type", "to_type"], as_index=False)
+               .size().rename(columns={"size": "n"}))
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    edges = collect_pylist(
+        with_coarse_partition(ds, "user_id")
+        .groupby("__upart").map_groups(pairs_part, batch_format="pandas")
+        .groupby(["from_type", "to_type"])
+        .aggregate(Sum("n", alias_name="n")))
+    nodes = sorted(r["unique"] if "unique" in r else r["event_type"]
+                   for r in collect_pylist(
+                       _read(sf_dir, "events", ["event_type"])
+                       .groupby("event_type").count()))
+    idx = {v: i for i, v in enumerate(nodes)}
+    nn = len(nodes)
+    out_n = np.zeros(nn, dtype=np.int64)
+    for e in edges:
+        out_n[idx[e["from_type"]]] += int(e["n"])
+    edges.sort(key=lambda e: (e["from_type"], e["to_type"]))
+
+    rank = np.full(nn, 1.0 / nn)
+    for _ in range(_PR_ITERS):
+        inflow = np.zeros(nn)
+        for e in edges:  # |event_type|² edges max — driver-tiny
+            i, j = idx[e["from_type"]], idx[e["to_type"]]
+            inflow[j] += rank[i] * int(e["n"]) / out_n[i]
+        dang = float(rank[out_n == 0].sum())
+        rank = (1.0 - _PR_D) / nn + _PR_D * (inflow + dang / nn)
+    return pa.Table.from_pylist([
+        {"node": v, "rank": _round6(rank[idx[v]])} for v in nodes])
+
+
+def _pagerank_sql() -> str:
+    head = """
+WITH t AS MATERIALIZED (
+  SELECT event_type AS from_type, nxt AS to_type,
+         CAST(count(*) AS DOUBLE) AS n
+  FROM (SELECT event_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS nxt
+        FROM events)
+  WHERE nxt IS NOT NULL GROUP BY 1, 2
+), nodes AS MATERIALIZED (
+  SELECT DISTINCT event_type AS node FROM events
+), outd AS MATERIALIZED (
+  SELECT from_type AS node, sum(n) AS outn FROM t GROUP BY 1
+), nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS nnodes FROM nodes
+), r0 AS MATERIALIZED (SELECT node, 1.0 / nn.nnodes AS rank FROM nodes, nn)"""
+    step = """
+, r{k} AS MATERIALIZED (
+  SELECT nd.node,
+         0.15 / nn.nnodes + 0.85 * (COALESCE(fl.s, 0) + dg.d / nn.nnodes)
+           AS rank
+  FROM nodes nd
+  CROSS JOIN nn
+  CROSS JOIN (SELECT COALESCE(sum(r.rank), 0) AS d
+              FROM r{p} r ANTI JOIN outd o ON r.node = o.node) dg
+  LEFT JOIN (SELECT t.to_type AS node, sum(r.rank * t.n / o.outn) AS s
+             FROM r{p} r
+             JOIN t ON t.from_type = r.node
+             JOIN outd o ON o.node = r.node
+             GROUP BY 1) fl ON fl.node = nd.node
+)"""
+    body = "".join(step.format(k=k, p=k - 1) for k in range(1, _PR_ITERS + 1))
+    return (head + body +
+            f"\nSELECT node, round(rank, 6) AS rank FROM r{_PR_ITERS} "
+            "ORDER BY node")
+
+
+PAGERANK_SQL = _pagerank_sql()

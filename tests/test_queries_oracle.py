@@ -57,8 +57,9 @@ FAST_QUERIES = [
     "spearman_lineitem", "knn_cosine_pq_embeddings",
     "pca_project_embeddings", "poisson_step_lineitem",
     "logistic_wald_step_orders",
-    # round-5 session-5 non-equi joins
+    # round-5 session-5 non-equi joins + iterative graph rep
     "interval_window_events", "band_join_pairs_events",
+    "pagerank_event_types",
 ]
 
 
