@@ -52,6 +52,12 @@ QUERIES = [
     "shuffle_shards_documents",
     "hopping_window_events",
     "spearman_lineitem",
+    # round-5 session-5 non-equi joins + iterative graph rep (band join
+    # and pagerank ride the coarse hash(user)%P shuffle; the interval
+    # join derives its window table from a global aggregate)
+    "interval_window_events",
+    "band_join_pairs_events",
+    "pagerank_event_types",
 ]
 
 
