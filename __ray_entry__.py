@@ -121,6 +121,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interval_window_events": q.interval_window_events,
         "band_join_pairs_events": q.band_join_pairs_events,
         "pagerank_event_types": q.pagerank_event_types,
+        "hbos_outliers_lineitem": q.hbos_outliers_lineitem,
+        "target_encode_orders": q.target_encode_orders,
         "mode_impute_orderpriority": q.mode_impute_orderpriority,
         "stress_test_orders": q.stress_test_orders,
         "lang_distribution_documents": q.lang_distribution_documents,
@@ -299,6 +301,8 @@ def oracle_sql() -> dict[str, str]:
         "interval_window_events": q.INTERVAL_WINDOW_SQL,
         "band_join_pairs_events": q.BAND_JOIN_SQL,
         "pagerank_event_types": q.PAGERANK_SQL,
+        "hbos_outliers_lineitem": q.HBOS_SQL,
+        "target_encode_orders": q.TARGET_ENCODE_SQL,
         "bloom_semi_join_lineitem": q.BLOOM_SEMI_SQL,
         "json_extract_events": q.JSON_EXTRACT_SQL,
         "grouped_psi_events": q.GROUPED_PSI_SQL,

@@ -9495,3 +9495,196 @@ WITH t AS MATERIALIZED (
 
 
 PAGERANK_SQL = _pagerank_sql()
+
+
+# ---------------------------------------------------------------------------
+# HBOS anomaly scores (histogram-based outlier score, Goldstein & Dengel
+# 2012) over three lineitem features — the density-based anomaly
+# representative. Two streaming passes: (1) per-feature fixed-bin
+# counts (per-batch combiner → one small groupby; price edges come from
+# one global min/max aggregate), (2) a scoring pass with the ~40-bin
+# count table BROADCAST into every task and a per-block local top-k, so
+# only 20-row partials reach the driver merge. Top-k selection ranks by
+# the exact INTEGER product of the three bin counts (order-isomorphic
+# to the float score Σ log(N/c)) with a key tie-break — no float
+# knife-edge can flip the selected set between engine and oracle.
+# ---------------------------------------------------------------------------
+
+_HBOS_K = 20
+_HBOS_PRICE_BINS = 20
+
+
+def hbos_outliers_lineitem(sf_dir: str) -> pa.Table:
+    from ray.data.aggregate import Max, Min, Sum
+
+    cols = ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+            "l_discount"]
+    ds = _read(sf_dir, "lineitem", cols)
+
+    def to_units(batch: pa.Table) -> pa.Table:
+        p = np.rint(batch.column("l_extendedprice")
+                    .to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        return pa.table({"pc": p})
+
+    b = (ds.map_batches(to_units, batch_format="pyarrow")
+         .aggregate(Min("pc"), Max("pc")))
+    pmin, pmax = int(b["min(pc)"]), int(b["max(pc)"])
+    pspan = pmax - pmin + 1
+
+    def bins_of(batch: pa.Table):
+        q = batch.column("l_quantity").to_numpy(zero_copy_only=False)
+        p = np.rint(batch.column("l_extendedprice")
+                    .to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        d = np.rint(batch.column("l_discount")
+                    .to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        qb = np.floor((q - 1) / 5).astype(np.int64)
+        pb = ((p - pmin) * _HBOS_PRICE_BINS) // pspan
+        return qb, pb, d
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        qb, pb, db = bins_of(batch)
+        frames = []
+        for feat, arr in (("q", qb), ("p", pb), ("d", db)):
+            u, c = np.unique(arr, return_counts=True)
+            frames.append(pd.DataFrame({"feat": feat, "bin": u,
+                                        "n": c.astype(np.int64)}))
+        return from_pandas_clean(pd.concat(frames, ignore_index=True))
+
+    counts = collect_pylist(
+        ds.map_batches(count_partial, batch_format="pyarrow")
+        .groupby(["feat", "bin"]).aggregate(Sum("n", alias_name="n")))
+    lut = {(r["feat"], int(r["bin"])): int(r["n"]) for r in counts}
+    n_total = sum(v for (f, _), v in lut.items() if f == "q")
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        qb, pb, db = bins_of(batch)
+        cq = np.array([lut[("q", int(x))] for x in qb], dtype=np.int64)
+        cp = np.array([lut[("p", int(x))] for x in pb], dtype=np.int64)
+        cd = np.array([lut[("d", int(x))] for x in db], dtype=np.int64)
+        ok = batch.column("l_orderkey").to_numpy(zero_copy_only=False)
+        ln = batch.column("l_linenumber").to_numpy(zero_copy_only=False)
+        # exact int rank key; N³ must stay under 2⁶³, i.e. N < 2×10⁶ —
+        # beyond that, Python-bigint products (same top-k merge shape)
+        if n_total >= 2_000_000:
+            prod = [int(a) * int(b) * int(c) for a, b, c in zip(cq, cp, cd)]
+            order = np.array(sorted(
+                range(len(prod)),
+                key=lambda i: (prod[i], ok[i], ln[i]))[:_HBOS_K],
+                dtype=np.int64)
+        else:
+            prod = cq * cp * cd
+            order = np.lexsort((ln, ok, prod))[:_HBOS_K]
+        score = (np.log(n_total / cq[order]) + np.log(n_total / cp[order])
+                 + np.log(n_total / cd[order]))
+        return pa.table({
+            "l_orderkey": ok[order].astype(np.int64),
+            "l_linenumber": ln[order].astype(np.int64),
+            # string: the bigint branch's products don't fit int64
+            "prod": pa.array([str(prod[i]) for i in order],
+                             type=pa.string()),
+            "score": score})
+
+    parts = collect_pylist(ds.map_batches(local_topk, batch_format="pyarrow"))
+    parts.sort(key=lambda r: (int(r["prod"]), int(r["l_orderkey"]),
+                              int(r["l_linenumber"])))
+    return pa.Table.from_pylist([
+        {"l_orderkey": int(r["l_orderkey"]),
+         "l_linenumber": int(r["l_linenumber"]),
+         "hbos": _round6(r["score"])} for r in parts[:_HBOS_K]])
+
+
+HBOS_SQL = f"""
+WITH u AS MATERIALIZED (
+  SELECT l_orderkey, l_linenumber,
+         CAST(floor((l_quantity - 1) / 5) AS BIGINT) AS qb,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS pc,
+         CAST(round(l_discount * 100) AS BIGINT) AS db
+  FROM lineitem
+), e AS MATERIALIZED (
+  SELECT min(pc) AS pmin, max(pc) - min(pc) + 1 AS pspan,
+         CAST(count(*) AS DOUBLE) AS n FROM u
+), ub AS MATERIALIZED (
+  SELECT l_orderkey, l_linenumber, qb,
+         ((pc - e.pmin) * {_HBOS_PRICE_BINS}) // e.pspan AS pb, db
+  FROM u, e
+), cq AS MATERIALIZED (SELECT qb, count(*) AS c FROM ub GROUP BY 1),
+cp AS MATERIALIZED (SELECT pb, count(*) AS c FROM ub GROUP BY 1),
+cd AS MATERIALIZED (SELECT db, count(*) AS c FROM ub GROUP BY 1)
+SELECT ub.l_orderkey, ub.l_linenumber,
+       round(ln(e.n / cq.c) + ln(e.n / cp.c) + ln(e.n / cd.c), 6) AS hbos
+FROM ub
+JOIN cq ON cq.qb = ub.qb
+JOIN cp ON cp.pb = ub.pb
+JOIN cd ON cd.db = ub.db
+CROSS JOIN e
+ORDER BY cq.c * cp.c * cd.c, ub.l_orderkey, ub.l_linenumber
+LIMIT {_HBOS_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe out-of-fold target encoding (M10 family extension): the
+# encoding for a row in fold f of group g is the mean label of g's rows
+# in the OTHER folds — the standard K-fold target-encoding scheme that
+# prevents a row's own label from leaking into its feature. One
+# combiner-first shuffle produces the (group, fold) integer sufficient
+# statistics (≤ |groups|×K rows at any corpus size); the subtraction is
+# exact-integer driver math. Returned as the 25-row (group, fold)
+# encoding table — the broadcast side a scoring pass would consume.
+# ---------------------------------------------------------------------------
+
+_TE_FOLDS = 5
+
+
+def target_encode_orders(sf_dir: str) -> pa.Table:
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "orders",
+               ["o_orderkey", "o_orderpriority", "o_orderstatus"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        grp = np.asarray(batch.column("o_orderpriority").to_pylist(),
+                         dtype=object)
+        fold = (batch.column("o_orderkey").to_numpy(zero_copy_only=False)
+                % _TE_FOLDS).astype(np.int64)
+        y = (np.asarray(batch.column("o_orderstatus").to_pylist())
+             == "F").astype(np.int64)
+        df = pd.DataFrame({"grp": grp, "fold": fold, "n": 1, "sy": y})
+        return from_pandas_clean(
+            df.groupby(["grp", "fold"], as_index=False)
+            .agg(n=("n", "sum"), sy=("sy", "sum")))
+
+    stats = collect_pylist(
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["grp", "fold"]).aggregate(Sum("n", alias_name="n"),
+                                            Sum("sy", alias_name="sy")))
+    tot: dict[str, list[int]] = {}
+    for r in stats:
+        t = tot.setdefault(r["grp"], [0, 0])
+        t[0] += int(r["n"])
+        t[1] += int(r["sy"])
+    rows = []
+    for r in sorted(stats, key=lambda r: (r["grp"], int(r["fold"]))):
+        g, f = r["grp"], int(r["fold"])
+        oof_n = tot[g][0] - int(r["n"])
+        oof_y = tot[g][1] - int(r["sy"])
+        rows.append({"grp": g, "fold": f, "n": int(r["n"]),
+                     "enc": _round6(oof_y / oof_n) if oof_n else None})
+    return pa.Table.from_pylist(rows)
+
+
+TARGET_ENCODE_SQL = f"""
+WITH s AS MATERIALIZED (
+  SELECT o_orderpriority AS grp,
+         CAST(o_orderkey % {_TE_FOLDS} AS BIGINT) AS fold,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(o_orderstatus = 'F' AS BIGINT)) AS BIGINT) AS sy
+  FROM orders GROUP BY 1, 2
+)
+SELECT grp, fold, n,
+       CASE WHEN sum(n) OVER w - n = 0 THEN NULL
+            ELSE round((sum(sy) OVER w - sy)
+                       / CAST(sum(n) OVER w - n AS DOUBLE), 6)
+       END AS enc
+FROM s WINDOW w AS (PARTITION BY grp) ORDER BY grp, fold
+"""

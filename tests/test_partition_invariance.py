@@ -58,6 +58,8 @@ QUERIES = [
     "interval_window_events",
     "band_join_pairs_events",
     "pagerank_event_types",
+    "hbos_outliers_lineitem",
+    "target_encode_orders",
 ]
 
 

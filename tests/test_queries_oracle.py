@@ -59,7 +59,8 @@ FAST_QUERIES = [
     "logistic_wald_step_orders",
     # round-5 session-5 non-equi joins + iterative graph rep
     "interval_window_events", "band_join_pairs_events",
-    "pagerank_event_types",
+    "pagerank_event_types", "hbos_outliers_lineitem",
+    "target_encode_orders",
 ]
 
 
