@@ -123,6 +123,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_event_types": q.pagerank_event_types,
         "hbos_outliers_lineitem": q.hbos_outliers_lineitem,
         "target_encode_orders": q.target_encode_orders,
+        "conformal_interval_orders": q.conformal_interval_orders,
         "mode_impute_orderpriority": q.mode_impute_orderpriority,
         "stress_test_orders": q.stress_test_orders,
         "lang_distribution_documents": q.lang_distribution_documents,
@@ -303,6 +304,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_event_types": q.PAGERANK_SQL,
         "hbos_outliers_lineitem": q.HBOS_SQL,
         "target_encode_orders": q.TARGET_ENCODE_SQL,
+        "conformal_interval_orders": q.CONFORMAL_SQL,
         "bloom_semi_join_lineitem": q.BLOOM_SEMI_SQL,
         "json_extract_events": q.JSON_EXTRACT_SQL,
         "grouped_psi_events": q.GROUPED_PSI_SQL,

@@ -9688,3 +9688,185 @@ SELECT grp, fold, n,
        END AS enc
 FROM s WINDOW w AS (PARTITION BY grp) ORDER BY grp, fold
 """
+
+
+# ---------------------------------------------------------------------------
+# Split-conformal prediction interval (Vovk/Papadopoulos split-conformal
+# scheme) over the closed-form OLS fit — the uncertainty-quantification
+# representative. Fold 0 (o_orderkey%3) trains, fold 1 calibrates,
+# fold 2 measures coverage. Every cross-task number is an exact
+# integer: the OLS normal equations are Python-bigint sufficient
+# statistics (the SQL oracle mirrors them in HUGEINT — exact to ~sf0.3;
+# the engine side is unbounded), so both sides derive bit-identical
+# double betas and bit-identical residuals. The calibration order
+# statistic is selected scale-safely in two streaming passes: a
+# 65536-wide bucket histogram locates the k-th bucket, then exact value
+# counts INSIDE that one bucket (≤65536 distinct values to the driver
+# at any corpus size) pin the k-th smallest |residual|.
+# ---------------------------------------------------------------------------
+
+_CONF_ALPHA = 0.1
+_CONF_BUCKET = 65536
+
+
+def conformal_interval_orders(sf_dir: str) -> pa.Table:
+    import math
+
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "orders",
+               ["o_orderkey", "o_orderdate", "o_custkey", "o_totalprice"])
+
+    def derive(batch: pa.Table) -> pa.Table:
+        key = batch.column("o_orderkey").to_numpy(zero_copy_only=False)
+        days = (batch.column("o_orderdate").cast(pa.int64())
+                .to_numpy(zero_copy_only=False) // 86_400_000_000)
+        cents = np.rint(batch.column("o_totalprice")
+                        .to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        return pa.table({"fold": (key % 3).astype(np.int64),
+                         "x1": days.astype(np.int64),
+                         "x2": batch.column("o_custkey").cast(pa.int64()),
+                         "y": cents // 100})
+
+    feat = ds.map_batches(derive, batch_format="pyarrow")
+
+    def train_partial(batch: pa.Table) -> pa.Table:
+        m = batch.column("fold").to_numpy(zero_copy_only=False) == 0
+        x1 = batch.column("x1").to_numpy(zero_copy_only=False)[m]
+        x2 = batch.column("x2").to_numpy(zero_copy_only=False)[m]
+        y = batch.column("y").to_numpy(zero_copy_only=False)[m]
+        return pa.Table.from_pylist([{
+            "n": int(m.sum()), "s1": int(x1.sum()), "s2": int(x2.sum()),
+            "sy": int(y.sum()), "s11": int(np.dot(x1, x1)),
+            "s12": int(np.dot(x1, x2)), "s22": int(np.dot(x2, x2)),
+            "s1y": int(np.dot(x1, y)), "s2y": int(np.dot(x2, y))}])
+
+    t = {"n": 0, "s1": 0, "s2": 0, "sy": 0, "s11": 0, "s12": 0, "s22": 0,
+         "s1y": 0, "s2y": 0}
+    for r in collect_pylist(feat.map_batches(train_partial,
+                                             batch_format="pyarrow")):
+        for k in t:
+            t[k] += int(r[k])  # Python bigints: overflow-free merge
+    n, s1, s2, sy = t["n"], t["s1"], t["s2"], t["sy"]
+    s11, s12, s22, s1y, s2y = t["s11"], t["s12"], t["s22"], t["s1y"], t["s2y"]
+    det = n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2) \
+        + s2 * (s1 * s12 - s11 * s2)
+    det0 = sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y) \
+        + s2 * (s1y * s12 - s11 * s2y)
+    det1 = n * (s1y * s22 - s2y * s12) - sy * (s1 * s22 - s12 * s2) \
+        + s2 * (s1 * s2y - s1y * s2)
+    det2 = n * (s11 * s2y - s12 * s1y) - s1 * (s1 * s2y - s2 * s1y) \
+        + sy * (s1 * s12 - s11 * s2)
+    b0 = float(det0) / float(det)
+    b1 = float(det1) / float(det)
+    b2 = float(det2) / float(det)
+
+    def resid_u(batch: pa.Table, fold: int) -> np.ndarray:
+        m = batch.column("fold").to_numpy(zero_copy_only=False) == fold
+        x1 = batch.column("x1").to_numpy(zero_copy_only=False)[m]
+        x2 = batch.column("x2").to_numpy(zero_copy_only=False)[m]
+        y = batch.column("y").to_numpy(zero_copy_only=False)[m]
+        resid = y - (b0 + b1 * x1 + b2 * x2)
+        return np.floor(np.abs(resid) * 100).astype(np.int64)
+
+    def cal_hist(batch: pa.Table) -> pa.Table:
+        ru = resid_u(batch, 1)
+        u, c = np.unique(ru // _CONF_BUCKET, return_counts=True)
+        return pa.table({"bucket": u, "n": c.astype(np.int64)})
+
+    hist = sorted((int(r["bucket"]), int(r["n"])) for r in collect_pylist(
+        feat.map_batches(cal_hist, batch_format="pyarrow")
+        .groupby("bucket").aggregate(Sum("n", alias_name="n"))))
+    n_cal = sum(c for _, c in hist)
+    k = math.ceil((1.0 - _CONF_ALPHA) * (n_cal + 1))
+    k = min(k, n_cal)
+    seen, kth_bucket, k_in_bucket = 0, None, None
+    for bkt, c in hist:
+        if seen + c >= k:
+            kth_bucket, k_in_bucket = bkt, k - seen
+            break
+        seen += c
+
+    def in_bucket_counts(batch: pa.Table) -> pa.Table:
+        ru = resid_u(batch, 1)
+        ru = ru[ru // _CONF_BUCKET == kth_bucket]
+        u, c = np.unique(ru, return_counts=True)
+        return pa.table({"ru": u, "n": c.astype(np.int64)})
+
+    vals = sorted((int(r["ru"]), int(r["n"])) for r in collect_pylist(
+        feat.map_batches(in_bucket_counts, batch_format="pyarrow")
+        .groupby("ru").aggregate(Sum("n", alias_name="n"))))
+    seen, q_cents = 0, None
+    for v, c in vals:
+        seen += c
+        if seen >= k_in_bucket:
+            q_cents = v
+            break
+
+    def cover_partial(batch: pa.Table) -> pa.Table:
+        ru = resid_u(batch, 2)
+        return pa.table({"n": pa.array([len(ru)], type=pa.int64()),
+                         "inside": pa.array([int((ru <= q_cents).sum())],
+                                            type=pa.int64())})
+
+    n_test, inside = 0, 0
+    for r in collect_pylist(feat.map_batches(cover_partial,
+                                             batch_format="pyarrow")):
+        n_test += int(r["n"])
+        inside += int(r["inside"])
+    return pa.Table.from_pylist([{
+        "n_train": n, "n_cal": n_cal, "n_test": n_test,
+        "q_cents": int(q_cents),
+        "coverage": _round6(inside / n_test)}])
+
+
+CONFORMAL_SQL = """
+WITH f AS MATERIALIZED (
+  SELECT o_orderkey % 3 AS fold,
+         CAST(datediff('day', DATE '1970-01-01',
+                        CAST(o_orderdate AS DATE)) AS BIGINT) AS x1,
+         CAST(o_custkey AS BIGINT) AS x2,
+         CAST(round(o_totalprice * 100) AS BIGINT) // 100 AS y
+  FROM orders
+), s AS MATERIALIZED (
+  -- HUGEINT sufficient statistics (DuckDB sums BIGINT into int128);
+  -- exact to ~sf0.3 — the engine's Python-bigint path is unbounded
+  SELECT count(*) AS n, sum(x1) AS s1, sum(x2) AS s2, sum(y) AS sy,
+         sum(x1*x1) AS s11, sum(x1*x2) AS s12, sum(x2*x2) AS s22,
+         sum(x1*y) AS s1y, sum(x2*y) AS s2y
+  FROM f WHERE fold = 0
+), d AS MATERIALIZED (
+  SELECT n,
+   n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2) + s2*(s1*s12 - s11*s2) AS det,
+   sy*(s11*s22 - s12*s12) - s1*(s1y*s22 - s12*s2y) + s2*(s1y*s12 - s11*s2y) AS det0,
+   n*(s1y*s22 - s2y*s12) - sy*(s1*s22 - s12*s2) + s2*(s1*s2y - s1y*s2) AS det1,
+   n*(s11*s2y - s12*s1y) - s1*(s1*s2y - s2*s1y) + sy*(s1*s12 - s11*s2) AS det2
+  FROM s
+), b AS MATERIALIZED (
+  SELECT n AS n_train,
+         CAST(det0 AS DOUBLE) / CAST(det AS DOUBLE) AS b0,
+         CAST(det1 AS DOUBLE) / CAST(det AS DOUBLE) AS b1,
+         CAST(det2 AS DOUBLE) / CAST(det AS DOUBLE) AS b2
+  FROM d
+), cal AS MATERIALIZED (
+  SELECT CAST(floor(abs(y - (b0 + b1*x1 + b2*x2)) * 100) AS BIGINT) AS ru
+  FROM f, b WHERE fold = 1
+), kk AS MATERIALIZED (
+  SELECT count(*) AS n_cal,
+         least(CAST(ceil(0.9 * (count(*) + 1)) AS BIGINT),
+               count(*)) AS k
+  FROM cal
+), q AS MATERIALIZED (
+  SELECT min(ru) AS q_cents FROM (
+    SELECT ru, row_number() OVER (ORDER BY ru) AS rn FROM cal
+  ), kk WHERE rn = kk.k
+), tst AS MATERIALIZED (
+  SELECT CAST(floor(abs(y - (b0 + b1*x1 + b2*x2)) * 100) AS BIGINT) AS ru
+  FROM f, b WHERE fold = 2
+)
+SELECT b.n_train AS n_train, kk.n_cal AS n_cal,
+       CAST(count(*) AS BIGINT) AS n_test, q.q_cents AS q_cents,
+       round(sum(CAST(ru <= q.q_cents AS BIGINT))
+             / CAST(count(*) AS DOUBLE), 6) AS coverage
+FROM tst, b, kk, q GROUP BY 1, 2, 4
+"""

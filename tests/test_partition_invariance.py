@@ -60,6 +60,7 @@ QUERIES = [
     "pagerank_event_types",
     "hbos_outliers_lineitem",
     "target_encode_orders",
+    "conformal_interval_orders",
 ]
 
 

@@ -60,7 +60,7 @@ FAST_QUERIES = [
     # round-5 session-5 non-equi joins + iterative graph rep
     "interval_window_events", "band_join_pairs_events",
     "pagerank_event_types", "hbos_outliers_lineitem",
-    "target_encode_orders",
+    "target_encode_orders", "conformal_interval_orders",
 ]
 
 
