@@ -9870,3 +9870,94 @@ SELECT b.n_train AS n_train, kk.n_cal AS n_cal,
              / CAST(count(*) AS DOUBLE), 6) AS coverage
 FROM tst, b, kk, q GROUP BY 1, 2, 4
 """
+
+
+# ---------------------------------------------------------------------------
+# Key-skew profile (scale-engineering diagnostic, north_rule "skew
+# handled explicitly"): exact Gini coefficient, hottest-key share and
+# count percentiles of the per-user event distribution. The scale trick
+# is the COUNT-OF-COUNTS reduction: per-key counts shuffle once
+# (combiner-first), then collapse to {count value -> #keys} — a table
+# bounded by the number of DISTINCT per-key counts, which stays tiny
+# (head-heavy distributions have few distinct tail values) even at 10⁹
+# keys — and Gini/percentiles are exact integer math over that table:
+# a run of m keys with equal count v occupying ranks s..s+m-1
+# contributes v·(m·s + m·(m−1)/2) to Σ rank·count.
+# ---------------------------------------------------------------------------
+
+def key_skew_profile_events(sf_dir: str) -> pa.Table:
+    import math
+
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["user_id"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        u, c = np.unique(batch.column("user_id")
+                         .to_numpy(zero_copy_only=False), return_counts=True)
+        return pa.table({"user_id": u, "n": c.astype(np.int64)})
+
+    per_key = (ds.map_batches(partial, batch_format="pyarrow")
+               .groupby("user_id").aggregate(Sum("n", alias_name="n")))
+
+    def coc_partial(batch: pa.Table) -> pa.Table:
+        v, m = np.unique(batch.column("n").to_numpy(zero_copy_only=False),
+                         return_counts=True)
+        return pa.table({"v": v, "m": m.astype(np.int64)})
+
+    coc = sorted((int(r["v"]), int(r["m"])) for r in collect_pylist(
+        per_key.map_batches(coc_partial, batch_format="pyarrow")
+        .groupby("v").aggregate(Sum("m", alias_name="m"))))
+    n_keys = sum(m for _, m in coc)
+    total = sum(v * m for v, m in coc)
+    # Σ rank·count with 1-based ranks ascending, exact bigints
+    s, weighted = 1, 0
+    for v, m in coc:
+        weighted += v * (m * s + m * (m - 1) // 2)
+        s += m
+    gini = (2.0 * weighted / (n_keys * total)) - (n_keys + 1) / n_keys
+    vmax = coc[-1][0]
+
+    def pct(p: float) -> int:
+        # inverse-CDF (type-1) percentile of the per-key counts
+        need = int(math.ceil(p * n_keys))
+        acc = 0
+        for v, m in coc:
+            acc += m
+            if acc >= need:
+                return v
+        return vmax
+
+    return pa.Table.from_pylist([{
+        "n_keys": n_keys, "total": total,
+        "gini": _round6(gini),
+        "hottest_share": _round6(vmax / total),
+        "p50": pct(0.50), "p99": pct(0.99), "max_count": vmax}])
+
+
+KEY_SKEW_SQL = """
+WITH pk AS MATERIALIZED (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1
+), coc AS MATERIALIZED (
+  SELECT n AS v, CAST(count(*) AS BIGINT) AS m FROM pk GROUP BY 1
+), r AS MATERIALIZED (
+  SELECT v, m,
+         1 + COALESCE(sum(m) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s,
+         sum(m) OVER (ORDER BY v) AS cum
+  FROM coc
+), agg AS MATERIALIZED (
+  SELECT sum(m) AS n_keys, sum(v * m) AS total,
+         sum(v * (m * s + m * (m - 1) // 2)) AS weighted,
+         max(v) AS vmax
+  FROM r
+)
+SELECT CAST(n_keys AS BIGINT) AS n_keys, CAST(total AS BIGINT) AS total,
+       round(2.0 * weighted / (n_keys * total)
+             - (n_keys + 1) / CAST(n_keys AS DOUBLE), 6) AS gini,
+       round(vmax / CAST(total AS DOUBLE), 6) AS hottest_share,
+       (SELECT min(v) FROM r WHERE cum >= ceil(0.50 * agg.n_keys)) AS p50,
+       (SELECT min(v) FROM r WHERE cum >= ceil(0.99 * agg.n_keys)) AS p99,
+       CAST(vmax AS BIGINT) AS max_count
+FROM agg
+"""

@@ -61,6 +61,7 @@ QUERIES = [
     "hbos_outliers_lineitem",
     "target_encode_orders",
     "conformal_interval_orders",
+    "key_skew_profile_events",
 ]
 
 

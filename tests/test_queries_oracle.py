@@ -61,6 +61,7 @@ FAST_QUERIES = [
     "interval_window_events", "band_join_pairs_events",
     "pagerank_event_types", "hbos_outliers_lineitem",
     "target_encode_orders", "conformal_interval_orders",
+    "key_skew_profile_events",
 ]
 
 
