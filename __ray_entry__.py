@@ -125,6 +125,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "target_encode_orders": q.target_encode_orders,
         "conformal_interval_orders": q.conformal_interval_orders,
         "key_skew_profile_events": q.key_skew_profile_events,
+        "fd_violations_orders": q.fd_violations_orders,
         "mode_impute_orderpriority": q.mode_impute_orderpriority,
         "stress_test_orders": q.stress_test_orders,
         "lang_distribution_documents": q.lang_distribution_documents,
@@ -307,6 +308,7 @@ def oracle_sql() -> dict[str, str]:
         "target_encode_orders": q.TARGET_ENCODE_SQL,
         "conformal_interval_orders": q.CONFORMAL_SQL,
         "key_skew_profile_events": q.KEY_SKEW_SQL,
+        "fd_violations_orders": q.FD_VIOLATIONS_SQL,
         "bloom_semi_join_lineitem": q.BLOOM_SEMI_SQL,
         "json_extract_events": q.JSON_EXTRACT_SQL,
         "grouped_psi_events": q.GROUPED_PSI_SQL,

@@ -9961,3 +9961,74 @@ SELECT CAST(n_keys AS BIGINT) AS n_keys, CAST(total AS BIGINT) AS total,
        CAST(vmax AS BIGINT) AS max_count
 FROM agg
 """
+
+
+# ---------------------------------------------------------------------------
+# Functional-dependency violation check (schema-validation family,
+# north_rule "schema + constraint validation"; generalizes the
+# reference's referential/uniqueness checks in tanml/validation to the
+# FD "does column K determine column D"). Distributed shape: per-batch
+# distinct (K, D) pair counts (combiner-first — the shuffle moves
+# distinct pairs only, bounded by |keys|·card(D), never raw rows), one
+# groupby on the pair, a second groupby on K reducing to (n_distinct_d,
+# n_rows) per key, then a scalar partial-sum reduction — the driver
+# sees one row.
+# ---------------------------------------------------------------------------
+
+def fd_violations_orders(sf_dir: str) -> pa.Table:
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"k": batch.column("o_custkey").to_numpy(
+            zero_copy_only=False),
+            "d": batch.column("o_orderpriority").to_pandas()})
+        g = df.groupby(["k", "d"], sort=False).size().reset_index(name="c")
+        return pa.table({"k": g["k"].to_numpy(np.int64),
+                         "d": pa.array(g["d"]),
+                         "c": g["c"].to_numpy(np.int64)})
+
+    pairs = (ds.map_batches(pair_partial, batch_format="pyarrow")
+             .groupby(["k", "d"]).aggregate(Sum("c", alias_name="c")))
+    per_key = (pairs.groupby("k")
+               .aggregate(Count(alias_name="nd"), Sum("c", alias_name="nrows")))
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        nd = batch.column("nd").to_numpy(zero_copy_only=False)
+        nr = batch.column("nrows").to_numpy(zero_copy_only=False)
+        bad = nd > 1
+        return pa.table({
+            "n_keys": pa.array([len(nd)], type=pa.int64()),
+            "n_violating_keys": pa.array([int(bad.sum())], type=pa.int64()),
+            "violating_rows": pa.array([int(nr[bad].sum())], type=pa.int64())})
+
+    parts = collect_pylist(per_key.map_batches(summarize,
+                                               batch_format="pyarrow"))
+    n_keys = sum(p["n_keys"] for p in parts)
+    n_bad = sum(p["n_violating_keys"] for p in parts)
+    bad_rows = sum(p["violating_rows"] for p in parts)
+    return pa.Table.from_pylist([{
+        "n_keys": n_keys,
+        "n_violating_keys": n_bad,
+        "violation_rate": _round6(n_bad / n_keys),
+        "violating_rows": bad_rows,
+        "fd_holds": n_bad == 0}])
+
+
+FD_VIOLATIONS_SQL = """
+WITH pk AS MATERIALIZED (
+  SELECT o_custkey AS k,
+         CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS nd,
+         CAST(count(*) AS BIGINT) AS nrows
+  FROM orders GROUP BY 1
+)
+SELECT CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(sum(CAST(nd > 1 AS BIGINT)) AS BIGINT) AS n_violating_keys,
+       round(sum(CAST(nd > 1 AS BIGINT)) / CAST(count(*) AS DOUBLE), 6)
+         AS violation_rate,
+       CAST(sum(CASE WHEN nd > 1 THEN nrows ELSE 0 END) AS BIGINT)
+         AS violating_rows,
+       (sum(CAST(nd > 1 AS BIGINT)) = 0) AS fd_holds
+FROM pk
+"""

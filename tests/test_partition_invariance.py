@@ -62,6 +62,9 @@ QUERIES = [
     "target_encode_orders",
     "conformal_interval_orders",
     "key_skew_profile_events",
+    # round-5 validation-family closer (the FD check shuffles distinct
+    # (key, value) pairs only)
+    "fd_violations_orders",
 ]
 
 

@@ -62,6 +62,7 @@ FAST_QUERIES = [
     "pagerank_event_types", "hbos_outliers_lineitem",
     "target_encode_orders", "conformal_interval_orders",
     "key_skew_profile_events",
+    "fd_violations_orders",
 ]
 
 
