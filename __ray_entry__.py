@@ -126,6 +126,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conformal_interval_orders": q.conformal_interval_orders,
         "key_skew_profile_events": q.key_skew_profile_events,
         "fd_violations_orders": q.fd_violations_orders,
+        "hellinger_tv_events": q.hellinger_tv_events,
+        "volume_control_events": q.volume_control_events,
+        "out_of_order_events": q.out_of_order_events,
+        "freshness_lag_events": q.freshness_lag_events,
         "mode_impute_orderpriority": q.mode_impute_orderpriority,
         "stress_test_orders": q.stress_test_orders,
         "lang_distribution_documents": q.lang_distribution_documents,
@@ -309,6 +313,10 @@ def oracle_sql() -> dict[str, str]:
         "conformal_interval_orders": q.CONFORMAL_SQL,
         "key_skew_profile_events": q.KEY_SKEW_SQL,
         "fd_violations_orders": q.FD_VIOLATIONS_SQL,
+        "hellinger_tv_events": q.HELLINGER_TV_SQL,
+        "volume_control_events": q.VOLUME_CONTROL_SQL,
+        "out_of_order_events": q.OUT_OF_ORDER_SQL,
+        "freshness_lag_events": q.FRESHNESS_LAG_SQL,
         "bloom_semi_join_lineitem": q.BLOOM_SEMI_SQL,
         "json_extract_events": q.JSON_EXTRACT_SQL,
         "grouped_psi_events": q.GROUPED_PSI_SQL,

@@ -10032,3 +10032,240 @@ SELECT CAST(count(*) AS BIGINT) AS n_keys,
        (sum(CAST(nd > 1 AS BIGINT)) = 0) AS fd_holds
 FROM pk
 """
+
+
+# ---------------------------------------------------------------------------
+# Hellinger + total-variation distance between the even-day and odd-day
+# halves of events.value — two more distribution-drift statistics next
+# to PSI/KS/JSD/W1 (reference analysis/drift.py:34-113 computes only
+# PSI and KS; these are the bounded-metric complements on the same
+# binned shape). Support is bucketed with floor(value/10) — exact in
+# both numpy and DuckDB — so one two-sided value-count combiner pass
+# bounds the shuffle by the ~50-bucket grid, never by row count.
+# ---------------------------------------------------------------------------
+
+def hellinger_tv_events(sf_dir: str) -> pa.Table:
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["ts", "value"])
+
+    def vc_partial(batch: pa.Table) -> pa.Table:
+        day = (pc.cast(pc.cast(batch.column("ts"), pa.date32()), pa.int32())
+               .to_numpy(zero_copy_only=False))
+        b = np.floor(batch.column("value")
+                     .to_numpy(zero_copy_only=False) / 10.0).astype(np.int64)
+        g = (pd.DataFrame({"b": b, "side": day % 2 == 0})
+             .groupby(["b", "side"], as_index=False).size())
+        return pa.table({
+            "b": pa.array(g["b"].to_numpy(), type=pa.int64()),
+            "ca": pa.array(np.where(g["side"], g["size"], 0)
+                           .astype(np.int64)),
+            "cb": pa.array(np.where(g["side"], 0, g["size"])
+                           .astype(np.int64))})
+
+    vc = sorted(collect_pylist(
+        ds.map_batches(vc_partial, batch_format="pyarrow")
+        .groupby("b").aggregate(Sum("ca", alias_name="ca"),
+                                Sum("cb", alias_name="cb"))),
+        key=lambda r: r["b"])
+    ca = np.array([r["ca"] for r in vc], dtype=np.float64)
+    cb = np.array([r["cb"] for r in vc], dtype=np.float64)
+    na, nb = int(ca.sum()), int(cb.sum())
+    p = ca / na
+    q = cb / nb
+    hel = float(np.sqrt(0.5 * np.sum((np.sqrt(p) - np.sqrt(q)) ** 2)))
+    tv = float(0.5 * np.sum(np.abs(p - q)))
+    return pa.Table.from_pylist([{
+        "n_a": na, "n_b": nb,
+        "hellinger": _round6(hel), "tv": _round6(tv)}])
+
+
+HELLINGER_TV_SQL = """
+WITH e AS MATERIALIZED (
+  SELECT CAST(floor(value / 10.0) AS BIGINT) AS b,
+         (datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 2 = 0)
+           AS side
+  FROM events
+), j AS MATERIALIZED (
+  SELECT b,
+         CAST(sum(CASE WHEN side THEN 1 ELSE 0 END) AS DOUBLE) AS ca,
+         CAST(sum(CASE WHEN side THEN 0 ELSE 1 END) AS DOUBLE) AS cb
+  FROM e GROUP BY b
+), tot AS MATERIALIZED (
+  SELECT sum(ca) AS na, sum(cb) AS nb FROM j
+)
+SELECT
+  CAST((SELECT na FROM tot) AS BIGINT) AS n_a,
+  CAST((SELECT nb FROM tot) AS BIGINT) AS n_b,
+  round(sqrt(0.5 * (SELECT sum(pow(sqrt(j.ca / tot.na)
+                                   - sqrt(j.cb / tot.nb), 2))
+                    FROM j, tot)), 6) AS hellinger,
+  round(0.5 * (SELECT sum(abs(j.ca / tot.na - j.cb / tot.nb))
+               FROM j, tot), 6) AS tv
+"""
+
+
+# ---------------------------------------------------------------------------
+# Volume control chart: rows-per-day with 3-sigma alert bands — the
+# classic data-quality "did a whole feed go missing / double-deliver"
+# check (reference profiling.py:22-28 reports only the global row
+# count; this is its per-time-bucket monitoring form). One
+# day-bounded count combiner pass; the driver fits the ~30-point
+# center line and flags |z| > 3.
+# ---------------------------------------------------------------------------
+
+def volume_control_events(sf_dir: str) -> pa.Table:
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        day = pc.cast(batch.column("ts"), pa.date32())
+        g = (pd.DataFrame({"day": day.to_pylist()})
+             .groupby("day", as_index=False).size()
+             .rename(columns={"size": "n"}))
+        return from_pandas_clean(g, preserve_index=False)
+
+    rows = sorted(collect_pylist(
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("day").aggregate(Sum("n", alias_name="n"))),
+        key=lambda r: r["day"])
+    n = np.array([r["n"] for r in rows], dtype=np.float64)
+    mu = float(n.sum() / len(n))
+    sd = float(np.sqrt(np.sum((n - mu) ** 2) / len(n)))
+    z = (n - mu) / sd
+    return pa.Table.from_pylist([{
+        "day": rows[i]["day"].strftime("%Y-%m-%d"),
+        "n": int(rows[i]["n"]),
+        "z": _round6(z[i]),
+        "alert": bool(abs(z[i]) > 3.0)}
+        for i in range(len(rows))])
+
+
+VOLUME_CONTROL_SQL = """
+WITH d AS MATERIALIZED (
+  SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1
+), s AS MATERIALIZED (
+  SELECT avg(n) AS mu, stddev_pop(n) AS sd FROM d
+)
+SELECT strftime(d.day, '%Y-%m-%d') AS day, d.n,
+       round((d.n - s.mu) / s.sd, 6) AS z,
+       (abs((d.n - s.mu) / s.sd) > 3.0) AS alert
+FROM d, s
+ORDER BY day
+"""
+
+
+# ---------------------------------------------------------------------------
+# Out-of-order sequence check: per user ordered by event_id, an event
+# whose ts precedes the running max of its predecessors is an ingest
+# inversion (the sequence-integrity constraint the north_rule's
+# warc_ts range rule implies for event streams; no reference analog —
+# TanML never sees ordered data). Coarse hash(user)%P partitioning
+# (stages/shuffle.py) keeps every user's rows in ONE partition, so the
+# vectorized within-partition cummax never crosses users and the
+# per-partition summary rows are exactly mergeable by summation.
+# ---------------------------------------------------------------------------
+
+def out_of_order_events(sf_dir: str) -> pa.Table:
+    from tanml_ray.stages.shuffle import with_coarse_partition
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "event_id"], kind="mergesort")
+        ts = g["ts"].astype("datetime64[us]").astype(np.int64)
+        prior_max = (ts.groupby(g["user_id"]).shift(1)
+                     .groupby(g["user_id"]).cummax())
+        ooo = ts < prior_max  # NaN (first event per user) compares False
+        return pd.DataFrame({
+            "n_users": [int(g["user_id"].nunique())],
+            "n_events": [len(g)],
+            "out_of_order": [int(ooo.sum())],
+            "affected_users": [int(g["user_id"][ooo].nunique())]})
+
+    parts = (with_coarse_partition(ds, "user_id")
+             .groupby("__upart").map_groups(per_partition,
+                                            batch_format="pandas"))
+    tot = {"n_users": 0, "n_events": 0, "out_of_order": 0,
+           "affected_users": 0}
+    for r in collect_pylist(parts):
+        for k in tot:
+            tot[k] += int(r[k])
+    return pa.Table.from_pylist([{
+        **tot,
+        "ooo_rate": _round6(tot["out_of_order"] / tot["n_events"]),
+        "is_ordered": tot["out_of_order"] == 0}])
+
+
+OUT_OF_ORDER_SQL = """
+WITH w AS MATERIALIZED (
+  SELECT user_id,
+         CASE WHEN ts < max(ts) OVER (PARTITION BY user_id
+              ORDER BY event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS ooo
+  FROM events
+)
+SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(ooo) AS BIGINT) AS out_of_order,
+       CAST(count(DISTINCT CASE WHEN ooo = 1 THEN user_id END) AS BIGINT)
+         AS affected_users,
+       round(sum(ooo) / CAST(count(*) AS DOUBLE), 6) AS ooo_rate,
+       (sum(ooo) = 0) AS is_ordered
+FROM w
+"""
+
+
+# ---------------------------------------------------------------------------
+# Freshness lag: per event_type, hours between its newest record and
+# the newest record in the whole table — the "is any feed stale"
+# monitoring check (north_rule's warc_ts range family; reference has
+# only static min/max in profiling.py:222-224). One per-type max/count
+# combiner pass; the global max is the max of the ~5 group maxes.
+# ---------------------------------------------------------------------------
+
+def freshness_lag_events(sf_dir: str) -> pa.Table:
+    from ray.data.aggregate import Max, Sum
+
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = (batch.column("ts").cast(pa.int64())
+             .to_numpy(zero_copy_only=False))
+        g = (pd.DataFrame({"event_type": batch.column("event_type")
+                           .to_pylist(), "mx": t})
+             .groupby("event_type", as_index=False)
+             .agg(mx=("mx", "max"), n=("mx", "size")))
+        return from_pandas_clean(g, preserve_index=False)
+
+    rows = sorted(collect_pylist(
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type").aggregate(Max("mx", alias_name="mx"),
+                                         Sum("n", alias_name="n"))),
+        key=lambda r: r["event_type"])
+    gmax = max(r["mx"] for r in rows)
+    out = []
+    for r in rows:
+        lag_h = (gmax - r["mx"]) / 3600000000.0
+        out.append({"event_type": r["event_type"], "n": int(r["n"]),
+                    "max_ts_us": int(r["mx"]),
+                    "lag_hours": _round6(lag_h),
+                    "stale": bool(lag_h > 24.0)})
+    return pa.Table.from_pylist(out)
+
+
+FRESHNESS_LAG_SQL = """
+WITH g AS MATERIALIZED (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(epoch_us(max(ts)) AS BIGINT) AS max_ts_us
+  FROM events GROUP BY 1
+), t AS MATERIALIZED (SELECT max(max_ts_us) AS gmax FROM g)
+SELECT g.event_type, g.n, g.max_ts_us,
+       round((t.gmax - g.max_ts_us) / 3600000000.0, 6) AS lag_hours,
+       ((t.gmax - g.max_ts_us) / 3600000000.0 > 24.0) AS stale
+FROM g, t
+ORDER BY event_type
+"""

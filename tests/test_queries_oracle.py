@@ -63,6 +63,9 @@ FAST_QUERIES = [
     "target_encode_orders", "conformal_interval_orders",
     "key_skew_profile_events",
     "fd_violations_orders",
+    # round-5 session-6 monitoring checks
+    "hellinger_tv_events", "volume_control_events",
+    "out_of_order_events", "freshness_lag_events",
 ]
 
 

@@ -367,3 +367,90 @@ def test_aggregate_constraints_over_status(tmp_path):
     assert all(r["status"] == "pass" for r in by_cid["agg_min_rows"])
     with pytest.raises(ValueError, match="unknown aggregate"):
         evaluate_aggregate_constraints(rep, [{"kind": "nope"}])
+
+
+class TestSequenceAndMonitoringChecks:
+    """The round-5 monitoring checks: out-of-order detection must fire
+    on a planted inversion (the sf testdata is clean, so the oracle
+    gate only proves the zero path), and the volume/freshness checks
+    must flag planted anomalies."""
+
+    def _events_dir(self, tmp_path, ts_us, users=None):
+        n = len(ts_us)
+        t = pa.table({
+            "event_id": pa.array(range(n), type=pa.int64()),
+            "ts": pa.array(ts_us, type=pa.timestamp("us")),
+            "user_id": pa.array(users or [1] * n, type=pa.int64()),
+            "event_type": pa.array(["view"] * n),
+            "value": pa.array([1.0] * n, type=pa.float64()),
+            "props": pa.array(["{}"] * n),
+        })
+        pq.write_table(t, str(tmp_path / "events.parquet"))
+        return str(tmp_path)
+
+    def test_out_of_order_detects_planted_inversion(self, ray_session,
+                                                    tmp_path):
+        from tanml_ray.pipelines.queries import out_of_order_events
+
+        base = 1_700_000_000_000_000
+        # user 1: in order; user 2: third event jumps BACK before the
+        # second -> exactly one inversion, one affected user
+        ts = [base, base + 10, base + 20,          # user 1
+              base, base + 50, base + 30]          # user 2 (inverted)
+        users = [1, 1, 1, 2, 2, 2]
+        out = out_of_order_events(
+            self._events_dir(tmp_path, ts, users)).to_pylist()[0]
+        assert out["out_of_order"] == 1
+        assert out["affected_users"] == 1
+        assert out["n_users"] == 2
+        assert not out["is_ordered"]
+
+    def test_out_of_order_clean_sequence(self, ray_session, tmp_path):
+        from tanml_ray.pipelines.queries import out_of_order_events
+
+        base = 1_700_000_000_000_000
+        out = out_of_order_events(self._events_dir(
+            tmp_path, [base + 10 * i for i in range(8)],
+            [1, 2] * 4)).to_pylist()[0]
+        assert out["out_of_order"] == 0
+        assert out["is_ordered"]
+
+    def test_volume_control_flags_spike_day(self, ray_session, tmp_path):
+        from tanml_ray.pipelines.queries import volume_control_events
+
+        day_us = 86_400_000_000
+        # 17 days of 10 rows, one day of 200 rows. (With a single
+        # outlier among n otherwise-equal days its z is exactly
+        # sqrt(n-1), so n must exceed 10 for |z| > 3: sqrt(17)≈4.12.)
+        ts = []
+        for d in range(18):
+            ts.extend([d * day_us + i for i in range(200 if d == 5 else 10)])
+        rows = volume_control_events(
+            self._events_dir(tmp_path, ts)).to_pylist()
+        alerts = [r for r in rows if r["alert"]]
+        assert len(rows) == 18
+        assert len(alerts) == 1 and alerts[0]["n"] == 200
+
+    def test_freshness_lag_flags_stale_feed(self, ray_session, tmp_path):
+        from tanml_ray.pipelines.queries import freshness_lag_events
+
+        day_us = 86_400_000_000
+        n = 6
+        t = pa.table({
+            "event_id": pa.array(range(n), type=pa.int64()),
+            "ts": pa.array([5 * day_us, 5 * day_us + 1, 2 * day_us,
+                            5 * day_us - 3600_000_000, day_us, day_us + 5],
+                           type=pa.timestamp("us")),
+            "user_id": pa.array([1] * n, type=pa.int64()),
+            "event_type": pa.array(["fresh", "fresh", "stale3d",
+                                    "hour_old", "stale4d", "stale4d"]),
+            "value": pa.array([1.0] * n, type=pa.float64()),
+            "props": pa.array(["{}"] * n),
+        })
+        pq.write_table(t, str(tmp_path / "events.parquet"))
+        rows = {r["event_type"]: r for r in
+                freshness_lag_events(str(tmp_path)).to_pylist()}
+        assert not rows["fresh"]["stale"] and rows["fresh"]["lag_hours"] == 0
+        assert not rows["hour_old"]["stale"]          # 1h < 24h
+        assert rows["stale3d"]["stale"] and rows["stale4d"]["stale"]
+        assert rows["stale4d"]["lag_hours"] == pytest.approx(96.0, abs=1e-6)
