@@ -130,6 +130,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "volume_control_events": q.volume_control_events,
         "out_of_order_events": q.out_of_order_events,
         "freshness_lag_events": q.freshness_lag_events,
+        "order_reconciliation_orders": q.order_reconciliation_orders,
+        "inactive_customers_by_segment": q.inactive_customers_by_segment,
+        "split_contamination_events": q.split_contamination_events,
         "mode_impute_orderpriority": q.mode_impute_orderpriority,
         "stress_test_orders": q.stress_test_orders,
         "lang_distribution_documents": q.lang_distribution_documents,
@@ -317,6 +320,9 @@ def oracle_sql() -> dict[str, str]:
         "volume_control_events": q.VOLUME_CONTROL_SQL,
         "out_of_order_events": q.OUT_OF_ORDER_SQL,
         "freshness_lag_events": q.FRESHNESS_LAG_SQL,
+        "order_reconciliation_orders": q.ORDER_RECON_SQL,
+        "inactive_customers_by_segment": q.INACTIVE_SEG_SQL,
+        "split_contamination_events": q.SPLIT_CONTAMINATION_SQL,
         "bloom_semi_join_lineitem": q.BLOOM_SEMI_SQL,
         "json_extract_events": q.JSON_EXTRACT_SQL,
         "grouped_psi_events": q.GROUPED_PSI_SQL,

@@ -10269,3 +10269,233 @@ SELECT g.event_type, g.n, g.max_ts_us,
 FROM g, t
 ORDER BY event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# Cross-table reconciliation: does orders.o_totalprice equal the sum of
+# its lineitem extendedprices? The classic two-feed consistency check
+# (reference J-family has only the row-hash overlap, services/data.py:
+# 75-96; this is its ledger-style counterpart). Lineitem reduces to ONE
+# integer-cents row per order via the combiner + groupby-Sum, then a
+# partitioned hash join (pipelines/join.py) meets orders — both sides
+# large, nothing order-count-sized on the driver; the final summary is
+# a per-batch partial sum of match flags.
+# ---------------------------------------------------------------------------
+
+def order_reconciliation_orders(sf_dir: str) -> pa.Table:
+    from ray.data.aggregate import Sum
+
+    from tanml_ray.pipelines.join import partitioned_join
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice"])
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        k = batch.column("l_orderkey").to_numpy(zero_copy_only=False)
+        c = np.rint(batch.column("l_extendedprice")
+                    .to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        g = (pd.DataFrame({"o_orderkey": k, "line_c": c})
+             .groupby("o_orderkey", as_index=False).sum())
+        return from_pandas_clean(g, preserve_index=False)
+
+    per_order = (li.map_batches(li_partial, batch_format="pyarrow")
+                 .groupby("o_orderkey")
+                 .aggregate(Sum("line_c", alias_name="line_c")))
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def o_cents(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": batch.column("o_orderkey"),
+            "total_c": pc.cast(pc.round(pc.multiply(
+                batch.column("o_totalprice"), 100)), pa.int64())})
+
+    joined = partitioned_join(per_order,
+                              orders.map_batches(o_cents,
+                                                 batch_format="pyarrow"),
+                              "o_orderkey", buckets=32)
+
+    def summarize(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"n": pd.Series([], dtype="int64"),
+                                 "n_exact": pd.Series([], dtype="int64"),
+                                 "abs_diff_c": pd.Series([], dtype="int64"),
+                                 "max_diff_c": pd.Series([], dtype="int64")})
+        d = (df["total_c"] - df["line_c"]).abs()
+        return pd.DataFrame({"n": [len(df)], "n_exact": [int((d == 0).sum())],
+                             "abs_diff_c": [int(d.sum())],
+                             "max_diff_c": [int(d.max())]})
+
+    parts = collect_pylist(joined.map_batches(summarize,
+                                              batch_format="pandas"))
+    n_orders = orders.count()
+    n = sum(p["n"] for p in parts)
+    n_exact = sum(p["n_exact"] for p in parts)
+    sum_diff = sum(p["abs_diff_c"] for p in parts)
+    max_diff = max((p["max_diff_c"] for p in parts), default=0)
+    return pa.Table.from_pylist([{
+        "n_orders": int(n_orders),
+        "n_with_lines": n,
+        "n_exact": n_exact,
+        "mismatch_rate": _round6((n - n_exact) / n),
+        "mean_abs_diff": _round6(sum_diff / n / 100.0),
+        "max_abs_diff": _round6(max_diff / 100.0)}])
+
+
+ORDER_RECON_SQL = """
+WITH l AS MATERIALIZED (
+  SELECT l_orderkey AS o_orderkey,
+         sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS line_c
+  FROM lineitem GROUP BY 1
+), j AS MATERIALIZED (
+  SELECT abs(CAST(round(o_totalprice * 100) AS BIGINT) - l.line_c) AS d
+  FROM orders JOIN l USING (o_orderkey)
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_orders,
+       CAST(count(*) AS BIGINT) AS n_with_lines,
+       CAST(sum(CAST(d = 0 AS BIGINT)) AS BIGINT) AS n_exact,
+       round(sum(CAST(d <> 0 AS BIGINT)) / CAST(count(*) AS DOUBLE), 6)
+         AS mismatch_rate,
+       round(sum(d) / CAST(count(*) AS DOUBLE) / 100.0, 6) AS mean_abs_diff,
+       round(max(d) / 100.0, 6) AS max_abs_diff
+FROM j
+"""
+
+
+# ---------------------------------------------------------------------------
+# Inactive customers per market segment: the orphan-rate rollup of the
+# referential family (J3 checks values AGAINST a dim; this counts dim
+# rows never referenced). Reuses the fully-distributed
+# partitioned_anti_join (join.py:355) — the custkey set scales with the
+# corpus, so no driver set, no broadcast — then a segment-bounded
+# count merge.
+# ---------------------------------------------------------------------------
+
+def inactive_customers_by_segment(sf_dir: str) -> pa.Table:
+    from ray.data.aggregate import Sum
+
+    from tanml_ray.pipelines.join import partitioned_anti_join
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    okeys = (_read(sf_dir, "orders", ["o_custkey"])
+             .map_batches(lambda b: pa.table(
+                 {"c_custkey": b.column("o_custkey")}),
+                 batch_format="pyarrow"))
+    inactive = partitioned_anti_join(cust, okeys, "c_custkey")
+
+    def seg_count(batch: pa.Table) -> pa.Table:
+        g = (pd.DataFrame({"c_mktsegment": batch.column("c_mktsegment")
+                           .to_pylist()})
+             .groupby("c_mktsegment", as_index=False).size()
+             .rename(columns={"size": "n"}))
+        return from_pandas_clean(g, preserve_index=False)
+
+    def agg(ds):
+        return (ds.map_batches(seg_count, batch_format="pyarrow")
+                .groupby("c_mktsegment").aggregate(Sum("n", alias_name="n")))
+
+    total = {r["c_mktsegment"]: r["n"] for r in collect_pylist(agg(cust))}
+    idle = {r["c_mktsegment"]: r["n"] for r in collect_pylist(agg(inactive))}
+    return pa.Table.from_pylist([{
+        "c_mktsegment": s,
+        "n_customers": int(total[s]),
+        "n_inactive": int(idle.get(s, 0)),
+        "inactive_rate": _round6(idle.get(s, 0) / total[s])}
+        for s in sorted(total)])
+
+
+INACTIVE_SEG_SQL = """
+WITH i AS MATERIALIZED (
+  SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_inactive
+  FROM customer
+  WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+  GROUP BY 1
+)
+SELECT c.c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       coalesce(any_value(i.n_inactive), 0) AS n_inactive,
+       round(coalesce(any_value(i.n_inactive), 0)
+             / CAST(count(*) AS DOUBLE), 6) AS inactive_rate
+FROM customer c LEFT JOIN i USING (c_mktsegment)
+GROUP BY 1 ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Chronological-split contamination: split the event stream at the
+# integer midpoint day and count users appearing on BOTH sides — the
+# time-split analog of the row-hash leakage check (J1,
+# services/data.py:75-96): a user straddling the boundary leaks
+# behavior from "test time" into "train time". Pass 1 is day-bounded
+# (split from a ~30-row day grid); pass 2 reduces users to one
+# (min_day, max_day) row via groupby, then per-batch partial counts —
+# the user list itself never reaches the driver.
+# ---------------------------------------------------------------------------
+
+def split_contamination_events(sf_dir: str) -> pa.Table:
+    from ray.data.aggregate import Max, Min, Sum
+
+    ds = _read(sf_dir, "events", ["ts", "user_id"])
+
+    def day_partial(batch: pa.Table) -> pa.Table:
+        day = (pc.cast(pc.cast(batch.column("ts"), pa.date32()), pa.int32())
+               .to_numpy(zero_copy_only=False).astype(np.int64))
+        g = (pd.DataFrame({"day": day}).groupby("day", as_index=False)
+             .size().rename(columns={"size": "n"}))
+        return from_pandas_clean(g, preserve_index=False)
+
+    days = collect_pylist(ds.map_batches(day_partial, batch_format="pyarrow")
+                          .groupby("day").aggregate(Sum("n", alias_name="n")))
+    lo = min(r["day"] for r in days)
+    hi = max(r["day"] for r in days)
+    split = (lo + hi + 1) // 2  # first day of the "test" side
+
+    def user_partial(batch: pa.Table) -> pa.Table:
+        day = (pc.cast(pc.cast(batch.column("ts"), pa.date32()), pa.int32())
+               .to_numpy(zero_copy_only=False).astype(np.int64))
+        u = batch.column("user_id").to_numpy(zero_copy_only=False)
+        g = (pd.DataFrame({"user_id": u, "mn": day, "mx": day})
+             .groupby("user_id", as_index=False)
+             .agg(mn=("mn", "min"), mx=("mx", "max")))
+        return from_pandas_clean(g, preserve_index=False)
+
+    spans = (ds.map_batches(user_partial, batch_format="pyarrow")
+             .groupby("user_id").aggregate(Min("mn", alias_name="mn"),
+                                           Max("mx", alias_name="mx")))
+
+    def flag_partial(batch: pa.Table) -> pa.Table:
+        mn = batch.column("mn").to_numpy(zero_copy_only=False)
+        mx = batch.column("mx").to_numpy(zero_copy_only=False)
+        both = (mn < split) & (mx >= split)
+        return pa.table({
+            "n_users": pa.array([len(mn)], type=pa.int64()),
+            "contaminated": pa.array([int(both.sum())], type=pa.int64())})
+
+    parts = collect_pylist(spans.map_batches(flag_partial,
+                                             batch_format="pyarrow"))
+    n_users = sum(p["n_users"] for p in parts)
+    contam = sum(p["contaminated"] for p in parts)
+    return pa.Table.from_pylist([{
+        "split_day": int(split),
+        "n_users": n_users,
+        "contaminated_users": contam,
+        "contamination_rate": _round6(contam / n_users)}])
+
+
+SPLIT_CONTAMINATION_SQL = """
+WITH d AS MATERIALIZED (
+  SELECT datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+         user_id
+  FROM events
+), s AS MATERIALIZED (
+  SELECT (min(day) + max(day) + 1) // 2 AS split FROM d
+), u AS MATERIALIZED (
+  SELECT user_id, min(day) AS mn, max(day) AS mx FROM d GROUP BY 1
+)
+SELECT CAST(s.split AS BIGINT) AS split_day,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(CAST(u.mn < s.split AND u.mx >= s.split AS BIGINT))
+            AS BIGINT) AS contaminated_users,
+       round(sum(CAST(u.mn < s.split AND u.mx >= s.split AS BIGINT))
+             / CAST(count(*) AS DOUBLE), 6) AS contamination_rate
+FROM u, s GROUP BY s.split
+"""

@@ -66,6 +66,9 @@ FAST_QUERIES = [
     # round-5 session-6 monitoring checks
     "hellinger_tv_events", "volume_control_events",
     "out_of_order_events", "freshness_lag_events",
+    # round-5 session-6 cross-table consistency checks
+    "order_reconciliation_orders", "inactive_customers_by_segment",
+    "split_contamination_events",
 ]
 
 
