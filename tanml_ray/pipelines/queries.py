@@ -10499,3 +10499,280 @@ SELECT CAST(s.split AS BIGINT) AS split_day,
              / CAST(count(*) AS DOUBLE), 6) AS contamination_rate
 FROM u, s GROUP BY s.split
 """
+
+
+# ---------------------------------------------------------------------------
+# Near-zero-variance feature audit (caret nearZeroVar semantics:
+# freq_ratio = top1/top2 frequency, nzv when ratio > 19 AND
+# percent-unique < 10) over the bounded-cardinality orders columns —
+# the degenerate-feature risk flag generalizing the reference's
+# constant-column check (profiling.py:38-43). One value-count combiner
+# pass per column; the category grids (3 statuses, 5 priorities) bound
+# the shuffle and the driver math.
+# ---------------------------------------------------------------------------
+
+_NZV_COLS = ["o_orderstatus", "o_orderpriority"]
+
+
+def near_zero_variance_orders(sf_dir: str) -> pa.Table:
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "orders", _NZV_COLS)
+
+    def vc_partial(batch: pa.Table) -> pa.Table:
+        frames = []
+        for col in _NZV_COLS:
+            g = (pd.DataFrame({"value": batch.column(col).to_pylist()})
+                 .groupby("value", as_index=False).size()
+                 .rename(columns={"size": "n"}))
+            g.insert(0, "column", col)
+            frames.append(g)
+        return from_pandas_clean(pd.concat(frames, ignore_index=True),
+                                 preserve_index=False)
+
+    rows = collect_pylist(
+        ds.map_batches(vc_partial, batch_format="pyarrow")
+        .groupby(["column", "value"]).aggregate(Sum("n", alias_name="n")))
+    out = []
+    for col in _NZV_COLS:
+        freqs = sorted((r["n"] for r in rows if r["column"] == col),
+                       reverse=True)
+        n = sum(freqs)
+        top1 = freqs[0]
+        top2 = freqs[1] if len(freqs) > 1 else 0
+        ratio = top1 / top2 if top2 else float(top1)
+        pct_unique = 100.0 * len(freqs) / n
+        out.append({
+            "column": col, "n": int(n), "n_distinct": len(freqs),
+            "freq_ratio": _round6(ratio),
+            "pct_unique": _round6(pct_unique),
+            "nzv": bool(ratio > 19.0 and pct_unique < 10.0)})
+    return pa.Table.from_pylist(out)
+
+
+NZV_SQL = """
+WITH vc AS MATERIALIZED (
+  SELECT 'o_orderstatus' AS col, o_orderstatus AS v,
+         CAST(count(*) AS BIGINT) AS n
+  FROM orders GROUP BY 2
+  UNION ALL
+  SELECT 'o_orderpriority', o_orderpriority, CAST(count(*) AS BIGINT)
+  FROM orders GROUP BY 2
+), r AS MATERIALIZED (
+  SELECT col, n, row_number() OVER (PARTITION BY col ORDER BY n DESC) AS rk
+  FROM vc
+), s AS MATERIALIZED (
+  SELECT col, sum(n) AS total, count(*) AS nd,
+         max(CASE WHEN rk = 1 THEN n END) AS top1,
+         coalesce(max(CASE WHEN rk = 2 THEN n END), 0) AS top2
+  FROM r GROUP BY col
+)
+SELECT col AS "column", CAST(total AS BIGINT) AS n,
+       CAST(nd AS BIGINT) AS n_distinct,
+       round(CASE WHEN top2 = 0 THEN CAST(top1 AS DOUBLE)
+                  ELSE top1 / CAST(top2 AS DOUBLE) END, 6) AS freq_ratio,
+       round(100.0 * nd / total, 6) AS pct_unique,
+       ((CASE WHEN top2 = 0 THEN CAST(top1 AS DOUBLE)
+              ELSE top1 / CAST(top2 AS DOUBLE) END) > 19.0
+        AND 100.0 * nd / total < 10.0) AS nzv
+FROM s ORDER BY "column"
+"""
+
+
+# ---------------------------------------------------------------------------
+# Embedding-column integrity audit: zero-norm and non-finite vectors
+# plus the norm's spread — the vector-payload analog of the numeric
+# range checks (north_rule's html/text non-null family applied to the
+# list<float> column every similarity operator depends on). Vectorized
+# per-batch norms (float32 storage upcast to f64 on BOTH sides), one
+# 5-number partial per batch merged on the driver.
+# ---------------------------------------------------------------------------
+
+def embedding_norm_audit(sf_dir: str) -> pa.Table:
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        emb = batch.column("embedding")
+        flat = (emb.combine_chunks().flatten()
+                .to_numpy(zero_copy_only=False).astype(np.float64))
+        mat = flat.reshape(batch.num_rows, -1)
+        finite = np.isfinite(mat).all(axis=1)
+        norm = np.sqrt(np.sum(mat * mat, axis=1))
+        return pa.table({
+            "n": pa.array([batch.num_rows], type=pa.int64()),
+            "n_nonfinite": pa.array([int((~finite).sum())], type=pa.int64()),
+            "n_zero_norm": pa.array([int((norm == 0.0).sum())],
+                                    type=pa.int64()),
+            "sum_norm": pa.array([float(norm[finite].sum())],
+                                 type=pa.float64()),
+            "min_norm": pa.array([float(norm[finite].min())
+                                  if finite.any() else np.inf],
+                                 type=pa.float64()),
+            "max_norm": pa.array([float(norm[finite].max())
+                                  if finite.any() else -np.inf],
+                                 type=pa.float64())})
+
+    parts = collect_pylist(ds.map_batches(partial, batch_format="pyarrow"))
+    n = sum(p["n"] for p in parts)
+    n_bad = sum(p["n_nonfinite"] for p in parts)
+    return pa.Table.from_pylist([{
+        "n": n,
+        "n_nonfinite": n_bad,
+        "n_zero_norm": sum(p["n_zero_norm"] for p in parts),
+        "mean_norm": _round6(sum(p["sum_norm"] for p in parts) / (n - n_bad)),
+        "min_norm": _round6(min(p["min_norm"] for p in parts)),
+        "max_norm": _round6(max(p["max_norm"] for p in parts))}])
+
+
+EMB_NORM_SQL = """
+WITH x AS MATERIALIZED (
+  SELECT vec_id, unnest(embedding) AS e FROM embeddings
+), v AS MATERIALIZED (
+  SELECT vec_id,
+         sqrt(sum(CAST(e AS DOUBLE) * CAST(e AS DOUBLE))) AS nrm,
+         max(CASE WHEN NOT isfinite(CAST(e AS DOUBLE)) THEN 1 ELSE 0 END)
+           AS bad
+  FROM x GROUP BY 1
+)
+SELECT CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(bad) AS BIGINT) AS n_nonfinite,
+       CAST(sum(CASE WHEN bad = 0 AND nrm = 0.0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_zero_norm,
+       round(sum(CASE WHEN bad = 0 THEN nrm END)
+             / CAST(sum(CASE WHEN bad = 0 THEN 1 ELSE 0 END) AS DOUBLE), 6)
+         AS mean_norm,
+       round(min(CASE WHEN bad = 0 THEN nrm END), 6) AS min_norm,
+       round(max(CASE WHEN bad = 0 THEN nrm END), 6) AS max_norm
+FROM v
+"""
+
+
+# ---------------------------------------------------------------------------
+# Duplicate rate per source feed: docs vs distinct texts per
+# documents.source — the per-feed breakdown of the corpus dup rate
+# (datacard reports it corpus-wide; a poisoned or echoing feed shows
+# up HERE first). Per-batch (source, md5(text)) partials collapse
+# repeats before the shuffle; the per-source distinct count is a
+# second source-bounded groupby.
+# ---------------------------------------------------------------------------
+
+def dup_rate_by_source_documents(sf_dir: str) -> pa.Table:
+    import hashlib
+
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", ["text", "source"])
+
+    def hash_partial(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        hs = [hashlib.md5((t or "").encode()).hexdigest() for t in texts]
+        g = (pd.DataFrame({"source": batch.column("source").to_pylist(),
+                           "h": hs})
+             .groupby(["source", "h"], as_index=False).size()
+             .rename(columns={"size": "n"}))
+        return from_pandas_clean(g, preserve_index=False)
+
+    per_hash = (ds.map_batches(hash_partial, batch_format="pyarrow")
+                .groupby(["source", "h"]).aggregate(Sum("n", alias_name="n")))
+
+    def src_partial(batch: pa.Table) -> pa.Table:
+        g = (pd.DataFrame({"source": batch.column("source").to_pylist(),
+                           "n": batch.column("n").to_numpy(
+                               zero_copy_only=False)})
+             .groupby("source", as_index=False)
+             .agg(n_docs=("n", "sum"), n_distinct=("n", "size")))
+        return from_pandas_clean(g, preserve_index=False)
+
+    agg = (per_hash.map_batches(src_partial, batch_format="pyarrow")
+           .groupby("source").aggregate(Sum("n_docs", alias_name="n_docs"),
+                                        Sum("n_distinct",
+                                            alias_name="n_distinct")))
+    rows = sorted(collect_pylist(agg), key=lambda r: r["source"])
+    return pa.Table.from_pylist([{
+        "source": r["source"], "n_docs": int(r["n_docs"]),
+        "n_distinct": int(r["n_distinct"]),
+        "dup_rate": _round6((r["n_docs"] - r["n_distinct"]) / r["n_docs"])}
+        for r in rows])
+
+
+DUP_RATE_BY_SOURCE_SQL = """
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT coalesce(text, '')) AS BIGINT) AS n_distinct,
+       round((count(*) - count(DISTINCT coalesce(text, '')))
+             / CAST(count(*) AS DOUBLE), 6) AS dup_rate
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# props JSON conformance: does every events.props payload parse as a
+# JSON object carrying the required integer key "k"? The
+# semi-structured-column schema check (M3's dtype-coercion contract
+# extended to nested payloads; json_extract_events ASSUMES this holds
+# — this check is what tells you when it stops holding). Per-row parse
+# is the operator's nature (like json_extract); counts merge as sums.
+# ---------------------------------------------------------------------------
+
+def props_conformance_events(sf_dir: str) -> pa.Table:
+    import json as _json
+
+    ds = _read(sf_dir, "events", ["props"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        n_valid = n_obj = n_k = 0
+        vals = batch.column("props").to_pylist()
+        for p in vals:
+            try:
+                o = _json.loads(p) if p is not None else None
+            except (ValueError, TypeError):
+                continue
+            if o is None:
+                continue
+            n_valid += 1
+            if isinstance(o, dict):
+                n_obj += 1
+                if isinstance(o.get("k"), int):
+                    n_k += 1
+        return pa.table({
+            "n": pa.array([len(vals)], type=pa.int64()),
+            "n_valid_json": pa.array([n_valid], type=pa.int64()),
+            "n_object": pa.array([n_obj], type=pa.int64()),
+            "n_with_k": pa.array([n_k], type=pa.int64())})
+
+    parts = collect_pylist(ds.map_batches(partial, batch_format="pyarrow"))
+    n = sum(p["n"] for p in parts)
+    n_k = sum(p["n_with_k"] for p in parts)
+    return pa.Table.from_pylist([{
+        "n": n,
+        "n_valid_json": sum(p["n_valid_json"] for p in parts),
+        "n_object": sum(p["n_object"] for p in parts),
+        "n_with_k": n_k,
+        "conformance_rate": _round6(n_k / n),
+        "conformant": n_k == n}])
+
+
+PROPS_CONFORMANCE_SQL = """
+SELECT CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(json_valid(props) AS BIGINT)) AS BIGINT)
+         AS n_valid_json,
+       CAST(sum(CASE WHEN json_valid(props)
+                     AND json_type(props::JSON) = 'OBJECT'
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_object,
+       CAST(sum(CASE WHEN json_valid(props)
+                     AND json_type(props::JSON) = 'OBJECT'
+                     AND json_type(props::JSON, '$.k') IN
+                         ('BIGINT', 'UBIGINT')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_with_k,
+       round(sum(CASE WHEN json_valid(props)
+                      AND json_type(props::JSON) = 'OBJECT'
+                      AND json_type(props::JSON, '$.k') IN
+                          ('BIGINT', 'UBIGINT')
+                      THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS conformance_rate,
+       (sum(CASE WHEN json_valid(props)
+                 AND json_type(props::JSON) = 'OBJECT'
+                 AND json_type(props::JSON, '$.k') IN
+                     ('BIGINT', 'UBIGINT')
+                 THEN 1 ELSE 0 END) = count(*)) AS conformant
+FROM events
+"""

@@ -69,6 +69,9 @@ FAST_QUERIES = [
     # round-5 session-6 cross-table consistency checks
     "order_reconciliation_orders", "inactive_customers_by_segment",
     "split_contamination_events",
+    # round-5 session-6 column-integrity audits
+    "near_zero_variance_orders", "embedding_norm_audit",
+    "dup_rate_by_source_documents", "props_conformance_events",
 ]
 
 

@@ -454,3 +454,53 @@ class TestSequenceAndMonitoringChecks:
         assert not rows["hour_old"]["stale"]          # 1h < 24h
         assert rows["stale3d"]["stale"] and rows["stale4d"]["stale"]
         assert rows["stale4d"]["lag_hours"] == pytest.approx(96.0, abs=1e-6)
+
+
+class TestIntegrityAudits:
+    """Planted-defect coverage for the column-integrity audits (the sf
+    testdata is clean, so the oracle gate only proves the zero path)."""
+
+    def test_props_conformance_detects_bad_payloads(self, ray_session,
+                                                    tmp_path):
+        from tanml_ray.pipelines.queries import props_conformance_events
+
+        props = ['{"k": 1}', '{"k": 2}',       # conformant
+                 'not json at all',            # invalid
+                 '[1, 2, 3]',                  # valid, not an object
+                 '{"other": 5}',               # object, missing k
+                 '{"k": "str"}']               # k present, wrong type
+        n = len(props)
+        t = pa.table({
+            "event_id": pa.array(range(n), type=pa.int64()),
+            "ts": pa.array([1_700_000_000_000_000 + i for i in range(n)],
+                           type=pa.timestamp("us")),
+            "user_id": pa.array([1] * n, type=pa.int64()),
+            "event_type": pa.array(["view"] * n),
+            "value": pa.array([1.0] * n, type=pa.float64()),
+            "props": pa.array(props),
+        })
+        pq.write_table(t, str(tmp_path / "events.parquet"))
+        out = props_conformance_events(str(tmp_path)).to_pylist()[0]
+        assert out == {"n": 6, "n_valid_json": 5, "n_object": 4,
+                       "n_with_k": 2,
+                       "conformance_rate": pytest.approx(2 / 6, abs=1e-6),
+                       "conformant": False}
+
+    def test_embedding_norm_audit_detects_bad_vectors(self, ray_session,
+                                                      tmp_path):
+        from tanml_ray.pipelines.queries import embedding_norm_audit
+
+        vecs = [[3.0, 4.0], [0.0, 0.0], [float("nan"), 1.0], [6.0, 8.0]]
+        t = pa.table({
+            "vec_id": pa.array(range(4), type=pa.int64()),
+            "embedding": pa.array(vecs, type=pa.list_(pa.float32())),
+            "label": pa.array([0] * 4, type=pa.int32()),
+        })
+        pq.write_table(t, str(tmp_path / "embeddings.parquet"))
+        out = embedding_norm_audit(str(tmp_path)).to_pylist()[0]
+        assert out["n"] == 4
+        assert out["n_nonfinite"] == 1
+        assert out["n_zero_norm"] == 1
+        assert out["min_norm"] == 0.0
+        assert out["max_norm"] == 10.0
+        assert out["mean_norm"] == pytest.approx(15.0 / 3, abs=1e-6)
