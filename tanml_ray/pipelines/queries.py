@@ -10776,3 +10776,103 @@ SELECT CAST(count(*) AS BIGINT) AS n,
                  THEN 1 ELSE 0 END) = count(*)) AS conformant
 FROM events
 """
+
+
+# ---------------------------------------------------------------------------
+# Temporal referential consistency: lineitems shipped BEFORE their
+# order was placed — the cross-table ordering constraint (J3's
+# referential family over time instead of keys; north_rule's warc_ts
+# range check generalized to a parent-child invariant). Both sides
+# large → partitioned hash join, then per-batch violation partials.
+# ---------------------------------------------------------------------------
+
+def ship_before_order_lineitem(sf_dir: str) -> pa.Table:
+    from tanml_ray.pipelines.join import partitioned_join
+
+    li = (_read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+          .map_batches(lambda b: pa.table({
+              "o_orderkey": b.column("l_orderkey"),
+              "ship_us": b.column("l_shipdate").cast(pa.int64())}),
+              batch_format="pyarrow"))
+    orders = (_read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+              .map_batches(lambda b: pa.table({
+                  "o_orderkey": b.column("o_orderkey"),
+                  "order_us": b.column("o_orderdate").cast(pa.int64())}),
+                  batch_format="pyarrow"))
+    joined = partitioned_join(li, orders, "o_orderkey", buckets=32)
+
+    def summarize(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"n": pd.Series([], dtype="int64"),
+                                 "bad": pd.Series([], dtype="int64")})
+        return pd.DataFrame({
+            "n": [len(df)],
+            "bad": [int((df["ship_us"] < df["order_us"]).sum())]})
+
+    parts = collect_pylist(joined.map_batches(summarize,
+                                              batch_format="pandas"))
+    n = sum(p["n"] for p in parts)
+    bad = sum(p["bad"] for p in parts)
+    return pa.Table.from_pylist([{
+        "n_lineitems": n, "n_violations": bad,
+        "violation_rate": _round6(bad / n),
+        "consistent": bad == 0}])
+
+
+SHIP_BEFORE_ORDER_SQL = """
+SELECT CAST(count(*) AS BIGINT) AS n_lineitems,
+       CAST(sum(CAST(l_shipdate < o_orderdate AS BIGINT)) AS BIGINT)
+         AS n_violations,
+       round(sum(CAST(l_shipdate < o_orderdate AS BIGINT))
+             / CAST(count(*) AS DOUBLE), 6) AS violation_rate,
+       (sum(CAST(l_shipdate < o_orderdate AS BIGINT)) = 0) AS consistent
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Derived-metadata consistency: does documents.n_chars equal the
+# actual codepoint length of text? The stored-vs-recomputed audit
+# (M13's row-hash idea applied to a single derived column; a stale
+# n_chars silently corrupts every length-based quality filter
+# downstream). One vectorized pc.utf8_length pass; null text rows are
+# excluded from the check on both sides.
+# ---------------------------------------------------------------------------
+
+def metadata_consistency_documents(sf_dir: str) -> pa.Table:
+    ds = _read(sf_dir, "documents", ["text", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ln = pc.utf8_length(batch.column("text"))
+        valid = pc.is_valid(ln)
+        mism = pc.and_(valid, pc.not_equal(
+            pc.cast(ln, pa.int64()), batch.column("n_chars")))
+        return pa.table({
+            "n": pa.array([batch.num_rows], type=pa.int64()),
+            "n_checked": pa.array([pc.sum(pc.cast(valid, pa.int64())).as_py()],
+                                  type=pa.int64()),
+            "n_mismatched": pa.array(
+                [pc.sum(pc.cast(mism, pa.int64())).as_py() or 0],
+                type=pa.int64())})
+
+    parts = collect_pylist(ds.map_batches(partial, batch_format="pyarrow"))
+    n = sum(p["n"] for p in parts)
+    checked = sum(p["n_checked"] for p in parts)
+    bad = sum(p["n_mismatched"] for p in parts)
+    return pa.Table.from_pylist([{
+        "n": n, "n_checked": checked, "n_mismatched": bad,
+        "mismatch_rate": _round6(bad / checked),
+        "consistent": bad == 0}])
+
+
+METADATA_CONSISTENCY_SQL = """
+SELECT CAST(count(*) AS BIGINT) AS n,
+       CAST(count(text) AS BIGINT) AS n_checked,
+       CAST(coalesce(sum(CAST(n_chars <> length(text) AS BIGINT)), 0)
+            AS BIGINT) AS n_mismatched,
+       round(coalesce(sum(CAST(n_chars <> length(text) AS BIGINT)), 0)
+             / CAST(count(text) AS DOUBLE), 6) AS mismatch_rate,
+       (coalesce(sum(CAST(n_chars <> length(text) AS BIGINT)), 0) = 0)
+         AS consistent
+FROM documents
+"""

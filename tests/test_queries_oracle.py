@@ -72,6 +72,7 @@ FAST_QUERIES = [
     # round-5 session-6 column-integrity audits
     "near_zero_variance_orders", "embedding_norm_audit",
     "dup_rate_by_source_documents", "props_conformance_events",
+    "ship_before_order_lineitem", "metadata_consistency_documents",
 ]
 
 

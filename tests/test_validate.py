@@ -504,3 +504,21 @@ class TestIntegrityAudits:
         assert out["min_norm"] == 0.0
         assert out["max_norm"] == 10.0
         assert out["mean_norm"] == pytest.approx(15.0 / 3, abs=1e-6)
+
+    def test_metadata_consistency_detects_stale_counts(self, ray_session,
+                                                       tmp_path):
+        from tanml_ray.pipelines.queries import metadata_consistency_documents
+
+        t = pa.table({
+            "doc_id": pa.array(range(4), type=pa.int64()),
+            "text": pa.array(["abcd", "héllo", None, "xy"]),
+            "lang": pa.array(["en"] * 4),
+            "source": pa.array(["s"] * 4),
+            # héllo is 5 codepoints; stored 6 is stale; null text skipped
+            "n_chars": pa.array([4, 6, 99, 2], type=pa.int64()),
+        })
+        pq.write_table(t, str(tmp_path / "documents.parquet"))
+        out = metadata_consistency_documents(str(tmp_path)).to_pylist()[0]
+        assert out["n"] == 4 and out["n_checked"] == 3
+        assert out["n_mismatched"] == 1
+        assert not out["consistent"]
