@@ -10876,3 +10876,197 @@ SELECT CAST(count(*) AS BIGINT) AS n,
          AS consistent
 FROM documents
 """
+
+
+# ---------------------------------------------------------------------------
+# Declared value-range conformance over the lineitem measure columns
+# (quantity ∈ [1,50], discount ∈ [0,0.10], tax ∈ [0,0.08] — the TPC-H
+# generation contract): the engine-side generalization of the pages
+# pipeline's range constraint (north_rule warc_ts range rule;
+# reference IQR bounds profiling.py:176-187 DERIVES bounds, this
+# check ENFORCES declared ones). One vectorized pass, per-column
+# violation partials merged by summation.
+# ---------------------------------------------------------------------------
+
+_RANGE_SPECS = [("l_quantity", 1.0, 50.0), ("l_discount", 0.0, 0.10),
+                ("l_tax", 0.0, 0.08)]
+
+
+def range_conformance_lineitem(sf_dir: str) -> pa.Table:
+    cols = [c for c, _, _ in _RANGE_SPECS]
+    ds = _read(sf_dir, "lineitem", cols)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        names, lows, highs, bads = [], [], [], []
+        for col, lo, hi in _RANGE_SPECS:
+            v = batch.column(col).to_numpy(zero_copy_only=False)
+            names.append(col)
+            lows.append(lo)
+            highs.append(hi)
+            bads.append(int(((v < lo) | (v > hi)).sum()))
+        return pa.table({
+            "column": pa.array(names),
+            "lo": pa.array(lows, type=pa.float64()),
+            "hi": pa.array(highs, type=pa.float64()),
+            "n": pa.array([batch.num_rows] * len(names), type=pa.int64()),
+            "violations": pa.array(bads, type=pa.int64())})
+
+    from ray.data.aggregate import Sum
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("column").aggregate(Sum("n", alias_name="n"),
+                                        Sum("violations",
+                                            alias_name="violations")))
+    spec = {c: (lo, hi) for c, lo, hi in _RANGE_SPECS}
+    rows = sorted(collect_pylist(agg), key=lambda r: r["column"])
+    return pa.Table.from_pylist([{
+        "column": r["column"],
+        "lo": spec[r["column"]][0], "hi": spec[r["column"]][1],
+        "n": int(r["n"]), "violations": int(r["violations"]),
+        "violation_rate": _round6(r["violations"] / r["n"]),
+        "conformant": r["violations"] == 0} for r in rows])
+
+
+RANGE_CONFORMANCE_SQL = """
+WITH s(col, lo, hi) AS (VALUES
+  ('l_quantity', 1.0, 50.0), ('l_discount', 0.0, 0.10),
+  ('l_tax', 0.0, 0.08)
+), v AS MATERIALIZED (
+  SELECT s.col,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST((CASE s.col
+                        WHEN 'l_quantity' THEN l.l_quantity
+                        WHEN 'l_discount' THEN l.l_discount
+                        ELSE l.l_tax END) < s.lo
+                   OR (CASE s.col
+                       WHEN 'l_quantity' THEN l.l_quantity
+                       WHEN 'l_discount' THEN l.l_discount
+                       ELSE l.l_tax END) > s.hi AS BIGINT)) AS BIGINT)
+           AS violations
+  FROM lineitem l CROSS JOIN s GROUP BY s.col
+)
+SELECT v.col AS "column", s.lo, s.hi, v.n, v.violations,
+       round(v.violations / CAST(v.n AS DOUBLE), 6) AS violation_rate,
+       (v.violations = 0) AS conformant
+FROM v JOIN s ON v.col = s.col ORDER BY v.col
+"""
+
+
+# ---------------------------------------------------------------------------
+# Categorical whitelist audit: every flag/status column checked
+# against its declared vocabulary in one pass (J3's broadcast
+# referential check rolled up per column instead of per row —
+# violation COUNTS per column, the report shape the reference's risk
+# flags use, profiling.py:37-43). Vocabularies are broadcast inside
+# the closure; the per-batch partial is a pc.is_in mask sum.
+# ---------------------------------------------------------------------------
+
+_WHITELISTS = {"l_returnflag": ["A", "N", "R"], "l_linestatus": ["F", "O"]}
+
+
+def whitelist_audit_lineitem(sf_dir: str) -> pa.Table:
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "lineitem", list(_WHITELISTS))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        names, bads = [], []
+        for col, vocab in _WHITELISTS.items():
+            ok = pc.is_in(batch.column(col), value_set=pa.array(vocab))
+            bad = batch.num_rows - pc.sum(pc.cast(ok, pa.int64())).as_py()
+            names.append(col)
+            bads.append(int(bad))
+        return pa.table({
+            "column": pa.array(names),
+            "n": pa.array([batch.num_rows] * len(names), type=pa.int64()),
+            "violations": pa.array(bads, type=pa.int64())})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("column").aggregate(Sum("n", alias_name="n"),
+                                        Sum("violations",
+                                            alias_name="violations")))
+    rows = sorted(collect_pylist(agg), key=lambda r: r["column"])
+    return pa.Table.from_pylist([{
+        "column": r["column"],
+        "vocabulary": ",".join(_WHITELISTS[r["column"]]),
+        "n": int(r["n"]), "violations": int(r["violations"]),
+        "conformant": r["violations"] == 0} for r in rows])
+
+
+WHITELIST_AUDIT_SQL = """
+SELECT 'l_linestatus' AS "column", 'F,O' AS vocabulary,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(l_linestatus NOT IN ('F', 'O')
+                     OR l_linestatus IS NULL AS BIGINT)) AS BIGINT)
+         AS violations,
+       (sum(CAST(l_linestatus NOT IN ('F', 'O')
+                 OR l_linestatus IS NULL AS BIGINT)) = 0) AS conformant
+FROM lineitem
+UNION ALL
+SELECT 'l_returnflag', 'A,N,R', CAST(count(*) AS BIGINT),
+       CAST(sum(CAST(l_returnflag NOT IN ('A', 'N', 'R')
+                     OR l_returnflag IS NULL AS BIGINT)) AS BIGINT),
+       (sum(CAST(l_returnflag NOT IN ('A', 'N', 'R')
+                 OR l_returnflag IS NULL AS BIGINT)) = 0)
+FROM lineitem
+ORDER BY "column"
+"""
+
+
+# ---------------------------------------------------------------------------
+# Measure sanity per event type: null / non-positive / non-finite
+# `value` counts — the per-group positivity contract for additive
+# metrics (revenue-style measures must be > 0; A2's null-rate check
+# extended with the sign and finiteness dimensions).
+# ---------------------------------------------------------------------------
+
+def measure_sanity_events(sf_dir: str) -> pa.Table:
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch.column("value").to_numpy(zero_copy_only=False)
+        et = batch.column("event_type").to_pylist()
+        isnan = np.isnan(v)
+        g = (pd.DataFrame({
+            "event_type": et,
+            "n": 1,
+            "n_null": isnan.astype(np.int64),
+            "n_nonpositive": ((~isnan) & (v <= 0)).astype(np.int64),
+            "n_nonfinite": (~np.isfinite(v) & ~isnan).astype(np.int64)})
+            .groupby("event_type", as_index=False).sum())
+        return from_pandas_clean(g, preserve_index=False)
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("event_type")
+           .aggregate(Sum("n", alias_name="n"),
+                      Sum("n_null", alias_name="n_null"),
+                      Sum("n_nonpositive", alias_name="n_nonpositive"),
+                      Sum("n_nonfinite", alias_name="n_nonfinite")))
+    rows = sorted(collect_pylist(agg), key=lambda r: r["event_type"])
+    return pa.Table.from_pylist([{
+        "event_type": r["event_type"], "n": int(r["n"]),
+        "n_null": int(r["n_null"]),
+        "n_nonpositive": int(r["n_nonpositive"]),
+        "n_nonfinite": int(r["n_nonfinite"]),
+        "sane": (r["n_null"] + r["n_nonpositive"] + r["n_nonfinite"]) == 0}
+        for r in rows])
+
+
+MEASURE_SANITY_SQL = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(value IS NULL OR isnan(value) AS BIGINT)) AS BIGINT)
+         AS n_null,
+       CAST(sum(CAST(value IS NOT NULL AND NOT isnan(value)
+                     AND value <= 0 AS BIGINT)) AS BIGINT) AS n_nonpositive,
+       CAST(sum(CAST(value IS NOT NULL AND NOT isnan(value)
+                     AND NOT isfinite(value) AS BIGINT)) AS BIGINT)
+         AS n_nonfinite,
+       (sum(CAST(value IS NULL OR isnan(value) AS BIGINT))
+        + sum(CAST(value IS NOT NULL AND NOT isnan(value)
+                   AND value <= 0 AS BIGINT))
+        + sum(CAST(value IS NOT NULL AND NOT isnan(value)
+                   AND NOT isfinite(value) AS BIGINT)) = 0) AS sane
+FROM events GROUP BY event_type ORDER BY event_type
+"""

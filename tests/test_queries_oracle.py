@@ -73,6 +73,9 @@ FAST_QUERIES = [
     "near_zero_variance_orders", "embedding_norm_audit",
     "dup_rate_by_source_documents", "props_conformance_events",
     "ship_before_order_lineitem", "metadata_consistency_documents",
+    # round-5 session-7 declared-contract audits
+    "range_conformance_lineitem", "whitelist_audit_lineitem",
+    "measure_sanity_events",
 ]
 
 
