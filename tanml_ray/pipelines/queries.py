@@ -11070,3 +11070,367 @@ SELECT event_type, CAST(count(*) AS BIGINT) AS n,
                    AND NOT isfinite(value) AS BIGINT)) = 0) AS sane
 FROM events GROUP BY event_type ORDER BY event_type
 """
+
+# ---------------------------------------------------------------------------
+# Kruskal-Wallis H test: the K-group generalization of the Mann-Whitney
+# rank test above — does l_quantity's distribution differ across the
+# three returnflag groups? Same scale shape: ONE grid-bounded (g, v)
+# combiner shuffle, midrank walk + rank-sum arithmetic on the driver
+# over the bounded grid; tie-corrected H per the standard formula.
+# ---------------------------------------------------------------------------
+
+_KRUSKAL_GROUPS = ("A", "N", "R")
+
+
+def kruskal_quantity_returnflag(sf_dir: str) -> pa.Table:
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "g": batch.column("l_returnflag").to_numpy(zero_copy_only=False),
+            "v": np.rint(batch.column("l_quantity")
+                         .to_numpy(zero_copy_only=False)).astype(np.int64)})
+        return df.groupby(["g", "v"], as_index=False).agg(n=("v", "size"))
+
+    grid: dict[int, dict[str, int]] = {}
+    for r in collect_pylist(
+            ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(["g", "v"]).aggregate(Sum("n", alias_name="n"))):
+        grid.setdefault(int(r["v"]), {})[r["g"]] = int(r["n"])
+    ng = {g: 0 for g in _KRUSKAL_GROUPS}
+    rg = {g: 0.0 for g in _KRUSKAL_GROUPS}
+    tie_term = 0.0
+    below = 0
+    for v in sorted(grid):
+        t = sum(grid[v].values())
+        midrank = below + (t + 1) / 2.0
+        for g, c in grid[v].items():
+            ng[g] += c
+            rg[g] += c * midrank
+        tie_term += t ** 3 - t
+        below += t
+    n = sum(ng.values())
+    h = (12.0 / (n * (n + 1.0))
+         * (rg["A"] * rg["A"] / ng["A"] + rg["N"] * rg["N"] / ng["N"]
+            + rg["R"] * rg["R"] / ng["R"])
+         - 3.0 * (n + 1.0))
+    corr = 1.0 - tie_term / (float(n) ** 3 - n)
+    return pa.Table.from_pylist([{
+        "n": n, "dof": len(_KRUSKAL_GROUPS) - 1,
+        "h": _round6(h), "h_tie_corrected": _round6(h / corr)}])
+
+
+KRUSKAL_SQL = """
+WITH src AS (
+  SELECT l_returnflag AS g, CAST(round(l_quantity) AS BIGINT) AS v
+  FROM lineitem),
+grid AS (
+  SELECT v,
+         CAST(count(*) FILTER (WHERE g = 'A') AS BIGINT) AS ca,
+         CAST(count(*) FILTER (WHERE g = 'N') AS BIGINT) AS cn,
+         CAST(count(*) FILTER (WHERE g = 'R') AS BIGINT) AS cr
+  FROM src GROUP BY v),
+walk AS (
+  SELECT v, ca, cn, cr, ca + cn + cr AS t,
+         coalesce(sum(ca + cn + cr) OVER (ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS below
+  FROM grid),
+s AS (
+  SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cn) AS BIGINT) AS nn,
+         CAST(sum(cr) AS BIGINT) AS nr,
+         sum(ca * (below + (t + 1) / 2.0)) AS ra,
+         sum(cn * (below + (t + 1) / 2.0)) AS rn,
+         sum(cr * (below + (t + 1) / 2.0)) AS rr,
+         sum(t * t * t - t) AS tie
+  FROM walk),
+f AS (
+  SELECT na + nn + nr AS n, na, nn, nr, ra, rn, rr, tie FROM s)
+SELECT n, 2 AS dof,
+       round(12.0 / (n * (n + 1.0))
+             * (ra * ra / na + rn * rn / nn + rr * rr / nr)
+             - 3.0 * (n + 1.0), 6) AS h,
+       round((12.0 / (n * (n + 1.0))
+              * (ra * ra / na + rn * rn / nn + rr * rr / nr)
+              - 3.0 * (n + 1.0))
+             / (1.0 - tie / (CAST(n AS DOUBLE) ** 3 - n)), 6)
+         AS h_tie_corrected
+FROM f
+"""
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier survival curve over order→ship delay with administrative
+# censoring at 60 days — duration analysis as a data-quality lens (how
+# long until a placed order ships; rows that take > 60 days are
+# censored at the cutoff, exactly the right-censoring a live feed
+# shows). Both sides large → partitioned hash join; ONE bounded
+# (t, event) value-count combiner (≤ 61 distinct delay days); the KM
+# product-limit walk is driver arithmetic over that bounded grid,
+# computed as exp(Σ ln(1 - d/n_risk)) to mirror the SQL oracle's float
+# op sequence term for term.
+# ---------------------------------------------------------------------------
+
+_KM_CUTOFF_DAYS = 60
+
+
+def km_ship_delay_orders(sf_dir: str) -> pa.Table:
+    import math
+
+    from ray.data.aggregate import Sum
+    from tanml_ray.pipelines.join import partitioned_join
+
+    li = (_read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+          .map_batches(lambda b: pa.table({
+              "o_orderkey": b.column("l_orderkey"),
+              "ship_day": pc.floor_temporal(b.column("l_shipdate"),
+                                            unit="day").cast(pa.int64())}),
+              batch_format="pyarrow"))
+    orders = (_read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+              .map_batches(lambda b: pa.table({
+                  "o_orderkey": b.column("o_orderkey"),
+                  "order_day": pc.floor_temporal(b.column("o_orderdate"),
+                                                 unit="day")
+                  .cast(pa.int64())}),
+                  batch_format="pyarrow"))
+    joined = partitioned_join(li, orders, "o_orderkey", buckets=32)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"t": pd.Series([], dtype="int64"),
+                                 "ev": pd.Series([], dtype="int64"),
+                                 "n": pd.Series([], dtype="int64")})
+        us_per_day = 86_400_000_000
+        delay = np.maximum(
+            (df["ship_day"].to_numpy() - df["order_day"].to_numpy())
+            // us_per_day, 0)
+        t = np.minimum(delay, _KM_CUTOFF_DAYS)
+        ev = (delay <= _KM_CUTOFF_DAYS).astype(np.int64)
+        out = pd.DataFrame({"t": t, "ev": ev})
+        return out.groupby(["t", "ev"], as_index=False).agg(n=("t", "size"))
+
+    grid: dict[int, list] = {}
+    for r in collect_pylist(
+            joined.map_batches(partial, batch_format="pandas")
+            .groupby(["t", "ev"]).aggregate(Sum("n", alias_name="n"))):
+        a = grid.setdefault(int(r["t"]), [0, 0])   # [events, censored]
+        a[0 if r["ev"] == 1 else 1] += int(r["n"])
+    total = sum(d + c for d, c in grid.values())
+    out = []
+    removed = 0
+    log_acc = 0.0
+    for t in sorted(grid):
+        d, c = grid[t]
+        n_risk = total - removed
+        if d > 0:
+            frac = 1.0 - d / float(n_risk)
+            log_acc += math.log(frac) if frac > 0.0 else float("-inf")
+            out.append({"delay_days": t, "n_at_risk": n_risk,
+                        "n_events": d, "n_censored": c,
+                        "survival": _round6(math.exp(log_acc))})
+        removed += d + c
+    return pa.Table.from_pylist(out)
+
+
+KM_SHIP_DELAY_SQL = """
+WITH src AS (
+  SELECT greatest(date_diff('day', date_trunc('day', o_orderdate),
+                            date_trunc('day', l_shipdate)), 0) AS delay
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+obs AS (
+  SELECT least(delay, 60) AS t, CAST(delay <= 60 AS BIGINT) AS ev
+  FROM src),
+grid AS (
+  SELECT t, CAST(sum(ev) AS BIGINT) AS d,
+         CAST(sum(1 - ev) AS BIGINT) AS c,
+         CAST(count(*) AS BIGINT) AS n
+  FROM obs GROUP BY t),
+walk AS (
+  SELECT t, d, c,
+         (SELECT sum(n) FROM grid)
+         - coalesce(sum(n) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS n_risk
+  FROM grid),
+surv AS (
+  SELECT t, d, c, n_risk,
+         exp(sum(CASE WHEN d > 0
+                      THEN ln(1.0 - d / CAST(n_risk AS DOUBLE))
+                      ELSE 0.0 END)
+             OVER (ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS s
+  FROM walk)
+SELECT t AS delay_days, CAST(n_risk AS BIGINT) AS n_at_risk,
+       d AS n_events, c AS n_censored, round(s, 6) AS survival
+FROM surv WHERE d > 0 ORDER BY t
+"""
+
+
+# ---------------------------------------------------------------------------
+# Lag-k autocorrelation (k = 1..7) of the daily event volume — the
+# seasonality/monitoring companion to volume_control_events: a strong
+# lag-7 ACF means weekly periodicity, a near-1 lag-1 ACF means the
+# volume series drifts rather than oscillates. ONE daily-count
+# combiner shuffle (grid bounded by the calendar); the ACF is EXACT
+# integer arithmetic on the driver — numerator and denominator are
+# computed on the N·x - S residual scale as Python bigints, so there
+# is no float summation order to disagree with the SQL oracle; the
+# single final division happens in doubles on both sides. Pairs are
+# formed over OBSERVED days (day and day+k both present), matching the
+# SQL self-join.
+# ---------------------------------------------------------------------------
+
+_ACF_MAX_LAG = 7
+
+
+def acf_daily_events(sf_dir: str) -> pa.Table:
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["ts"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        day = pc.floor_temporal(batch.column("ts"), unit="day")
+        df = pd.DataFrame({"day": day.to_numpy(zero_copy_only=False)})
+        return df.groupby("day", as_index=False).agg(n=("day", "size"))
+
+    rows = collect_pylist(
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("day").aggregate(Sum("n", alias_name="n")))
+    x = {pd.Timestamp(r["day"]): int(r["n"]) for r in rows}
+    n_days = len(x)
+    sx = sum(x.values())
+    den = sum((n_days * v - sx) ** 2 for v in x.values())
+    out = []
+    for lag in range(1, _ACF_MAX_LAG + 1):
+        off = pd.Timedelta(days=lag)
+        num = sum((n_days * v - sx) * (n_days * x[day + off] - sx)
+                  for day, v in x.items() if day + off in x)
+        out.append({"lag": lag, "acf": _round6(float(num) / float(den))})
+    return pa.Table.from_pylist(out)
+
+
+ACF_DAILY_SQL = """
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS day, CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1),
+s AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n, CAST(sum(x) AS HUGEINT) AS sx
+  FROM daily),
+num AS (
+  SELECT l.lag AS lag,
+         CAST(sum((s.n * a.x - s.sx) * (s.n * b.x - s.sx)) AS HUGEINT)
+           AS num
+  FROM daily a
+  CROSS JOIN (VALUES (1), (2), (3), (4), (5), (6), (7)) AS l(lag)
+  CROSS JOIN s
+  JOIN daily b ON b.day = a.day + l.lag * INTERVAL '1 day'
+  GROUP BY 1),
+den AS (
+  SELECT CAST(sum((s.n * x - s.sx) * (s.n * x - s.sx)) AS HUGEINT) AS den
+  FROM daily CROSS JOIN s)
+SELECT lag, round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) AS acf
+FROM num CROSS JOIN den ORDER BY lag
+"""
+
+
+# ---------------------------------------------------------------------------
+# Blocked fuzzy record linkage: Levenshtein near-match pairs over the
+# documents table — the classic two-stage linkage shape (cheap blocking
+# key → exact edit distance inside each block). Blocking key is
+# (lang, first-2-chars); candidates compare the 40-char text prefix
+# with the vectorized byte-level Levenshtein kernel
+# (kernels/editdist.py, bit-identical to DuckDB's `levenshtein`), keep
+# distance <= 4. Scale shape: ONE coarse hash(block)%P shuffle (every
+# block lands whole in one partition), in-partition pair expansion is
+# numpy triu over each block with an exact |byte-len diff| > threshold
+# prefilter (length difference lower-bounds edit distance); a raising
+# budget guard names the fix (a stronger blocking key, e.g. a MinHash
+# band) if any single block exceeds the pair budget — at web scale the
+# (lang, prefix) key MUST be replaced by a sharper one; the machinery
+# is key-agnostic.
+# ---------------------------------------------------------------------------
+
+_FUZZY_PREFIX = 40
+_FUZZY_THRESHOLD = 4
+_FUZZY_MAX_BLOCK = 4096
+
+
+def fuzzy_match_documents(sf_dir: str) -> pa.Table:
+    from tanml_ray.kernels.editdist import levenshtein_pairs
+    from tanml_ray.stages.shuffle import with_coarse_partition
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def project(batch: pa.Table) -> pa.Table:
+        tbl = batch.filter(pc.is_valid(batch.column("text")))
+        text = tbl.column("text")
+        block = pc.binary_join_element_wise(
+            tbl.column("lang"), pc.utf8_slice_codeunits(text, 0, 2), "\x1f")
+        return pa.table({"doc_id": tbl.column("doc_id"), "block": block,
+                         "pre": pc.utf8_slice_codeunits(text, 0,
+                                                        _FUZZY_PREFIX)})
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_id_a": pd.Series([], dtype="int64"),
+                              "doc_id_b": pd.Series([], dtype="int64"),
+                              "dist": pd.Series([], dtype="int64")})
+        ia, ib, sa, sb = [], [], [], []
+        for _, blk in g.groupby("block", sort=False):
+            m = len(blk)
+            if m < 2:
+                continue
+            if m > _FUZZY_MAX_BLOCK:
+                raise ValueError(
+                    f"fuzzy_match block of {m} rows exceeds the "
+                    f"{_FUZZY_MAX_BLOCK}-row pair budget; use a sharper "
+                    "blocking key (e.g. a MinHash band) for this corpus")
+            blk = blk.sort_values("doc_id")
+            ids = blk["doc_id"].to_numpy()
+            pres = blk["pre"].to_numpy()
+            iu, ju = np.triu_indices(m, k=1)
+            ia.append(ids[iu])
+            ib.append(ids[ju])
+            sa.append(pres[iu])
+            sb.append(pres[ju])
+        if not ia:
+            return empty
+        a_id = np.concatenate(ia).astype(np.int64)
+        b_id = np.concatenate(ib).astype(np.int64)
+        a_s = np.concatenate(sa)
+        b_s = np.concatenate(sb)
+        blen = np.frompyfunc(lambda s: len(s.encode("utf-8")), 1, 1)
+        cand = (np.abs(blen(a_s).astype(np.int64)
+                       - blen(b_s).astype(np.int64))
+                <= _FUZZY_THRESHOLD)
+        if not cand.any():
+            return empty
+        a_id, b_id, a_s, b_s = a_id[cand], b_id[cand], a_s[cand], b_s[cand]
+        d = levenshtein_pairs(list(a_s), list(b_s))
+        keep = d <= _FUZZY_THRESHOLD
+        return pd.DataFrame({"doc_id_a": a_id[keep], "doc_id_b": b_id[keep],
+                             "dist": d[keep]})
+
+    rows = collect_pylist(
+        with_coarse_partition(
+            ds.map_batches(project, batch_format="pyarrow"), "block")
+        .groupby("__upart").map_groups(per_partition, batch_format="pandas"))
+    rows.sort(key=lambda r: (r["doc_id_a"], r["doc_id_b"]))
+    return pa.table({
+        "doc_id_a": pa.array([r["doc_id_a"] for r in rows], type=pa.int64()),
+        "doc_id_b": pa.array([r["doc_id_b"] for r in rows], type=pa.int64()),
+        "dist": pa.array([r["dist"] for r in rows], type=pa.int64())})
+
+
+FUZZY_MATCH_SQL = """
+WITH d AS (
+  SELECT doc_id, lang || chr(31) || substr(text, 1, 2) AS block,
+         substr(text, 1, 40) AS pre
+  FROM documents WHERE text IS NOT NULL)
+SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+       CAST(levenshtein(a.pre, b.pre) AS BIGINT) AS dist
+FROM d a JOIN d b ON a.block = b.block AND a.doc_id < b.doc_id
+WHERE levenshtein(a.pre, b.pre) <= 4
+ORDER BY 1, 2
+"""

@@ -367,3 +367,46 @@ class TestCountMin:
 
         with pytest.raises(ValueError):
             CountMin(width=64, depth=2).merge(CountMin(width=32, depth=2))
+
+
+class TestLevenshteinPairs:
+    """Vectorized byte-level Levenshtein vs a brute-force DP oracle."""
+
+    @staticmethod
+    def _naive(a: str, b: str) -> int:
+        x, y = a.encode("utf-8"), b.encode("utf-8")
+        prev = list(range(len(y) + 1))
+        for i, ca in enumerate(x, 1):
+            curr = [i]
+            for j, cb in enumerate(y, 1):
+                curr.append(min(prev[j] + 1, curr[-1] + 1,
+                                prev[j - 1] + (ca != cb)))
+            prev = curr
+        return prev[-1]
+
+    def test_matches_naive_on_random_pairs(self):
+        from tanml_ray.kernels.editdist import levenshtein_pairs
+
+        rng = np.random.default_rng(7)
+        alphabet = list("abcdé字 ")
+        xs, ys = [], []
+        for _ in range(200):
+            la, lb = rng.integers(0, 12, size=2)
+            xs.append("".join(rng.choice(alphabet, size=la)))
+            ys.append("".join(rng.choice(alphabet, size=lb)))
+        got = levenshtein_pairs(xs, ys)
+        want = np.array([self._naive(a, b) for a, b in zip(xs, ys)])
+        assert np.array_equal(got, want)
+
+    def test_empty_and_identical(self):
+        from tanml_ray.kernels.editdist import levenshtein_pairs
+
+        assert levenshtein_pairs([], []).tolist() == []
+        assert levenshtein_pairs(["", "abc", "abc"],
+                                 ["", "abc", ""]).tolist() == [0, 0, 3]
+
+    def test_length_mismatch_raises(self):
+        from tanml_ray.kernels.editdist import levenshtein_pairs
+
+        with pytest.raises(ValueError):
+            levenshtein_pairs(["a"], [])
