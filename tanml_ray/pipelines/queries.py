@@ -11434,3 +11434,296 @@ FROM d a JOIN d b ON a.block = b.block AND a.doc_id < b.doc_id
 WHERE levenshtein(a.pre, b.pre) <= 4
 ORDER BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# Benford first-significant-digit audit over o_totalprice — the classic
+# fabricated-data / unit-mix detector for money columns (no reference
+# analog; TanML's validate suite has range checks only). Digit is taken
+# from the CENTS integer (leading digit is invariant under the *100
+# scaling), so extraction is exact string math, never float log10
+# binning. ONE 9-row combiner shuffle; expected shares and chi-square
+# contributions are driver arithmetic over the bounded digit grid.
+# ---------------------------------------------------------------------------
+
+
+def benford_totalprice_orders(sf_dir: str) -> pa.Table:
+    import math
+
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "orders", ["o_totalprice"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        cents = np.rint(batch.column("o_totalprice")
+                        .to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        digit = pd.Series(cents).astype(str).str[0].astype(np.int64)
+        return (pd.DataFrame({"digit": digit})
+                .groupby("digit", as_index=False).agg(n=("digit", "size")))
+
+    counts = {int(r["digit"]): int(r["n"]) for r in collect_pylist(
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("digit").aggregate(Sum("n", alias_name="n")))}
+    total = sum(counts.values())
+    out = []
+    for d in range(1, 10):
+        n = counts.get(d, 0)
+        expected = math.log10(1.0 + 1.0 / d)
+        e_cnt = total * expected
+        out.append({"digit": d, "n": n,
+                    "share": _round6(n / total),
+                    "expected": _round6(expected),
+                    "chi2_term": _round6((n - e_cnt) ** 2 / e_cnt)})
+    return pa.Table.from_pylist(out)
+
+
+BENFORD_SQL = """
+WITH obs AS (
+  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                          AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+         CAST(count(*) AS BIGINT) AS n
+  FROM orders GROUP BY 1),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM obs),
+grid AS (
+  SELECT d.digit, coalesce(obs.n, 0) AS n,
+         log10(1.0 + CAST(1 AS DOUBLE) / d.digit) AS expected, tot.total
+  FROM (SELECT unnest(generate_series(1, 9)) AS digit) d
+  LEFT JOIN obs USING (digit) CROSS JOIN tot)
+SELECT digit, n,
+       round(CAST(n AS DOUBLE) / total, 6) AS share,
+       round(expected, 6) AS expected,
+       round((n - total * expected) * (n - total * expected)
+             / (total * expected), 6) AS chi2_term
+FROM grid ORDER BY digit
+"""
+
+
+# ---------------------------------------------------------------------------
+# Tabular-CUSUM changepoint detector over daily event volume — the SPC
+# companion to volume_control_events (Shewhart) that catches SMALL
+# persistent level shifts a 3-sigma chart misses. Standardized daily
+# counts feed the two one-sided recursions s± = max(0, s± ± z - k)
+# with reference value k = 0.5 sigma and decision interval h = 5 sigma.
+# ONE calendar-bounded daily-count combiner shuffle; the recursion is
+# driver float arithmetic in chronological order, mirrored op-for-op by
+# the SQL oracle's recursive CTE (same IEEE sequence → exact at 6 dp).
+# ---------------------------------------------------------------------------
+
+_CUSUM_K = 0.5
+_CUSUM_H = 5.0
+
+
+def _daily_event_counts(sf_dir: str) -> list[dict]:
+    """(day, n) rows for the events table, chronologically sorted."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        day = pc.cast(batch.column("ts"), pa.date32())
+        g = (pd.DataFrame({"day": day.to_pylist()})
+             .groupby("day", as_index=False).size()
+             .rename(columns={"size": "n"}))
+        return from_pandas_clean(g, preserve_index=False)
+
+    return sorted(collect_pylist(
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("day").aggregate(Sum("n", alias_name="n"))),
+        key=lambda r: r["day"])
+
+
+def cusum_chart_events(sf_dir: str) -> pa.Table:
+    rows = _daily_event_counts(sf_dir)
+    n = np.array([r["n"] for r in rows], dtype=np.float64)
+    mu = float(n.sum() / len(n))
+    sd = float(np.sqrt(np.sum((n - mu) ** 2) / len(n)))
+    sp = sn = 0.0
+    out = []
+    for i, r in enumerate(rows):
+        z = (float(n[i]) - mu) / sd
+        sp = max(0.0, sp + z - _CUSUM_K)
+        sn = max(0.0, sn - z - _CUSUM_K)
+        out.append({"day": r["day"].strftime("%Y-%m-%d"), "n": int(r["n"]),
+                    "z": _round6(z), "cusum_pos": _round6(sp),
+                    "cusum_neg": _round6(sn),
+                    "alert": bool(sp > _CUSUM_H or sn > _CUSUM_H)})
+    return pa.Table.from_pylist(out)
+
+
+CUSUM_CHART_SQL = """
+WITH RECURSIVE d AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1),
+s AS (SELECT avg(n) AS mu, stddev_pop(n) AS sd FROM d),
+z AS (
+  SELECT row_number() OVER (ORDER BY day) AS rn, day, n,
+         (n - s.mu) / s.sd AS z
+  FROM d, s),
+walk AS (
+  SELECT rn, day, n, z,
+         greatest(0.0, z - 0.5) AS sp, greatest(0.0, -z - 0.5) AS sn
+  FROM z WHERE rn = 1
+  UNION ALL
+  SELECT z.rn, z.day, z.n, z.z,
+         greatest(0.0, w.sp + z.z - 0.5),
+         greatest(0.0, w.sn - z.z - 0.5)
+  FROM z JOIN walk w ON z.rn = w.rn + 1)
+SELECT strftime(day, '%Y-%m-%d') AS day, n, round(z, 6) AS z,
+       round(sp, 6) AS cusum_pos, round(sn, 6) AS cusum_neg,
+       (sp > 5.0 OR sn > 5.0) AS alert
+FROM walk ORDER BY day
+"""
+
+
+# ---------------------------------------------------------------------------
+# EWMA control chart over daily event volume (lambda = 0.2, 3-sigma
+# asymptotic limits) — completes the SPC trio (Shewhart / CUSUM /
+# EWMA). The alert compares each day's count against the PREVIOUS
+# day's smoothed value (the one-step-ahead forecast). Same scale shape
+# as cusum_changepoint_events: one bounded combiner shuffle, driver
+# recursion mirrored exactly by a recursive-CTE oracle; every literal
+# is forced to DOUBLE in the SQL so both sides run identical IEEE ops.
+# ---------------------------------------------------------------------------
+
+_EWMA_LAMBDA = 0.2
+
+
+def ewma_volume_events(sf_dir: str) -> pa.Table:
+    import math
+
+    rows = _daily_event_counts(sf_dir)
+    n = np.array([r["n"] for r in rows], dtype=np.float64)
+    mu = float(n.sum() / len(n))
+    sd = float(np.sqrt(np.sum((n - mu) ** 2) / len(n)))
+    limit = 3.0 * sd * math.sqrt(_EWMA_LAMBDA / (2.0 - _EWMA_LAMBDA))
+    out = []
+    ewma = None
+    for r in rows:
+        x = float(r["n"])
+        if ewma is None:
+            ewma, alert = x, False
+        else:
+            alert = abs(x - ewma) > limit
+            ewma = _EWMA_LAMBDA * x + (1.0 - _EWMA_LAMBDA) * ewma
+        out.append({"day": r["day"].strftime("%Y-%m-%d"), "n": int(r["n"]),
+                    "ewma": _round6(ewma), "alert": bool(alert)})
+    return pa.Table.from_pylist(out)
+
+
+EWMA_SQL = """
+WITH RECURSIVE d AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1),
+s AS (
+  SELECT 3.0 * stddev_pop(n)
+         * sqrt(CAST(0.2 AS DOUBLE) / CAST(1.8 AS DOUBLE)) AS lim
+  FROM d),
+z AS (SELECT row_number() OVER (ORDER BY day) AS rn, day, n FROM d),
+walk AS (
+  SELECT rn, day, n, CAST(n AS DOUBLE) AS ewma, FALSE AS alert
+  FROM z WHERE rn = 1
+  UNION ALL
+  SELECT z.rn, z.day, z.n,
+         CAST(0.2 AS DOUBLE) * z.n + CAST(0.8 AS DOUBLE) * w.ewma,
+         abs(z.n - w.ewma) > s.lim
+  FROM z JOIN walk w ON z.rn = w.rn + 1 CROSS JOIN s)
+SELECT strftime(day, '%Y-%m-%d') AS day, n, round(ewma, 6) AS ewma, alert
+FROM walk ORDER BY day
+"""
+
+
+# ---------------------------------------------------------------------------
+# Theil-Sen robust trend over daily event volume: median of all
+# pairwise slopes (y_j - y_i)/(x_j - x_i), intercept = median residual
+# at that slope — the outlier-proof alternative to OLS for "is traffic
+# growing?". The daily grid is calendar-bounded, so the O(D^2) pair
+# expansion is DRIVER numpy over the tiny reduced table (D days →
+# D(D-1)/2 slopes), never a distributed cross join; the engine mirrors
+# DuckDB's quantile_cont interpolation (lo + frac*(hi-lo)) bit for bit.
+# ---------------------------------------------------------------------------
+
+
+def _median_duckdb(v: np.ndarray) -> float:
+    """Median with DuckDB quantile_cont op order: lo + frac*(hi-lo)."""
+    v = np.sort(v)
+    pos = 0.5 * (len(v) - 1)
+    lo = int(pos)
+    frac = pos - lo
+    if frac == 0.0:
+        return float(v[lo])
+    return float(v[lo] + frac * (v[lo + 1] - v[lo]))
+
+
+def theilsen_daily_trend_events(sf_dir: str) -> pa.Table:
+    rows = _daily_event_counts(sf_dir)
+    epoch = pd.Timestamp("1970-01-01").date()
+    x = np.array([(r["day"] - epoch).days for r in rows], dtype=np.int64)
+    y = np.array([r["n"] for r in rows], dtype=np.int64)
+    iu, ju = np.triu_indices(len(x), k=1)
+    slopes = (y[ju] - y[iu]) / (x[ju] - x[iu]).astype(np.float64)
+    slope = _median_duckdb(slopes)
+    intercept = _median_duckdb(y - slope * x)
+    return pa.Table.from_pylist([{
+        "n_days": len(x), "n_pairs": len(slopes),
+        "slope_per_day": _round6(slope), "intercept": _round6(intercept)}])
+
+
+THEILSEN_SQL = """
+WITH d AS (
+  SELECT CAST(ts AS DATE) - DATE '1970-01-01' AS x,
+         CAST(count(*) AS BIGINT) AS y
+  FROM events GROUP BY 1),
+pairs AS (
+  SELECT (b.y - a.y) / CAST(b.x - a.x AS DOUBLE) AS slope
+  FROM d a JOIN d b ON b.x > a.x),
+m AS (SELECT quantile_cont(slope, 0.5) AS slope,
+             CAST(count(*) AS BIGINT) AS n_pairs FROM pairs),
+i AS (
+  SELECT quantile_cont(d.y - m.slope * d.x, 0.5) AS intercept,
+         CAST(count(*) AS BIGINT) AS n_days
+  FROM d CROSS JOIN m)
+SELECT i.n_days, m.n_pairs, round(m.slope, 6) AS slope_per_day,
+       round(i.intercept, 6) AS intercept
+FROM m CROSS JOIN i
+"""
+
+
+# ---------------------------------------------------------------------------
+# Day-of-week seasonality index over event volume: mean daily count per
+# ISO weekday / grand mean daily count — the load-shape profile that
+# complements acf_daily_events (which detects weekly periodicity but
+# not its shape). ONE bounded daily combiner shuffle; index arithmetic
+# on the 7-row driver grid.
+# ---------------------------------------------------------------------------
+
+
+def dow_seasonality_events(sf_dir: str) -> pa.Table:
+    rows = _daily_event_counts(sf_dir)
+    agg: dict[int, list] = {}
+    for r in rows:
+        a = agg.setdefault(r["day"].isoweekday(), [0, 0])
+        a[0] += 1
+        a[1] += int(r["n"])
+    grand = sum(v[1] for v in agg.values()) / sum(v[0] for v in agg.values())
+    return pa.Table.from_pylist([{
+        "isodow": d, "days": agg[d][0], "total_events": agg[d][1],
+        "mean_daily": _round6(agg[d][1] / agg[d][0]),
+        "seasonal_index": _round6(agg[d][1] / agg[d][0] / grand)}
+        for d in sorted(agg)])
+
+
+DOW_SEASONALITY_SQL = """
+WITH d AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1),
+g AS (SELECT CAST(sum(n) AS DOUBLE) / count(*) AS grand FROM d),
+w AS (
+  SELECT isodow(day) AS isodow, CAST(count(*) AS BIGINT) AS days,
+         CAST(sum(n) AS BIGINT) AS total_events
+  FROM d GROUP BY 1)
+SELECT isodow, days, total_events,
+       round(CAST(total_events AS DOUBLE) / days, 6) AS mean_daily,
+       round(CAST(total_events AS DOUBLE) / days / g.grand, 6)
+         AS seasonal_index
+FROM w CROSS JOIN g ORDER BY isodow
+"""
