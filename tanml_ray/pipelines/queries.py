@@ -11727,3 +11727,269 @@ SELECT isodow, days, total_events,
          AS seasonal_index
 FROM w CROSS JOIN g ORDER BY isodow
 """
+
+
+# ---------------------------------------------------------------------------
+# Multivariate Mahalanobis outlier audit over (l_quantity,
+# l_extendedprice, l_discount) — the joint-distribution companion to
+# the univariate z-score / modified-z checks: a row can be ordinary in
+# every marginal yet impossible jointly (high quantity AND high
+# discount). Two streaming passes, both combiner-first: pass 1 reduces
+# to EXACT integer sufficient statistics on the cents grid (Σu_j and
+# Σu_j·u_k as Python bigints / HUGEINT — overflow-free), pass 2 maps
+# each batch against the broadcast (mean, Σ⁻¹) closure. Every derived
+# double (covariances, 3×3 adjugate inverse, per-row quadratic form)
+# is written with ONE fixed expression order mirrored verbatim by the
+# SQL oracle, so engine and DuckDB run identical IEEE sequences and the
+# d² > χ²₀.₉₉₉(3) outlier comparison can never straddle the threshold.
+# ---------------------------------------------------------------------------
+
+_MAHAL_THRESHOLD = 16.266  # chi-square 0.999 quantile, 3 dof
+
+
+def mahalanobis_outliers_lineitem(sf_dir: str) -> pa.Table:
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    scales = [1, 100, 100]
+    ds = _read(sf_dir, "lineitem", cols)
+
+    def units(batch: pa.Table) -> list[np.ndarray]:
+        return [np.rint(batch.column(c).to_numpy(zero_copy_only=False) * s)
+                .astype(np.int64) for c, s in zip(cols, scales)]
+
+    def exact_dot(a: np.ndarray, b: np.ndarray) -> int:
+        m = max(int(np.abs(a).max()), 1) * max(int(np.abs(b).max()), 1)
+        chunk = max(1, (1 << 62) // m)
+        return sum(int(np.dot(a[i:i + chunk], b[i:i + chunk]))
+                   for i in range(0, len(a), chunk))
+
+    def partial_sums(batch: pa.Table) -> pa.Table:
+        u = units(batch)
+        row = {"n": batch.num_rows}
+        for j in range(3):
+            row[f"s{j}"] = str(int(u[j].sum()))
+            for k in range(j, 3):
+                row[f"s{j}{k}"] = str(exact_dot(u[j], u[k]))
+        return pa.Table.from_pylist([row])
+
+    tot: dict[str, int] = {}
+    for r in collect_pylist(ds.map_batches(
+            partial_sums, batch_format="pyarrow")):
+        for key, v in r.items():
+            tot[key] = tot.get(key, 0) + int(v)
+
+    n = tot["n"]
+    nf = float(n)
+    mean = [float(tot[f"s{j}"]) / nf for j in range(3)]
+    # cov_jk = (n·Σu_ju_k − Σu_j·Σu_k) / n² with an exact bigint numerator
+    cov = [[0.0] * 3 for _ in range(3)]
+    for j in range(3):
+        for k in range(j, 3):
+            num = n * tot[f"s{j}{k}"] - tot[f"s{j}"] * tot[f"s{k}"]
+            cov[j][k] = cov[k][j] = float(num) / (nf * nf)
+    c = cov
+    det = (c[0][0] * (c[1][1] * c[2][2] - c[1][2] * c[1][2])
+           - c[0][1] * (c[0][1] * c[2][2] - c[1][2] * c[0][2])
+           + c[0][2] * (c[0][1] * c[1][2] - c[1][1] * c[0][2]))
+    a00 = (c[1][1] * c[2][2] - c[1][2] * c[1][2]) / det
+    a11 = (c[0][0] * c[2][2] - c[0][2] * c[0][2]) / det
+    a22 = (c[0][0] * c[1][1] - c[0][1] * c[0][1]) / det
+    a01 = (c[0][2] * c[1][2] - c[0][1] * c[2][2]) / det
+    a02 = (c[0][1] * c[1][2] - c[0][2] * c[1][1]) / det
+    a12 = (c[0][1] * c[0][2] - c[0][0] * c[1][2]) / det
+
+    def partial_outliers(batch: pa.Table) -> pa.Table:
+        u = units(batch)
+        d0 = u[0] - mean[0]
+        d1 = u[1] - mean[1]
+        d2c = u[2] - mean[2]
+        q = (a00 * d0 * d0 + a11 * d1 * d1 + a22 * d2c * d2c
+             + 2.0 * (a01 * d0 * d1 + a02 * d0 * d2c + a12 * d1 * d2c))
+        return pa.Table.from_pylist([{
+            "outliers": int((q > _MAHAL_THRESHOLD).sum()),
+            "max_d2": float(q.max())}])
+
+    out = collect_pylist(ds.map_batches(
+        partial_outliers, batch_format="pyarrow"))
+    return pa.Table.from_pylist([{
+        "n": n, "n_outliers": sum(r["outliers"] for r in out),
+        "outlier_rate": _round6(sum(r["outliers"] for r in out) / nf),
+        "max_d2": _round6(max(r["max_d2"] for r in out))}])
+
+
+MAHALANOBIS_SQL = """
+WITH u AS (
+  SELECT CAST(round(l_quantity) AS BIGINT) AS u0,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS u1,
+         CAST(round(l_discount * 100) AS BIGINT) AS u2
+  FROM lineitem),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(u0) AS HUGEINT) AS s0, CAST(sum(u1) AS HUGEINT) AS s1,
+         CAST(sum(u2) AS HUGEINT) AS s2,
+         CAST(sum(CAST(u0 AS HUGEINT) * u0) AS HUGEINT) AS s00,
+         CAST(sum(CAST(u0 AS HUGEINT) * u1) AS HUGEINT) AS s01,
+         CAST(sum(CAST(u0 AS HUGEINT) * u2) AS HUGEINT) AS s02,
+         CAST(sum(CAST(u1 AS HUGEINT) * u1) AS HUGEINT) AS s11,
+         CAST(sum(CAST(u1 AS HUGEINT) * u2) AS HUGEINT) AS s12,
+         CAST(sum(CAST(u2 AS HUGEINT) * u2) AS HUGEINT) AS s22
+  FROM u),
+m AS (
+  SELECT n, CAST(n AS DOUBLE) AS nf,
+         CAST(s0 AS DOUBLE) / CAST(n AS DOUBLE) AS m0,
+         CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS m1,
+         CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS m2,
+         CAST(n * s00 - s0 * s0 AS DOUBLE) / (CAST(n AS DOUBLE)
+                                              * CAST(n AS DOUBLE)) AS c00,
+         CAST(n * s01 - s0 * s1 AS DOUBLE) / (CAST(n AS DOUBLE)
+                                              * CAST(n AS DOUBLE)) AS c01,
+         CAST(n * s02 - s0 * s2 AS DOUBLE) / (CAST(n AS DOUBLE)
+                                              * CAST(n AS DOUBLE)) AS c02,
+         CAST(n * s11 - s1 * s1 AS DOUBLE) / (CAST(n AS DOUBLE)
+                                              * CAST(n AS DOUBLE)) AS c11,
+         CAST(n * s12 - s1 * s2 AS DOUBLE) / (CAST(n AS DOUBLE)
+                                              * CAST(n AS DOUBLE)) AS c12,
+         CAST(n * s22 - s2 * s2 AS DOUBLE) / (CAST(n AS DOUBLE)
+                                              * CAST(n AS DOUBLE)) AS c22
+  FROM s),
+inv AS (
+  SELECT n, nf, m0, m1, m2,
+         c00 * (c11 * c22 - c12 * c12)
+         - c01 * (c01 * c22 - c12 * c02)
+         + c02 * (c01 * c12 - c11 * c02) AS det,
+         c00, c01, c02, c11, c12, c22
+  FROM m),
+a AS (
+  SELECT n, nf, m0, m1, m2,
+         (c11 * c22 - c12 * c12) / det AS a00,
+         (c00 * c22 - c02 * c02) / det AS a11,
+         (c00 * c11 - c01 * c01) / det AS a22,
+         (c02 * c12 - c01 * c22) / det AS a01,
+         (c01 * c12 - c02 * c11) / det AS a02,
+         (c01 * c02 - c00 * c12) / det AS a12
+  FROM inv),
+d AS (
+  SELECT a.n, a.nf,
+         a.a00 * (u.u0 - a.m0) * (u.u0 - a.m0)
+         + a.a11 * (u.u1 - a.m1) * (u.u1 - a.m1)
+         + a.a22 * (u.u2 - a.m2) * (u.u2 - a.m2)
+         + 2.0 * (a.a01 * (u.u0 - a.m0) * (u.u1 - a.m1)
+                  + a.a02 * (u.u0 - a.m0) * (u.u2 - a.m2)
+                  + a.a12 * (u.u1 - a.m1) * (u.u2 - a.m2)) AS d2
+  FROM u CROSS JOIN a)
+SELECT n, CAST(count(*) FILTER (WHERE d2 > 16.266) AS BIGINT) AS n_outliers,
+       round(CAST(count(*) FILTER (WHERE d2 > 16.266) AS DOUBLE) / nf, 6)
+         AS outlier_rate,
+       round(max(d2), 6) AS max_d2
+FROM d GROUP BY n, nf
+"""
+
+
+# ---------------------------------------------------------------------------
+# Hourly coverage-gap audit over the events feed: how many hours inside
+# the observed [first, last] span have ZERO events — the "did ingestion
+# silently stop?" check that freshness_lag (staleness at the tail) and
+# volume_control (low-but-nonzero days) both miss. ONE hour-bounded
+# combiner shuffle; span arithmetic on the driver.
+# ---------------------------------------------------------------------------
+
+
+def coverage_gaps_events(sf_dir: str) -> pa.Table:
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["ts"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        hour = pc.floor_temporal(batch.column("ts"), unit="hour")
+        df = pd.DataFrame({"hour": hour.to_numpy(zero_copy_only=False)})
+        return df.groupby("hour", as_index=False).agg(n=("hour", "size"))
+
+    hours = sorted(pd.Timestamp(r["hour"]) for r in collect_pylist(
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("hour").aggregate(Sum("n", alias_name="n"))))
+    expected = int((hours[-1] - hours[0]) / pd.Timedelta(hours=1)) + 1
+    return pa.Table.from_pylist([{
+        "hours_expected": expected, "hours_observed": len(hours),
+        "gaps": expected - len(hours),
+        "coverage": _round6(len(hours) / float(expected))}])
+
+
+COVERAGE_GAPS_SQL = """
+WITH h AS (SELECT DISTINCT date_trunc('hour', ts) AS hour FROM events),
+b AS (
+  SELECT CAST(count(*) AS BIGINT) AS observed,
+         date_diff('hour', min(hour), max(hour)) + 1 AS expected
+  FROM h)
+SELECT expected AS hours_expected, observed AS hours_observed,
+       expected - observed AS gaps,
+       round(CAST(observed AS DOUBLE) / CAST(expected AS DOUBLE), 6)
+         AS coverage
+FROM b
+"""
+
+
+# ---------------------------------------------------------------------------
+# Automated Readability Index per language — the arithmetic-only
+# readability score (no syllable heuristics, so it is exactly
+# SQL-mirrorable): ARI = 4.71·(chars/words) + 0.5·(words/sentences)
+# − 21.43, computed from per-language EXACT integer sums of non-space
+# chars, whitespace-delimited words and [.!?]-run sentences (each doc
+# contributes max(1, runs) sentences so fragment-only docs don't zero
+# the denominator). Combiner-first: per-batch (lang, C, W, S) partials,
+# one bounded lang shuffle, ratio-of-sums arithmetic on the driver.
+# ---------------------------------------------------------------------------
+
+
+def readability_ari_documents(sf_dir: str) -> pa.Table:
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        tbl = batch.filter(pc.is_valid(batch.column("text")))
+        text = pd.Series(tbl.column("text").to_pylist())
+        df = pd.DataFrame({
+            "lang": tbl.column("lang").to_pylist(),
+            "chars": text.str.count(r"\S"),
+            "words": text.str.count(r"\S+"),
+            "sentences": text.str.count(r"[.!?]+").clip(lower=1)})
+        return df.groupby("lang", as_index=False).agg(
+            docs=("lang", "size"), chars=("chars", "sum"),
+            words=("words", "sum"), sentences=("sentences", "sum"))
+
+    rows = sorted(collect_pylist(
+        ds.map_batches(partial, batch_format="pyarrow").groupby("lang")
+        .aggregate(Sum("docs", alias_name="docs"),
+                   Sum("chars", alias_name="chars"),
+                   Sum("words", alias_name="words"),
+                   Sum("sentences", alias_name="sentences"))),
+        key=lambda r: r["lang"])
+    return pa.Table.from_pylist([{
+        "lang": r["lang"], "docs": int(r["docs"]),
+        "chars": int(r["chars"]), "words": int(r["words"]),
+        "sentences": int(r["sentences"]),
+        "ari": _round6(4.71 * (float(r["chars"]) / float(r["words"]))
+                       + 0.5 * (float(r["words"]) / float(r["sentences"]))
+                       - 21.43)}
+        for r in rows])
+
+
+READABILITY_ARI_SQL = r"""
+WITH per_doc AS (
+  SELECT lang,
+         CAST(len(regexp_extract_all(text, '\S')) AS BIGINT) AS chars,
+         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS words,
+         greatest(1, CAST(len(regexp_extract_all(text, '[.!?]+'))
+                          AS BIGINT)) AS sentences
+  FROM documents WHERE text IS NOT NULL),
+agg AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS docs,
+         CAST(sum(chars) AS BIGINT) AS chars,
+         CAST(sum(words) AS BIGINT) AS words,
+         CAST(sum(sentences) AS BIGINT) AS sentences
+  FROM per_doc GROUP BY lang)
+SELECT lang, docs, chars, words, sentences,
+       round(4.71 * (CAST(chars AS DOUBLE) / CAST(words AS DOUBLE))
+             + 0.5 * (CAST(words AS DOUBLE) / CAST(sentences AS DOUBLE))
+             - 21.43, 6) AS ari
+FROM agg ORDER BY lang
+"""
