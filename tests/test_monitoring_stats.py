@@ -1,0 +1,234 @@
+"""Planted-defect tests for the session-7 monitoring / stats operators:
+each detector must FIRE on a synthetic defect and stay quiet on clean
+data, independent of the DuckDB-parity gate (which proves exactness,
+not sensitivity)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+DAY_US = 86_400_000_000
+HOUR_US = 3_600_000_000
+EPOCH_DAY = 19_723  # 2024-01-01
+
+
+def _write_events(tmp_path, ts_us: list[int]) -> str:
+    pq.write_table(
+        pa.table({"ts": pa.array(ts_us, type=pa.timestamp("us"))}),
+        str(tmp_path / "events.parquet"))
+    return str(tmp_path)
+
+
+def _daily(tmp_path, counts: list[int]) -> str:
+    ts = []
+    for d, n in enumerate(counts):
+        ts.extend([(EPOCH_DAY + d) * DAY_US + i for i in range(n)])
+    return _write_events(tmp_path, ts)
+
+
+class TestSpcCharts:
+    def test_cusum_chart_flags_level_shift(self, ray_session, tmp_path):
+        from tanml_ray.pipelines.queries import cusum_chart_events
+
+        # 15 days at 100, then a persistent +2-sigma-ish shift to 115:
+        # a small step a 3-sigma Shewhart chart misses but CUSUM
+        # accumulates past h=5 within ~10 days.
+        rows = cusum_chart_events(
+            _daily(tmp_path, [100] * 15 + [115] * 15)).to_pylist()
+        assert len(rows) == 30
+        assert rows[-1]["cusum_pos"] > 5.0 and rows[-1]["alert"]
+        assert rows[0]["cusum_pos"] == 0.0
+
+    def test_cusum_chart_quiet_on_flat_series(self, ray_session, tmp_path):
+        from tanml_ray.pipelines.queries import cusum_chart_events
+
+        rows = cusum_chart_events(
+            _daily(tmp_path, [100, 101] * 10)).to_pylist()
+        assert not any(r["alert"] for r in rows)
+
+    def test_ewma_flags_spike_day(self, ray_session, tmp_path):
+        from tanml_ray.pipelines.queries import ewma_volume_events
+
+        rows = ewma_volume_events(
+            _daily(tmp_path, [100] * 10 + [300] + [100] * 10)).to_pylist()
+        alerts = [r for r in rows if r["alert"]]
+        assert len(alerts) == 1 and alerts[0]["n"] == 300
+        # smoothing pulls the EWMA toward the spike then decays back
+        assert rows[10]["ewma"] == pytest.approx(0.2 * 300 + 0.8 * 100)
+
+
+class TestTrendSeasonality:
+    def test_theilsen_recovers_exact_linear_trend(self, ray_session,
+                                                  tmp_path):
+        from tanml_ray.pipelines.queries import theilsen_daily_trend_events
+
+        out = theilsen_daily_trend_events(
+            _daily(tmp_path, [10 + 2 * d for d in range(12)])).to_pylist()[0]
+        assert out["slope_per_day"] == 2.0
+        assert out["intercept"] == 10.0 - 2.0 * EPOCH_DAY
+        assert out["n_pairs"] == 12 * 11 // 2
+
+    def test_theilsen_robust_to_one_outlier_day(self, ray_session,
+                                                tmp_path):
+        from tanml_ray.pipelines.queries import theilsen_daily_trend_events
+
+        counts = [10 + 2 * d for d in range(12)]
+        counts[5] = 500  # one corrupted day; median slope must survive
+        out = theilsen_daily_trend_events(
+            _daily(tmp_path, counts)).to_pylist()[0]
+        assert abs(out["slope_per_day"] - 2.0) < 0.5
+
+    def test_acf_detects_period_2_alternation(self, ray_session, tmp_path):
+        from tanml_ray.pipelines.queries import acf_daily_events
+
+        rows = acf_daily_events(_daily(tmp_path, [10, 20] * 15)).to_pylist()
+        acf = {r["lag"]: r["acf"] for r in rows}
+        assert acf[1] < -0.9 and acf[2] > 0.9
+
+    def test_dow_seasonality_flags_weekend_drop(self, ray_session,
+                                                tmp_path):
+        from tanml_ray.pipelines.queries import dow_seasonality_events
+
+        # 2024-01-01 is a Monday; 4 full weeks, weekends at half load.
+        counts = []
+        for d in range(28):
+            counts.append(50 if (d % 7) >= 5 else 100)
+        rows = dow_seasonality_events(_daily(tmp_path, counts)).to_pylist()
+        idx = {r["isodow"]: r["seasonal_index"] for r in rows}
+        assert idx[6] < 0.7 < 1.0 < idx[1]
+        assert all(r["days"] == 4 for r in rows)
+
+
+class TestFeedAudits:
+    def test_coverage_gaps_counts_missing_hours(self, ray_session,
+                                                tmp_path):
+        from tanml_ray.pipelines.queries import coverage_gaps_events
+
+        ts = [h * HOUR_US for h in (0, 1, 2, 4)]  # hour 3 silent
+        out = coverage_gaps_events(_write_events(tmp_path, ts)).to_pylist()[0]
+        assert out["hours_expected"] == 5
+        assert out["hours_observed"] == 4
+        assert out["gaps"] == 1
+
+    def test_coverage_gaps_clean_feed(self, ray_session, tmp_path):
+        from tanml_ray.pipelines.queries import coverage_gaps_events
+
+        ts = [h * HOUR_US + i for h in range(6) for i in range(3)]
+        out = coverage_gaps_events(_write_events(tmp_path, ts)).to_pylist()[0]
+        assert out["gaps"] == 0 and out["coverage"] == 1.0
+
+    def test_benford_uniform_digits_diverge(self, ray_session, tmp_path):
+        from tanml_ray.pipelines.queries import benford_totalprice_orders
+
+        # one order per leading digit -> uniform 1/9 shares, far from
+        # Benford's 30.1% mass on digit 1
+        pq.write_table(
+            pa.table({"o_totalprice": pa.array(
+                [float(d) for d in range(1, 10)] * 9, type=pa.float64())}),
+            str(tmp_path / "orders.parquet"))
+        rows = benford_totalprice_orders(str(tmp_path)).to_pylist()
+        assert all(r["share"] == pytest.approx(1 / 9, abs=1e-6)
+                   for r in rows)
+        assert rows[0]["expected"] == pytest.approx(0.30103, abs=1e-5)
+        assert sum(r["chi2_term"] for r in rows) > 16.92  # chi2 .95, 8 dof
+
+
+class TestMahalanobis:
+    def _lineitem(self, tmp_path, rows):
+        q, p, disc = zip(*rows)
+        pq.write_table(pa.table({
+            "l_quantity": pa.array(q, type=pa.float64()),
+            "l_extendedprice": pa.array(p, type=pa.float64()),
+            "l_discount": pa.array(disc, type=pa.float64())}),
+            str(tmp_path / "lineitem.parquet"))
+        return str(tmp_path)
+
+    def test_flags_joint_outlier_marginals_ordinary(self, ray_session,
+                                                    tmp_path):
+        from tanml_ray.pipelines.queries import mahalanobis_outliers_lineitem
+
+        # price tracks quantity (plus jitter to keep cov nonsingular);
+        # the planted row has an ORDINARY quantity and an ORDINARY
+        # price — but the combination (q=30 with a q=1-level price)
+        # breaks the joint structure.
+        rows = [(float(i % 30 + 1), (i % 30 + 1) * 100.0 + (i % 7),
+                 float(i % 6) / 100.0) for i in range(600)]
+        rows.append((30.0, 100.0, 0.02))
+        out = mahalanobis_outliers_lineitem(
+            self._lineitem(tmp_path, rows)).to_pylist()[0]
+        assert out["n_outliers"] >= 1
+        assert out["max_d2"] > 16.266
+
+    def test_quiet_on_conforming_data(self, ray_session, tmp_path):
+        from tanml_ray.pipelines.queries import mahalanobis_outliers_lineitem
+
+        rows = [(float(i % 30 + 1), (i % 30 + 1) * 100.0 + (i % 7),
+                 float(i % 6) / 100.0) for i in range(600)]
+        out = mahalanobis_outliers_lineitem(
+            self._lineitem(tmp_path, rows)).to_pylist()[0]
+        assert out["n_outliers"] == 0
+
+
+class TestRankSurvivalLinkage:
+    def test_kruskal_zero_on_identical_groups(self, ray_session, tmp_path):
+        from tanml_ray.pipelines.queries import kruskal_quantity_returnflag
+
+        vals = [float(v) for v in range(1, 21)]
+        pq.write_table(pa.table({
+            "l_returnflag": pa.array(["A"] * 20 + ["N"] * 20 + ["R"] * 20),
+            "l_quantity": pa.array(vals * 3, type=pa.float64())}),
+            str(tmp_path / "lineitem.parquet"))
+        out = kruskal_quantity_returnflag(str(tmp_path)).to_pylist()[0]
+        assert out["h"] == 0.0 and out["h_tie_corrected"] == 0.0
+
+    def test_km_product_limit_steps(self, ray_session, tmp_path):
+        from tanml_ray.pipelines.queries import km_ship_delay_orders
+
+        base = EPOCH_DAY * DAY_US
+        pq.write_table(pa.table({
+            "o_orderkey": pa.array([1, 2, 3], type=pa.int64()),
+            "o_orderdate": pa.array([base] * 3, type=pa.timestamp("us"))}),
+            str(tmp_path / "orders.parquet"))
+        pq.write_table(pa.table({
+            "l_orderkey": pa.array([1, 2, 3], type=pa.int64()),
+            "l_shipdate": pa.array(
+                [base + 1 * DAY_US, base + 2 * DAY_US, base + 70 * DAY_US],
+                type=pa.timestamp("us"))}),
+            str(tmp_path / "lineitem.parquet"))
+        rows = km_ship_delay_orders(str(tmp_path)).to_pylist()
+        # delay-70 row is censored at 60 -> contributes risk, no event
+        assert [r["delay_days"] for r in rows] == [1, 2]
+        assert rows[0]["survival"] == pytest.approx(2 / 3, abs=1e-6)
+        assert rows[1]["survival"] == pytest.approx(1 / 3, abs=1e-6)
+        assert rows[0]["n_at_risk"] == 3 and rows[1]["n_at_risk"] == 2
+
+    def test_fuzzy_match_finds_planted_near_pair(self, ray_session,
+                                                 tmp_path):
+        from tanml_ray.pipelines.queries import fuzzy_match_documents
+
+        texts = ["the quick brown fox jumps over the lazy dog",
+                 "the quick brown fox jumps over the lazy cat",  # dist 3
+                 "completely different text with no overlap here"]
+        pq.write_table(pa.table({
+            "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * 3)}),
+            str(tmp_path / "documents.parquet"))
+        rows = fuzzy_match_documents(str(tmp_path)).to_pylist()
+        assert {(r["doc_id_a"], r["doc_id_b"]) for r in rows} == {(1, 2)}
+        assert rows[0]["dist"] <= 4
+
+    def test_readability_ari_formula(self, ray_session, tmp_path):
+        from tanml_ray.pipelines.queries import readability_ari_documents
+
+        pq.write_table(pa.table({
+            "lang": pa.array(["en"]),
+            "text": pa.array(["Hello world. Nice day."])}),
+            str(tmp_path / "documents.parquet"))
+        out = readability_ari_documents(str(tmp_path)).to_pylist()[0]
+        assert (out["chars"], out["words"], out["sentences"]) == (19, 4, 2)
+        assert out["ari"] == pytest.approx(
+            4.71 * 19 / 4 + 0.5 * 4 / 2 - 21.43, abs=1e-6)
