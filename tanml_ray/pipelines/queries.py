@@ -11993,3 +11993,307 @@ SELECT lang, docs, chars, words, sentences,
              - 21.43, 6) AS ari
 FROM agg ORDER BY lang
 """
+
+
+# ---------------------------------------------------------------------------
+# Wald-Wolfowitz runs test over daily event volume: is the sequence of
+# above/below-median days random, or does it cluster (regime shifts,
+# ramps)? Days equal to the median are dropped (standard treatment).
+# ONE bounded daily combiner shuffle; runs/expectation/variance are
+# exact arithmetic over the bounded chronological grid, with the median
+# mirroring DuckDB's quantile_cont interpolation.
+# ---------------------------------------------------------------------------
+
+
+def runs_test_events(sf_dir: str) -> pa.Table:
+    import math
+
+    rows = _daily_event_counts(sf_dir)
+    counts = np.array([r["n"] for r in rows], dtype=np.float64)
+    med = _median_duckdb(counts)
+    signs = [1 if c > med else 0 for c in counts if c != med]
+    n1 = sum(signs)
+    n2 = len(signs) - n1
+    runs = 1 + sum(1 for a, b in zip(signs, signs[1:]) if a != b)
+    nf1, nf2 = float(n1), float(n2)
+    expected = 1.0 + 2.0 * nf1 * nf2 / (nf1 + nf2)
+    var = (2.0 * nf1 * nf2 * (2.0 * nf1 * nf2 - nf1 - nf2)
+           / ((nf1 + nf2) * (nf1 + nf2) * (nf1 + nf2 - 1.0)))
+    return pa.Table.from_pylist([{
+        "n_above": n1, "n_below": n2, "runs": runs,
+        "expected_runs": _round6(expected),
+        "z": _round6((runs - expected) / math.sqrt(var))}])
+
+
+RUNS_TEST_SQL = """
+WITH d AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1),
+m AS (SELECT quantile_cont(n, 0.5) AS med FROM d),
+s AS (
+  SELECT day, CAST(n > m.med AS BIGINT) AS sign
+  FROM d, m WHERE n <> m.med),
+r AS (
+  SELECT sign,
+         CASE WHEN sign <> lag(sign) OVER (ORDER BY day) THEN 1
+              ELSE 0 END AS chg
+  FROM s),
+agg AS (
+  SELECT CAST(sum(sign) AS BIGINT) AS n1,
+         CAST(count(*) - sum(sign) AS BIGINT) AS n2,
+         CAST(1 + sum(chg) AS BIGINT) AS runs
+  FROM r),
+f AS (
+  SELECT n1, n2, runs, CAST(n1 AS DOUBLE) AS f1, CAST(n2 AS DOUBLE) AS f2
+  FROM agg)
+SELECT n1 AS n_above, n2 AS n_below, runs,
+       round(1.0 + 2.0 * f1 * f2 / (f1 + f2), 6) AS expected_runs,
+       round((runs - (1.0 + 2.0 * f1 * f2 / (f1 + f2)))
+             / sqrt(2.0 * f1 * f2 * (2.0 * f1 * f2 - f1 - f2)
+                    / ((f1 + f2) * (f1 + f2) * (f1 + f2 - 1.0))), 6) AS z
+FROM f
+"""
+
+
+# ---------------------------------------------------------------------------
+# Ljung-Box portmanteau statistic over the first 7 daily-volume
+# autocorrelations: Q = n(n+2)·Σ r_k²/(n−k) — the single-number "is
+# there ANY serial structure?" summary of acf_daily_events. The r_k are
+# the same exact-integer-scale autocorrelations, ROUNDED TO 6 DP before
+# squaring on BOTH sides (the documented determinism contract), so Q is
+# a short fixed-order float expression over a 7-row grid.
+# ---------------------------------------------------------------------------
+
+
+def ljung_box_events(sf_dir: str) -> pa.Table:
+    rows = _daily_event_counts(sf_dir)
+    x = {pd.Timestamp(r["day"]): int(r["n"]) for r in rows}
+    n_days = len(x)
+    sx = sum(x.values())
+    den = sum((n_days * v - sx) ** 2 for v in x.values())
+    q = 0.0
+    for lag in range(1, _ACF_MAX_LAG + 1):
+        off = pd.Timedelta(days=lag)
+        num = sum((n_days * v - sx) * (n_days * x[day + off] - sx)
+                  for day, v in x.items() if day + off in x)
+        r = float(np.round(float(num) / float(den), 6))
+        q += r * r / (n_days - lag)
+    q *= n_days * (n_days + 2.0)
+    return pa.Table.from_pylist([{
+        "n_days": n_days, "max_lag": _ACF_MAX_LAG, "q_stat": _round6(q)}])
+
+
+LJUNG_BOX_SQL = """
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS day, CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1),
+s AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n, CAST(sum(x) AS HUGEINT) AS sx
+  FROM daily),
+num AS (
+  SELECT l.lag AS lag,
+         CAST(sum((s.n * a.x - s.sx) * (s.n * b.x - s.sx)) AS HUGEINT)
+           AS num
+  FROM daily a
+  CROSS JOIN (VALUES (1), (2), (3), (4), (5), (6), (7)) AS l(lag)
+  CROSS JOIN s
+  JOIN daily b ON b.day = a.day + l.lag * INTERVAL '1 day'
+  GROUP BY 1),
+den AS (
+  SELECT CAST(sum((s.n * x - s.sx) * (s.n * x - s.sx)) AS HUGEINT) AS den
+  FROM daily CROSS JOIN s),
+r AS (
+  SELECT lag, round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) AS acf
+  FROM num CROSS JOIN den),
+q AS (
+  SELECT sum(acf * acf / (CAST(s.n AS DOUBLE) - lag)) AS partial_q,
+         CAST(s.n AS BIGINT) AS n_days
+  FROM r CROSS JOIN s GROUP BY s.n)
+SELECT n_days, 7 AS max_lag,
+       round(partial_q * n_days * (n_days + 2.0), 6) AS q_stat
+FROM q
+"""
+
+
+# ---------------------------------------------------------------------------
+# Brown-Forsythe homogeneity-of-variance test across the returnflag
+# groups (the robust Levene variant: deviations from the group MEDIAN,
+# not mean) — the dispersion companion to kruskal's location test.
+# l_quantity is integral, so |x − med| lives on a HALF-integer grid;
+# doubling it makes every deviation an EXACT integer, and the whole W
+# statistic reduces to {n_g, Σt_g, Σt_g²} integer sums per group — ONE
+# bounded (g, v) value-count shuffle, medians and W on the driver with
+# a fixed float expression order mirrored by the SQL oracle.
+# ---------------------------------------------------------------------------
+
+
+def brown_forsythe_quantity_returnflag(sf_dir: str) -> pa.Table:
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "g": batch.column("l_returnflag").to_numpy(zero_copy_only=False),
+            "v": np.rint(batch.column("l_quantity")
+                         .to_numpy(zero_copy_only=False)).astype(np.int64)})
+        return df.groupby(["g", "v"], as_index=False).agg(n=("v", "size"))
+
+    grid: dict[str, dict[int, int]] = {}
+    for r in collect_pylist(
+            ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(["g", "v"]).aggregate(Sum("n", alias_name="n"))):
+        grid.setdefault(r["g"], {})[int(r["v"])] = int(r["n"])
+
+    stats = {}
+    for g, cnts in grid.items():
+        n_g = sum(cnts.values())
+        # group median with quantile_cont interpolation over the grid
+        pos = 0.5 * (n_g - 1)
+        lo_idx, frac = int(pos), pos - int(pos)
+        vals = sorted(cnts)
+
+        # exact order statistics from the count grid
+        def value_at(rank: int) -> int:
+            c = 0
+            for v in vals:
+                c += cnts[v]
+                if rank < c:
+                    return v
+            return vals[-1]
+        lo_v = value_at(lo_idx)
+        med2 = 2 * lo_v if frac == 0.0 else lo_v + value_at(lo_idx + 1)
+        st = sq = 0
+        for v, c in cnts.items():
+            t = abs(2 * v - med2)
+            st += c * t
+            sq += c * t * t
+        stats[g] = (n_g, st, sq)
+
+    ks = sorted(stats)
+    n_tot = sum(stats[g][0] for g in ks)
+    k = len(ks)
+    zbar_g = {g: float(stats[g][1]) / (2.0 * stats[g][0]) for g in ks}
+    zbar = float(sum(stats[g][1] for g in ks)) / (2.0 * n_tot)
+    num = sum(stats[g][0] * (zbar_g[g] - zbar) * (zbar_g[g] - zbar)
+              for g in ks)
+    den = sum(float(stats[g][2]) / 4.0
+              - stats[g][0] * zbar_g[g] * zbar_g[g] for g in ks)
+    w = (n_tot - k) / float(k - 1) * num / den
+    return pa.Table.from_pylist([{
+        "n": n_tot, "k_groups": k, "dof1": k - 1, "dof2": n_tot - k,
+        "w_stat": _round6(w)}])
+
+
+BROWN_FORSYTHE_SQL = """
+WITH src AS (
+  SELECT l_returnflag AS g, CAST(round(l_quantity) AS BIGINT) AS v
+  FROM lineitem),
+med AS (
+  SELECT g, quantile_cont(v, 0.5) AS med FROM src GROUP BY g),
+t AS (
+  SELECT src.g, CAST(round(abs(2 * src.v - 2 * med.med)) AS BIGINT) AS t
+  FROM src JOIN med ON src.g = med.g),
+pg AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS n_g,
+         CAST(sum(t) AS HUGEINT) AS st,
+         CAST(sum(CAST(t AS HUGEINT) * t) AS HUGEINT) AS sq
+  FROM t GROUP BY g),
+tot AS (
+  SELECT CAST(sum(n_g) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS k,
+         CAST(sum(st) AS DOUBLE) / (2.0 * sum(n_g)) AS zbar
+  FROM pg),
+parts AS (
+  SELECT tot.n, tot.k,
+         sum(pg.n_g * (CAST(pg.st AS DOUBLE) / (2.0 * pg.n_g) - tot.zbar)
+                    * (CAST(pg.st AS DOUBLE) / (2.0 * pg.n_g) - tot.zbar))
+           AS num,
+         sum(CAST(pg.sq AS DOUBLE) / 4.0
+             - pg.n_g * (CAST(pg.st AS DOUBLE) / (2.0 * pg.n_g))
+                      * (CAST(pg.st AS DOUBLE) / (2.0 * pg.n_g))) AS den
+  FROM pg CROSS JOIN tot GROUP BY tot.n, tot.k)
+SELECT n, k AS k_groups, k - 1 AS dof1, n - k AS dof2,
+       round((n - k) / CAST(k - 1 AS DOUBLE) * num / den, 6) AS w_stat
+FROM parts
+"""
+
+
+# ---------------------------------------------------------------------------
+# Pairwise effect sizes (Cohen's d + Hedges' g) for l_quantity between
+# the returnflag groups — the "is the difference MEANINGFUL, not just
+# significant at web scale" companion to kruskal/mannwhitney (at 10⁹
+# rows everything is significant; d says whether anyone should care).
+# ONE bounded per-group integer-moment shuffle; pooled-SD arithmetic on
+# the driver in a fixed expression order.
+# ---------------------------------------------------------------------------
+
+
+def effect_size_quantity_returnflag(sf_dir: str) -> pa.Table:
+    import math
+
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        g = batch.column("l_returnflag").to_numpy(zero_copy_only=False)
+        u = np.rint(batch.column("l_quantity")
+                    .to_numpy(zero_copy_only=False)).astype(np.int64)
+        df = pd.DataFrame({"g": g, "u": u, "uu": u * u})
+        return df.groupby("g", as_index=False).agg(
+            n=("u", "size"), su=("u", "sum"), suu=("uu", "sum"))
+
+    stats = {r["g"]: (int(r["n"]), int(r["su"]), int(r["suu"]))
+             for r in collect_pylist(
+        ds.map_batches(partial, batch_format="pyarrow").groupby("g")
+        .aggregate(Sum("n", alias_name="n"), Sum("su", alias_name="su"),
+                   Sum("suu", alias_name="suu")))}
+    out = []
+    ks = sorted(stats)
+    for i in range(len(ks)):
+        for j in range(i + 1, len(ks)):
+            (na, sa, qa), (nb, sb, qb) = stats[ks[i]], stats[ks[j]]
+            ma = float(sa) / na
+            mb = float(sb) / nb
+            va = float(na * qa - sa * sa) / (float(na) * (na - 1.0))
+            vb = float(nb * qb - sb * sb) / (float(nb) * (nb - 1.0))
+            sp = math.sqrt(((na - 1.0) * va + (nb - 1.0) * vb)
+                           / (na + nb - 2.0))
+            d = (ma - mb) / sp
+            gg = d * (1.0 - 3.0 / (4.0 * (na + nb) - 9.0))
+            out.append({"group_a": ks[i], "group_b": ks[j],
+                        "n_a": na, "n_b": nb,
+                        "mean_a": _round6(ma), "mean_b": _round6(mb),
+                        "cohens_d": _round6(d), "hedges_g": _round6(gg)})
+    return pa.Table.from_pylist(out)
+
+
+EFFECT_SIZE_SQL = """
+WITH src AS (
+  SELECT l_returnflag AS g, CAST(round(l_quantity) AS BIGINT) AS u
+  FROM lineitem),
+pg AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(u) AS HUGEINT) AS su,
+         CAST(sum(CAST(u AS HUGEINT) * u) AS HUGEINT) AS suu
+  FROM src GROUP BY g),
+pairs AS (
+  SELECT a.g AS group_a, b.g AS group_b, a.n AS n_a, b.n AS n_b,
+         CAST(a.su AS DOUBLE) / a.n AS ma,
+         CAST(b.su AS DOUBLE) / b.n AS mb,
+         CAST(a.n * a.suu - a.su * a.su AS DOUBLE)
+           / (CAST(a.n AS DOUBLE) * (a.n - 1.0)) AS va,
+         CAST(b.n * b.suu - b.su * b.su AS DOUBLE)
+           / (CAST(b.n AS DOUBLE) * (b.n - 1.0)) AS vb
+  FROM pg a JOIN pg b ON a.g < b.g),
+d AS (
+  SELECT group_a, group_b, n_a, n_b, ma, mb,
+         (ma - mb) / sqrt(((n_a - 1.0) * va + (n_b - 1.0) * vb)
+                          / (n_a + n_b - 2.0)) AS d
+  FROM pairs)
+SELECT group_a, group_b, n_a, n_b,
+       round(ma, 6) AS mean_a, round(mb, 6) AS mean_b,
+       round(d, 6) AS cohens_d,
+       round(d * (1.0 - 3.0 / (4.0 * (n_a + n_b) - 9.0)), 6) AS hedges_g
+FROM d ORDER BY group_a, group_b
+"""

@@ -232,3 +232,79 @@ class TestRankSurvivalLinkage:
         assert (out["chars"], out["words"], out["sentences"]) == (19, 4, 2)
         assert out["ari"] == pytest.approx(
             4.71 * 19 / 4 + 0.5 * 4 / 2 - 21.43, abs=1e-6)
+
+
+class TestTestingFamily:
+    def test_runs_test_detects_clustering(self, ray_session, tmp_path):
+        from tanml_ray.pipelines.queries import runs_test_events
+
+        # first half low, second half high -> exactly 2 runs, z << 0
+        out = runs_test_events(
+            _daily(tmp_path, [10] * 10 + [20] * 10)).to_pylist()[0]
+        assert out["runs"] == 2
+        assert out["z"] < -3.0
+        assert out["n_above"] == out["n_below"] == 10
+
+    def test_runs_test_alternation_maximizes_runs(self, ray_session,
+                                                  tmp_path):
+        from tanml_ray.pipelines.queries import runs_test_events
+
+        out = runs_test_events(
+            _daily(tmp_path, [10, 20] * 10)).to_pylist()[0]
+        assert out["runs"] == 20 and out["z"] > 3.0
+
+    def test_ljung_box_fires_on_serial_structure(self, ray_session,
+                                                 tmp_path):
+        from tanml_ray.pipelines.queries import ljung_box_events
+
+        out = ljung_box_events(_daily(tmp_path, [10, 20] * 15)).to_pylist()[0]
+        assert out["q_stat"] > 14.07  # chi2 .95, 7 dof
+        assert out["n_days"] == 30
+
+    def _lineitem_groups(self, tmp_path, spec):
+        flags, qty = [], []
+        for g, values in spec.items():
+            flags.extend([g] * len(values))
+            qty.extend(float(v) for v in values)
+        pq.write_table(pa.table({
+            "l_returnflag": pa.array(flags),
+            "l_quantity": pa.array(qty, type=pa.float64())}),
+            str(tmp_path / "lineitem.parquet"))
+        return str(tmp_path)
+
+    def test_brown_forsythe_zero_on_identical_groups(self, ray_session,
+                                                     tmp_path):
+        from tanml_ray.pipelines.queries import (
+            brown_forsythe_quantity_returnflag)
+
+        vals = list(range(1, 21))
+        out = brown_forsythe_quantity_returnflag(self._lineitem_groups(
+            tmp_path, {"A": vals, "N": vals, "R": vals})).to_pylist()[0]
+        assert out["w_stat"] == 0.0 and out["k_groups"] == 3
+
+    def test_brown_forsythe_detects_spread_difference(self, ray_session,
+                                                      tmp_path):
+        from tanml_ray.pipelines.queries import (
+            brown_forsythe_quantity_returnflag)
+
+        tight = [10] * 10 + [11] * 10          # median 10.5, |dev| 0.5
+        wide = list(range(1, 21))              # same median, wide spread
+        out = brown_forsythe_quantity_returnflag(self._lineitem_groups(
+            tmp_path, {"A": tight, "N": wide, "R": tight})).to_pylist()[0]
+        assert out["w_stat"] > 10.0
+
+    def test_effect_size_matches_hand_formula(self, ray_session, tmp_path):
+        from tanml_ray.pipelines.queries import (
+            effect_size_quantity_returnflag)
+
+        a = [10, 12, 14, 16, 18]               # mean 14, var 10
+        b = [20, 22, 24, 26, 28]               # mean 24, var 10
+        out = effect_size_quantity_returnflag(self._lineitem_groups(
+            tmp_path, {"A": a, "N": b, "R": a})).to_pylist()
+        d_an = next(r for r in out
+                    if (r["group_a"], r["group_b"]) == ("A", "N"))
+        assert d_an["cohens_d"] == pytest.approx(
+            (14 - 24) / np.sqrt(10.0), abs=1e-6)
+        d_ar = next(r for r in out
+                    if (r["group_a"], r["group_b"]) == ("A", "R"))
+        assert d_ar["cohens_d"] == 0.0
