@@ -65,6 +65,28 @@ QUERIES = [
     # round-5 validation-family closer (the FD check shuffles distinct
     # (key, value) pairs only)
     "fd_violations_orders",
+    # round-5 session-7 additions: blocked fuzzy linkage (coarse
+    # hash(block)%P shuffle), Mahalanobis (two combiner passes whose
+    # exact bigint sufficient statistics must merge identically),
+    # Brown-Forsythe / Kruskal (grid-bounded value-count shuffles),
+    # KM survival (partitioned join + (t, event) grid), and the SPC /
+    # trend family (daily-count combiner shuffles)
+    "fuzzy_match_documents",
+    "mahalanobis_outliers_lineitem",
+    "brown_forsythe_quantity_returnflag",
+    "kruskal_quantity_returnflag",
+    "effect_size_quantity_returnflag",
+    "km_ship_delay_orders",
+    "cusum_chart_events",
+    "ewma_volume_events",
+    "theilsen_daily_trend_events",
+    "acf_daily_events",
+    "ljung_box_events",
+    "runs_test_events",
+    "benford_totalprice_orders",
+    "readability_ari_documents",
+    "coverage_gaps_events",
+    "dow_seasonality_events",
 ]
 
 
