@@ -286,6 +286,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             q.brown_forsythe_quantity_returnflag,
         "effect_size_quantity_returnflag":
             q.effect_size_quantity_returnflag,
+        # Robust / resampling inference: one-pass Poisson bootstrap SE
+        # and exact grid trimmed/winsorized means.
+        "bootstrap_mean_quantity": q.bootstrap_mean_quantity,
+        "trimmed_mean_quantity": q.trimmed_mean_quantity,
     }
 
 
@@ -507,6 +511,8 @@ def oracle_sql() -> dict[str, str]:
         "ljung_box_events": q.LJUNG_BOX_SQL,
         "brown_forsythe_quantity_returnflag": q.BROWN_FORSYTHE_SQL,
         "effect_size_quantity_returnflag": q.EFFECT_SIZE_SQL,
+        "bootstrap_mean_quantity": q.BOOTSTRAP_MEAN_SQL,
+        "trimmed_mean_quantity": q.TRIMMED_MEAN_SQL,
         # converged-IRLS logistic CV / boosted stumps (iterative fits)
         # remain rows-only driver checks; verified in pytest instead.
     }

@@ -12297,3 +12297,197 @@ SELECT group_a, group_b, n_a, n_b,
        round(d * (1.0 - 3.0 / (4.0 * (n_a + n_b) - 9.0)), 6) AS hedges_g
 FROM d ORDER BY group_a, group_b
 """
+
+
+# ---------------------------------------------------------------------------
+# Distributed Poisson bootstrap of mean(l_quantity): the standard error
+# machinery that makes every point estimate in this suite reportable
+# with an error bar AT SCALE — classic resampling needs the whole
+# dataset per replica, the Poisson bootstrap (Chamandy et al., "Estimating
+# Uncertainty for Massive Data Streams", Google 2012) needs ONE
+# streaming pass: each row contributes Poisson(1) copies to each of B
+# replicas, so replica sums are just weighted combiner sums. Weights
+# are DETERMINISTIC — md5_number_lower(rowkey:replica) → uniform →
+# inverse-CDF Poisson(1), the same construction DuckDB can replay — so
+# the whole estimator (all B replica means AND the SE) is exactly
+# SQL-oracled. Replica sums are exact integers on the quantity grid;
+# the B-term SE reduction is driver float math at 6 dp.
+# ---------------------------------------------------------------------------
+
+_BOOT_B = 16
+# Poisson(1) CDF thresholds: weight w = #{c_k <= u}, capped at 8
+_POISSON1_CDF = (0.36787944117144233, 0.7357588823428847,
+                 0.9196986029286058, 0.9810118431238463,
+                 0.9963401531726563, 0.9994058151824183,
+                 0.999916758850712, 0.9999897508033253)
+
+
+def bootstrap_mean_quantity(sf_dir: str) -> pa.Table:
+    import hashlib
+    import math
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_quantity"])
+    cdf = np.array(_POISSON1_CDF)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ok = batch.column("l_orderkey").to_numpy(zero_copy_only=False)
+        ln = batch.column("l_linenumber").to_numpy(zero_copy_only=False)
+        q = np.rint(batch.column("l_quantity")
+                    .to_numpy(zero_copy_only=False)).astype(np.int64)
+        m = len(q)
+        u = np.empty((m, _BOOT_B), dtype=np.float64)
+        md5 = hashlib.md5
+        for i in range(m):
+            stem = b"%d:%d:" % (ok[i], ln[i])
+            for b in range(_BOOT_B):
+                h = int.from_bytes(
+                    md5(stem + b"%d" % b).digest()[8:], "little")
+                u[i, b] = ((h >> 11) + 0.5) / 9007199254740992.0
+        w = (u[:, :, None] >= cdf[None, None, :]).sum(axis=2)  # (m, B)
+        row = {"n": m, "sq": int(q.sum())}
+        for b in range(_BOOT_B):
+            row[f"w{b}"] = int(w[:, b].sum())
+            row[f"s{b}"] = int((w[:, b] * q).sum())
+        return pa.Table.from_pylist([row])
+
+    tot: dict[str, int] = {}
+    for r in collect_pylist(ds.map_batches(partial, batch_format="pyarrow")):
+        for k, v in r.items():
+            tot[k] = tot.get(k, 0) + int(v)
+    means = [float(tot[f"s{b}"]) / float(tot[f"w{b}"])
+             for b in range(_BOOT_B)]
+    mbar = sum(means) / float(_BOOT_B)
+    se = math.sqrt(sum((m - mbar) * (m - mbar) for m in means)
+                   / (_BOOT_B - 1.0))
+    return pa.Table.from_pylist([{
+        "n": tot["n"], "b_replicas": _BOOT_B,
+        "mean": _round6(float(tot["sq"]) / float(tot["n"])),
+        "boot_se": _round6(se)}])
+
+
+BOOTSTRAP_MEAN_SQL = f"""
+WITH rows AS (
+  SELECT CAST(round(l_quantity) AS BIGINT) AS q,
+         CAST(l_orderkey AS VARCHAR) || ':'
+           || CAST(l_linenumber AS VARCHAR) || ':' AS stem
+  FROM lineitem),
+reps AS (SELECT unnest(generate_series(0, {_BOOT_B - 1})) AS b),
+draws AS (
+  SELECT rows.q, reps.b,
+         ((md5_number_lower(rows.stem || CAST(reps.b AS VARCHAR)) >> 11)
+          + 0.5) / 9007199254740992.0 AS u
+  FROM rows CROSS JOIN reps),
+weighted AS (
+  SELECT b,
+         CAST(sum({" + ".join(f"CAST(u >= {c} AS BIGINT)"
+                              for c in _POISSON1_CDF)}) AS HUGEINT) AS w,
+         CAST(sum(CAST(q AS HUGEINT)
+                  * ({" + ".join(f"CAST(u >= {c} AS BIGINT)"
+                                 for c in _POISSON1_CDF)})) AS HUGEINT) AS s
+  FROM draws GROUP BY b),
+means AS (
+  SELECT b, CAST(s AS DOUBLE) / CAST(w AS DOUBLE) AS m FROM weighted),
+se AS (
+  SELECT sqrt(sum((m - mb.mbar) * (m - mb.mbar)) / ({_BOOT_B} - 1.0)) AS se
+  FROM means CROSS JOIN
+       (SELECT sum(m) / CAST({_BOOT_B} AS DOUBLE) AS mbar FROM means) mb),
+base AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(q) AS HUGEINT) AS sq
+  FROM rows)
+SELECT n, {_BOOT_B} AS b_replicas,
+       round(CAST(sq AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean,
+       round(se.se, 6) AS boot_se
+FROM base CROSS JOIN se
+"""
+
+
+# ---------------------------------------------------------------------------
+# Trimmed + winsorized mean of l_quantity (10% per tail) — the robust
+# location estimates, computed EXACTLY from the bounded value-count
+# grid: k = floor(0.1·n) rows are dropped (trimmed) or clamped to the
+# tail order statistics (winsorized) per side, all in integer
+# arithmetic via one cumulative walk — no sort of the raw rows, no
+# sampling, identical at any partitioning. The SQL oracle does the same
+# walk with window cumsums over the ≤50-row grid.
+# ---------------------------------------------------------------------------
+
+_TRIM_FRAC = 0.1
+
+
+def trimmed_mean_quantity(sf_dir: str) -> pa.Table:
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "lineitem", ["l_quantity"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        v = np.rint(batch.column("l_quantity")
+                    .to_numpy(zero_copy_only=False)).astype(np.int64)
+        return (pd.DataFrame({"v": v})
+                .groupby("v", as_index=False).agg(n=("v", "size")))
+
+    cnts = {int(r["v"]): int(r["n"]) for r in collect_pylist(
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("v").aggregate(Sum("n", alias_name="n")))}
+    n = sum(cnts.values())
+    k = int(_TRIM_FRAC * n)
+    vals = sorted(cnts)
+    # trimmed: keep ranks [k, n-k); winsorize: clamp below rank k to
+    # v(k), above rank n-k-1 to v(n-k-1)  (0-indexed order statistics)
+    lo_rank, hi_rank = k, n - k
+
+    def value_at(rank: int) -> int:
+        c = 0
+        for v in vals:
+            c += cnts[v]
+            if rank < c:
+                return v
+        return vals[-1]
+
+    v_lo, v_hi = value_at(lo_rank), value_at(hi_rank - 1)
+    s_trim = 0
+    cum = 0
+    for v in vals:
+        lo, hi = cum, cum + cnts[v]
+        kept = min(hi, hi_rank) - max(lo, lo_rank)
+        if kept > 0:
+            s_trim += v * kept
+        cum = hi
+    s_wins = s_trim + k * v_lo + k * v_hi
+    return pa.Table.from_pylist([{
+        "n": n, "k_per_tail": k,
+        "trimmed_mean": _round6(float(s_trim) / float(n - 2 * k)),
+        "winsorized_mean": _round6(float(s_wins) / float(n))}])
+
+
+TRIMMED_MEAN_SQL = """
+WITH grid AS (
+  SELECT CAST(round(l_quantity) AS BIGINT) AS v,
+         CAST(count(*) AS BIGINT) AS c
+  FROM lineitem GROUP BY 1),
+walk AS (
+  SELECT v, c,
+         coalesce(sum(c) OVER (ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS lo,
+         sum(c) OVER (ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hi
+  FROM grid),
+p AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n,
+         CAST(CAST(floor(0.1 * sum(c)) AS BIGINT) AS BIGINT) AS k
+  FROM grid),
+kept AS (
+  SELECT CAST(sum(v * greatest(least(hi, p.n - p.k) - greatest(lo, p.k),
+                               0)) AS HUGEINT) AS s_trim
+  FROM walk CROSS JOIN p),
+os AS (
+  SELECT (SELECT min(v) FROM walk, p WHERE p.k < hi) AS v_lo,
+         (SELECT min(v) FROM walk, p WHERE p.n - p.k - 1 < hi) AS v_hi)
+SELECT p.n, p.k AS k_per_tail,
+       round(CAST(kept.s_trim AS DOUBLE)
+             / CAST(p.n - 2 * p.k AS DOUBLE), 6) AS trimmed_mean,
+       round(CAST(kept.s_trim + p.k * os.v_lo + p.k * os.v_hi AS DOUBLE)
+             / CAST(p.n AS DOUBLE), 6) AS winsorized_mean
+FROM p CROSS JOIN kept CROSS JOIN os
+"""

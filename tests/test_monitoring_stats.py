@@ -308,3 +308,52 @@ class TestTestingFamily:
         d_ar = next(r for r in out
                     if (r["group_a"], r["group_b"]) == ("A", "R"))
         assert d_ar["cohens_d"] == 0.0
+
+
+class TestRobustInference:
+    def _lineitem_qty(self, tmp_path, vals):
+        n = len(vals)
+        pq.write_table(pa.table({
+            "l_orderkey": pa.array(range(1, n + 1), type=pa.int64()),
+            "l_linenumber": pa.array([1] * n, type=pa.int64()),
+            "l_quantity": pa.array([float(v) for v in vals],
+                                   type=pa.float64())}),
+            str(tmp_path / "lineitem.parquet"))
+        return str(tmp_path)
+
+    def test_bootstrap_se_tracks_classical_se(self, ray_session, tmp_path):
+        from tanml_ray.pipelines.queries import bootstrap_mean_quantity
+
+        vals = [(i % 21) + 1 for i in range(2000)]  # sd ~ 6.06
+        out = bootstrap_mean_quantity(
+            self._lineitem_qty(tmp_path, vals)).to_pylist()[0]
+        classical = np.std(vals, ddof=1) / np.sqrt(len(vals))
+        assert out["mean"] == pytest.approx(np.mean(vals), abs=1e-6)
+        # Poisson bootstrap SE is a consistent estimator; with B=16
+        # replicas expect agreement within ~2x
+        assert classical / 2 < out["boot_se"] < classical * 2
+
+    def test_trimmed_mean_ignores_tail_corruption(self, ray_session,
+                                                  tmp_path):
+        from tanml_ray.pipelines.queries import trimmed_mean_quantity
+
+        vals = [10] * 90 + [10_000] * 10  # 10% corrupted tail
+        out = trimmed_mean_quantity(
+            self._lineitem_qty(tmp_path, vals)).to_pylist()[0]
+        assert out["k_per_tail"] == 10
+        assert out["trimmed_mean"] == 10.0       # corruption fully cut
+        # winsorized clamps the tail to the 90th-percentile value (10)
+        # on top, and the bottom tail to 10 as well -> also exactly 10
+        assert out["winsorized_mean"] == 10.0
+
+    def test_trimmed_mean_exact_on_uniform_grid(self, ray_session,
+                                                tmp_path):
+        from tanml_ray.pipelines.queries import trimmed_mean_quantity
+
+        vals = list(range(1, 101))  # 1..100, k=10 -> keep 11..90
+        out = trimmed_mean_quantity(
+            self._lineitem_qty(tmp_path, vals)).to_pylist()[0]
+        assert out["trimmed_mean"] == pytest.approx(
+            sum(range(11, 91)) / 80, abs=1e-6)
+        assert out["winsorized_mean"] == pytest.approx(
+            (sum(range(11, 91)) + 10 * 11 + 10 * 90) / 100, abs=1e-6)
