@@ -87,6 +87,15 @@ def main(argv: list[str] | None = None) -> int:
                     help="checkpoint the per-file quality stage under "
                          "--out (reruns skip finished input shards)")
 
+    mo = sub.add_parser("monitor", help="feed-health report: Shewhart/"
+                        "CUSUM/EWMA charts, coverage gaps, runs test, "
+                        "Theil-Sen trend over an events parquet")
+    mo.add_argument("--input", required=True,
+                    help="events parquet file, dir of shards, or a dir "
+                         "containing events.parquet")
+    mo.add_argument("--chart-out", default=None,
+                    help="optional parquet path for the per-day chart")
+
     sh = sub.add_parser("shuffle-shards",
                         help="deterministic seeded corpus shuffle into "
                              "training shards (curate.shuffle_shards)")
@@ -106,7 +115,7 @@ def main(argv: list[str] | None = None) -> int:
                    "drift": ["input", "artifact"],
                    "full-report": ["input", "baseline_artifact"],
                    "curate": ["input"], "ingest-warc": ["input"],
-                   "shuffle-shards": ["input"]}
+                   "shuffle-shards": ["input"], "monitor": ["input"]}
     for attr in input_attrs.get(args.cmd, []):
         path = getattr(args, attr, None)
         if path and not os.path.exists(path):
@@ -194,6 +203,16 @@ def main(argv: list[str] | None = None) -> int:
                     pads.dataset(args.out).get_fragments())
             print(json.dumps({"files_in": len(paths), "rows": n,
                               "out": args.out}))
+        elif args.cmd == "monitor":
+            from tanml_ray.pipelines.monitor import run_feed_monitor
+
+            summary, chart = run_feed_monitor(args.input)
+            if args.chart_out:
+                import pyarrow.parquet as pq
+
+                pq.write_table(chart, args.chart_out)
+                summary["chart_out"] = args.chart_out
+            print(json.dumps(summary, default=str))
         elif args.cmd == "shuffle-shards":
             import ray.data as rd
 

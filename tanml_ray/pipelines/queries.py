@@ -11576,37 +11576,37 @@ FROM walk ORDER BY day
 
 
 # ---------------------------------------------------------------------------
-# EWMA control chart over daily event volume (lambda = 0.2, 3-sigma
-# asymptotic limits) — completes the SPC trio (Shewhart / CUSUM /
-# EWMA). The alert compares each day's count against the PREVIOUS
-# day's smoothed value (the one-step-ahead forecast). Same scale shape
-# as cusum_changepoint_events: one bounded combiner shuffle, driver
-# recursion mirrored exactly by a recursive-CTE oracle; every literal
-# is forced to DOUBLE in the SQL so both sides run identical IEEE ops.
+# EWMA control chart over daily event volume — the textbook
+# Lucas-Saccucci chart that completes the SPC trio (Shewhart / CUSUM /
+# EWMA): the smoothed statistic e_t = λx_t + (1−λ)e_{t−1} (e_0 = μ) is
+# compared against the IN-CONTROL center ± 3σ·sqrt(λ/(2−λ)), with μ/σ
+# estimated from the first 7 baseline days (a full-series μ would
+# normalize the very shift the chart exists to catch). Same scale
+# shape as cusum_chart_events: one bounded daily combiner shuffle,
+# driver recursion mirrored op-for-op by a recursive-CTE oracle; every
+# SQL literal is forced to DOUBLE for identical IEEE sequences.
 # ---------------------------------------------------------------------------
 
 _EWMA_LAMBDA = 0.2
+_EWMA_BASELINE_DAYS = 7
 
 
 def ewma_volume_events(sf_dir: str) -> pa.Table:
     import math
 
     rows = _daily_event_counts(sf_dir)
-    n = np.array([r["n"] for r in rows], dtype=np.float64)
-    mu = float(n.sum() / len(n))
-    sd = float(np.sqrt(np.sum((n - mu) ** 2) / len(n)))
+    base = np.array([r["n"] for r in rows[:_EWMA_BASELINE_DAYS]],
+                    dtype=np.float64)
+    mu = float(base.sum() / len(base))
+    sd = float(np.sqrt(np.sum((base - mu) ** 2) / len(base)))
     limit = 3.0 * sd * math.sqrt(_EWMA_LAMBDA / (2.0 - _EWMA_LAMBDA))
     out = []
-    ewma = None
+    ewma = mu
     for r in rows:
-        x = float(r["n"])
-        if ewma is None:
-            ewma, alert = x, False
-        else:
-            alert = abs(x - ewma) > limit
-            ewma = _EWMA_LAMBDA * x + (1.0 - _EWMA_LAMBDA) * ewma
+        ewma = _EWMA_LAMBDA * float(r["n"]) + (1.0 - _EWMA_LAMBDA) * ewma
         out.append({"day": r["day"].strftime("%Y-%m-%d"), "n": int(r["n"]),
-                    "ewma": _round6(ewma), "alert": bool(alert)})
+                    "ewma": _round6(ewma),
+                    "alert": bool(abs(ewma - mu) > limit)})
     return pa.Table.from_pylist(out)
 
 
@@ -11614,21 +11614,23 @@ EWMA_SQL = """
 WITH RECURSIVE d AS (
   SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n
   FROM events GROUP BY 1),
-s AS (
-  SELECT 3.0 * stddev_pop(n)
-         * sqrt(CAST(0.2 AS DOUBLE) / CAST(1.8 AS DOUBLE)) AS lim
-  FROM d),
 z AS (SELECT row_number() OVER (ORDER BY day) AS rn, day, n FROM d),
+s AS (
+  SELECT avg(n) AS mu,
+         3.0 * stddev_pop(n)
+         * sqrt(CAST(0.2 AS DOUBLE) / CAST(1.8 AS DOUBLE)) AS lim
+  FROM z WHERE rn <= 7),
 walk AS (
-  SELECT rn, day, n, CAST(n AS DOUBLE) AS ewma, FALSE AS alert
-  FROM z WHERE rn = 1
+  SELECT rn, day, n,
+         CAST(0.2 AS DOUBLE) * n + CAST(0.8 AS DOUBLE) * s.mu AS ewma
+  FROM z CROSS JOIN s WHERE rn = 1
   UNION ALL
   SELECT z.rn, z.day, z.n,
-         CAST(0.2 AS DOUBLE) * z.n + CAST(0.8 AS DOUBLE) * w.ewma,
-         abs(z.n - w.ewma) > s.lim
-  FROM z JOIN walk w ON z.rn = w.rn + 1 CROSS JOIN s)
-SELECT strftime(day, '%Y-%m-%d') AS day, n, round(ewma, 6) AS ewma, alert
-FROM walk ORDER BY day
+         CAST(0.2 AS DOUBLE) * z.n + CAST(0.8 AS DOUBLE) * w.ewma
+  FROM z JOIN walk w ON z.rn = w.rn + 1)
+SELECT strftime(day, '%Y-%m-%d') AS day, n, round(ewma, 6) AS ewma,
+       abs(ewma - s.mu) > s.lim AS alert
+FROM walk CROSS JOIN s ORDER BY day
 """
 
 

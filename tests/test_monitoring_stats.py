@@ -49,15 +49,26 @@ class TestSpcCharts:
             _daily(tmp_path, [100, 101] * 10)).to_pylist()
         assert not any(r["alert"] for r in rows)
 
-    def test_ewma_flags_spike_day(self, ray_session, tmp_path):
+    def test_ewma_flags_shift_from_baseline(self, ray_session, tmp_path):
+        from tanml_ray.pipelines.queries import ewma_volume_events
+
+        # 7-day in-control baseline (mu=102, sigma=2), then a shift to
+        # 130: the smoothed statistic crosses mu + 3*sigma*sqrt(l/(2-l))
+        # = 104 within one day and stays out of control.
+        base = [100, 104, 100, 104, 100, 104, 102]
+        rows = ewma_volume_events(
+            _daily(tmp_path, base + [130] * 10)).to_pylist()
+        assert not any(r["alert"] for r in rows[:7])
+        assert all(r["alert"] for r in rows[8:])
+        # e_t converges toward the shifted level
+        assert rows[-1]["ewma"] > 125
+
+    def test_ewma_quiet_in_control(self, ray_session, tmp_path):
         from tanml_ray.pipelines.queries import ewma_volume_events
 
         rows = ewma_volume_events(
-            _daily(tmp_path, [100] * 10 + [300] + [100] * 10)).to_pylist()
-        alerts = [r for r in rows if r["alert"]]
-        assert len(alerts) == 1 and alerts[0]["n"] == 300
-        # smoothing pulls the EWMA toward the spike then decays back
-        assert rows[10]["ewma"] == pytest.approx(0.2 * 300 + 0.8 * 100)
+            _daily(tmp_path, [100, 104] * 10)).to_pylist()
+        assert not any(r["alert"] for r in rows)
 
 
 class TestTrendSeasonality:
@@ -357,3 +368,30 @@ class TestRobustInference:
             sum(range(11, 91)) / 80, abs=1e-6)
         assert out["winsorized_mean"] == pytest.approx(
             (sum(range(11, 91)) + 10 * 11 + 10 * 90) / 100, abs=1e-6)
+
+
+def test_cli_monitor_flags_planted_spike(tmp_path, ray_session, capsys):
+    import json
+
+    from tanml_ray.cli import main
+
+    # healthy fortnight then a 5x spike day; bare-file input exercises
+    # the symlink shim
+    counts = [100, 104] * 8 + [500]
+    ts = []
+    for d, n in enumerate(counts):
+        ts.extend([(EPOCH_DAY + d) * DAY_US + i * HOUR_US % DAY_US
+                   for i in range(n)])
+    f = tmp_path / "feed.parquet"
+    pq.write_table(pa.table({"ts": pa.array(ts, type=pa.timestamp("us"))}),
+                   str(f))
+    chart_out = str(tmp_path / "chart.parquet")
+    rc = main(["monitor", "--input", str(f), "--chart-out", chart_out])
+    assert rc == 0
+    info = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert info["status"] == "alert"
+    assert info["shewhart_alert_days"] == ["2024-01-17"]
+    assert info["days"] == 17
+    chart = pq.read_table(chart_out)
+    assert chart.num_rows == 17
+    assert {"cusum_pos", "ewma", "alert"} <= set(chart.column_names)
