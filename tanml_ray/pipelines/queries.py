@@ -12493,3 +12493,87 @@ SELECT p.n, p.k AS k_per_tail,
              / CAST(p.n AS DOUBLE), 6) AS winsorized_mean
 FROM p CROSS JOIN kept CROSS JOIN os
 """
+
+
+# ---------------------------------------------------------------------------
+# Ridge regularization path (mlops.ridge_path) with a FULL SQL oracle:
+# the sufficient statistics (XᵀX, Xᵀy, n, Σy, Σy²) accumulate in ONE
+# streaming pass; each λ is then a driver-side 3×3 solve — the
+# scale-correct shape for hyper-parameter sweeps (the data is read
+# once, not once per λ). The oracle solves the same penalized normal
+# equations (G + λI) by Cramer's rule with λ added to the diagonal,
+# and measures R² against the UNpenalized residuals exactly like the
+# engine (mlops._solve_linear).
+# ---------------------------------------------------------------------------
+
+_RIDGE_LAMBDAS = (0.0, 1000.0, 100000.0)
+
+
+def ridge_path_orders(sf_dir: str) -> pa.Table:
+    from tanml_ray.pipelines.mlops import ridge_path
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate",
+                                  "o_totalprice", "o_custkey"])
+
+    def derive(batch: pa.Table) -> pa.Table:
+        days = (batch.column("o_orderdate").cast(pa.int64())
+                .to_numpy(zero_copy_only=False) // 86_400_000_000)
+        return pa.table({
+            "x1": pa.array(days.astype(np.float64), type=pa.float64()),
+            "x2": pc.cast(batch.column("o_custkey"), pa.float64()),
+            "y": pc.cast(batch.column("o_totalprice"), pa.float64()),
+        })
+
+    fits = ridge_path(ds.map_batches(derive, batch_format="pyarrow"),
+                      ["x1", "x2"], "y", list(_RIDGE_LAMBDAS))
+    return pa.Table.from_pylist([{
+        "lam": lam, "n": f["n"],
+        "intercept": _round6(f["intercept"]),
+        "coef_days": _round6(f["coef"][0]),
+        "coef_cust": _round6(f["coef"][1]),
+        "r2": _round6(f["r2"])}
+        for lam, f in zip(_RIDGE_LAMBDAS, fits)])
+
+
+RIDGE_PATH_SQL = """
+WITH p AS (
+  SELECT CAST(datediff('day', DATE '1970-01-01',
+                       CAST(o_orderdate AS DATE)) AS DOUBLE) AS x1,
+         CAST(o_custkey AS DOUBLE) AS x2,
+         CAST(o_totalprice AS DOUBLE) AS y
+  FROM orders
+), s AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n, sum(x1) AS s1, sum(x2) AS s2,
+         sum(y) AS sy, sum(x1*x1) AS s11, sum(x1*x2) AS s12,
+         sum(x2*x2) AS s22, sum(x1*y) AS s1y, sum(x2*y) AS s2y,
+         sum(y*y) AS syy
+  FROM p
+), l AS (
+  SELECT unnest([0.0, 1000.0, 100000.0]) AS lam
+), d AS (
+  SELECT s.*, l.lam,
+         (n+lam)*((s11+lam)*(s22+lam) - s12*s12)
+           - s1*(s1*(s22+lam) - s12*s2)
+           + s2*(s1*s12 - (s11+lam)*s2) AS det,
+         sy*((s11+lam)*(s22+lam) - s12*s12)
+           - s1*(s1y*(s22+lam) - s12*s2y)
+           + s2*(s1y*s12 - (s11+lam)*s2y) AS det0,
+         (n+lam)*(s1y*(s22+lam) - s12*s2y)
+           - sy*(s1*(s22+lam) - s12*s2)
+           + s2*(s1*s2y - s1y*s2) AS det1,
+         (n+lam)*((s11+lam)*s2y - s12*s1y)
+           - s1*(s1*s2y - s2*s1y)
+           + sy*(s1*s12 - (s11+lam)*s2) AS det2
+  FROM s CROSS JOIN l
+)
+SELECT lam, CAST(n AS BIGINT) AS n,
+       round(det0/det, 6) AS intercept,
+       round(det1/det, 6) AS coef_days,
+       round(det2/det, 6) AS coef_cust,
+       round(1 - (syy - 2*(det0/det*sy + det1/det*s1y + det2/det*s2y)
+                  + (det0/det)*(det0/det)*n + 2*(det0/det)*(det1/det)*s1
+                  + 2*(det0/det)*(det2/det)*s2 + (det1/det)*(det1/det)*s11
+                  + 2*(det1/det)*(det2/det)*s12 + (det2/det)*(det2/det)*s22)
+                 / (syy - sy*sy/n), 6) AS r2
+FROM d ORDER BY lam
+"""

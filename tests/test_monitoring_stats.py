@@ -395,3 +395,32 @@ def test_cli_monitor_flags_planted_spike(tmp_path, ray_session, capsys):
     chart = pq.read_table(chart_out)
     assert chart.num_rows == 17
     assert {"cusum_pos", "ewma", "alert"} <= set(chart.column_names)
+
+
+def test_ridge_path_shrinks_coefficients(ray_session, tmp_path):
+    """Ridge monotonicity: higher lambda shrinks ||beta|| toward zero
+    and can only lower the training R^2."""
+    import pyarrow.parquet as pq2
+
+    from tanml_ray.pipelines.queries import ridge_path_orders
+
+    n = 400
+    days = [19723 + (i % 60) for i in range(n)]
+    cust = [(i * 7) % 100 + 1 for i in range(n)]
+    price = [100.0 + 3.0 * (d - 19723) + 2.0 * c + (i % 5)
+             for i, (d, c) in enumerate(zip(days, cust))]
+    pq2.write_table(pa.table({
+        "o_orderkey": pa.array(range(n), type=pa.int64()),
+        "o_orderdate": pa.array([d * DAY_US for d in days],
+                                type=pa.timestamp("us")),
+        "o_custkey": pa.array(cust, type=pa.int64()),
+        "o_totalprice": pa.array(price, type=pa.float64())}),
+        str(tmp_path / "orders.parquet"))
+    rows = ridge_path_orders(str(tmp_path)).to_pylist()
+    assert [r["lam"] for r in rows] == [0.0, 1000.0, 100000.0]
+    norms = [r["coef_days"] ** 2 + r["coef_cust"] ** 2 for r in rows]
+    assert norms[0] >= norms[1] >= norms[2]
+    assert rows[0]["r2"] >= rows[1]["r2"] >= rows[2]["r2"]
+    # OLS leg recovers the planted structure
+    assert rows[0]["coef_days"] == pytest.approx(3.0, abs=0.2)
+    assert rows[0]["coef_cust"] == pytest.approx(2.0, abs=0.2)
