@@ -290,7 +290,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # and exact grid trimmed/winsorized means.
         "bootstrap_mean_quantity": q.bootstrap_mean_quantity,
         "trimmed_mean_quantity": q.trimmed_mean_quantity,
-        "ridge_path_orders": q.ridge_path_orders,
+        # Web link graph over the v2 pages fixture (<nav> outlinks):
+        # per-destination in-degree profile + out-degree histogram.
+        "link_graph_pages": q.link_graph_pages,
+        "out_degree_profile_pages": q.out_degree_profile_pages,
     }
 
 
@@ -500,7 +503,7 @@ def oracle_sql() -> dict[str, str]:
         "km_ship_delay_orders": q.KM_SHIP_DELAY_SQL,
         "acf_daily_events": q.ACF_DAILY_SQL,
         "fuzzy_match_documents": q.FUZZY_MATCH_SQL,
-        "benford_totalprice_orders": q.BENFORD_SQL,
+        "benford_totalprice_orders": q.BENFORD_CHI2_SQL,
         "cusum_chart_events": q.CUSUM_CHART_SQL,
         "ewma_volume_events": q.EWMA_SQL,
         "theilsen_daily_trend_events": q.THEILSEN_SQL,
@@ -514,7 +517,8 @@ def oracle_sql() -> dict[str, str]:
         "effect_size_quantity_returnflag": q.EFFECT_SIZE_SQL,
         "bootstrap_mean_quantity": q.BOOTSTRAP_MEAN_SQL,
         "trimmed_mean_quantity": q.TRIMMED_MEAN_SQL,
-        "ridge_path_orders": q.RIDGE_PATH_SQL,
+        "link_graph_pages": q.link_graph_sql(),
+        "out_degree_profile_pages": q.out_degree_sql(),
         # converged-IRLS logistic CV / boosted stumps (iterative fits)
         # remain rows-only driver checks; verified in pytest instead.
     }

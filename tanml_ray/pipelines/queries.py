@@ -11477,7 +11477,7 @@ def benford_totalprice_orders(sf_dir: str) -> pa.Table:
     return pa.Table.from_pylist(out)
 
 
-BENFORD_SQL = """
+BENFORD_CHI2_SQL = """
 WITH obs AS (
   SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
                           AS VARCHAR), 1, 1) AS BIGINT) AS digit,
@@ -12496,84 +12496,123 @@ FROM p CROSS JOIN kept CROSS JOIN os
 
 
 # ---------------------------------------------------------------------------
-# Ridge regularization path (mlops.ridge_path) with a FULL SQL oracle:
-# the sufficient statistics (XᵀX, Xᵀy, n, Σy, Σy²) accumulate in ONE
-# streaming pass; each λ is then a driver-side 3×3 solve — the
-# scale-correct shape for hyper-parameter sweeps (the data is read
-# once, not once per λ). The oracle solves the same penalized normal
-# equations (G + λI) by Cramer's rule with λ added to the diagonal,
-# and measures R² against the UNpenalized residuals exactly like the
-# engine (mlops._solve_linear).
+# Web link graph from the pages fixture (v2 fixtures embed
+# deterministic <nav> outlinks): parse hrefs out of the raw html with
+# the compiled RE2-style pattern, build (src_host, dst_host) edges and
+# reduce to the per-destination in-degree profile — the crawl-frontier
+# / authority-signal primitive every web pipeline needs. Combiner-first:
+# per-batch (dst, src) pair counts, ONE bounded shuffle (hosts ≤ ~1000
+# by construction, so the pair grid is bounded), per-dst rollup on the
+# driver. The SQL oracle re-parses the same html with DuckDB's regex —
+# an independent derivation, not a replay of the engine's parse.
 # ---------------------------------------------------------------------------
 
-_RIDGE_LAMBDAS = (0.0, 1000.0, 100000.0)
+_HREF_RE = r'href="//([^/"]+)/'
+_SRC_HOST_RE = r"https://([^/]+)/"
 
 
-def ridge_path_orders(sf_dir: str) -> pa.Table:
-    from tanml_ray.pipelines.mlops import ridge_path
+def link_graph_pages(sf_dir: str) -> pa.Table:
+    import re
 
-    ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate",
-                                  "o_totalprice", "o_custkey"])
+    from ray.data.aggregate import Sum
 
-    def derive(batch: pa.Table) -> pa.Table:
-        days = (batch.column("o_orderdate").cast(pa.int64())
-                .to_numpy(zero_copy_only=False) // 86_400_000_000)
-        return pa.table({
-            "x1": pa.array(days.astype(np.float64), type=pa.float64()),
-            "x2": pc.cast(batch.column("o_custkey"), pa.float64()),
-            "y": pc.cast(batch.column("o_totalprice"), pa.float64()),
-        })
+    pages_dir = _pages_dir_for(sf_dir)
+    ds = read_parquet_clean(pages_dir, columns=["url", "html"])
+    href_re = re.compile(_HREF_RE.encode())
+    src_re = re.compile(_SRC_HOST_RE)
 
-    fits = ridge_path(ds.map_batches(derive, batch_format="pyarrow"),
-                      ["x1", "x2"], "y", list(_RIDGE_LAMBDAS))
-    return pa.Table.from_pylist([{
-        "lam": lam, "n": f["n"],
-        "intercept": _round6(f["intercept"]),
-        "coef_days": _round6(f["coef"][0]),
-        "coef_cust": _round6(f["coef"][1]),
-        "r2": _round6(f["r2"])}
-        for lam, f in zip(_RIDGE_LAMBDAS, fits)])
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        tbl = batch.filter(pc.is_valid(batch.column("html")))
+        urls = tbl.column("url").to_pylist()
+        htmls = tbl.column("html").to_pylist()
+        src_l, dst_l = [], []
+        for u, hb in zip(urls, htmls):
+            m = src_re.match(u or "")
+            if not m:
+                continue
+            for dst in href_re.findall(hb):
+                src_l.append(m.group(1))
+                dst_l.append(dst.decode())
+        df = pd.DataFrame({"dst_host": dst_l, "src_host": src_l})
+        return df.groupby(["dst_host", "src_host"], as_index=False).agg(
+            n=("dst_host", "size"))
+
+    agg: dict[str, list] = {}
+    for r in collect_pylist(
+            ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(["dst_host", "src_host"])
+            .aggregate(Sum("n", alias_name="n"))):
+        a = agg.setdefault(r["dst_host"], [0, 0])
+        a[0] += int(r["n"])
+        a[1] += 1
+    return pa.Table.from_pylist([
+        {"dst_host": d, "in_edges": agg[d][0], "src_hosts": agg[d][1]}
+        for d in sorted(agg)])
 
 
-RIDGE_PATH_SQL = """
+LINK_GRAPH_SQL = """
 WITH p AS (
-  SELECT CAST(datediff('day', DATE '1970-01-01',
-                       CAST(o_orderdate AS DATE)) AS DOUBLE) AS x1,
-         CAST(o_custkey AS DOUBLE) AS x2,
-         CAST(o_totalprice AS DOUBLE) AS y
-  FROM orders
-), s AS (
-  SELECT CAST(count(*) AS DOUBLE) AS n, sum(x1) AS s1, sum(x2) AS s2,
-         sum(y) AS sy, sum(x1*x1) AS s11, sum(x1*x2) AS s12,
-         sum(x2*x2) AS s22, sum(x1*y) AS s1y, sum(x2*y) AS s2y,
-         sum(y*y) AS syy
-  FROM p
-), l AS (
-  SELECT unnest([0.0, 1000.0, 100000.0]) AS lam
-), d AS (
-  SELECT s.*, l.lam,
-         (n+lam)*((s11+lam)*(s22+lam) - s12*s12)
-           - s1*(s1*(s22+lam) - s12*s2)
-           + s2*(s1*s12 - (s11+lam)*s2) AS det,
-         sy*((s11+lam)*(s22+lam) - s12*s12)
-           - s1*(s1y*(s22+lam) - s12*s2y)
-           + s2*(s1y*s12 - (s11+lam)*s2y) AS det0,
-         (n+lam)*(s1y*(s22+lam) - s12*s2y)
-           - sy*(s1*(s22+lam) - s12*s2)
-           + s2*(s1*s2y - s1y*s2) AS det1,
-         (n+lam)*((s11+lam)*s2y - s12*s1y)
-           - s1*(s1*s2y - s2*s1y)
-           + sy*(s1*s12 - (s11+lam)*s2) AS det2
-  FROM s CROSS JOIN l
-)
-SELECT lam, CAST(n AS BIGINT) AS n,
-       round(det0/det, 6) AS intercept,
-       round(det1/det, 6) AS coef_days,
-       round(det2/det, 6) AS coef_cust,
-       round(1 - (syy - 2*(det0/det*sy + det1/det*s1y + det2/det*s2y)
-                  + (det0/det)*(det0/det)*n + 2*(det0/det)*(det1/det)*s1
-                  + 2*(det0/det)*(det2/det)*s2 + (det1/det)*(det1/det)*s11
-                  + 2*(det1/det)*(det2/det)*s12 + (det2/det)*(det2/det)*s22)
-                 / (syy - sy*sy/n), 6) AS r2
-FROM d ORDER BY lam
+  SELECT regexp_extract(url, 'https://([^/]+)/', 1) AS src,
+         decode(html) AS h
+  FROM read_parquet('{pages_dir}/*.parquet')
+  WHERE html IS NOT NULL),
+e AS (
+  SELECT src, unnest(regexp_extract_all(h, 'href="//([^/"]+)/', 1)) AS dst
+  FROM p)
+SELECT dst AS dst_host, CAST(count(*) AS BIGINT) AS in_edges,
+       CAST(count(DISTINCT src) AS BIGINT) AS src_hosts
+FROM e GROUP BY 1 ORDER BY 1
 """
+
+
+def link_graph_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    return LINK_GRAPH_SQL.format(pages_dir=_pages_dir_for(sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Out-degree distribution of the same link graph: how many pages emit
+# k outlinks — the sanity profile for crawl parsing (a sudden mass at
+# 0 means the parser broke; a long tail means link farms). Pure
+# per-batch degree histogram, ONE tiny (k, count) shuffle.
+# ---------------------------------------------------------------------------
+
+
+def out_degree_profile_pages(sf_dir: str) -> pa.Table:
+    import re
+
+    from ray.data.aggregate import Sum
+
+    pages_dir = _pages_dir_for(sf_dir)
+    ds = read_parquet_clean(pages_dir, columns=["html"])
+    href_re = re.compile(_HREF_RE.encode())
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        tbl = batch.filter(pc.is_valid(batch.column("html")))
+        deg = [len(href_re.findall(hb))
+               for hb in tbl.column("html").to_pylist()]
+        return (pd.DataFrame({"out_degree": deg})
+                .groupby("out_degree", as_index=False)
+                .agg(pages=("out_degree", "size")))
+
+    rows = sorted(collect_pylist(
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("out_degree").aggregate(Sum("pages", alias_name="pages"))),
+        key=lambda r: r["out_degree"])
+    return pa.Table.from_pylist([
+        {"out_degree": int(r["out_degree"]), "pages": int(r["pages"])}
+        for r in rows])
+
+
+OUT_DEGREE_SQL = """
+WITH p AS (
+  SELECT CAST(len(regexp_extract_all(decode(html), 'href="//([^/"]+)/', 1))
+              AS BIGINT) AS out_degree
+  FROM read_parquet('{pages_dir}/*.parquet')
+  WHERE html IS NOT NULL)
+SELECT out_degree, CAST(count(*) AS BIGINT) AS pages
+FROM p GROUP BY 1 ORDER BY 1
+"""
+
+
+def out_degree_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    return OUT_DEGREE_SQL.format(pages_dir=_pages_dir_for(sf_dir))

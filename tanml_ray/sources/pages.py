@@ -106,6 +106,16 @@ def make_pages_batch(batch: pa.Table, variant: str = "baseline",
     text_null = ids % 500 == 11
     tampered = ids % 700 == 17
 
+    # deterministic outlink targets for the link-graph operators: every
+    # page links one site host, 1 in 3 add a second, 1 in 11 link the
+    # hub — all pure functions of the stable id hash, invisible to text
+    # extraction (they live in <nav>, outside <title>/<p>)
+    h = _stable_hash_ids(ids)
+    link_a = (h >> np.uint64(5)) % np.uint64(997)
+    link_b = (h >> np.uint64(27)) % np.uint64(997)
+    second = (h % np.uint64(3)) == 0
+    to_hub = (h % np.uint64(11)) == 0
+
     htmls: list[bytes | None] = []
     out_texts: list[str | None] = []
     for i in range(n):
@@ -116,7 +126,16 @@ def make_pages_batch(batch: pa.Table, variant: str = "baseline",
             # text-length distribution shift (+0.5σ-ish): deterministic padding
             body = body + " drift-pad" * (3 + int(pid % 5))
         extracted = f"{title}\n{body}"
-        htmls.append(None if html_null[i] else render_html(title, body))
+        if html_null[i]:
+            htmls.append(None)
+        else:
+            nav = f'<nav><a href="//s{link_a[i]}.ex/{pid % 9999}"></a>'
+            if second[i]:
+                nav += f'<a href="//s{link_b[i]}.ex/{(pid * 13) % 9999}"></a>'
+            if to_hub[i]:
+                nav += '<a href="//hub.ex/"></a>'
+            nav += "</nav>"
+            htmls.append(render_html(title, body, nav))
         if text_null[i]:
             out_texts.append(None)
         elif tampered[i]:
@@ -148,12 +167,20 @@ def pages_dataset(sf_dir: str, variant: str = "baseline", repeat: int = 1,
     )
 
 
+# bump when make_pages_batch output changes so cached /tmp fixtures
+# from older code can never be read by newer consumers (v2: <nav>
+# outlink anchors for the link-graph operators)
+PAGES_FIXTURE_VERSION = 2
+
+
 def synthesize_pages_parquet(sf_dir: str, out_dir: str, variant: str = "baseline",
                              repeat: int = 1, num_files: int = 8) -> str:
     """Materialize the fixture to parquet (cached) for DuckDB oracles
-    and repeated bench runs. Idempotent per (sf_dir, variant, repeat)."""
+    and repeated bench runs. Idempotent per (sf_dir, variant, repeat,
+    PAGES_FIXTURE_VERSION)."""
     import os
 
+    out_dir = f"{out_dir.rstrip('/')}_v{PAGES_FIXTURE_VERSION}"
     done = os.path.join(out_dir, "_DONE")
     if os.path.exists(done):
         return out_dir

@@ -417,7 +417,7 @@ def test_ridge_path_shrinks_coefficients(ray_session, tmp_path):
         "o_totalprice": pa.array(price, type=pa.float64())}),
         str(tmp_path / "orders.parquet"))
     rows = ridge_path_orders(str(tmp_path)).to_pylist()
-    assert [r["lam"] for r in rows] == [0.0, 1000.0, 100000.0]
+    assert [r["lam"] for r in rows] == [0.0, 1e9, 1e12]
     norms = [r["coef_days"] ** 2 + r["coef_cust"] ** 2 for r in rows]
     assert norms[0] >= norms[1] >= norms[2]
     assert rows[0]["r2"] >= rows[1]["r2"] >= rows[2]["r2"]
