@@ -294,6 +294,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-destination in-degree profile + out-degree histogram.
         "link_graph_pages": q.link_graph_pages,
         "out_degree_profile_pages": q.out_degree_profile_pages,
+        "pagerank_link_graph_pages": q.pagerank_link_graph_pages,
     }
 
 
@@ -519,6 +520,7 @@ def oracle_sql() -> dict[str, str]:
         "trimmed_mean_quantity": q.TRIMMED_MEAN_SQL,
         "link_graph_pages": q.link_graph_sql(),
         "out_degree_profile_pages": q.out_degree_sql(),
+        "pagerank_link_graph_pages": q.link_pagerank_sql(),
         # converged-IRLS logistic CV / boosted stumps (iterative fits)
         # remain rows-only driver checks; verified in pytest instead.
     }

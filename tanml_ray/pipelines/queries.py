@@ -1687,6 +1687,21 @@ def _pages_dir_for(sf_dir: str, variant: str = "baseline") -> str:
                                     variant=variant)
 
 
+def _oracle_sf(sf_dir: str | None) -> str:
+    """Resolve the sf_dir a fixture-path SQL oracle should read.
+
+    The driver contract calls ``oracle_sql()`` with no arguments and
+    compares at sf0.01, so that is the default; a local multi-sf gate
+    (tools/check_queries.py) exports TANML_ORACLE_SF_DIR so the oracle
+    reads the SAME fixture instance as the engine — fixture parquet
+    file names (= partition ids) differ per directory, so a pinned
+    default would mismatch at any other scale."""
+    import os
+
+    return sf_dir or os.environ.get("TANML_ORACLE_SF_DIR",
+                                    "/root/testdata/sf0.01")
+
+
 def validate_pages_status(sf_dir: str) -> pa.Table:
     """Flagship validation per-(partition, constraint) status (without
     the nondeterministic elapsed_us column)."""
@@ -1697,7 +1712,7 @@ def validate_pages_status(sf_dir: str) -> pa.Table:
                               "violations", "status"])
 
 
-def validate_pages_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
+def validate_pages_sql(sf_dir: str | None = None) -> str:
     """Full SQL oracle for validate_pages_status: reads the SAME cached
     pages fixture the query reads (ensured here, so oracle-first
     execution order also works), reproduces partition_id = input-file
@@ -1709,7 +1724,7 @@ def validate_pages_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
     engine's extractor."""
     from tanml_ray.functions.langcodes import ISO_639_1
 
-    pages_dir = _pages_dir_for(sf_dir)
+    pages_dir = _pages_dir_for(_oracle_sf(sf_dir))
     iso = ", ".join(f"'{c}'" for c in sorted(set(ISO_639_1)))
     return f"""
 WITH p AS (
@@ -1746,7 +1761,7 @@ FROM unp ORDER BY partition_id, constraint_id
 """
 
 
-def drift_pages_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
+def drift_pages_sql(sf_dir: str | None = None) -> str:
     """Full SQL oracle for drift_pages_report: recomputes grouped PSI
     (reference equal-width bins from the BASELINE min/max, full-n
     denominators, zero→1e-8) and the exact two-sample KS statistic from
@@ -1754,8 +1769,8 @@ def drift_pages_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
     float64 expression np.linspace uses (lo + i*step, last edge pinned
     to hi) and np.histogram's half-open/last-closed semantics, so bin
     counts are bit-identical, not approximately equal."""
-    base_dir = _pages_dir_for(sf_dir, "baseline")
-    cur_dir = _pages_dir_for(sf_dir, "current")
+    base_dir = _pages_dir_for(_oracle_sf(sf_dir), "baseline")
+    cur_dir = _pages_dir_for(_oracle_sf(sf_dir), "current")
     return f"""
 WITH b AS (
   SELECT lang, strftime(date_trunc('week', warc_ts), '%Y-%m-%d') AS bucket,
@@ -12565,8 +12580,8 @@ FROM e GROUP BY 1 ORDER BY 1
 """
 
 
-def link_graph_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
-    return LINK_GRAPH_SQL.format(pages_dir=_pages_dir_for(sf_dir))
+def link_graph_sql(sf_dir: str | None = None) -> str:
+    return LINK_GRAPH_SQL.format(pages_dir=_pages_dir_for(_oracle_sf(sf_dir)))
 
 
 # ---------------------------------------------------------------------------
@@ -12614,5 +12629,108 @@ FROM p GROUP BY 1 ORDER BY 1
 """
 
 
-def out_degree_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
-    return OUT_DEGREE_SQL.format(pages_dir=_pages_dir_for(sf_dir))
+def out_degree_sql(sf_dir: str | None = None) -> str:
+    return OUT_DEGREE_SQL.format(pages_dir=_pages_dir_for(_oracle_sf(sf_dir)))
+
+
+# ---------------------------------------------------------------------------
+# PageRank over the host link graph (the authority companion to
+# link_graph_pages): distributed edge aggregation (the only part that
+# touches raw pages) reduces the crawl to a bounded (src, dst, weight)
+# host-graph table, then 5 damped power iterations run vectorized on
+# the driver — the right split at web scale, where hosts number in the
+# millions (driver-feasible) while pages number in the trillions
+# (never leave the cluster). Same d=0.85 / dangling-mass / unrolled-CTE
+# oracle machinery proven by pagerank_event_types (queries.py:9410).
+# ---------------------------------------------------------------------------
+
+
+def pagerank_link_graph_pages(sf_dir: str) -> pa.Table:
+    import re
+
+    from ray.data.aggregate import Sum
+
+    pages_dir = _pages_dir_for(sf_dir)
+    ds = read_parquet_clean(pages_dir, columns=["url", "html"])
+    href_re = re.compile(_HREF_RE.encode())
+    src_re = re.compile(_SRC_HOST_RE)
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        tbl = batch.filter(pc.is_valid(batch.column("html")))
+        src_l, dst_l = [], []
+        for u, hb in zip(tbl.column("url").to_pylist(),
+                         tbl.column("html").to_pylist()):
+            m = src_re.match(u or "")
+            if not m:
+                continue
+            for dst in href_re.findall(hb):
+                src_l.append(m.group(1))
+                dst_l.append(dst.decode())
+        return (pd.DataFrame({"from_h": src_l, "to_h": dst_l})
+                .groupby(["from_h", "to_h"], as_index=False)
+                .agg(n=("from_h", "size")))
+
+    edges = sorted(collect_pylist(
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["from_h", "to_h"]).aggregate(Sum("n", alias_name="n"))),
+        key=lambda e: (e["from_h"], e["to_h"]))
+    nodes = sorted({e["from_h"] for e in edges}
+                   | {e["to_h"] for e in edges})
+    idx = {v: i for i, v in enumerate(nodes)}
+    nn = len(nodes)
+    ei = np.array([idx[e["from_h"]] for e in edges], dtype=np.int64)
+    ej = np.array([idx[e["to_h"]] for e in edges], dtype=np.int64)
+    ew = np.array([float(e["n"]) for e in edges])
+    out_n = np.zeros(nn)
+    np.add.at(out_n, ei, ew)
+    rank = np.full(nn, 1.0 / nn)
+    for _ in range(_PR_ITERS):
+        inflow = np.zeros(nn)
+        np.add.at(inflow, ej, rank[ei] * ew / out_n[ei])
+        dang = float(rank[out_n == 0].sum())
+        rank = 0.15 / nn + 0.85 * (inflow + dang / nn)
+    return pa.Table.from_pylist([
+        {"node": v, "rank": _round6(rank[idx[v]])} for v in nodes])
+
+
+def link_pagerank_sql(sf_dir: str | None = None) -> str:
+    pages_dir = _pages_dir_for(_oracle_sf(sf_dir))
+    head = f"""
+WITH pages AS MATERIALIZED (
+  SELECT regexp_extract(url, 'https://([^/]+)/', 1) AS src,
+         decode(html) AS h
+  FROM read_parquet('{pages_dir}/*.parquet')
+  WHERE html IS NOT NULL
+), t AS MATERIALIZED (
+  SELECT src AS from_h, dst AS to_h, CAST(count(*) AS DOUBLE) AS n
+  FROM (SELECT src, unnest(regexp_extract_all(h, 'href="//([^/"]+)/', 1))
+               AS dst
+        FROM pages)
+  GROUP BY 1, 2
+), nodes AS MATERIALIZED (
+  SELECT DISTINCT from_h AS node FROM t
+  UNION
+  SELECT DISTINCT to_h FROM t
+), outd AS MATERIALIZED (
+  SELECT from_h AS node, sum(n) AS outn FROM t GROUP BY 1
+), nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS nnodes FROM nodes
+), r0 AS MATERIALIZED (SELECT node, 1.0 / nn.nnodes AS rank FROM nodes, nn)"""
+    step = """
+, r{k} AS MATERIALIZED (
+  SELECT nd.node,
+         0.15 / nn.nnodes + 0.85 * (COALESCE(fl.s, 0) + dg.d / nn.nnodes)
+           AS rank
+  FROM nodes nd
+  CROSS JOIN nn
+  CROSS JOIN (SELECT COALESCE(sum(r.rank), 0) AS d
+              FROM r{p} r ANTI JOIN outd o ON r.node = o.node) dg
+  LEFT JOIN (SELECT t.to_h AS node, sum(r.rank * t.n / o.outn) AS s
+             FROM r{p} r
+             JOIN t ON t.from_h = r.node
+             JOIN outd o ON o.node = r.node
+             GROUP BY 1) fl ON fl.node = nd.node
+)"""
+    body = "".join(step.format(k=k, p=k - 1) for k in range(1, _PR_ITERS + 1))
+    return (head + body +
+            f"\nSELECT node, round(rank, 6) AS rank FROM r{_PR_ITERS} "
+            "ORDER BY node")

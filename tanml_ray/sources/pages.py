@@ -129,11 +129,13 @@ def make_pages_batch(batch: pa.Table, variant: str = "baseline",
         if html_null[i]:
             htmls.append(None)
         else:
-            nav = f'<nav><a href="//s{link_a[i]}.ex/{pid % 9999}"></a>'
+            nav = (f'<nav><a href="//site{link_a[i]}.example.com/'
+                   f'{pid % 9999}"></a>')
             if second[i]:
-                nav += f'<a href="//s{link_b[i]}.ex/{(pid * 13) % 9999}"></a>'
+                nav += (f'<a href="//site{link_b[i]}.example.com/'
+                        f'{(pid * 13) % 9999}"></a>')
             if to_hub[i]:
-                nav += '<a href="//hub.ex/"></a>'
+                nav += '<a href="//hub.example.com/"></a>'
             nav += "</nav>"
             htmls.append(render_html(title, body, nav))
         if text_null[i]:
@@ -169,8 +171,10 @@ def pages_dataset(sf_dir: str, variant: str = "baseline", repeat: int = 1,
 
 # bump when make_pages_batch output changes so cached /tmp fixtures
 # from older code can never be read by newer consumers (v2: <nav>
-# outlink anchors for the link-graph operators)
-PAGES_FIXTURE_VERSION = 2
+# outlink anchors for the link-graph operators; v3: outlinks target
+# the source host namespace so the graph is closed — multi-hop
+# PageRank structure instead of an all-dangling bipartite graph)
+PAGES_FIXTURE_VERSION = 3
 
 
 def synthesize_pages_parquet(sf_dir: str, out_dir: str, variant: str = "baseline",

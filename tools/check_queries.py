@@ -46,6 +46,14 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
+    # fixture-path oracles (validate/drift/link-graph) must read the
+    # SAME fixture instance as the engine at THIS sf — parquet file
+    # names double as partition ids, so a pinned sf0.01 default would
+    # mismatch at any other scale (queries._oracle_sf)
+    import os
+
+    os.environ["TANML_ORACLE_SF_DIR"] = sf_dir
+
     import ray
 
     if not ray.is_initialized():
