@@ -295,6 +295,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_graph_pages": q.link_graph_pages,
         "out_degree_profile_pages": q.out_degree_profile_pages,
         "pagerank_link_graph_pages": q.pagerank_link_graph_pages,
+        "noindex_filter_pages": q.noindex_filter_pages,
     }
 
 
@@ -521,6 +522,7 @@ def oracle_sql() -> dict[str, str]:
         "link_graph_pages": q.link_graph_sql(),
         "out_degree_profile_pages": q.out_degree_sql(),
         "pagerank_link_graph_pages": q.link_pagerank_sql(),
+        "noindex_filter_pages": q.noindex_sql(),
         # converged-IRLS logistic CV / boosted stumps (iterative fits)
         # remain rows-only driver checks; verified in pytest instead.
     }

@@ -79,11 +79,13 @@ def extract_text_array(html_col: pa.Array | pa.ChunkedArray) -> pa.Array:
     return pa.array([extract_text(h) for h in raw], type=pa.string())
 
 
-def render_html(title: str, body: str, nav: str = "") -> bytes:
-    """Fixture-side template; extract_text(render_html(t, b, nav)) ==
-    t+"\n"+b for ANY nav block — extraction reads only <title> and <p>
-    elements, so outlink anchors in <nav> are invisible to the text
-    invariant (they exist for the link-graph operators)."""
-    return (f"<html><head><title>{escape_text(title)}</title></head>"
+def render_html(title: str, body: str, nav: str = "",
+                head: str = "") -> bytes:
+    """Fixture-side template; extract_text(render_html(t, b, nav, head))
+    == t+"\n"+b for ANY nav/head block — extraction reads only <title>
+    and <p> elements, so outlink anchors in <nav> and meta tags in
+    <head> are invisible to the text invariant (they exist for the
+    link-graph / index-policy operators)."""
+    return (f"<html><head><title>{escape_text(title)}</title>{head}</head>"
             f"<body><p>{escape_text(body)}</p>{nav}</body></html>"
             ).encode("utf-8")

@@ -12734,3 +12734,67 @@ WITH pages AS MATERIALIZED (
     return (head + body +
             f"\nSELECT node, round(rank, 6) AS rank FROM r{_PR_ITERS} "
             "ORDER BY node")
+
+
+# ---------------------------------------------------------------------------
+# Robots index-policy filter over the pages fixture (v4 embeds
+# <meta name="robots" content="noindex,...""> on a deterministic page
+# subset): the canonical crawl-compliance drop every web-text pipeline
+# applies before training-data use (C4/CCNet drop noindex pages).
+# Vectorized substring scan over the raw html bytes — no HTML parse —
+# reduced per language: pages, noindex count, keep rate. The SQL
+# oracle re-detects the meta tag independently with DuckDB regex.
+# ---------------------------------------------------------------------------
+
+_NOINDEX_NEEDLE = b'<meta name="robots" content="noindex'
+
+
+def noindex_filter_pages(sf_dir: str) -> pa.Table:
+    from ray.data.aggregate import Sum
+
+    pages_dir = _pages_dir_for(sf_dir)
+    ds = read_parquet_clean(pages_dir, columns=["lang", "html"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        lang = batch.column("lang").to_pylist()
+        noidx = [1 if (hb is not None and _NOINDEX_NEEDLE in hb) else 0
+                 for hb in batch.column("html").to_pylist()]
+        has_html = [0 if hb is None else 1
+                    for hb in batch.column("html").to_pylist()]
+        df = pd.DataFrame({"lang": lang, "noindex": noidx,
+                           "pages": has_html})
+        return df.groupby("lang", as_index=False).agg(
+            pages=("pages", "sum"), noindex=("noindex", "sum"))
+
+    rows = sorted(collect_pylist(
+        ds.map_batches(partial, batch_format="pyarrow").groupby("lang")
+        .aggregate(Sum("pages", alias_name="pages"),
+                   Sum("noindex", alias_name="noindex"))),
+        key=lambda r: r["lang"])
+    return pa.Table.from_pylist([{
+        "lang": r["lang"], "pages": int(r["pages"]),
+        "noindex": int(r["noindex"]),
+        "keep_rate": _round6((int(r["pages"]) - int(r["noindex"]))
+                             / float(r["pages"]))}
+        for r in rows])
+
+
+NOINDEX_SQL = """
+WITH p AS (
+  SELECT lang,
+         CAST(html IS NOT NULL AS BIGINT) AS has_html,
+         CAST(html IS NOT NULL AND contains(decode(html),
+              '<meta name="robots" content="noindex') AS BIGINT) AS ni
+  FROM read_parquet('{pages_dir}/*.parquet')),
+agg AS (
+  SELECT lang, CAST(sum(has_html) AS BIGINT) AS pages,
+         CAST(sum(ni) AS BIGINT) AS noindex
+  FROM p GROUP BY lang)
+SELECT lang, pages, noindex,
+       round((pages - noindex) / CAST(pages AS DOUBLE), 6) AS keep_rate
+FROM agg ORDER BY lang
+"""
+
+
+def noindex_sql(sf_dir: str | None = None) -> str:
+    return NOINDEX_SQL.format(pages_dir=_pages_dir_for(_oracle_sf(sf_dir)))

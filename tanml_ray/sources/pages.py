@@ -137,7 +137,9 @@ def make_pages_batch(batch: pa.Table, variant: str = "baseline",
             if to_hub[i]:
                 nav += '<a href="//hub.example.com/"></a>'
             nav += "</nav>"
-            htmls.append(render_html(title, body, nav))
+            head = ('<meta name="robots" content="noindex,nofollow">'
+                    if pid % 97 == 19 else "")
+            htmls.append(render_html(title, body, nav, head))
         if text_null[i]:
             out_texts.append(None)
         elif tampered[i]:
@@ -173,8 +175,10 @@ def pages_dataset(sf_dir: str, variant: str = "baseline", repeat: int = 1,
 # from older code can never be read by newer consumers (v2: <nav>
 # outlink anchors for the link-graph operators; v3: outlinks target
 # the source host namespace so the graph is closed — multi-hop
-# PageRank structure instead of an all-dangling bipartite graph)
-PAGES_FIXTURE_VERSION = 3
+# PageRank structure instead of an all-dangling bipartite graph;
+# v4: robots-noindex meta on id % 97 == 19 pages for the crawl
+# index-policy filter)
+PAGES_FIXTURE_VERSION = 4
 
 
 def synthesize_pages_parquet(sf_dir: str, out_dir: str, variant: str = "baseline",
