@@ -12798,3 +12798,185 @@ FROM agg ORDER BY lang
 
 def noindex_sql(sf_dir: str | None = None) -> str:
     return NOINDEX_SQL.format(pages_dir=_pages_dir_for(_oracle_sf(sf_dir)))
+
+
+# ---------------------------------------------------------------------------
+# Holt linear (double-exponential) one-step-ahead forecast backtest
+# over daily event volume — the capacity-planning primitive: level and
+# trend recursions (alpha=0.5, beta=0.2) walk the calendar; each day is
+# first PREDICTED from yesterday's (level, trend), then used to update.
+# Reports the per-day forecasts plus the backtest MAE over the
+# post-warmup days. Same scale shape as the SPC charts: ONE bounded
+# daily combiner shuffle, driver recursion mirrored op-for-op by a
+# recursive-CTE oracle (every literal forced to DOUBLE).
+# ---------------------------------------------------------------------------
+
+_HOLT_ALPHA = 0.5
+_HOLT_BETA = 0.2
+
+
+def holt_forecast_events(sf_dir: str) -> pa.Table:
+    rows = _daily_event_counts(sf_dir)
+    out = []
+    level = trend = None
+    abs_err_sum = 0  # exact integer-cents-free: errors are x - forecast
+    n_scored = 0
+    for i, r in enumerate(rows):
+        x = float(r["n"])
+        if i == 0:
+            level, trend, forecast = x, 0.0, None
+        else:
+            forecast = level + trend
+            new_level = _HOLT_ALPHA * x + (1.0 - _HOLT_ALPHA) * (level + trend)
+            trend = (_HOLT_BETA * (new_level - level)
+                     + (1.0 - _HOLT_BETA) * trend)
+            level = new_level
+        if forecast is not None and i >= 7:   # score after a 7-day warmup
+            abs_err_sum += abs(x - forecast)
+            n_scored += 1
+        out.append({"day": r["day"].strftime("%Y-%m-%d"), "n": int(r["n"]),
+                    "forecast": (None if forecast is None
+                                 else _round6(forecast)),
+                    "level": _round6(level), "trend": _round6(trend)})
+    mae = _round6(abs_err_sum / n_scored)
+    for o in out:
+        o["mae_post_warmup"] = mae
+    return pa.Table.from_pylist(out)
+
+
+HOLT_SQL = """
+WITH RECURSIVE d AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1),
+z AS (SELECT row_number() OVER (ORDER BY day) AS rn, day, n FROM d),
+walk AS (
+  SELECT rn, day, n, CAST(NULL AS DOUBLE) AS forecast,
+         CAST(n AS DOUBLE) AS level, CAST(0 AS DOUBLE) AS trend
+  FROM z WHERE rn = 1
+  UNION ALL
+  SELECT z.rn, z.day, z.n,
+         w.level + w.trend,
+         CAST(0.5 AS DOUBLE) * z.n
+           + CAST(0.5 AS DOUBLE) * (w.level + w.trend),
+         CAST(0.2 AS DOUBLE) * (CAST(0.5 AS DOUBLE) * z.n
+                                + CAST(0.5 AS DOUBLE) * (w.level + w.trend)
+                                - w.level)
+           + CAST(0.8 AS DOUBLE) * w.trend
+  FROM z JOIN walk w ON z.rn = w.rn + 1),
+mae AS (
+  SELECT sum(abs(n - forecast)) / count(*) AS m
+  FROM walk WHERE rn > 7 AND forecast IS NOT NULL)
+SELECT strftime(day, '%Y-%m-%d') AS day, n,
+       round(forecast, 6) AS forecast,
+       round(level, 6) AS level, round(trend, 6) AS trend,
+       round(mae.m, 6) AS mae_post_warmup
+FROM walk CROSS JOIN mae ORDER BY day
+"""
+
+
+# ---------------------------------------------------------------------------
+# First/last-touch conversion attribution: for each user's purchase,
+# credit the FIRST and the LAST non-purchase event type that preceded
+# it — the marketing-attribution primitive over event streams. Rides
+# the proven coarse hash(user)%P shuffle (every user's rows in one
+# partition, vectorized in-partition walk); output is the bounded
+# (touch_type, first_credits, last_credits) table. SQL oracle restates
+# both rules with window functions.
+# ---------------------------------------------------------------------------
+
+
+def attribution_events(sf_dir: str) -> pa.Table:
+    from ray.data.aggregate import Sum
+    from tanml_ray.stages.shuffle import with_coarse_partition
+
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts",
+                                  "event_type"])
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        # fully vectorized within-partition walk: block starts via
+        # cummax of change indices, last/first preceding non-purchase
+        # via segment cummax with a "leaked index < block start" guard
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        u = g["user_id"].to_numpy()
+        et = g["event_type"].to_numpy()
+        n = len(g)
+        empty = pd.DataFrame({
+            "touch_type": pd.Series([], dtype=object),
+            "first_credits": pd.Series([], dtype="int64"),
+            "last_credits": pd.Series([], dtype="int64")})
+        if n == 0:
+            return empty
+        idx = np.arange(n, dtype=np.int64)
+        user_change = np.empty(n, dtype=bool)
+        user_change[0] = True
+        user_change[1:] = u[1:] != u[:-1]
+        ustart = np.maximum.accumulate(np.where(user_change, idx, -1))
+        nonp = et != "purchase"
+        # last non-purchase at or before i (never i itself on purchase
+        # rows, which is exactly the strictly-before semantics there)
+        last_np = np.maximum.accumulate(np.where(nonp, idx, -1))
+        # block's FIRST non-purchase: mark the non-purchase rows that
+        # have no valid predecessor, then carry the mark forward
+        prev_last = np.empty(n, dtype=np.int64)
+        prev_last[0] = -1
+        prev_last[1:] = last_np[:-1]
+        is_first_np = nonp & (prev_last < ustart)
+        first_np = np.maximum.accumulate(np.where(is_first_np, idx, -1))
+        conv = (~nonp) & (first_np >= ustart)
+        if not conv.any():
+            return empty
+        df = pd.DataFrame({"first_t": et[first_np[conv]],
+                           "last_t": et[last_np[conv]]})
+        f = df.groupby("first_t").size()
+        last = df.groupby("last_t").size()
+        keys = sorted(set(f.index) | set(last.index))
+        return pd.DataFrame({
+            "touch_type": keys,
+            "first_credits": [int(f.get(k, 0)) for k in keys],
+            "last_credits": [int(last.get(k, 0)) for k in keys]})
+
+    rows = sorted(collect_pylist(
+        with_coarse_partition(ds, "user_id")
+        .groupby("__upart").map_groups(per_partition, batch_format="pandas")
+        .groupby("touch_type")
+        .aggregate(Sum("first_credits", alias_name="first_credits"),
+                   Sum("last_credits", alias_name="last_credits"))),
+        key=lambda r: r["touch_type"])
+    return pa.Table.from_pylist([{
+        "touch_type": r["touch_type"],
+        "first_credits": int(r["first_credits"]),
+        "last_credits": int(r["last_credits"])} for r in rows])
+
+
+ATTRIBUTION_SQL = """
+WITH o AS (
+  SELECT user_id, event_type, ts, event_id,
+         CAST(event_type = 'purchase' AS BIGINT) AS is_conv
+  FROM events),
+w AS (
+  SELECT user_id, event_type, is_conv,
+         -- first/last NON-purchase touch strictly before this event:
+         -- purchases do not reset or contribute to the touch chain
+         last_value(CASE WHEN is_conv = 0 THEN event_type END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS last_touch,
+         first_value(CASE WHEN is_conv = 0 THEN event_type END
+                     IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS first_touch
+  FROM o),
+conv AS (
+  SELECT first_touch, last_touch FROM w
+  WHERE is_conv = 1 AND first_touch IS NOT NULL),
+f AS (SELECT first_touch AS t, count(*) AS c FROM conv GROUP BY 1),
+l AS (SELECT last_touch AS t, count(*) AS c FROM conv GROUP BY 1),
+keys AS (SELECT t FROM f UNION SELECT t FROM l)
+SELECT keys.t AS touch_type,
+       CAST(coalesce(f.c, 0) AS BIGINT) AS first_credits,
+       CAST(coalesce(l.c, 0) AS BIGINT) AS last_credits
+FROM keys LEFT JOIN f ON f.t = keys.t LEFT JOIN l ON l.t = keys.t
+ORDER BY touch_type
+"""

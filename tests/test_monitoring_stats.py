@@ -424,3 +424,45 @@ def test_ridge_path_shrinks_coefficients(ray_session, tmp_path):
     # OLS leg recovers the planted structure
     assert rows[0]["coef_days"] == pytest.approx(3.0, abs=0.2)
     assert rows[0]["coef_cust"] == pytest.approx(2.0, abs=0.2)
+
+
+class TestForecastAttribution:
+    def test_holt_tracks_linear_trend(self, ray_session, tmp_path):
+        from tanml_ray.pipelines.queries import holt_forecast_events
+
+        rows = holt_forecast_events(
+            _daily(tmp_path, [100 + 10 * d for d in range(20)])).to_pylist()
+        # on a clean linear series the trend estimate converges to the
+        # true slope and forecasts become near-exact
+        assert rows[-1]["trend"] == pytest.approx(10.0, abs=1.0)
+        assert abs(rows[-1]["forecast"] - rows[-1]["n"]) < 3.0
+        assert rows[0]["forecast"] is None
+        assert rows[-1]["mae_post_warmup"] < 3.0
+
+    def test_attribution_first_vs_last_touch(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq2
+
+        from tanml_ray.pipelines.queries import attribution_events
+
+        # user 1: view -> click -> purchase  (first=view, last=click)
+        # user 2: purchase with no prior touch (no credit)
+        # user 3: signup -> purchase -> click -> purchase
+        #         (both purchases: first=signup; last=signup then click)
+        et = ["view", "click", "purchase",
+              "purchase",
+              "signup", "purchase", "click", "purchase"]
+        users = [1, 1, 1, 2, 3, 3, 3, 3]
+        ts = [EPOCH_DAY * DAY_US + i * HOUR_US for i in range(len(et))]
+        pq2.write_table(pa.table({
+            "event_id": pa.array(range(len(et)), type=pa.int64()),
+            "ts": pa.array(ts, type=pa.timestamp("us")),
+            "user_id": pa.array(users, type=pa.int64()),
+            "event_type": pa.array(et)}),
+            str(tmp_path / "events.parquet"))
+        rows = {r["touch_type"]: r for r in
+                attribution_events(str(tmp_path)).to_pylist()}
+        assert rows["view"]["first_credits"] == 1
+        assert rows["signup"]["first_credits"] == 2
+        assert rows["click"]["last_credits"] == 2
+        assert rows["signup"]["last_credits"] == 1
+        assert rows["view"]["last_credits"] == 0
