@@ -298,6 +298,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "noindex_filter_pages": q.noindex_filter_pages,
         "holt_forecast_events": q.holt_forecast_events,
         "attribution_events": q.attribution_events,
+        # Privacy-release family: k-anonymity/l-diversity audit and a
+        # deterministic-seed Laplace DP count release harness.
+        "k_anonymity_orders": q.k_anonymity_orders,
+        "dp_noisy_counts_events": q.dp_noisy_counts_events,
     }
 
 
@@ -527,6 +531,8 @@ def oracle_sql() -> dict[str, str]:
         "noindex_filter_pages": q.noindex_sql(),
         "holt_forecast_events": q.HOLT_SQL,
         "attribution_events": q.ATTRIBUTION_SQL,
+        "k_anonymity_orders": q.K_ANONYMITY_SQL,
+        "dp_noisy_counts_events": q.DP_NOISY_SQL,
         # converged-IRLS logistic CV / boosted stumps (iterative fits)
         # remain rows-only driver checks; verified in pytest instead.
     }

@@ -12980,3 +12980,142 @@ SELECT keys.t AS touch_type,
 FROM keys LEFT JOIN f ON f.t = keys.t LEFT JOIN l ON l.t = keys.t
 ORDER BY touch_type
 """
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity / l-diversity audit over the orders quasi-identifiers
+# (o_orderpriority, o_orderstatus, order year): the privacy-release
+# companion to the PII scan — how re-identifiable is a row, and how
+# diverse is the sensitive attribute (price band) within each
+# equivalence class? ONE bounded (QI, sensitive-band) value-count
+# shuffle (the QI grid is categorical-bounded); k/l/min/share math on
+# the driver grid.
+# ---------------------------------------------------------------------------
+
+_KANON_THRESHOLD = 5
+
+
+def k_anonymity_orders(sf_dir: str) -> pa.Table:
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_orderstatus",
+                                  "o_orderdate", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        year = pc.year(batch.column("o_orderdate")).to_numpy(
+            zero_copy_only=False)
+        band = (np.rint(batch.column("o_totalprice")
+                        .to_numpy(zero_copy_only=False) * 100)
+                .astype(np.int64) // 5_000_000)  # 50k-dollar bands
+        df = pd.DataFrame({
+            "pri": batch.column("o_orderpriority").to_pylist(),
+            "st": batch.column("o_orderstatus").to_pylist(),
+            "yr": year, "band": band})
+        return df.groupby(["pri", "st", "yr", "band"],
+                          as_index=False).agg(n=("yr", "size"))
+
+    cls: dict[tuple, dict[int, int]] = {}
+    for r in collect_pylist(
+            ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(["pri", "st", "yr", "band"])
+            .aggregate(Sum("n", alias_name="n"))):
+        key = (r["pri"], r["st"], int(r["yr"]))
+        cls.setdefault(key, {})[int(r["band"])] = int(r["n"])
+    sizes = {k: sum(v.values()) for k, v in cls.items()}
+    total = sum(sizes.values())
+    below = sum(s for s in sizes.values() if s < _KANON_THRESHOLD)
+    return pa.Table.from_pylist([{
+        "classes": len(cls),
+        "k_anonymity": min(sizes.values()),
+        "l_diversity": min(len(v) for v in cls.values()),
+        "rows_below_k5": below,
+        "share_below_k5": _round6(below / float(total))}])
+
+
+K_ANONYMITY_SQL = """
+WITH q AS (
+  SELECT o_orderpriority AS pri, o_orderstatus AS st,
+         CAST(year(o_orderdate) AS BIGINT) AS yr,
+         CAST(round(o_totalprice * 100) AS BIGINT) // 5000000 AS band
+  FROM orders),
+cls AS (
+  SELECT pri, st, yr, CAST(count(*) AS BIGINT) AS size,
+         CAST(count(DISTINCT band) AS BIGINT) AS l
+  FROM q GROUP BY pri, st, yr)
+SELECT CAST(count(*) AS BIGINT) AS classes,
+       CAST(min(size) AS BIGINT) AS k_anonymity,
+       CAST(min(l) AS BIGINT) AS l_diversity,
+       CAST(coalesce(sum(size) FILTER (WHERE size < 5), 0) AS BIGINT)
+         AS rows_below_k5,
+       round(coalesce(sum(size) FILTER (WHERE size < 5), 0)
+             / CAST(sum(size) AS DOUBLE), 6) AS share_below_k5
+FROM cls
+"""
+
+
+# ---------------------------------------------------------------------------
+# Differentially-private count release (Laplace mechanism, eps = 0.1,
+# sensitivity 1) over per-event-type counts — the privacy-release
+# mechanism demo: noise is drawn from the Laplace inverse CDF applied
+# to a DETERMINISTIC md5(seed:type) uniform, so the full release is
+# reproducible and SQL-oracled. The deterministic seed makes this a
+# mechanism TEST HARNESS, not a production DP release (documented: a
+# real release needs a fresh secret seed per publication); the noise
+# magnitude, clamping and rounding are exactly the production shape.
+# ---------------------------------------------------------------------------
+
+_DP_EPS = 0.1
+_DP_SEED = 42
+
+
+def dp_noisy_counts_events(sf_dir: str) -> pa.Table:
+    import hashlib
+    import math
+
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["event_type"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        return (pd.DataFrame({"event_type":
+                              batch.column("event_type").to_pylist()})
+                .groupby("event_type", as_index=False)
+                .agg(n=("event_type", "size")))
+
+    rows = sorted(collect_pylist(
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type").aggregate(Sum("n", alias_name="n"))),
+        key=lambda r: r["event_type"])
+    b = 1.0 / _DP_EPS
+    out = []
+    for r in rows:
+        h = int.from_bytes(hashlib.md5(
+            f"{_DP_SEED}:{r['event_type']}".encode()).digest()[8:],
+            "little")
+        u = ((h >> 11) + 0.5) / 9007199254740992.0
+        noise = -b * math.copysign(1.0, u - 0.5) \
+            * math.log(1.0 - 2.0 * abs(u - 0.5))
+        out.append({"event_type": r["event_type"], "true_n": int(r["n"]),
+                    "noisy_n": int(max(0.0, np.floor(r["n"] + noise
+                                                     + 0.5)))})
+    return pa.Table.from_pylist(out)
+
+
+DP_NOISY_SQL = f"""
+WITH c AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS true_n
+  FROM events GROUP BY 1),
+u AS (
+  SELECT event_type, true_n,
+         ((md5_number_lower('{_DP_SEED}:' || event_type) >> 11) + 0.5)
+           / 9007199254740992.0 AS u
+  FROM c),
+noise AS (
+  SELECT event_type, true_n,
+         -(1.0 / {_DP_EPS}) * (CASE WHEN u >= 0.5 THEN 1.0 ELSE -1.0 END)
+           * ln(1.0 - 2.0 * abs(u - 0.5)) AS eta
+  FROM u)
+SELECT event_type, true_n,
+       CAST(greatest(0.0, floor(true_n + eta + 0.5)) AS BIGINT) AS noisy_n
+FROM noise ORDER BY event_type
+"""

@@ -466,3 +466,47 @@ class TestForecastAttribution:
         assert rows["click"]["last_credits"] == 2
         assert rows["signup"]["last_credits"] == 1
         assert rows["view"]["last_credits"] == 0
+
+
+class TestPrivacyFamily:
+    def test_k_anonymity_detects_singleton_class(self, ray_session,
+                                                 tmp_path):
+        import pyarrow.parquet as pq2
+
+        from tanml_ray.pipelines.queries import k_anonymity_orders
+
+        n = 40
+        pri = ["1-URGENT"] * 20 + ["2-HIGH"] * 19 + ["5-LOW"] * 1
+        pq2.write_table(pa.table({
+            "o_orderpriority": pa.array(pri),
+            "o_orderstatus": pa.array(["O"] * n),
+            "o_orderdate": pa.array([EPOCH_DAY * DAY_US] * n,
+                                    type=pa.timestamp("us")),
+            "o_totalprice": pa.array([100.0 + i for i in range(n)],
+                                     type=pa.float64())}),
+            str(tmp_path / "orders.parquet"))
+        out = k_anonymity_orders(str(tmp_path)).to_pylist()[0]
+        assert out["classes"] == 3
+        assert out["k_anonymity"] == 1          # the 5-LOW singleton
+        assert out["rows_below_k5"] == 1
+        assert out["l_diversity"] == 1          # all in one price band
+
+    def test_dp_noise_bounded_and_deterministic(self, ray_session,
+                                                tmp_path):
+        import pyarrow.parquet as pq2
+
+        from tanml_ray.pipelines.queries import dp_noisy_counts_events
+
+        et = (["view"] * 1000 + ["click"] * 500)
+        pq2.write_table(pa.table({
+            "ts": pa.array([EPOCH_DAY * DAY_US + i for i in range(1500)],
+                           type=pa.timestamp("us")),
+            "event_type": pa.array(et)}),
+            str(tmp_path / "events.parquet"))
+        a = dp_noisy_counts_events(str(tmp_path)).to_pylist()
+        b = dp_noisy_counts_events(str(tmp_path)).to_pylist()
+        assert a == b                            # deterministic seed
+        for r in a:
+            # Laplace(b=10): |noise| < 100 with overwhelming odds
+            assert abs(r["noisy_n"] - r["true_n"]) < 100
+            assert r["noisy_n"] != r["true_n"] or r["true_n"] == 0
