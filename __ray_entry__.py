@@ -302,6 +302,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # deterministic-seed Laplace DP count release harness.
         "k_anonymity_orders": q.k_anonymity_orders,
         "dp_noisy_counts_events": q.dp_noisy_counts_events,
+        # Denoising-objective preprocessing: deterministic single-span
+        # T5 corruption pairs.
+        "span_corruption_documents": q.span_corruption_documents,
     }
 
 
@@ -533,6 +536,7 @@ def oracle_sql() -> dict[str, str]:
         "attribution_events": q.ATTRIBUTION_SQL,
         "k_anonymity_orders": q.K_ANONYMITY_SQL,
         "dp_noisy_counts_events": q.DP_NOISY_SQL,
+        "span_corruption_documents": q.SPAN_CORRUPTION_SQL,
         # converged-IRLS logistic CV / boosted stumps (iterative fits)
         # remain rows-only driver checks; verified in pytest instead.
     }

@@ -13119,3 +13119,79 @@ SELECT event_type, true_n,
        CAST(greatest(0.0, floor(true_n + eta + 0.5)) AS BIGINT) AS noisy_n
 FROM noise ORDER BY event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# T5-style span corruption (single-span variant): mask a deterministic
+# 3-token span per document, emitting (input_text with sentinel,
+# target_text) training pairs — the denoising-objective preprocessing
+# step of encoder-decoder LLM pipelines. Span position is
+# md5(doc_id:span) mod (n-3), so the whole transform is a pure per-row
+# function (stateless map_batches, no shuffle at all) that DuckDB
+# replays exactly; string assembly mirrors the SQL '' || concat
+# semantics verbatim (leading/trailing spaces when a side is empty are
+# part of the contract, not trimmed).
+# ---------------------------------------------------------------------------
+
+_SPAN_LEN = 3
+
+
+def span_corruption_documents(sf_dir: str) -> pa.Table:
+    import hashlib
+    import re
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    tok_re = re.compile(r"\S+")
+
+    def corrupt(batch: pa.Table) -> pa.Table:
+        tbl = batch.filter(pc.is_valid(batch.column("text")))
+        ids = tbl.column("doc_id").to_numpy(zero_copy_only=False)
+        out_id, out_n, out_st, out_in, out_tg = [], [], [], [], []
+        for did, text in zip(ids, tbl.column("text").to_pylist()):
+            ws = tok_re.findall(text)
+            n = len(ws)
+            if n == 0:
+                continue
+            h = int.from_bytes(hashlib.md5(
+                f"{did}:span".encode()).digest()[8:], "little")
+            st = 1 + h % max(n - _SPAN_LEN, 1)
+            left = " ".join(ws[:st - 1])
+            right = " ".join(ws[st + _SPAN_LEN - 1:])
+            out_id.append(int(did))
+            out_n.append(n)
+            out_st.append(st)
+            out_in.append(left + " <extra_id_0> " + right)
+            out_tg.append("<extra_id_0> "
+                          + " ".join(ws[st - 1:st + _SPAN_LEN - 1]))
+        return pa.table({
+            "doc_id": pa.array(out_id, type=pa.int64()),
+            "n_tokens": pa.array(out_n, type=pa.int64()),
+            "span_start": pa.array(out_st, type=pa.int64()),
+            "input_text": pa.array(out_in, type=pa.string()),
+            "target_text": pa.array(out_tg, type=pa.string())})
+
+    rows = sorted(collect_pylist(
+        ds.map_batches(corrupt, batch_format="pyarrow")),
+        key=lambda r: r["doc_id"])
+    return pa.Table.from_pylist(rows)
+
+
+SPAN_CORRUPTION_SQL = r"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS ws
+  FROM documents WHERE text IS NOT NULL),
+s AS (
+  SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS n,
+         1 + CAST(md5_number_lower(CAST(doc_id AS VARCHAR) || ':span')
+                  % CAST(greatest(len(ws) - 3, 1) AS HUGEINT) AS BIGINT)
+           AS st
+  FROM t WHERE len(ws) > 0)
+SELECT doc_id, n AS n_tokens, st AS span_start,
+       coalesce(array_to_string(list_slice(ws, 1, st - 1), ' '), '')
+         || ' <extra_id_0> '
+         || coalesce(array_to_string(list_slice(ws, st + 3, n), ' '), '')
+         AS input_text,
+       '<extra_id_0> ' || array_to_string(list_slice(ws, st, st + 2), ' ')
+         AS target_text
+FROM s ORDER BY doc_id
+"""
