@@ -305,6 +305,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Denoising-objective preprocessing: deterministic single-span
         # T5 corruption pairs.
         "span_corruption_documents": q.span_corruption_documents,
+        "fuzzy_resolve_documents": q.fuzzy_resolve_documents,
     }
 
 
@@ -537,6 +538,7 @@ def oracle_sql() -> dict[str, str]:
         "k_anonymity_orders": q.K_ANONYMITY_SQL,
         "dp_noisy_counts_events": q.DP_NOISY_SQL,
         "span_corruption_documents": q.SPAN_CORRUPTION_SQL,
+        "fuzzy_resolve_documents": q.FUZZY_RESOLVE_SQL,
         # converged-IRLS logistic CV / boosted stumps (iterative fits)
         # remain rows-only driver checks; verified in pytest instead.
     }

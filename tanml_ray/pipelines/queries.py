@@ -13195,3 +13195,61 @@ SELECT doc_id, n AS n_tokens, st AS span_start,
          AS target_text
 FROM s ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Entity resolution end-to-end: fuzzy_match_documents' Levenshtein
+# pair graph → connected components → canonical clusters (min doc_id
+# roots, component sizes) — the merge step of record linkage. The pair
+# list is output-bounded by the blocking budget guard, so components
+# resolve with a driver union-find here; the DISTRIBUTED min-label CC
+# (dedup.py dup_components) is the path when the pair graph itself is
+# web-scale. The SQL oracle recomputes the pairs and takes each node's
+# minimum transitively-reachable id via a recursive closure.
+# ---------------------------------------------------------------------------
+
+
+def fuzzy_resolve_documents(sf_dir: str) -> pa.Table:
+    pairs = fuzzy_match_documents(sf_dir).to_pylist()
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for p in pairs:
+        ra, rb = find(int(p["doc_id_a"])), find(int(p["doc_id_b"]))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp: dict[int, int] = {}
+    for node in parent:
+        comp[find(node)] = comp.get(find(node), 0) + 1
+    return pa.Table.from_pylist([
+        {"canonical_id": root, "size": comp[root]}
+        for root in sorted(comp)])
+
+
+FUZZY_RESOLVE_SQL = """
+WITH RECURSIVE d AS (
+  SELECT doc_id, lang || chr(31) || substr(text, 1, 2) AS block,
+         substr(text, 1, 40) AS pre
+  FROM documents WHERE text IS NOT NULL),
+pairs AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib
+  FROM d a JOIN d b ON a.block = b.block AND a.doc_id < b.doc_id
+  WHERE levenshtein(a.pre, b.pre) <= 4),
+e AS (
+  SELECT ia AS a, ib AS b FROM pairs
+  UNION
+  SELECT ib, ia FROM pairs),
+reach AS (
+  SELECT a, b FROM e
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+lab AS (
+  SELECT a AS node, least(a, min(b)) AS root FROM reach GROUP BY a)
+SELECT root AS canonical_id, CAST(count(*) AS BIGINT) AS size
+FROM lab GROUP BY root ORDER BY root
+"""
