@@ -73,7 +73,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # 2x2-eigen SQL oracle); LSH-knn moved below the marker — it
         # shares KNN_SQL with the exact scan and IVF stays in-window.
         "pca_project_embeddings": q.pca_project_embeddings,
-        "knn_cosine_ivf_embeddings": q.knn_cosine_ivf_embeddings,
+        "bootstrap_mean_quantity": q.bootstrap_mean_quantity,
         "join_orders_customer_broadcast": q.join_orders_customer_broadcast,
         "join_lineitem_orders_partitioned": q.join_lineitem_orders_partitioned,
         "asof_join_events": q.asof_join_events,
@@ -95,7 +95,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unigram_lm_ppl_documents": q.unigram_lm_ppl_documents,
         "dsir_weights_documents": q.dsir_weights_documents,
         "ngram_contamination_documents": q.ngram_contamination_documents,
-        "bpe_token_counts_documents": q.bpe_token_counts_documents,
+        "link_graph_pages": q.link_graph_pages,
         "pack_windows_documents": q.pack_windows_documents,
         "corpus_datacard_documents": q.corpus_datacard_documents,
         "domain_stats_documents": q.domain_stats_documents,
@@ -107,17 +107,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the coarse-partition event suite keeps 4 in-window reps.
         "poisson_step_lineitem": q.poisson_step_lineitem,
         "user_sessions_events": q.user_sessions_events,
-        "grouped_psi_events": q.grouped_psi_events,
+        "attribution_events": q.attribution_events,
         "mean_impute_quantity": q.mean_impute_quantity,
         "knn_impute_quantity": q.knn_impute_quantity,
         "classification_metrics_orders": q.classification_metrics_orders,
         "onehot_orderpriority": q.onehot_orderpriority,
-        "kendall_lineitem": q.kendall_lineitem,
+        "fuzzy_match_documents": q.fuzzy_match_documents,
         "linear_shap_orders": q.linear_shap_orders,
-        "kernel_shap_orders": q.kernel_shap_orders,
+        "mahalanobis_outliers_lineitem": q.mahalanobis_outliers_lineitem,
         "permutation_importance_orders": q.permutation_importance_orders,
         "spearman_lineitem": q.spearman_lineitem,
         # ---- beyond the driver window ----
+        "kendall_lineitem": q.kendall_lineitem,
+        "kernel_shap_orders": q.kernel_shap_orders,
+        "knn_cosine_ivf_embeddings": q.knn_cosine_ivf_embeddings,
+        "bpe_token_counts_documents": q.bpe_token_counts_documents,
+        "grouped_psi_events": q.grouped_psi_events,
         "interval_window_events": q.interval_window_events,
         "band_join_pairs_events": q.band_join_pairs_events,
         "pagerank_event_types": q.pagerank_event_types,
@@ -264,7 +269,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kruskal_quantity_returnflag": q.kruskal_quantity_returnflag,
         "km_ship_delay_orders": q.km_ship_delay_orders,
         "acf_daily_events": q.acf_daily_events,
-        "fuzzy_match_documents": q.fuzzy_match_documents,
         # SPC / time-series monitoring family completion: Benford
         # digit audit, CUSUM + EWMA control charts, Theil-Sen robust
         # trend, day-of-week seasonality index.
@@ -275,7 +279,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dow_seasonality_events": q.dow_seasonality_events,
         # Joint-distribution outlier audit, feed coverage audit, and
         # per-language readability scoring.
-        "mahalanobis_outliers_lineitem": q.mahalanobis_outliers_lineitem,
         "coverage_gaps_events": q.coverage_gaps_events,
         "readability_ari_documents": q.readability_ari_documents,
         # Statistical-testing family completion: randomness, serial
@@ -288,16 +291,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             q.effect_size_quantity_returnflag,
         # Robust / resampling inference: one-pass Poisson bootstrap SE
         # and exact grid trimmed/winsorized means.
-        "bootstrap_mean_quantity": q.bootstrap_mean_quantity,
         "trimmed_mean_quantity": q.trimmed_mean_quantity,
         # Web link graph over the v2 pages fixture (<nav> outlinks):
         # per-destination in-degree profile + out-degree histogram.
-        "link_graph_pages": q.link_graph_pages,
         "out_degree_profile_pages": q.out_degree_profile_pages,
         "pagerank_link_graph_pages": q.pagerank_link_graph_pages,
         "noindex_filter_pages": q.noindex_filter_pages,
         "holt_forecast_events": q.holt_forecast_events,
-        "attribution_events": q.attribution_events,
         # Privacy-release family: k-anonymity/l-diversity audit and a
         # deterministic-seed Laplace DP count release harness.
         "k_anonymity_orders": q.k_anonymity_orders,

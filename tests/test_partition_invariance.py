@@ -87,6 +87,22 @@ QUERIES = [
     "readability_ari_documents",
     "coverage_gaps_events",
     "dow_seasonality_events",
+    # session-7 continued: forecasting, attribution, privacy, robust
+    # inference, training-pair generation, entity resolution, and the
+    # link-graph family (pages fixture is itself partition-derived, so
+    # these exercise the html-parse combiners under resharding)
+    "holt_forecast_events",
+    "attribution_events",
+    "k_anonymity_orders",
+    "dp_noisy_counts_events",
+    "bootstrap_mean_quantity",
+    "trimmed_mean_quantity",
+    "span_corruption_documents",
+    "fuzzy_resolve_documents",
+    "link_graph_pages",
+    "out_degree_profile_pages",
+    "pagerank_link_graph_pages",
+    "noindex_filter_pages",
 ]
 
 
