@@ -118,6 +118,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "permutation_importance_orders": q.permutation_importance_orders,
         "spearman_lineitem": q.spearman_lineitem,
         # ---- beyond the driver window ----
+        "weekly_active_users_hll_events": q.weekly_active_users_hll_events,
         "kendall_lineitem": q.kendall_lineitem,
         "kernel_shap_orders": q.kernel_shap_orders,
         "knn_cosine_ivf_embeddings": q.knn_cosine_ivf_embeddings,
@@ -408,6 +409,7 @@ def oracle_sql() -> dict[str, str]:
         "linear_cv_repeated_summary_orders": q.LINEAR_CV_REPEATED_SUMMARY_SQL,
         "daily_active_users_events": q.DAU_SQL,
         "daily_active_users_hll_events": q.DAU_HLL_SQL,
+        "weekly_active_users_hll_events": q.WEEKLY_HLL_SQL,
         "pivot_priority_status_orders": q.PIVOT_SQL,
         "price_quantiles_by_priority": q.GROUP_QUANTILES_SQL,
         "gopher_quality_documents": q.GOPHER_QUALITY_SQL,

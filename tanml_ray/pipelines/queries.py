@@ -409,7 +409,8 @@ FROM events GROUP BY 1 ORDER BY 1
 """
 
 
-def daily_active_users_hll_events(sf_dir: str) -> pa.Table:
+def _active_users_hll(sf_dir: str, unit: str, time_col: str,
+                      val_col: str) -> pa.Table:
     """The SKETCH-based scale path beside daily_active_users_events:
     per-batch HLL register partials per day (one 2^p-byte blob per
     (batch, day) — never user ids) merge under one bounded
@@ -436,7 +437,7 @@ def daily_active_users_hll_events(sf_dir: str) -> pa.Table:
     WBITS = 64 - P  # 52: frexp-exact (< 2^53)
 
     def partial(batch: pa.Table) -> pd.DataFrame:
-        day = pc.floor_temporal(batch.column("ts"), unit="day") \
+        day = pc.floor_temporal(batch.column("ts"), unit=unit) \
             .to_numpy(zero_copy_only=False)
         uid = batch.column("user_id").to_numpy(zero_copy_only=False)
         uniq, inv = np.unique(uid, return_inverse=True)
@@ -470,14 +471,27 @@ def daily_active_users_hll_events(sf_dir: str) -> pa.Table:
         v = int(cnt[0])
         est = M * math.log(M / v) if (raw <= 2.5 * M and v > 0) else raw
         return pd.DataFrame([{"day": g["day"].iloc[0],
-                              "dau_approx": float(est)}])
+                              val_col: float(est)}])
 
     agg = (ds.map_batches(partial, batch_format="pyarrow")
            .groupby("day").map_groups(merge_day, batch_format="pandas"))
-    rows = [{"day": pd.Timestamp(r["day"]), "dau_approx": r["dau_approx"]}
+    rows = [{time_col: pd.Timestamp(r["day"]), val_col: r[val_col]}
             for r in collect_pylist(agg)]
-    rows.sort(key=lambda r: r["day"])
+    rows.sort(key=lambda r: r[time_col])
     return pa.Table.from_pylist(rows)
+
+
+def daily_active_users_hll_events(sf_dir: str) -> pa.Table:
+    return _active_users_hll(sf_dir, "day", "day", "dau_approx")
+
+
+def weekly_active_users_hll_events(sf_dir: str) -> pa.Table:
+    """Weekly active users from the SAME HLL machinery — the register
+    MAX is associative and order-free, so coarsening the time bucket is
+    just a different groupby key; at 10^12 rows the weekly estimate
+    still ships ~4 KB per (block, week). Oracle: DAU_HLL_SQL with the
+    week truncation (WEEKLY_HLL_SQL below)."""
+    return _active_users_hll(sf_dir, "week", "week", "wau_approx")
 
 
 # The HLL estimator replayed in pure SQL: identical md5 hashes,
@@ -519,6 +533,14 @@ SELECT day,
             ELSE raw END AS dau_approx
 FROM est ORDER BY day
 """
+
+WEEKLY_HLL_SQL = (DAU_HLL_SQL
+                  .replace("date_trunc('day', ts)", "date_trunc('week', ts)")
+                  .replace(" AS day", " AS week")
+                  .replace("SELECT day", "SELECT week")
+                  .replace("GROUP BY day", "GROUP BY week")
+                  .replace("ORDER BY day", "ORDER BY week")
+                  .replace("dau_approx", "wau_approx"))
 
 
 def price_quantiles_by_priority(sf_dir: str) -> pa.Table:
