@@ -118,6 +118,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "permutation_importance_orders": q.permutation_importance_orders,
         "spearman_lineitem": q.spearman_lineitem,
         # ---- beyond the driver window ----
+        "decision_stump_orders": q.decision_stump_orders,
         "weekly_active_users_hll_events": q.weekly_active_users_hll_events,
         "kendall_lineitem": q.kendall_lineitem,
         "kernel_shap_orders": q.kernel_shap_orders,
@@ -540,6 +541,7 @@ def oracle_sql() -> dict[str, str]:
         "k_anonymity_orders": q.K_ANONYMITY_SQL,
         "dp_noisy_counts_events": q.DP_NOISY_SQL,
         "span_corruption_documents": q.SPAN_CORRUPTION_SQL,
+        "decision_stump_orders": q.DECISION_STUMP_SQL,
         "fuzzy_resolve_documents": q.FUZZY_RESOLVE_SQL,
         # converged-IRLS logistic CV / boosted stumps (iterative fits)
         # remain rows-only driver checks; verified in pytest instead.

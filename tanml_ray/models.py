@@ -332,3 +332,85 @@ def _fit_kmeans(ds, x_cols, y_col=None, k: int = 8, max_iter: int = 20):
     model = _KMeansModel(centers)
     model.fit_info = {"k": k, "centers": centers.tolist()}
     return model
+
+
+class StumpModel:
+    """Depth-1 decision tree (CART stump): predict by one integer
+    threshold rule; labels are the training majority of each side."""
+
+    def __init__(self, feature_idx: int, threshold: int,
+                 left_label: int, right_label: int):
+        self.feature_idx = int(feature_idx)
+        self.threshold = int(threshold)
+        self.left_label = int(left_label)
+        self.right_label = int(right_label)
+
+    def predict(self, X: np.ndarray) -> np.ndarray:
+        X = np.asarray(X)
+        return np.where(X[:, self.feature_idx] <= self.threshold,
+                        self.left_label, self.right_label).astype(np.float64)
+
+
+def cart_stump_fit(ds, x_cols: list[str], y_col: str) -> dict:
+    """Exact-integer depth-1 CART: ONE combiner pass reduces the corpus
+    to per-(feature, value, class) counts (features must live on
+    BOUNDED integer grids — bucket continuous columns in the derive);
+    the best split minimizes the exact INTEGER misclassification count
+    with a (errors, feature, threshold) tiebreak, so selection can
+    never flip on a float ulp between engine and SQL oracle."""
+    import pandas as pd
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    from tanml_ray.functions.collect import collect_pylist
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        y = np.asarray(batch.column(y_col).to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        frames = []
+        for f in x_cols:
+            v = np.asarray(batch.column(f).to_numpy(zero_copy_only=False),
+                           dtype=np.int64)
+            df = pd.DataFrame({"f": f, "v": v, "y": y})
+            frames.append(df.groupby(["f", "v", "y"], as_index=False)
+                          .agg(n=("y", "size")))
+        return pd.concat(frames, ignore_index=True)
+
+    grid: dict[str, dict[int, list[int]]] = {f: {} for f in x_cols}
+    for r in collect_pylist(
+            ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(["f", "v", "y"]).aggregate(Sum("n", alias_name="n"))):
+        cell = grid[r["f"]].setdefault(int(r["v"]), [0, 0])
+        cell[int(r["y"])] += int(r["n"])
+
+    best = None   # (errors, feature, threshold, left_label, right_label)
+    # class totals are feature-independent: read them off one grid
+    a_total = sum(c[1] for c in grid[x_cols[0]].values())
+    n_total = sum(c[0] + c[1] for c in grid[x_cols[0]].values())
+    for f in x_cols:
+        vals = sorted(grid[f])
+        al = bl = 0
+        for v in vals:
+            bl += grid[f][v][0]
+            al += grid[f][v][1]
+            ar = a_total - al
+            br = (n_total - a_total) - bl
+            errors = (al + bl - max(al, bl)) + (ar + br - max(ar, br))
+            key = (errors, f, v)
+            if best is None or key < best[:3]:
+                best = (errors, f, v,
+                        1 if al >= bl else 0, 1 if ar >= br else 0)
+    errors, f, v, ll, rl = best
+    return {"feature": f, "feature_idx": x_cols.index(f), "threshold": v,
+            "errors": errors, "n": n_total,
+            "train_acc": float(n_total - errors) / n_total,
+            "left_label": ll, "right_label": rl}
+
+
+@ESTIMATORS.register("cart_stump", task="classification")
+def _fit_cart_stump(ds, x_cols, y_col):
+    out = cart_stump_fit(ds, x_cols, y_col)
+    model = StumpModel(out["feature_idx"], out["threshold"],
+                       out["left_label"], out["right_label"])
+    model.fit_info = out
+    return model

@@ -13275,3 +13275,73 @@ lab AS (
 SELECT root AS canonical_id, CAST(count(*) AS BIGINT) AS size
 FROM lab GROUP BY root ORDER BY root
 """
+
+
+# ---------------------------------------------------------------------------
+# Depth-1 CART decision stump (11th estimator family, models.py
+# cart_stump): best single (feature, threshold) split over the bucketed
+# orders features by exact INTEGER misclassification count — the split
+# search reduces to one (feature, value, class) combiner shuffle and a
+# cumulative walk, and the (errors, feature, threshold) integer
+# ordering makes the selected split ulp-proof between engine and SQL.
+# ---------------------------------------------------------------------------
+
+
+def decision_stump_orders(sf_dir: str) -> pa.Table:
+    from tanml_ray.models import cart_stump_fit
+
+    ds = _orders_lda_features(sf_dir)
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "cust_c": pc.divide(batch.column("x2"), 100),
+            "price_k": pc.divide(batch.column("x1"), 1000),
+            "y": batch.column("y")})
+
+    out = cart_stump_fit(ds.map_batches(bucket, batch_format="pyarrow"),
+                         ["cust_c", "price_k"], "y")
+    return pa.Table.from_pylist([{
+        "feature": out["feature"], "threshold": out["threshold"],
+        "errors": out["errors"], "n": out["n"],
+        "train_acc": _round6(out["train_acc"]),
+        "left_label": out["left_label"],
+        "right_label": out["right_label"]}])
+
+
+DECISION_STUMP_SQL = """
+WITH src AS (
+  SELECT CAST(o_custkey AS BIGINT) // 100 AS cust_c,
+         CAST(floor(o_totalprice) AS BIGINT) // 1000 AS price_k,
+         CAST(o_orderpriority IN ('1-URGENT', '2-HIGH') AS BIGINT) AS y
+  FROM orders),
+tot AS (
+  SELECT CAST(sum(y) AS BIGINT) AS a, CAST(count(*) AS BIGINT) AS n
+  FROM src),
+g AS (
+  SELECT 'cust_c' AS f, cust_c AS v, CAST(sum(y) AS BIGINT) AS a,
+         CAST(count(*) - sum(y) AS BIGINT) AS b
+  FROM src GROUP BY 2
+  UNION ALL
+  SELECT 'price_k', price_k, CAST(sum(y) AS BIGINT),
+         CAST(count(*) - sum(y) AS BIGINT)
+  FROM src GROUP BY 2),
+w AS (
+  SELECT f, v,
+         sum(a) OVER (PARTITION BY f ORDER BY v) AS al,
+         sum(b) OVER (PARTITION BY f ORDER BY v) AS bl
+  FROM g),
+e AS (
+  SELECT f, v, al, bl, tot.a - al AS ar, (tot.n - tot.a) - bl AS br,
+         tot.n AS n
+  FROM w CROSS JOIN tot)
+SELECT f AS feature, CAST(v AS BIGINT) AS threshold,
+       CAST((al + bl - greatest(al, bl))
+            + (ar + br - greatest(ar, br)) AS BIGINT) AS errors,
+       n,
+       round((n - ((al + bl - greatest(al, bl))
+                   + (ar + br - greatest(ar, br))))
+             / CAST(n AS DOUBLE), 6) AS train_acc,
+       CAST(al >= bl AS BIGINT) AS left_label,
+       CAST(ar >= br AS BIGINT) AS right_label
+FROM e ORDER BY errors, feature, threshold LIMIT 1
+"""

@@ -61,7 +61,8 @@ class TestEstimatorRegistry:
     def test_fit_and_predict_each_family(self):
         from tanml_ray.models import ESTIMATORS
 
-        assert ESTIMATORS.list_names() == ["boosted_stumps", "gaussian_nb",
+        assert ESTIMATORS.list_names() == ["boosted_stumps", "cart_stump",
+                                           "gaussian_nb",
                                            "kmeans_lloyd", "knn_classifier",
                                            "lda_closed_form",
                                            "linear_closed_form",
@@ -428,3 +429,38 @@ class TestLDAAndKnn:
         # class-mean probes vote overwhelmingly for their own class
         assert m.predict(mu1[None, :])[0] > 0.5
         assert m.predict(mu0[None, :])[0] < 0.5
+
+
+class TestCartStump:
+    def test_finds_planted_split_exactly(self, ray_session):
+        from tanml_ray.models import ESTIMATORS
+
+        n = 2000
+        f1 = np.arange(n) % 10                 # signal: y = f1 >= 6
+        f2 = (np.arange(n) * 7) % 13           # noise
+        y = (f1 >= 6).astype(np.int64)
+        t = pa.table({"f1": pa.array(f1, type=pa.int64()),
+                      "f2": pa.array(f2, type=pa.int64()),
+                      "y": pa.array(y, type=pa.int64())})
+        m = ESTIMATORS.fit("cart_stump", _ds(t), ["f1", "f2"], "y")
+        assert m.fit_info["feature"] == "f1"
+        assert m.fit_info["threshold"] == 5
+        assert m.fit_info["errors"] == 0
+        assert m.fit_info["train_acc"] == 1.0
+        pred = m.predict(np.array([[3, 0], [8, 0]]))
+        assert pred.tolist() == [0.0, 1.0]
+
+    def test_tiebreak_is_deterministic(self, ray_session):
+        from tanml_ray.models import ESTIMATORS
+
+        # two identical features -> identical error curves; the
+        # (errors, feature, threshold) tiebreak must pick the
+        # lexicographically first feature and smallest threshold
+        v = np.arange(100) % 4
+        y = (v >= 2).astype(np.int64)
+        t = pa.table({"b_feat": pa.array(v, type=pa.int64()),
+                      "a_feat": pa.array(v, type=pa.int64()),
+                      "y": pa.array(y, type=pa.int64())})
+        m = ESTIMATORS.fit("cart_stump", _ds(t), ["b_feat", "a_feat"], "y")
+        assert m.fit_info["feature"] == "a_feat"
+        assert m.fit_info["threshold"] == 1
