@@ -314,15 +314,18 @@ def logistic_cv(ds, x_cols: list[str], y_col: str, key_col: str,
 
 def model_benchmark(ds, x_cols: list[str], y_col: str, key_col: str,
                     k: int = 5, with_trees: bool = True,
-                    tree_rounds: int = 10, with_nb: bool = True) -> pa.Table:
+                    tree_rounds: int = 10, with_nb: bool = True,
+                    with_stump: bool = True) -> pa.Table:
     """Per-(model, fold) benchmark table on identical folds and label —
-    (model, fold, n_test, auc, accuracy). Four estimator families:
+    (model, fold, n_test, auc, accuracy). Five estimator families:
     IRLS logistic, closed-form univariate linear, (with_trees)
-    histogram boosted stumps (mlops.boosted_stumps_fit), and (with_nb)
-    one-pass Gaussian Naive Bayes (mlops.gaussian_nb_fit) — the
-    reference benchmarking tab's linear/GLM/tree/NB spread
-    (models/registry.py:34-411, ui evaluation benchmarking tab)
-    rebuilt on the library-free families of models.ESTIMATORS."""
+    histogram boosted stumps (mlops.boosted_stumps_fit), (with_nb)
+    one-pass Gaussian Naive Bayes (mlops.gaussian_nb_fit), and
+    (with_stump) the exact-integer depth-1 CART (models.cart_stump
+    over a quantized feature grid) — the reference benchmarking tab's
+    linear/GLM/tree/NB spread (models/registry.py:34-411, ui
+    evaluation benchmarking tab) rebuilt on the library-free families
+    of models.ESTIMATORS."""
     from tanml_ray.pipelines.metrics import auc_exact
     from tanml_ray.pipelines.ranking import _suff_stats
 
@@ -468,6 +471,65 @@ def model_benchmark(ds, x_cols: list[str], y_col: str, key_col: str,
                 n += r["n"]
                 hit += r["hit"]
             out_rows.append({"model": "gaussian_nb", "fold": f,
+                             "n_test": n, "auc": round(float(auc), 6),
+                             "accuracy": round(hit / n, 6)
+                             if n else float("nan")})
+
+    if with_stump:
+        from tanml_ray.models import ESTIMATORS
+
+        grid_scale = 50  # quantize floats to a bounded integer grid
+
+        def to_grid(batch: pa.Table) -> pa.Table:
+            cols = {c: pa.array(
+                np.floor(batch.column(c).to_numpy(zero_copy_only=False)
+                         .astype(np.float64) * grid_scale).astype(np.int64),
+                type=pa.int64()) for c in x_cols}
+            cols[y_col] = batch.column(y_col)
+            cols[key_col] = batch.column(key_col)
+            return pa.table(cols)
+
+        gds = ds.map_batches(to_grid, batch_format="pyarrow")
+        for f in range(k):
+            def not_fold(batch: pa.Table, fold=f) -> pa.Table:
+                keys = batch.column(key_col).to_numpy(zero_copy_only=False)
+                return batch.filter(pa.array((keys % k) != fold))
+
+            def in_fold(batch: pa.Table, fold=f) -> pa.Table:
+                keys = batch.column(key_col).to_numpy(zero_copy_only=False)
+                return batch.filter(pa.array((keys % k) == fold))
+
+            model = ESTIMATORS.fit(
+                "cart_stump",
+                gds.map_batches(not_fold, batch_format="pyarrow"),
+                x_cols, y_col)
+
+            def score_batch(batch: pa.Table, m=model) -> pa.Table:
+                X = np.column_stack(
+                    [batch.column(c).to_numpy(zero_copy_only=False)
+                     for c in x_cols])
+                return batch.append_column(
+                    "score", pa.array(m.predict(X), type=pa.float64()))
+
+            scored = (gds.map_batches(in_fold, batch_format="pyarrow")
+                      .map_batches(score_batch,
+                                   batch_format="pyarrow").materialize())
+            auc = auc_exact(scored, y_col, "score")
+
+            def acc_partial(batch: pa.Table) -> pa.Table:
+                y = batch.column(y_col).to_numpy(zero_copy_only=False)
+                s = batch.column("score").to_numpy(zero_copy_only=False)
+                return pa.table({
+                    "n": pa.array([batch.num_rows], type=pa.int64()),
+                    "hit": pa.array([int(((s >= 0.5) == (y == 1)).sum())],
+                                    type=pa.int64())})
+
+            n = hit = 0
+            for r in collect_pylist(scored.map_batches(
+                    acc_partial, batch_format="pyarrow")):
+                n += r["n"]
+                hit += r["hit"]
+            out_rows.append({"model": "cart_stump", "fold": f,
                              "n_test": n, "auc": round(float(auc), 6),
                              "accuracy": round(hit / n, 6)
                              if n else float("nan")})

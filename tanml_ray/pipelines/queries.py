@@ -2920,10 +2920,11 @@ LOGISTIC_CV_SQL = _logistic_cv_sql(3)
 
 
 def model_family_benchmark_orders(sf_dir: str) -> pa.Table:
-    """Four-estimator-family × k-fold CV benchmark on the shared
+    """Five-estimator-family × k-fold CV benchmark on the shared
     logistic features: IRLS logistic vs closed-form linear vs histogram
-    boosted stumps vs Gaussian Naive Bayes (the reference benchmarking
-    tab's linear/GLM/tree/NB spread, models/registry.py:34-411).
+    boosted stumps vs Gaussian Naive Bayes vs exact-integer CART stump
+    (the reference benchmarking tab's linear/GLM/tree/NB spread,
+    models/registry.py:34-411).
     Rows-only driver check: IRLS and boosting are iterative, not
     SQL-expressible; the families' fit/predict contracts are
     pytest-verified (tests/test_models.py, tests/test_explain.py)."""

@@ -121,10 +121,11 @@ class TestLogisticCVBenchmark:
 
         out = model_benchmark(_ds(self._tbl(n=3000)), ["x1", "x2"], "y",
                               "k", k=3).to_pylist()
-        assert len(out) == 12  # 4 families × 3 folds
+        assert len(out) == 15  # 5 families × 3 folds
         models = [r["model"] for r in out]
         assert models == sorted(models)
-        assert set(models) == {"boosted_stumps", "gaussian_nb",
+        assert set(models) == {"boosted_stumps", "cart_stump",
+                               "gaussian_nb",
                                "linear_closed_form", "logistic_irls"}
         # logistic uses both features, linear only x1 → logistic wins
         log_auc = np.mean([r["auc"] for r in out if r["model"] == "logistic_irls"])
