@@ -11438,10 +11438,13 @@ def fuzzy_match_documents(sf_dir: str) -> pa.Table:
         b_id = np.concatenate(ib).astype(np.int64)
         a_s = np.concatenate(sa)
         b_s = np.concatenate(sb)
-        blen = np.frompyfunc(lambda s: len(s.encode("utf-8")), 1, 1)
-        cand = (np.abs(blen(a_s).astype(np.int64)
-                       - blen(b_s).astype(np.int64))
-                <= _FUZZY_THRESHOLD)
+        # vectorized UTF-8 byte lengths (|len diff| lower-bounds the
+        # edit distance): Arrow binary_length counts BYTES on strings
+        la = pc.binary_length(pa.array(a_s, type=pa.string())) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        lb = pc.binary_length(pa.array(b_s, type=pa.string())) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        cand = np.abs(la - lb) <= _FUZZY_THRESHOLD
         if not cand.any():
             return empty
         a_id, b_id, a_s, b_s = a_id[cand], b_id[cand], a_s[cand], b_s[cand]
