@@ -88,3 +88,55 @@ class TestExtractorProperty:
         for body in cases:
             html = render_html("T", body)
             assert extract_text(html) == f"T\n{body}", repr(body)
+
+
+class TestPagesFixtureV4:
+    """The v4 fixture's <nav> outlinks and <head> meta tags must be
+    invisible to the extraction invariant, deterministic per id, and
+    parse back with the link-graph regexes."""
+
+    def _pages(self, ids):
+        import pyarrow as pa
+
+        from tanml_ray.sources.pages import make_pages_batch
+
+        docs = pa.table({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "text": pa.array([f"body {i}" for i in ids]),
+            "lang": pa.array(["en"] * len(ids))})
+        return make_pages_batch(docs)
+
+    def test_extraction_invariant_survives_nav_and_head(self):
+        from tanml_ray.functions.html_text import extract_text
+
+        pages = self._pages([1, 2, 19, 116, 213])  # 19+97k = noindex ids
+        for r in pages.to_pylist():
+            if r["html"] is not None and r["text"] is not None \
+                    and r["page_id"] % 700 != 17:
+                assert extract_text(r["html"]) == r["text"]
+
+    def test_links_deterministic_and_parseable(self):
+        import re
+
+        pages_a = self._pages(list(range(40)))
+        pages_b = self._pages(list(range(40)))
+        assert pages_a.equals(pages_b)
+        href = re.compile(rb'href="//([^/"]+)/')
+        hosts = set()
+        for r in pages_a.to_pylist():
+            if r["html"] is None:
+                continue
+            found = href.findall(r["html"])
+            assert 1 <= len(found) <= 3
+            hosts.update(found)
+        assert all(h == b"hub.example.com" or
+                   (h.startswith(b"site") and h.endswith(b".example.com"))
+                   for h in hosts)
+
+    def test_noindex_meta_on_exact_id_subset(self):
+        pages = self._pages(list(range(300)))
+        needle = b'<meta name="robots" content="noindex'
+        for r in pages.to_pylist():
+            if r["html"] is None:
+                continue
+            assert (needle in r["html"]) == (r["page_id"] % 97 == 19)
