@@ -223,3 +223,34 @@ def test_repeated_fold_repartitions_between_repeats():
             # the same split
             members = np.flatnonzero(a == a[0])
             assert np.unique(b[members]).size > 1, (k, r)
+
+
+def _naive_lev(a: str, b: str) -> int:
+    x, y = a.encode("utf-8"), b.encode("utf-8")
+    prev = list(range(len(y) + 1))
+    for i, ca in enumerate(x, 1):
+        curr = [i]
+        for j, cb in enumerate(y, 1):
+            curr.append(min(prev[j] + 1, curr[-1] + 1,
+                            prev[j - 1] + (ca != cb)))
+        prev = curr
+    return prev[-1]
+
+
+@given(st.lists(st.tuples(st.text(max_size=16), st.text(max_size=16)),
+                min_size=1, max_size=20))
+@settings(max_examples=60, deadline=None)
+def test_levenshtein_pairs_properties(pairs):
+    """Vectorized kernel == naive DP on arbitrary unicode; symmetric;
+    zero iff equal; bounded by max byte length."""
+    from tanml_ray.kernels.editdist import levenshtein_pairs
+
+    xs = [a for a, _ in pairs]
+    ys = [b for _, b in pairs]
+    d = levenshtein_pairs(xs, ys)
+    d_rev = levenshtein_pairs(ys, xs)
+    for i, (a, b) in enumerate(pairs):
+        assert d[i] == _naive_lev(a, b)
+        assert d[i] == d_rev[i]
+        assert (d[i] == 0) == (a == b)
+        assert d[i] <= max(len(a.encode()), len(b.encode()))
