@@ -13349,3 +13349,137 @@ SELECT f AS feature, CAST(v AS BIGINT) AS threshold,
        CAST(ar >= br AS BIGINT) AS right_label
 FROM e ORDER BY errors, feature, threshold LIMIT 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Dimension-chain rollup over the four previously-unexercised testdata
+# tables: supplier → nation → region (both dimensions broadcast once
+# via ray.put — the star-schema shape where fact rows never shuffle)
+# reduced per region: suppliers, exact-cents mean account balance,
+# negative-balance count.
+# ---------------------------------------------------------------------------
+
+
+def supplier_region_rollup(sf_dir: str) -> pa.Table:
+    from ray.data.aggregate import Sum
+
+    from tanml_ray.pipelines.join import broadcast_join
+
+    nation = pa.concat_tables([b for b in _read(
+        sf_dir, "nation", ["n_nationkey", "n_regionkey"])
+        .iter_batches(batch_format="pyarrow")]) \
+        .rename_columns(["s_nationkey", "n_regionkey"])
+    region = pa.concat_tables([b for b in _read(
+        sf_dir, "region", ["r_regionkey", "r_name"])
+        .iter_batches(batch_format="pyarrow")]) \
+        .rename_columns(["n_regionkey", "r_name"])
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey",
+                                     "s_acctbal"])
+    joined = broadcast_join(
+        broadcast_join(sup, nation, "s_nationkey"), region, "n_regionkey")
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        cents = np.rint(batch.column("s_acctbal")
+                        .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        df = pd.DataFrame({"r_name": batch.column("r_name").to_pylist(),
+                           "cents": cents, "neg": (cents < 0)})
+        return df.groupby("r_name", as_index=False).agg(
+            suppliers=("cents", "size"), cents=("cents", "sum"),
+            negative=("neg", "sum"))
+
+    rows = sorted(collect_pylist(
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby("r_name")
+        .aggregate(Sum("suppliers", alias_name="suppliers"),
+                   Sum("cents", alias_name="cents"),
+                   Sum("negative", alias_name="negative"))),
+        key=lambda r: r["r_name"])
+    return pa.Table.from_pylist([{
+        "r_name": r["r_name"], "suppliers": int(r["suppliers"]),
+        "mean_acctbal": _round6(int(r["cents"]) / 100.0
+                                / int(r["suppliers"])),
+        "negative_balance": int(r["negative"])} for r in rows])
+
+
+SUPPLIER_REGION_SQL = """
+WITH j AS (
+  SELECT r.r_name, CAST(round(s.s_acctbal * 100) AS BIGINT) AS cents
+  FROM supplier s
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey)
+SELECT r_name, CAST(count(*) AS BIGINT) AS suppliers,
+       round(CAST(sum(cents) AS DOUBLE) / 100.0 / count(*), 6)
+         AS mean_acctbal,
+       CAST(count(*) FILTER (WHERE cents < 0) AS BIGINT)
+         AS negative_balance
+FROM j GROUP BY r_name ORDER BY r_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# Brand margin over lineitem × part: the fact-vs-dimension price audit
+# (realized extendedprice vs retail list price × quantity), exact on
+# the cents grid per brand. The part table broadcasts once; lineitem
+# streams — the shape that never shuffles 10¹² fact rows.
+# ---------------------------------------------------------------------------
+
+
+def brand_margin_lineitem(sf_dir: str) -> pa.Table:
+    from ray.data.aggregate import Sum
+
+    from tanml_ray.pipelines.join import broadcast_join
+
+    part = pa.concat_tables([b for b in _read(
+        sf_dir, "part", ["p_partkey", "p_brand", "p_retailprice"])
+        .iter_batches(batch_format="pyarrow")]) \
+        .rename_columns(["l_partkey", "p_brand", "p_retailprice"])
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_quantity", "l_extendedprice"])
+    joined = broadcast_join(li, part, "l_partkey")
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        qty = np.rint(batch.column("l_quantity")
+                      .to_numpy(zero_copy_only=False)).astype(np.int64)
+        ext = np.rint(batch.column("l_extendedprice")
+                      .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        retail = np.rint(batch.column("p_retailprice")
+                         .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        df = pd.DataFrame({"p_brand": batch.column("p_brand").to_pylist(),
+                           "rev": ext, "list_rev": retail * qty,
+                           "qty": qty})
+        return df.groupby("p_brand", as_index=False).agg(
+            n=("qty", "size"), qty=("qty", "sum"), rev=("rev", "sum"),
+            list_rev=("list_rev", "sum"))
+
+    rows = sorted(collect_pylist(
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby("p_brand")
+        .aggregate(Sum("n", alias_name="n"), Sum("qty", alias_name="qty"),
+                   Sum("rev", alias_name="rev"),
+                   Sum("list_rev", alias_name="list_rev"))),
+        key=lambda r: r["p_brand"])
+    return pa.Table.from_pylist([{
+        "p_brand": r["p_brand"], "n": int(r["n"]), "qty": int(r["qty"]),
+        "revenue": int(r["rev"]) / 100.0,
+        "margin_vs_list": _round6((int(r["rev"]) - int(r["list_rev"]))
+                                  / float(r["list_rev"]))} for r in rows])
+
+
+BRAND_MARGIN_SQL = """
+WITH j AS (
+  SELECT p.p_brand,
+         CAST(round(l.l_quantity) AS BIGINT) AS qty,
+         CAST(round(l.l_extendedprice * 100) AS BIGINT) AS rev,
+         CAST(round(p.p_retailprice * 100) AS BIGINT)
+           * CAST(round(l.l_quantity) AS BIGINT) AS list_rev
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey)
+SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(qty) AS BIGINT) AS qty,
+       CAST(sum(rev) AS DOUBLE) / 100.0 AS revenue,
+       round(CAST(sum(rev) - sum(list_rev) AS DOUBLE)
+             / CAST(sum(list_rev) AS DOUBLE), 6) AS margin_vs_list
+FROM j GROUP BY p_brand ORDER BY p_brand
+"""
