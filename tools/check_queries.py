@@ -67,6 +67,13 @@ def main() -> int:
 
     qs, oracles = entry.queries(), entry.oracle_sql()
     con = duckdb.connect()
+    # Spill budget: some brute-force oracle twins (e.g. the curate
+    # near-dup all-pairs trigram join) explode at sf0.1 — cap DuckDB's
+    # temp usage in /tmp so a runaway oracle fails fast with a clear
+    # error instead of filling the repo filesystem (observed: 70+ GB
+    # of .tmp spill at 99% disk).
+    con.execute("SET temp_directory='/tmp/duckdb_gate_spill'")
+    con.execute("SET max_temp_directory_size='20GiB'")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
 
