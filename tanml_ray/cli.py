@@ -87,6 +87,13 @@ def main(argv: list[str] | None = None) -> int:
                     help="checkpoint the per-file quality stage under "
                          "--out (reruns skip finished input shards)")
 
+    co = sub.add_parser("compact", help="rewrite a parquet dir into "
+                        "size-balanced files, optionally sorted by a key")
+    co.add_argument("--input", required=True)
+    co.add_argument("--out", required=True)
+    co.add_argument("--sort-key", default=None)
+    co.add_argument("--target-rows", type=int, default=1_000_000)
+
     mo = sub.add_parser("monitor", help="feed-health report: Shewhart/"
                         "CUSUM/EWMA charts, coverage gaps, runs test, "
                         "Theil-Sen trend over an events parquet")
@@ -115,7 +122,8 @@ def main(argv: list[str] | None = None) -> int:
                    "drift": ["input", "artifact"],
                    "full-report": ["input", "baseline_artifact"],
                    "curate": ["input"], "ingest-warc": ["input"],
-                   "shuffle-shards": ["input"], "monitor": ["input"]}
+                   "shuffle-shards": ["input"], "monitor": ["input"],
+                   "compact": ["input"]}
     for attr in input_attrs.get(args.cmd, []):
         path = getattr(args, attr, None)
         if path and not os.path.exists(path):
@@ -203,6 +211,16 @@ def main(argv: list[str] | None = None) -> int:
                     pads.dataset(args.out).get_fragments())
             print(json.dumps({"files_in": len(paths), "rows": n,
                               "out": args.out}))
+        elif args.cmd == "compact":
+            from tanml_ray.pipelines.compact import compact_parquet
+
+            if os.path.exists(os.path.join(args.out, "_DONE")):
+                print(json.dumps({"skipped": "already compacted",
+                                  "out": args.out}))
+            else:
+                print(json.dumps(compact_parquet(
+                    args.input, args.out, sort_key=args.sort_key,
+                    target_rows_per_file=args.target_rows)))
         elif args.cmd == "monitor":
             from tanml_ray.pipelines.monitor import run_feed_monitor
 
