@@ -94,6 +94,14 @@ def main(argv: list[str] | None = None) -> int:
     co.add_argument("--sort-key", default=None)
     co.add_argument("--target-rows", type=int, default=1_000_000)
 
+    mi = sub.add_parser("migrate", help="spec-driven schema migration: "
+                        "rename/cast/fill/drop columns in one pass")
+    mi.add_argument("--input", required=True)
+    mi.add_argument("--out", required=True)
+    mi.add_argument("--spec", required=True,
+                    help="JSON file: {rename:{old:new}, cast:{col:type}, "
+                         "fill:{col:default}, drop:[col,...]}")
+
     mo = sub.add_parser("monitor", help="feed-health report: Shewhart/"
                         "CUSUM/EWMA charts, coverage gaps, runs test, "
                         "Theil-Sen trend over an events parquet")
@@ -123,7 +131,7 @@ def main(argv: list[str] | None = None) -> int:
                    "full-report": ["input", "baseline_artifact"],
                    "curate": ["input"], "ingest-warc": ["input"],
                    "shuffle-shards": ["input"], "monitor": ["input"],
-                   "compact": ["input"]}
+                   "compact": ["input"], "migrate": ["input", "spec"]}
     for attr in input_attrs.get(args.cmd, []):
         path = getattr(args, attr, None)
         if path and not os.path.exists(path):
@@ -221,6 +229,12 @@ def main(argv: list[str] | None = None) -> int:
                 print(json.dumps(compact_parquet(
                     args.input, args.out, sort_key=args.sort_key,
                     target_rows_per_file=args.target_rows)))
+        elif args.cmd == "migrate":
+            from tanml_ray.pipelines.migrate import migrate_schema
+
+            with open(args.spec) as fh:
+                spec = json.load(fh)
+            print(json.dumps(migrate_schema(args.input, args.out, spec)))
         elif args.cmd == "monitor":
             from tanml_ray.pipelines.monitor import run_feed_monitor
 
