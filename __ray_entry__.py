@@ -310,6 +310,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # T5 corruption pairs.
         "span_corruption_documents": q.span_corruption_documents,
         "fuzzy_resolve_documents": q.fuzzy_resolve_documents,
+        # Skew-aware join: hot keys broadcast, cold keys partitioned —
+        # result provably identical to a plain inner join, which the
+        # oracle checks across both paths.
+        "skew_join_events": q.skew_join_events,
     }
 
 
@@ -547,6 +551,7 @@ def oracle_sql() -> dict[str, str]:
         "supplier_region_rollup": q.SUPPLIER_REGION_SQL,
         "brand_margin_lineitem": q.BRAND_MARGIN_SQL,
         "fuzzy_resolve_documents": q.FUZZY_RESOLVE_SQL,
+        "skew_join_events": q.SKEW_JOIN_SQL,
         # converged-IRLS logistic CV / boosted stumps (iterative fits)
         # remain rows-only driver checks; verified in pytest instead.
     }

@@ -117,11 +117,24 @@ def partitioned_join(left_ds, right_ds, key: str, buckets: int = 32,
 
     def tag(side: str):
         def fn(batch: pa.Table) -> pa.Table:
-            kn = batch.column(key).to_numpy(zero_copy_only=False)
-            if kn.dtype == object:
-                h = pd.util.hash_array(kn.astype(object), categorize=False)
-            else:
+            # Hash on a dtype-STABLE view of the key: a null-bearing
+            # int64 column round-trips through to_numpy as float64, so
+            # the same key would hash to different buckets depending on
+            # which SIDE carries nulls (rows silently unmatched). Null
+            # keys never match anyway — fill them with a sentinel so
+            # integer keys hash as int64 on both sides.
+            arr = batch.column(key).combine_chunks()
+            if pa.types.is_integer(arr.type):
+                kn = (arr.fill_null(0).cast(pa.int64())
+                      .to_numpy(zero_copy_only=False))
                 h = pd.util.hash_array(kn)
+            else:
+                kn = arr.to_numpy(zero_copy_only=False)
+                if kn.dtype == object:
+                    h = pd.util.hash_array(kn.astype(object),
+                                           categorize=False)
+                else:
+                    h = pd.util.hash_array(kn)
             b = (h % np.uint64(buckets)).astype(np.int32)
             # pad to the unified schema so union() sees one schema
             arrays, names = [], []
@@ -458,3 +471,111 @@ def bloom_semi_join(large_ds, key_values: "np.ndarray", key: str,
         return batch.filter(pa.array(mask))
 
     return large_ds.map_batches(keep, batch_format="pyarrow")
+
+
+def skew_join(left_ds, right_ds, key: str, buckets: int = 32,
+              hot_k: int = 8, hot_min_count: int | None = None,
+              how: str = "inner"):
+    """Skew-aware hash join: hot keys bypass the shuffle.
+
+    A partitioned hash join places every row of a key in ONE bucket,
+    so one web-scale hot key (a bot user, the empty domain, a default
+    id) turns the exchange into a single straggler task. This variant
+    splits the work by observed key frequency:
+
+      1. Exact left-key frequencies, combiner-first: per-batch
+         ``value_counts`` partials shuffle (key, n) pairs only —
+         volume is distinct-keys-per-batch, never rows.
+      2. The top ``hot_k`` keys by count (count desc, key asc — a
+         deterministic tie-break) form the hot set; with
+         ``hot_min_count`` set, only keys at or above it qualify, so
+         a uniform corpus degrades gracefully to a pure partitioned
+         join with an empty hot path.
+      3. Hot-key rows take a BROADCAST path: the right side's hot
+         rows (bounded: ≤ hot_k keys' worth) ship once via ray.put
+         and every left batch joins locally — no shuffle, perfectly
+         parallel regardless of how large the hot key is.
+      4. Cold rows from both sides take the ordinary
+         ``partitioned_join``, whose per-bucket load is now bounded
+         by the hot threshold.
+
+    Inner join only: the hot/cold split sends a key's rows down
+    exactly one path, which preserves inner semantics trivially; outer
+    semantics would need cross-path bookkeeping for never-matched
+    right rows. Null keys go cold and (as everywhere in this module's
+    Arrow joins) never match. Column semantics match partitioned_join
+    (_x/_y suffixes on overlapping non-key columns).
+
+    The left side is consumed twice (hot filter + cold filter); with a
+    parquet-backed Dataset both passes stream from storage with column
+    pruning, which at 100 TB beats materializing a split. Reference
+    has no joins at all (SURVEY §2.4); the skew treatment follows the
+    standard salting/broadcast literature.
+    """
+    from ray.data.aggregate import Sum
+
+    if how != "inner":
+        raise ValueError(
+            f"skew_join supports how='inner' only, got {how!r}; "
+            "use partitioned_join for outer semantics")
+
+    key_type = dict(zip(left_ds.schema().names,
+                        left_ds.schema().types))[key]
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        vc = batch.column(key).combine_chunks().value_counts()
+        return pa.table({key: vc.field("values"),
+                         "__n": vc.field("counts")})
+
+    counts = (left_ds.map_batches(partial_counts, batch_format="pyarrow")
+              .groupby(key).aggregate(Sum("__n", alias_name="__n")))
+    top = (counts.sort(["__n", key], descending=[True, False])
+           .limit(hot_k).take_all())
+    if hot_min_count is not None:
+        top = [r for r in top if r["__n"] >= hot_min_count]
+    hot_keys = pa.array([r[key] for r in top], type=key_type)
+
+    def side(hot: bool):
+        def fn(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as _pc
+
+            mask = _pc.is_in(batch.column(key), value_set=hot_keys)
+            if not hot:
+                mask = _pc.and_kleene(
+                    _pc.invert(mask),
+                    _pc.true_unless_null(batch.column(key)))
+                mask = _pc.fill_null(mask, True)  # null keys go cold
+            else:
+                mask = _pc.fill_null(mask, False)
+            return batch.filter(mask)
+        return fn
+
+    # Unified output column order so the two paths union cleanly.
+    l_cols = list(left_ds.schema().names)
+    r_cols = list(right_ds.schema().names)
+    overlap = (set(l_cols) & set(r_cols)) - {key}
+    out_cols = ([f"{c}_x" if c in overlap else c for c in l_cols]
+                + [f"{c}_y" if c in overlap else c
+                   for c in r_cols if c != key])
+
+    def reorder(t: pa.Table) -> pa.Table:
+        return t.select(out_cols)
+
+    cold = partitioned_join(
+        left_ds.map_batches(side(False), batch_format="pyarrow"),
+        right_ds.map_batches(side(False), batch_format="pyarrow"),
+        key, buckets=buckets, how="inner",
+    ).map_batches(reorder, batch_format="pyarrow")
+
+    if len(hot_keys) == 0:
+        return cold
+
+    from tanml_ray.functions.collect import collect_table
+
+    hot_right = collect_table(
+        right_ds.map_batches(side(True), batch_format="pyarrow"))
+    hot = broadcast_join(
+        left_ds.map_batches(side(True), batch_format="pyarrow"),
+        hot_right, key, how="inner",
+    ).map_batches(reorder, batch_format="pyarrow")
+    return cold.union(hot)

@@ -13483,3 +13483,49 @@ SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
              / CAST(sum(list_rev) AS DOUBLE), 6) AS margin_vs_list
 FROM j GROUP BY p_brand ORDER BY p_brand
 """
+
+
+def skew_join_events(sf_dir: str) -> pa.Table:
+    """Per-segment event volume via the skew-aware join: events
+    (fact, user_id heavy-hitters — see key_skew_profile_events) join
+    customer (renamed key) with the hot-key broadcast / cold-key
+    partitioned split of join.skew_join, then a combiner-first
+    per-segment rollup in integer micros. The result is identical to
+    a plain inner join by construction — which is exactly what the
+    SQL oracle checks end-to-end across both paths."""
+    from ray.data.aggregate import Sum
+
+    from tanml_ray.pipelines.join import skew_join
+
+    events = _read(sf_dir, "events", ["user_id", "value"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]) \
+        .map_batches(lambda t: t.rename_columns(["user_id", "c_mktsegment"]),
+                     batch_format="pyarrow")
+    joined = skew_join(events, cust, "user_id", buckets=16, hot_k=8)
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        val_u = np.rint(batch.column("value").to_numpy(
+            zero_copy_only=False) * 1e6).astype(np.int64)
+        df = pd.DataFrame(
+            {"c_mktsegment": batch.column("c_mktsegment").to_pylist(),
+             "value_u": val_u})
+        return df.groupby("c_mktsegment", as_index=False).agg(
+            n_events=("value_u", "size"), value_u=("value_u", "sum"))
+
+    agg = (joined.map_batches(partial, batch_format="pyarrow")
+           .groupby("c_mktsegment")
+           .aggregate(Sum("n_events", alias_name="n_events"),
+                      Sum("value_u", alias_name="value_u")))
+    rows = [{"c_mktsegment": r["c_mktsegment"],
+             "n_events": r["n_events"],
+             "sum_value": r["value_u"] / 1e6} for r in collect_pylist(agg)]
+    rows.sort(key=lambda r: r["c_mktsegment"])
+    return pa.Table.from_pylist(rows)
+
+
+SKEW_JOIN_SQL = """
+SELECT c_mktsegment, count(*) AS n_events,
+       sum(CAST(round(value*1000000) AS BIGINT)) / 1000000.0 AS sum_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY 1 ORDER BY 1
+"""

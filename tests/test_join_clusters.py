@@ -384,3 +384,117 @@ def test_partitioned_join_preserves_int64_above_2_53(ray_session):
     # schema stays integral end-to-end
     assert pa.types.is_integer(
         out.schema().base_schema.field("hash_id").type)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSkewJoin:
+    """skew_join must equal a plain inner join regardless of which
+    keys go hot, and the hot/cold routing must be exercised."""
+
+    def _sides(self):
+        rng = np.random.default_rng(7)
+        # Zipf-ish: key 0 holds ~40% of rows, keys 1-2 ~15% each,
+        # a long tail of 100 cold keys, plus some null keys.
+        keys = np.concatenate([
+            np.zeros(2000, dtype=np.int64),
+            np.full(750, 1), np.full(750, 2),
+            rng.integers(3, 103, 1500)])
+        rng.shuffle(keys)
+        left = pa.table({
+            "k": pa.array(list(keys[:-10]) + [None] * 10,
+                          type=pa.int64()),
+            "lv": np.arange(len(keys), dtype=np.int64)})
+        right = pa.table({"k": np.arange(0, 90, dtype=np.int64),
+                          "rv": np.arange(0, 90, dtype=np.int64) * 7})
+        return left, right
+
+    def _expect(self, left, right):
+        return (left.to_pandas().dropna(subset=["k"])
+                .merge(right.to_pandas(), on="k"))
+
+    def test_matches_plain_inner_join(self):
+        from tanml_ray.pipelines.join import skew_join
+
+        left, right = self._sides()
+        out = pd.DataFrame(collect_pylist(
+            skew_join(_ds(left), _ds(right, 2), "k",
+                      buckets=8, hot_k=3)))
+        expect = self._expect(left, right)
+        assert len(out) == len(expect)
+        assert out["lv"].sum() == expect["lv"].sum()
+        assert (out.groupby("k")["rv"].sum().sort_index()
+                .equals(expect.groupby("k")["rv"].sum().sort_index()))
+
+    def test_hot_path_engaged_and_cold_only_fallback(self):
+        from tanml_ray.pipelines.join import skew_join
+
+        left, right = self._sides()
+        expect = self._expect(left, right)
+        # hot_min_count above every key count -> pure partitioned path
+        cold_only = pd.DataFrame(collect_pylist(
+            skew_join(_ds(left), _ds(right, 2), "k", buckets=8,
+                      hot_k=3, hot_min_count=10_000_000)))
+        assert len(cold_only) == len(expect)
+        # hot_min_count=1 with hot_k covering EVERY key -> broadcast-
+        # dominant path; result identical
+        all_hot = pd.DataFrame(collect_pylist(
+            skew_join(_ds(left), _ds(right, 2), "k", buckets=8,
+                      hot_k=200, hot_min_count=1)))
+        assert len(all_hot) == len(expect)
+        assert all_hot["lv"].sum() == expect["lv"].sum()
+
+    def test_partition_invariance(self):
+        from tanml_ray.pipelines.join import skew_join
+
+        left, right = self._sides()
+        a = pd.DataFrame(collect_pylist(
+            skew_join(_ds(left, 2), _ds(right, 1), "k",
+                      buckets=4, hot_k=2)))
+        b = pd.DataFrame(collect_pylist(
+            skew_join(_ds(left, 9), _ds(right, 3), "k",
+                      buckets=16, hot_k=2)))
+        key = ["k", "lv", "rv"]
+        a = a.sort_values(key).reset_index(drop=True)
+        b = b.sort_values(key).reset_index(drop=True)
+        assert a[key].equals(b[key])
+
+    def test_rejects_outer(self):
+        from tanml_ray.pipelines.join import skew_join
+
+        left, right = self._sides()
+        with pytest.raises(ValueError, match="inner"):
+            skew_join(_ds(left), _ds(right), "k", how="left")
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestNullableKeyBucketing:
+    """Regression: a null-bearing int64 key column used to round-trip
+    through to_numpy as float64 inside partitioned_join's bucket tag,
+    so the same key hashed to DIFFERENT buckets depending on which
+    side carried nulls — silently unmatched rows."""
+
+    def test_nullable_left_inner(self):
+        left = pa.table({"k": pa.array([1, 2, 3, None, 2, 3],
+                                       type=pa.int64()),
+                         "lv": list(range(6))})
+        right = pa.table({"k": pa.array([1, 2, 3], type=pa.int64()),
+                          "rv": [10, 20, 30]})
+        out = pd.DataFrame(collect_pylist(
+            partitioned_join(_ds(left, 2), _ds(right, 2), "k",
+                             buckets=7)))
+        expect = (left.to_pandas().dropna(subset=["k"])
+                  .merge(right.to_pandas(), on="k"))
+        assert len(out) == len(expect) == 5
+        assert out["rv"].sum() == expect["rv"].sum()
+
+    def test_nullable_left_outer_keeps_null_rows(self):
+        left = pa.table({"k": pa.array([1, None, 2], type=pa.int64()),
+                         "lv": [0, 1, 2]})
+        right = pa.table({"k": pa.array([1, 2], type=pa.int64()),
+                          "rv": [10, 20]})
+        out = pd.DataFrame(collect_pylist(
+            partitioned_join(_ds(left, 2), _ds(right, 1), "k",
+                             buckets=5, how="left")))
+        assert len(out) == 3
+        assert out.loc[out["lv"] == 1, "rv"].isna().all()
+        assert out.loc[out["lv"] == 0, "rv"].iloc[0] == 10
