@@ -314,6 +314,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # result provably identical to a plain inner join, which the
         # oracle checks across both paths.
         "skew_join_events": q.skew_join_events,
+        # Range-partitioned sorted export: quantile_disc boundaries,
+        # hive shard layout, manifest read back from the written files.
+        "range_export_orders": q.range_export_orders,
     }
 
 
@@ -552,6 +555,7 @@ def oracle_sql() -> dict[str, str]:
         "brand_margin_lineitem": q.BRAND_MARGIN_SQL,
         "fuzzy_resolve_documents": q.FUZZY_RESOLVE_SQL,
         "skew_join_events": q.SKEW_JOIN_SQL,
+        "range_export_orders": q.RANGE_EXPORT_SQL,
         # converged-IRLS logistic CV / boosted stumps (iterative fits)
         # remain rows-only driver checks; verified in pytest instead.
     }

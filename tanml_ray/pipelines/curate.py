@@ -495,3 +495,63 @@ def run_resumable_curation(input_dir: str, out_dir: str,
     stats["processed_partitions"] = processed
     stats["skipped_partitions"] = len(files) - len(todo)
     return stats
+
+
+def range_partition_boundaries(ds, col: str, n_shards: int) -> list[int]:
+    """Discrete range-partition boundaries for an int64 grid column:
+    the (ceil(q·n)−1)-th order statistics at q = i/n_shards,
+    i = 1..n_shards−1 — exactly DuckDB's ``quantile_disc``, so the
+    split is SQL-verifiable. Computed with a combiner-first
+    value-counts reduction (per-batch partials, one tiny (value, n)
+    shuffle) and a driver-side cumulative walk over the value GRID —
+    never the rows. Precondition (shared with the exact-quantile
+    family): the column's distinct-value grid is driver-bounded;
+    continuous columns should go through the t-digest path instead."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vc = batch.column(col).combine_chunks().value_counts()
+        return pa.table({col: vc.field("values"),
+                         "__n": vc.field("counts")})
+
+    grid = sorted(
+        (r[col], r["__n"]) for r in collect_pylist(
+            ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(col).aggregate(Sum("__n", alias_name="__n"))))
+    total = sum(n for _, n in grid)
+    bounds: list[int] = []
+    for i in range(1, n_shards):
+        want = -(-(i * total) // n_shards)  # ceil(q*n) as exact ints
+        seen = 0
+        for v, n in grid:
+            seen += n
+            if seen >= want:
+                bounds.append(int(v))
+                break
+    return bounds
+
+
+def range_export(ds, col: str, n_shards: int, out_dir: str):
+    """Range-partitioned SORTED export — the write layout that makes
+    downstream range predicates prune at the file level (parquet
+    row-group min/max stats + hive ``shard=`` directories), the
+    complement of the hash layout ``shuffle_shards`` writes.
+
+      shard(v) = #{boundaries strictly below v}   (ties stay left)
+
+    One global sort is the honest price of a sorted layout; the
+    boundary computation itself never shuffles rows (see
+    range_partition_boundaries). Returns the boundaries used."""
+    bounds = range_partition_boundaries(ds, col, n_shards)
+    barr = np.asarray(bounds, dtype=np.int64)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        v = batch.column(col).to_numpy(zero_copy_only=False)
+        shard = np.searchsorted(barr, v, side="left").astype(np.int64)
+        return batch.append_column("shard", pa.array(shard,
+                                                     type=pa.int64()))
+
+    (ds.map_batches(assign, batch_format="pyarrow")
+     .sort(col)
+     .write_parquet(out_dir, partition_cols=["shard"]))
+    return bounds

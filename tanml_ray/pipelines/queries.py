@@ -13529,3 +13529,67 @@ SELECT c_mktsegment, count(*) AS n_events,
 FROM events JOIN customer ON user_id = c_custkey
 GROUP BY 1 ORDER BY 1
 """
+
+
+def range_export_orders(sf_dir: str) -> pa.Table:
+    """Range-partitioned sorted export of orders by total price
+    (integer cents grid), then the manifest read BACK from the written
+    hive layout — so the oracle certifies boundaries, shard routing,
+    the parquet round-trip and the per-shard stats end-to-end. The
+    written layout is the file-pruning complement of the hash-sharded
+    shuffle_shards export."""
+    import shutil
+    import tempfile
+
+    import ray.data as rd
+    from ray.data.aggregate import Count, Max, Min
+
+    from tanml_ray.pipelines.curate import range_export
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def derive(batch: pa.Table) -> pa.Table:
+        cents = np.rint(batch.column("o_totalprice").to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64)
+        return pa.table({"o_orderkey": batch.column("o_orderkey"),
+                         "v": pa.array(cents, type=pa.int64())})
+
+    out_dir = tempfile.mkdtemp(prefix="range_export_", dir="/tmp")
+    try:
+        range_export(ds.map_batches(derive, batch_format="pyarrow"),
+                     "v", 4, out_dir)
+
+        def norm(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                "shard": batch.column("shard").cast(pa.int64()),
+                "v": batch.column("v").cast(pa.int64())})
+
+        agg = (rd.read_parquet(out_dir)
+               .map_batches(norm, batch_format="pyarrow")
+               .groupby("shard")
+               .aggregate(Count(alias_name="n"),
+                          Min("v", alias_name="min_v"),
+                          Max("v", alias_name="max_v")))
+        rows = [{"shard": r["shard"], "n": r["n"],
+                 "min_v": round(r["min_v"] / 100.0, 6),
+                 "max_v": round(r["max_v"] / 100.0, 6)}
+                for r in collect_pylist(agg)]
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+    rows.sort(key=lambda r: r["shard"])
+    return pa.Table.from_pylist(rows)
+
+
+RANGE_EXPORT_SQL = """
+WITH c AS (SELECT CAST(round(o_totalprice*100) AS BIGINT) AS v FROM orders),
+b AS (SELECT quantile_disc(v, 0.25) AS b1, quantile_disc(v, 0.50) AS b2,
+             quantile_disc(v, 0.75) AS b3 FROM c),
+a AS (SELECT v,
+        (CASE WHEN v > b1 THEN 1 ELSE 0 END
+       + CASE WHEN v > b2 THEN 1 ELSE 0 END
+       + CASE WHEN v > b3 THEN 1 ELSE 0 END) AS shard
+      FROM c, b)
+SELECT CAST(shard AS BIGINT) AS shard, CAST(count(*) AS BIGINT) AS n,
+       round(min(v)/100.0, 6) AS min_v, round(max(v)/100.0, 6) AS max_v
+FROM a GROUP BY shard ORDER BY shard
+"""

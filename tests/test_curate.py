@@ -214,3 +214,59 @@ def test_shuffle_shards_complete_deterministic_seeded():
         assert sorted(poss) == list(range(len(poss)))  # dense ranks
     c = collect(3, seed=7)
     assert c != a                                    # seed changes order
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestRangeExport:
+    def _ds(self, parts=4, n=3000, seed=11):
+        import ray.data as rd
+
+        rng = np.random.default_rng(seed)
+        v = rng.integers(0, 500, n).astype(np.int64)
+        return (rd.from_arrow(pa.table({"id": np.arange(n), "v": v}))
+                .repartition(parts)), v
+
+    def test_boundaries_match_quantile_disc(self):
+        from tanml_ray.pipelines.curate import range_partition_boundaries
+
+        ds, v = self._ds()
+        got = range_partition_boundaries(ds, "v", 4)
+        s = np.sort(v)
+        # DuckDB quantile_disc: 0-based index ceil(q*n) - 1
+        expect = [int(s[-(-(i * len(s)) // 4) - 1]) for i in (1, 2, 3)]
+        assert got == expect
+
+    def test_boundaries_partition_invariant(self):
+        from tanml_ray.pipelines.curate import range_partition_boundaries
+
+        a, _ = self._ds(parts=2)
+        b, _ = self._ds(parts=13)
+        assert (range_partition_boundaries(a, "v", 5)
+                == range_partition_boundaries(b, "v", 5))
+
+    def test_export_layout_and_routing(self, tmp_path):
+        import pyarrow.parquet as pq
+
+        from tanml_ray.pipelines.curate import range_export
+
+        ds, v = self._ds()
+        out = str(tmp_path / "ranged")
+        bounds = range_export(ds, "v", 4, out)
+        barr = np.asarray(bounds)
+        total, seen_shards = 0, {}
+        import glob
+        for f in glob.glob(out + "/shard=*/*.parquet"):
+            shard = int(f.split("shard=")[1].split("/")[0])
+            col = pq.read_table(f, columns=["v"]).column("v").to_numpy()
+            total += len(col)
+            # every row routed by the strictly-below rule
+            assert (np.searchsorted(barr, col, side="left") == shard).all()
+            # sorted WITHIN each file (global sort preserved per block)
+            assert (np.diff(col) >= 0).all()
+            mn, mx = seen_shards.get(shard, (np.inf, -np.inf))
+            seen_shards[shard] = (min(mn, col.min()), max(mx, col.max()))
+        assert total == len(v)
+        # shard value ranges are ordered and non-overlapping
+        ordered = [seen_shards[k] for k in sorted(seen_shards)]
+        for (lo1, hi1), (lo2, hi2) in zip(ordered, ordered[1:]):
+            assert hi1 <= lo2
