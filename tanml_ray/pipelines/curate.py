@@ -510,7 +510,8 @@ def range_partition_boundaries(ds, col: str, n_shards: int) -> list[int]:
     from ray.data.aggregate import Sum
 
     def partial(batch: pa.Table) -> pa.Table:
-        vc = batch.column(col).combine_chunks().value_counts()
+        vc = (batch.column(col).combine_chunks().drop_null()
+              .value_counts())
         return pa.table({col: vc.field("values"),
                          "__n": vc.field("counts")})
 

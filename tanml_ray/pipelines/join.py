@@ -523,7 +523,10 @@ def skew_join(left_ds, right_ds, key: str, buckets: int = 32,
                         left_ds.schema().types))[key]
 
     def partial_counts(batch: pa.Table) -> pa.Table:
-        vc = batch.column(key).combine_chunks().value_counts()
+        # drop_null: null keys never match, so they must not occupy a
+        # hot slot (they always route cold, per the docstring)
+        vc = (batch.column(key).combine_chunks().drop_null()
+              .value_counts())
         return pa.table({key: vc.field("values"),
                          "__n": vc.field("counts")})
 
