@@ -317,6 +317,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Range-partitioned sorted export: quantile_disc boundaries,
         # hive shard layout, manifest read back from the written files.
         "range_export_orders": q.range_export_orders,
+        # Degree-ordered distributed triangle counting on the host
+        # link graph (3-way-self-join SQL twin).
+        "host_triangles_pages": q.host_triangles_pages,
     }
 
 
@@ -556,6 +559,7 @@ def oracle_sql() -> dict[str, str]:
         "fuzzy_resolve_documents": q.FUZZY_RESOLVE_SQL,
         "skew_join_events": q.SKEW_JOIN_SQL,
         "range_export_orders": q.RANGE_EXPORT_SQL,
+        "host_triangles_pages": q.host_triangles_sql(),
         # converged-IRLS logistic CV / boosted stumps (iterative fits)
         # remain rows-only driver checks; verified in pytest instead.
     }

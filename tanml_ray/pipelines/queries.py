@@ -13593,3 +13593,195 @@ SELECT CAST(shard AS BIGINT) AS shard, CAST(count(*) AS BIGINT) AS n,
        round(min(v)/100.0, 6) AS min_v, round(max(v)/100.0, 6) AS max_v
 FROM a GROUP BY shard ORDER BY shard
 """
+
+
+def triangle_counts(edges):
+    """Per-vertex triangle participation over a Dataset of canonical
+    distinct undirected edges (string columns ``a`` < ``b``, no
+    self-loops). Degree-ordered node-iterator, the standard
+    distributed shape (Suri & Vassilvitskii's MR node-iterator):
+    exact degree table (combiner-first) → orient every edge
+    low-rank→high-rank by (degree, vertex) so each wedge is generated
+    exactly once at its lowest-rank vertex and per-vertex out-degree
+    is O(sqrt(m))-bounded → wedge pairs per center via a
+    coarse-partitioned group walk → close wedges against oriented
+    edges with a tagged union + groupby (no driver gather of edges,
+    wedges, or triangles — the return is a Dataset of (host, n)).
+    Any total order yields the same triangles."""
+    from ray.data.aggregate import Sum
+    def degree_partial(batch: pa.Table) -> pd.DataFrame:
+        hosts = (batch.column("a").to_pylist()
+                 + batch.column("b").to_pylist())
+        df = pd.DataFrame({"host": pd.Series(hosts, dtype=str)})
+        return from_pandas_clean(
+            df.groupby("host", as_index=False).agg(deg=("host", "size")))
+
+    degrees = (edges.map_batches(degree_partial, batch_format="pyarrow")
+               .groupby("host").aggregate(Sum("deg", alias_name="deg")))
+
+    # Attach deg to both endpoints; auto_join broadcasts the degree
+    # table when bounded, exchanges otherwise.
+    from tanml_ray.pipelines.join import auto_join
+
+    def ren(col_map):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.rename_columns([col_map.get(n, n)
+                                     for n in t.column_names])
+        return fn
+
+    with_da = auto_join(edges,
+                        degrees.map_batches(ren({"host": "a",
+                                                 "deg": "deg_a"}),
+                                            batch_format="pyarrow"),
+                        "a", how="inner")
+    with_db = auto_join(with_da,
+                        degrees.map_batches(ren({"host": "b",
+                                                 "deg": "deg_b"}),
+                                            batch_format="pyarrow"),
+                        "b", how="inner")
+
+    def orient(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        lo_first = ((df["deg_a"] < df["deg_b"])
+                    | ((df["deg_a"] == df["deg_b"]) & (df["a"] < df["b"])))
+        return from_pandas_clean(pd.DataFrame({
+            "u": np.where(lo_first, df["a"], df["b"]),
+            "v": np.where(lo_first, df["b"], df["a"]),
+            "deg_v": np.where(lo_first, df["deg_b"], df["deg_a"]),
+        }))
+
+    oriented = with_db.map_batches(orient, batch_format="pyarrow")
+
+    def wedges_of(g: pd.DataFrame) -> pd.DataFrame:
+        # out-neighbors of one center, ordered by rank (deg, host):
+        # every unordered pair becomes one wedge keyed (x, y)
+        out = []
+        for _, grp in g.groupby("u", sort=False):
+            nb = sorted(zip(grp["deg_v"].tolist(), grp["v"].tolist()))
+            ctr = grp["u"].iloc[0]
+            for i in range(len(nb)):
+                for j in range(i + 1, len(nb)):
+                    out.append((nb[i][1], nb[j][1], ctr))
+        return from_pandas_clean(pd.DataFrame({
+            "x": pd.Series([o[0] for o in out], dtype=str),
+            "y": pd.Series([o[1] for o in out], dtype=str),
+            "center": pd.Series([o[2] for o in out], dtype=str)}))
+
+    # coarse partition by hash(center): one shuffle, many centers per
+    # group, wedges_of walks its centers vectorized-per-group
+    wedges = (oriented.map_batches(
+        lambda t: t.append_column(
+            "__wpart", pa.array(
+                (pd.util.hash_array(
+                    t.column("u").to_numpy(zero_copy_only=False)
+                    .astype(object), categorize=False)
+                 % np.uint64(64)).astype(np.int32))),
+        batch_format="pyarrow")
+        .groupby("__wpart")
+        .map_groups(lambda g: wedges_of(g.drop(columns="__wpart")),
+                    batch_format="pandas"))
+
+    # Close wedges against oriented edges: tagged union, one shuffle
+    # keyed (x, y); a group with an edge row marks every wedge row in
+    # it as a triangle (center, x, y).
+    edge_tag = oriented.map_batches(
+        lambda t: pa.table({"x": t.column("u").cast(pa.string()),
+                            "y": t.column("v").cast(pa.string()),
+                            "center": pa.nulls(t.num_rows,
+                                               type=pa.string())}),
+        batch_format="pyarrow")
+    both = wedges.union(edge_tag)
+
+    _CLOSE_SCHEMA = pa.schema([("host", pa.string()), ("n", pa.int64())])
+
+    def close_group(g: pd.DataFrame) -> pa.Table:
+        # always a TYPED Arrow table: zero-row object-dtype pandas
+        # blocks spam Ray's size estimator and drift the block schema
+        has_edge = g["center"].isna().any()
+        tri = g[g["center"].notna()]
+        if not has_edge or tri.empty:
+            return _CLOSE_SCHEMA.empty_table()
+        hosts = (tri["x"].tolist() + tri["y"].tolist()
+                 + tri["center"].tolist())
+        df = pd.DataFrame({"host": pd.Series(hosts, dtype=str)})
+        out = df.groupby("host", as_index=False).agg(n=("host", "size"))
+        return pa.table({"host": pa.array(out["host"], type=pa.string()),
+                         "n": pa.array(out["n"].to_numpy(np.int64),
+                                       type=pa.int64())})
+
+    return (both.groupby(["x", "y"])
+            .map_groups(close_group, batch_format="pandas")
+            .groupby("host").aggregate(Sum("n", alias_name="n")))
+
+
+def host_triangles_pages(sf_dir: str) -> pa.Table:
+    """Per-host triangle participation in the undirected host link
+    graph — the classic clustering/community signal (link farms and
+    mutual-citation rings show up as dense triangle neighborhoods).
+    Edge extraction mirrors link_graph_pages; the count itself is the
+    distributed degree-ordered node-iterator in triangle_counts. The
+    SQL oracle's LEAST/GREATEST 3-way self-join is an exact twin."""
+    import re
+
+    pages_dir = _pages_dir_for(sf_dir)
+    ds = read_parquet_clean(pages_dir, columns=["url", "html"])
+    href_re = re.compile(_HREF_RE.encode())
+    src_re = re.compile(_SRC_HOST_RE)
+
+    def edge_partial(batch: pa.Table) -> pa.Table:
+        tbl = batch.filter(pc.is_valid(batch.column("html")))
+        urls = tbl.column("url").to_pylist()
+        htmls = tbl.column("html").to_pylist()
+        pairs = set()
+        for u, hb in zip(urls, htmls):
+            m = src_re.match(u or "")
+            if not m:
+                continue
+            src = m.group(1)
+            for dst_b in href_re.findall(hb):
+                dst = dst_b.decode()
+                if dst != src:
+                    pairs.add((min(src, dst), max(src, dst)))
+        a, b = (list(x) for x in zip(*pairs)) if pairs else ([], [])
+        return from_pandas_clean(
+            pd.DataFrame({"a": pd.Series(a, dtype=str),
+                          "b": pd.Series(b, dtype=str)}))
+
+    edges = (ds.map_batches(edge_partial, batch_format="pyarrow")
+             .groupby(["a", "b"])
+             .map_groups(lambda g: from_pandas_clean(g.head(1)),
+                         batch_format="pandas"))
+
+    rows = [{"host": r["host"], "n_triangles": int(r["n"])}
+            for r in collect_pylist(triangle_counts(edges))]
+    rows.sort(key=lambda r: r["host"])
+    return pa.Table.from_pylist(
+        rows, schema=pa.schema([("host", pa.string()),
+                                ("n_triangles", pa.int64())]))
+
+
+HOST_TRIANGLES_SQL = """
+WITH p AS (
+  SELECT regexp_extract(url, 'https://([^/]+)/', 1) AS src,
+         decode(html) AS h
+  FROM read_parquet('{pages_dir}/*.parquet')
+  WHERE html IS NOT NULL),
+e0 AS (
+  SELECT DISTINCT src,
+         unnest(regexp_extract_all(h, 'href="//([^/"]+)/', 1)) AS dst
+  FROM p),
+e AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+      FROM e0 WHERE src <> dst),
+t AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM e e1 JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+      JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+h AS (SELECT x AS host FROM t UNION ALL SELECT y AS host FROM t
+      UNION ALL SELECT z AS host FROM t)
+SELECT host, CAST(count(*) AS BIGINT) AS n_triangles
+FROM h GROUP BY host ORDER BY host
+"""
+
+
+def host_triangles_sql(sf_dir: str | None = None) -> str:
+    return HOST_TRIANGLES_SQL.format(
+        pages_dir=_pages_dir_for(_oracle_sf(sf_dir)))

@@ -498,3 +498,56 @@ class TestNullableKeyBucketing:
         assert len(out) == 3
         assert out.loc[out["lv"] == 1, "rv"].isna().all()
         assert out.loc[out["lv"] == 0, "rv"].iloc[0] == 10
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestTriangleCounts:
+    """Distributed degree-ordered node-iterator vs brute force."""
+
+    def _brute(self, edges):
+        adj = {}
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        from collections import Counter
+
+        tri = Counter()
+        seen = set()
+        for a, b in edges:
+            for c in adj[a] & adj[b]:
+                t = tuple(sorted((a, b, c)))
+                if t not in seen:
+                    seen.add(t)
+                    tri.update(t)
+        return dict(tri)
+
+    def _run(self, edges, parts=3):
+        import ray.data as rd
+
+        from tanml_ray.pipelines.queries import triangle_counts
+
+        tbl = pa.table({"a": [e[0] for e in edges],
+                        "b": [e[1] for e in edges]})
+        out = triangle_counts(rd.from_arrow(tbl).repartition(parts))
+        return {r["host"]: int(r["n"]) for r in out.take_all()}
+
+    def test_k4_plus_path(self):
+        # K4 on a,b,c,d: 4 triangles, each vertex in 3; path x-y-z: none
+        k4 = [("a", "b"), ("a", "c"), ("a", "d"),
+              ("b", "c"), ("b", "d"), ("c", "d")]
+        path = [("x", "y"), ("y", "z")]
+        got = self._run(k4 + path)
+        assert got == {"a": 3, "b": 3, "c": 3, "d": 3}
+        assert got == self._brute(k4 + path)
+
+    def test_hub_with_rim_and_partition_invariance(self):
+        # wheel: hub h connected to rim r0..r5 (cycle) -> 6 triangles,
+        # hub in all 6, each rim vertex in 2
+        rim = [f"r{i}" for i in range(6)]
+        edges = [("h", r) for r in rim]
+        edges += [(min(rim[i], rim[(i + 1) % 6]),
+                   max(rim[i], rim[(i + 1) % 6])) for i in range(6)]
+        expect = self._brute(edges)
+        assert expect["h"] == 6
+        assert self._run(edges, parts=1) == expect
+        assert self._run(edges, parts=7) == expect
