@@ -111,6 +111,22 @@ def main(argv: list[str] | None = None) -> int:
     mo.add_argument("--chart-out", default=None,
                     help="optional parquet path for the per-day chart")
 
+    pe = sub.add_parser("pretrain-export",
+                        help="end-to-end training-data export: curate -> "
+                             "seeded shuffle -> token accounting -> "
+                             "sharded parquet + manifest")
+    pe.add_argument("--input", required=True)
+    pe.add_argument("--out", required=True)
+    pe.add_argument("--text-col", default="text")
+    pe.add_argument("--id-col", default="doc_id")
+    pe.add_argument("--n-shards", type=int, default=8)
+    pe.add_argument("--seed", type=int, default=42)
+    pe.add_argument("--ctx", type=int, default=512)
+    pe.add_argument("--min-tokens", type=int, default=5)
+    pe.add_argument("--c4-clean", action="store_true")
+    pe.add_argument("--langs", default=None,
+                    help="comma-separated language allow-list")
+
     sh = sub.add_parser("shuffle-shards",
                         help="deterministic seeded corpus shuffle into "
                              "training shards (curate.shuffle_shards)")
@@ -131,6 +147,7 @@ def main(argv: list[str] | None = None) -> int:
                    "full-report": ["input", "baseline_artifact"],
                    "curate": ["input"], "ingest-warc": ["input"],
                    "shuffle-shards": ["input"], "monitor": ["input"],
+                   "pretrain-export": ["input"],
                    "compact": ["input"], "migrate": ["input", "spec"]}
     for attr in input_attrs.get(args.cmd, []):
         path = getattr(args, attr, None)
@@ -245,6 +262,20 @@ def main(argv: list[str] | None = None) -> int:
                 pq.write_table(chart, args.chart_out)
                 summary["chart_out"] = args.chart_out
             print(json.dumps(summary, default=str))
+        elif args.cmd == "pretrain-export":
+            from tanml_ray.pipelines.pretrain import pretrain_export
+
+            langs = (set(args.langs.split(",")) if args.langs else None)
+            manifest = pretrain_export(
+                read_parquet_clean(args.input), args.out,
+                text_col=args.text_col, id_col=args.id_col,
+                n_shards=args.n_shards, seed=args.seed, ctx=args.ctx,
+                min_tokens=args.min_tokens, c4_clean=args.c4_clean,
+                allowed_langs=langs)
+            print(json.dumps({"rows_exported": manifest["rows_exported"],
+                              "n_shards": args.n_shards,
+                              "manifest": os.path.join(args.out,
+                                                       "manifest.json")}))
         elif args.cmd == "shuffle-shards":
             import ray.data as rd
 
