@@ -320,6 +320,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Degree-ordered distributed triangle counting on the host
         # link graph (3-way-self-join SQL twin).
         "host_triangles_pages": q.host_triangles_pages,
+        # Crawl snapshot delta: added/removed/changed/unchanged urls
+        # between the baseline and drift crawl fixtures (keep-first
+        # canonical page per url, md5 content identity).
+        "crawl_delta_pages": q.crawl_delta_pages,
+        # LAG-per-entity at scale: per-customer repurchase intervals
+        # bucketed into standard bands (one coarse exchange, no
+        # per-customer tasks).
+        "reorder_intervals_customer": q.reorder_intervals_customer,
     }
 
 
@@ -560,6 +568,8 @@ def oracle_sql() -> dict[str, str]:
         "skew_join_events": q.SKEW_JOIN_SQL,
         "range_export_orders": q.RANGE_EXPORT_SQL,
         "host_triangles_pages": q.host_triangles_sql(),
+        "crawl_delta_pages": q.crawl_delta_sql(),
+        "reorder_intervals_customer": q.REORDER_INTERVALS_SQL,
         # converged-IRLS logistic CV / boosted stumps (iterative fits)
         # remain rows-only driver checks; verified in pytest instead.
     }

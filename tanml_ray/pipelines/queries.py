@@ -13785,3 +13785,180 @@ FROM h GROUP BY host ORDER BY host
 def host_triangles_sql(sf_dir: str | None = None) -> str:
     return HOST_TRIANGLES_SQL.format(
         pages_dir=_pages_dir_for(_oracle_sf(sf_dir)))
+
+
+# ---------------------------------------------------------------------------
+# Crawl snapshot delta: classify every url as added / removed / changed /
+# unchanged between two crawl snapshots (the validation-engine view of
+# re-crawl churn — CDX-style dataset versioning over the pages table).
+# Snapshot A = the baseline pages fixture minus page_id % 31 == 7 (urls
+# that "disappeared" by snapshot B's crawl), snapshot B = the "current"
+# drift fixture minus page_id % 29 == 11 (urls B never reached) — both
+# filters are deterministic spec, applied identically in the SQL twin.
+# Content identity is md5(text, null→'') of the CANONICAL page per url
+# (min page_id — the fixture's id%200==7 duplicate-url defect makes a
+# keep-first election necessary, exactly as in exact_dedup_documents).
+# Scale shape: per-batch keep-first combine (≤1 row per (url, side) per
+# block leaves the map stage, text itself never shuffles — only 32-char
+# digests), then one coarse hash(url) partition exchange where each
+# partition classifies its urls vectorized and emits per-status partial
+# counts; the final groupby moves ≤ 4·P rows. No driver gather of urls.
+# ---------------------------------------------------------------------------
+
+def crawl_delta_pages(sf_dir: str) -> pa.Table:
+    import hashlib
+
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from tanml_ray.stages.shuffle import with_coarse_partition
+
+    base_dir = _pages_dir_for(sf_dir, "baseline")
+    cur_dir = _pages_dir_for(sf_dir, "current")
+
+    def side_partial(batch: pa.Table, side: int, mod: int,
+                     drop: int) -> pd.DataFrame:
+        ids = batch.column("page_id").to_numpy(zero_copy_only=False)
+        keep = (ids % mod) != drop
+        tbl = batch.filter(pa.array(keep))
+        digs = [hashlib.md5((t or "").encode("utf-8")).hexdigest()
+                for t in tbl.column("text").to_pylist()]
+        df = pd.DataFrame({
+            "url": tbl.column("url").to_pylist(),
+            "page_id": tbl.column("page_id").to_numpy(zero_copy_only=False),
+            "digest": digs, "side": np.int32(side)})
+        # per-batch keep-first combine: ≤1 row per url leaves this block
+        return df.sort_values("page_id", kind="mergesort") \
+                 .drop_duplicates("url", keep="first")
+
+    a = read_parquet_clean(base_dir, columns=["page_id", "url", "text"]) \
+        .map_batches(lambda b: from_pandas_clean(side_partial(b, 0, 31, 7)),
+                     batch_format="pyarrow")
+    b = read_parquet_clean(cur_dir, columns=["page_id", "url", "text"]) \
+        .map_batches(lambda b_: from_pandas_clean(side_partial(b_, 1, 29, 11)),
+                     batch_format="pyarrow")
+
+    def classify(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["side", "page_id"], kind="mergesort") \
+             .drop_duplicates(["url", "side"], keep="first")
+        piv = g.pivot(index="url", columns="side", values="digest")
+        adg = piv[0] if 0 in piv.columns else pd.Series(index=piv.index,
+                                                        dtype=object)
+        bdg = piv[1] if 1 in piv.columns else pd.Series(index=piv.index,
+                                                        dtype=object)
+        status = np.where(
+            adg.isna(), "added",
+            np.where(bdg.isna(), "removed",
+                     np.where(adg == bdg, "unchanged", "changed")))
+        out = pd.DataFrame({"status": status}).groupby(
+            "status", as_index=False).agg(n_urls=("status", "size"))
+        return out
+
+    parts = (with_coarse_partition(a.union(b), "url")
+             .groupby("__upart")
+             .map_groups(lambda g: from_pandas_clean(classify(g)),
+                         batch_format="pandas"))
+    agg = parts.groupby("status").aggregate(Sum("n_urls", alias_name="n_urls"))
+    rows = [{"status": r["status"], "n_urls": int(r["n_urls"])}
+            for r in collect_pylist(agg)]
+    rows.sort(key=lambda r: r["status"])
+    return pa.Table.from_pylist(
+        rows, schema=pa.schema([("status", pa.string()),
+                                ("n_urls", pa.int64())]))
+
+
+CRAWL_DELTA_SQL = """
+WITH a AS (
+  SELECT url, arg_min(md5(coalesce(text, '')), page_id) AS dg
+  FROM read_parquet('{base_dir}/*.parquet')
+  WHERE page_id % 31 <> 7 GROUP BY url),
+b AS (
+  SELECT url, arg_min(md5(coalesce(text, '')), page_id) AS dg
+  FROM read_parquet('{cur_dir}/*.parquet')
+  WHERE page_id % 29 <> 11 GROUP BY url),
+j AS (SELECT a.dg AS adg, b.dg AS bdg
+      FROM a FULL OUTER JOIN b ON a.url = b.url)
+SELECT CASE WHEN adg IS NULL THEN 'added'
+            WHEN bdg IS NULL THEN 'removed'
+            WHEN adg = bdg THEN 'unchanged'
+            ELSE 'changed' END AS status,
+       CAST(count(*) AS BIGINT) AS n_urls
+FROM j GROUP BY 1 ORDER BY 1
+"""
+
+
+def crawl_delta_sql(sf_dir: str | None = None) -> str:
+    sf = _oracle_sf(sf_dir)
+    return CRAWL_DELTA_SQL.format(base_dir=_pages_dir_for(sf, "baseline"),
+                                  cur_dir=_pages_dir_for(sf, "current"))
+
+
+# ---------------------------------------------------------------------------
+# Per-customer reorder intervals: the LAG-per-entity sequence operator at
+# scale (repurchase-cycle analytics). For every customer, consecutive
+# orders sorted by (o_orderdate, o_orderkey) yield gap = calendar-day
+# difference; gaps are bucketed into standard repurchase bands. Scale
+# shape: ONE coarse hash(custkey) exchange, then a per-partition
+# vectorized sort + same-customer diff (no per-customer task, no window
+# shuffle), emitting per-bucket (n, sum_days) partials; the final
+# groupby moves ≤ 5·P rows. Day arithmetic is integer epoch-days
+# (ts_us // 86_400_000_000 == CAST(ts AS DATE) for post-1970 data), so
+# engine and oracle agree bit-exactly.
+# ---------------------------------------------------------------------------
+
+_GAP_BUCKETS = [(0, "00_same_day"), (7, "01_within_week"),
+                (30, "02_within_month"), (90, "03_within_quarter")]
+
+
+def reorder_intervals_customer(sf_dir: str) -> pa.Table:
+    from ray.data.aggregate import Sum
+
+    from tanml_ray.stages.shuffle import with_coarse_partition
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_orderdate"])
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_custkey", "o_orderdate", "o_orderkey"],
+                          kind="mergesort")
+        cust = g["o_custkey"].to_numpy()
+        day = (g["o_orderdate"].astype("datetime64[us]").astype(np.int64)
+               .to_numpy() // 86_400_000_000)
+        same = np.concatenate([[False], cust[1:] == cust[:-1]])
+        gaps = np.diff(day, prepend=day[:1])[same] if len(day) else \
+            np.array([], dtype=np.int64)
+        bucket = np.full(len(gaps), "04_long", dtype=object)
+        for hi, name in reversed(_GAP_BUCKETS):
+            bucket[gaps <= hi] = name
+        out = pd.DataFrame({"bucket": bucket, "gap": gaps})
+        return out.groupby("bucket", as_index=False).agg(
+            n_gaps=("gap", "size"), sum_days=("gap", "sum"))
+
+    parts = (with_coarse_partition(ds, "o_custkey")
+             .groupby("__upart")
+             .map_groups(lambda g: from_pandas_clean(per_partition(g)),
+                         batch_format="pandas"))
+    agg = parts.groupby("bucket").aggregate(
+        Sum("n_gaps", alias_name="n_gaps"), Sum("sum_days", alias_name="sum_days"))
+    rows = [{"bucket": r["bucket"], "n_gaps": int(r["n_gaps"]),
+             "avg_gap_days": _round6(int(r["sum_days"]) / int(r["n_gaps"]))}
+            for r in collect_pylist(agg)]
+    rows.sort(key=lambda r: r["bucket"])
+    return pa.Table.from_pylist(rows)
+
+
+REORDER_INTERVALS_SQL = """
+WITH s AS (
+  SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+         LAG(CAST(o_orderdate AS DATE)) OVER
+           (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_d
+  FROM orders),
+g AS (SELECT (d - prev_d) AS gap FROM s WHERE prev_d IS NOT NULL),
+b AS (SELECT CASE WHEN gap <= 0 THEN '00_same_day'
+                  WHEN gap <= 7 THEN '01_within_week'
+                  WHEN gap <= 30 THEN '02_within_month'
+                  WHEN gap <= 90 THEN '03_within_quarter'
+                  ELSE '04_long' END AS bucket, gap FROM g)
+SELECT bucket, CAST(count(*) AS BIGINT) AS n_gaps,
+       round(CAST(sum(gap) AS DOUBLE) / count(*), 6) AS avg_gap_days
+FROM b GROUP BY bucket ORDER BY bucket
+"""

@@ -76,6 +76,8 @@ FAST_QUERIES = [
     # round-5 session-7 declared-contract audits
     "range_conformance_lineitem", "whitelist_audit_lineitem",
     "measure_sanity_events",
+    # round-5 session-9 sequence analytics
+    "reorder_intervals_customer",
 ]
 
 
@@ -167,3 +169,43 @@ def test_multimodal_near_dup_planted_pairs(sf_dir):
     vid = q.video_near_dup_multimodal(sf_dir).to_pandas()
     assert set(zip(vid.id_a, vid.id_b)) == \
         {(k, k + 1) for k in range(0, 40, 4)}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_crawl_delta_matches_oracle_and_plants(sf_dir):
+    """Crawl snapshot delta at sf0.001: engine vs the DuckDB FULL OUTER
+    JOIN twin on the SAME cached fixtures, plus the planted structure —
+    all four statuses must be present (A drops page_id%31==7 → 'added'
+    in B; B drops %29==11 → 'removed'; the drift variant pads es/de
+    text and remaps langs → 'changed'; the rest 'unchanged')."""
+    import __ray_entry__ as entry
+    from tanml_ray.pipelines import queries as q
+
+    os.environ["TANML_ORACLE_SF_DIR"] = sf_dir
+    try:
+        mine = canon(entry.queries()["crawl_delta_pages"](sf_dir).to_pandas())
+        con = duckdb.connect()
+        ref = canon(con.sql(q.crawl_delta_sql(sf_dir)).df())
+    finally:
+        os.environ.pop("TANML_ORACLE_SF_DIR", None)
+    pd.testing.assert_frame_equal(mine, ref, check_dtype=False)
+    statuses = dict(zip(mine["status"], mine["n_urls"]))
+    assert set(statuses) == {"added", "removed", "changed", "unchanged"}
+    assert all(n > 0 for n in statuses.values())
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_reorder_intervals_gap_semantics(sf_dir):
+    """Bucket boundaries and totals: every consecutive-order gap is
+    counted exactly once, buckets partition [0, inf), and the total gap
+    count equals sum over customers of (orders-1)."""
+    import __ray_entry__ as entry
+
+    out = entry.queries()["reorder_intervals_customer"](sf_dir).to_pylist()
+    con = duckdb.connect()
+    expected = con.sql(
+        f"SELECT sum(n-1) FROM (SELECT count(*) AS n FROM "
+        f"read_parquet('{sf_dir}/orders.parquet') GROUP BY o_custkey) "
+        f"WHERE n > 1").fetchone()[0]
+    assert sum(r["n_gaps"] for r in out) == int(expected)
+    assert [r["bucket"] for r in out] == sorted(r["bucket"] for r in out)
