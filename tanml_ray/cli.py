@@ -41,6 +41,17 @@ def main(argv: list[str] | None = None) -> int:
     v.add_argument("--out", required=True)
     v.add_argument("--wave-size", type=int, default=16)
 
+    dv = sub.add_parser("delta-revalidate",
+                        help="crawl snapshot delta (added/removed/changed/"
+                             "unchanged urls) + flagship validation over "
+                             "ONLY the added/changed pages")
+    dv.add_argument("--base", required=True,
+                    help="previous-snapshot pages parquet path/dir")
+    dv.add_argument("--current", required=True,
+                    help="current-snapshot pages parquet path/dir")
+    dv.add_argument("--out", default=None,
+                    help="optional dir for violations parquet + summary.json")
+
     b = sub.add_parser("drift-baseline", help="build drift baseline artifact")
     b.add_argument("--input", required=True)
     b.add_argument("--artifact", required=True)
@@ -143,6 +154,7 @@ def main(argv: list[str] | None = None) -> int:
     # fail fast with a one-line diagnosis BEFORE starting a Ray session
     # INPUT paths only — drift-baseline's --artifact is an OUTPUT
     input_attrs = {"validate": ["input"], "drift-baseline": ["input"],
+                   "delta-revalidate": ["base", "current"],
                    "drift": ["input", "artifact"],
                    "full-report": ["input", "baseline_artifact"],
                    "curate": ["input"], "ingest-warc": ["input"],
@@ -167,6 +179,16 @@ def main(argv: list[str] | None = None) -> int:
             summary = run_resumable_validation(args.input, args.out,
                                                wave_size=args.wave_size)
             print(json.dumps(summary, default=str))
+        elif args.cmd == "delta-revalidate":
+            from tanml_ray.pipelines.delta import revalidate_delta
+
+            counts, report = revalidate_delta(args.base, args.current,
+                                              out_dir=args.out)
+            print(json.dumps({
+                "delta": {r["status"]: r["n_urls"]
+                          for r in counts.to_pylist()},
+                "validation": report.summary if report else None},
+                default=str))
         elif args.cmd == "drift-baseline":
             import ray.data as rd
 
