@@ -63,7 +63,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_near_dup_documents": q.simhash_near_dup_documents,
         "exact_dedup_documents": q.exact_dedup_documents,
         "span_dedup_documents": q.span_dedup_documents,
-        "line_dedup_documents": q.line_dedup_documents,
+        # dataset-versioning family rep (round-5 session-9 addition):
+        # crawl snapshot delta with a FULL OUTER JOIN fixture oracle;
+        # line_dedup rotates below the marker — the line/span/exact/
+        # incremental dedup family keeps three in-window reps.
+        "crawl_delta_pages": q.crawl_delta_pages,
         "incremental_dedup_documents": q.incremental_dedup_documents,
         "embedding_near_dup_pairs": q.embedding_near_dup_pairs,
         "logistic_cv_orders": q.logistic_cv_orders,
@@ -320,10 +324,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Degree-ordered distributed triangle counting on the host
         # link graph (3-way-self-join SQL twin).
         "host_triangles_pages": q.host_triangles_pages,
-        # Crawl snapshot delta: added/removed/changed/unchanged urls
-        # between the baseline and drift crawl fixtures (keep-first
-        # canonical page per url, md5 content identity).
-        "crawl_delta_pages": q.crawl_delta_pages,
+        "line_dedup_documents": q.line_dedup_documents,
         # LAG-per-entity at scale: per-customer repurchase intervals
         # bucketed into standard bands (one coarse exchange, no
         # per-customer tasks).

@@ -51,6 +51,11 @@ def main(argv: list[str] | None = None) -> int:
                     help="current-snapshot pages parquet path/dir")
     dv.add_argument("--out", default=None,
                     help="optional dir for violations parquet + summary.json")
+    dv.add_argument("--resumable", action="store_true",
+                    help="checkpointed run: staged delta pages + wave "
+                         "manifest under --out (required); a rerun skips "
+                         "finished partitions")
+    dv.add_argument("--wave-size", type=int, default=16)
 
     b = sub.add_parser("drift-baseline", help="build drift baseline artifact")
     b.add_argument("--input", required=True)
@@ -180,15 +185,24 @@ def main(argv: list[str] | None = None) -> int:
                                                wave_size=args.wave_size)
             print(json.dumps(summary, default=str))
         elif args.cmd == "delta-revalidate":
-            from tanml_ray.pipelines.delta import revalidate_delta
+            if args.resumable:
+                if not args.out:
+                    raise ValueError("--resumable requires --out")
+                from tanml_ray.pipelines.delta import revalidate_delta_resumable
 
-            counts, report = revalidate_delta(args.base, args.current,
-                                              out_dir=args.out)
+                counts, summary = revalidate_delta_resumable(
+                    args.base, args.current, args.out,
+                    wave_size=args.wave_size)
+            else:
+                from tanml_ray.pipelines.delta import revalidate_delta
+
+                counts, report = revalidate_delta(args.base, args.current,
+                                                  out_dir=args.out)
+                summary = report.summary if report else None
             print(json.dumps({
                 "delta": {r["status"]: r["n_urls"]
                           for r in counts.to_pylist()},
-                "validation": report.summary if report else None},
-                default=str))
+                "validation": summary}, default=str))
         elif args.cmd == "drift-baseline":
             import ray.data as rd
 

@@ -27,6 +27,7 @@ Scale shape:
 from __future__ import annotations
 
 import hashlib
+import os
 
 import numpy as np
 import pandas as pd
@@ -164,3 +165,78 @@ def revalidate_delta(base_source, cur_source, out_dir: str | None = None,
     report = run_pages_validation(subset, out_dir=out_dir,
                                   constraints=constraints)
     return counts, report
+
+
+def _snapshot_lineage(base_dir: str, cur_dir: str) -> str:
+    """Lineage of the (base, cur) snapshot PAIR: any file change in
+    either snapshot invalidates the staged delta."""
+    from tanml_ray.state.checkpoint import lineage_id
+
+    files = []
+    for d in (base_dir, cur_dir):
+        files += [os.path.join(d, f) for f in sorted(os.listdir(d))
+                  if f.endswith(".parquet")]
+    return lineage_id(files, {"job": "delta-revalidate",
+                              "base": base_dir, "cur": cur_dir})
+
+
+def revalidate_delta_resumable(base_dir: str, cur_dir: str, out_dir: str,
+                               wave_size: int = 16,
+                               broadcast_budget: int = 256 << 20):
+    """Checkpointed incremental validation (north_rule: "resumable from
+    checkpoint with per-partition lineage + metrics").
+
+    Two checkpoint layers, each keyed by lineage of the snapshot pair:
+    1. The delta STAGE: added/changed pages are written once to
+       out_dir/delta_pages_<lineage>/ with an atomic _DONE marker
+       carrying the delta counts — a rerun (or a run killed during
+       validation) skips the delta recomputation entirely; a killed
+       staging leaves no marker and restages from scratch.
+    2. The validation runs through run_resumable_validation's wave
+       manifest over the staged files, so partitions finished before a
+       crash are never revalidated.
+
+    Returns (counts: pa.Table, summary: dict | None)."""
+    import json
+    import shutil
+
+    from tanml_ray.state.checkpoint import run_resumable_validation
+
+    lin = _snapshot_lineage(base_dir, cur_dir)
+    staged = os.path.join(out_dir, f"delta_pages_{lin}")
+    marker = os.path.join(staged, "_DONE")
+
+    if os.path.exists(marker):
+        with open(marker) as f:
+            counts_rows = json.load(f)["counts"]
+    else:
+        shutil.rmtree(staged, ignore_errors=True)
+        base_ds = read_parquet_clean(base_dir)
+        cur_ds = read_parquet_clean(cur_dir)
+        delta = snapshot_delta(base_ds, cur_ds).materialize()
+        counts_rows = delta_counts(delta).to_pylist()
+        by = {r["status"]: r["n_urls"] for r in counts_rows}
+        n = by.get(ADDED, 0) + by.get(CHANGED, 0)
+        os.makedirs(staged, exist_ok=True)
+        if n:
+            todo = delta.map_batches(
+                lambda t: t.filter(pc.is_in(t.column("status"),
+                                            pa.array([ADDED, CHANGED])))
+                .select(["url"]), batch_format="pyarrow")
+            subset = _semi_join_pages(read_parquet_clean(cur_dir), todo, n,
+                                      broadcast_budget)
+            subset.write_parquet(staged)
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"lineage": lin, "counts": counts_rows}, f)
+        os.replace(tmp, marker)
+
+    counts = pa.Table.from_pylist(
+        counts_rows, schema=pa.schema([("status", pa.string()),
+                                       ("n_urls", pa.int64())]))
+    by = {r["status"]: r["n_urls"] for r in counts_rows}
+    if by.get(ADDED, 0) + by.get(CHANGED, 0) == 0:
+        return counts, None
+    summary = run_resumable_validation(staged, out_dir, wave_size=wave_size)
+    summary["delta_lineage"] = lin
+    return counts, summary

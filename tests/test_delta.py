@@ -110,3 +110,39 @@ def test_revalidate_delta_fixture_end_to_end(sf_dir, tmp_path):
     counts2, report2 = revalidate_delta(base, base)
     assert set(r["status"] for r in counts2.to_pylist()) == {"unchanged"}
     assert report2 is None
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_revalidate_delta_resumable_checkpoints(sf_dir, tmp_path):
+    """First run stages + validates; a rerun is a full checkpoint hit
+    (0 processed partitions, same counts); deleting the wave manifest
+    forces revalidation but NOT restaging (the _DONE marker holds)."""
+    import json
+
+    from tanml_ray.pipelines.delta import revalidate_delta_resumable
+    from tanml_ray.sources.pages import synthesize_pages_parquet
+
+    base = synthesize_pages_parquet(sf_dir, "/tmp/tanml_pages_sf0.001_baseline")
+    cur = synthesize_pages_parquet(sf_dir, "/tmp/tanml_pages_sf0.001_current",
+                                   variant="current")
+    out = str(tmp_path / "ckpt")
+    c1, s1 = revalidate_delta_resumable(base, cur, out, wave_size=2)
+    assert s1["processed_partitions"] == s1["partitions"] > 0
+    assert s1["rows"] > 0
+
+    c2, s2 = revalidate_delta_resumable(base, cur, out, wave_size=2)
+    assert s2["processed_partitions"] == 0
+    assert s2["skipped_partitions"] == s1["partitions"]
+    assert c2.to_pylist() == c1.to_pylist()
+    assert s2["rows"] == s1["rows"]
+    assert s2["delta_lineage"] == s1["delta_lineage"]
+
+    # kill the wave manifest mid-"crash": staged delta survives (its
+    # _DONE marker is intact) and only validation reruns
+    os.remove(os.path.join(out, "manifest.json"))
+    staged = os.path.join(out, f"delta_pages_{s1['delta_lineage']}")
+    mtime_before = os.path.getmtime(os.path.join(staged, "_DONE"))
+    c3, s3 = revalidate_delta_resumable(base, cur, out, wave_size=2)
+    assert s3["processed_partitions"] == s3["partitions"]
+    assert s3["rows"] == s1["rows"]
+    assert os.path.getmtime(os.path.join(staged, "_DONE")) == mtime_before
