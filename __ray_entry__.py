@@ -325,6 +325,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # link graph (3-way-self-join SQL twin).
         "host_triangles_pages": q.host_triangles_pages,
         "line_dedup_documents": q.line_dedup_documents,
+        # Crawl churn grouped by host (re-crawl scheduling signal):
+        # the url-level snapshot delta rolled up per site.
+        "crawl_churn_by_host": q.crawl_churn_by_host,
         # LAG-per-entity at scale: per-customer repurchase intervals
         # bucketed into standard bands (one coarse exchange, no
         # per-customer tasks).
@@ -570,6 +573,7 @@ def oracle_sql() -> dict[str, str]:
         "range_export_orders": q.RANGE_EXPORT_SQL,
         "host_triangles_pages": q.host_triangles_sql(),
         "crawl_delta_pages": q.crawl_delta_sql(),
+        "crawl_churn_by_host": q.crawl_churn_sql(),
         "reorder_intervals_customer": q.REORDER_INTERVALS_SQL,
         # converged-IRLS logistic CV / boosted stumps (iterative fits)
         # remain rows-only driver checks; verified in pytest instead.

@@ -110,16 +110,17 @@ def _semi_join_pages(pages_ds, urls_ds, n_urls: int,
     if n_urls * avg_url_bytes <= broadcast_budget:
         import ray
 
-        url_set = set()
-        for b in urls_ds.iter_batches(batch_size=65536,
-                                      batch_format="pyarrow"):
-            url_set.update(b.column("url").to_pylist())
-        ref = ray.put(url_set)
+        parts = [b.column("url").combine_chunks()
+                 for b in urls_ds.iter_batches(batch_size=65536,
+                                               batch_format="pyarrow")]
+        value_set = (pa.concat_arrays(parts) if parts
+                     else pa.array([], type=pa.string()))
+        ref = ray.put(value_set)  # one Arrow array: zero-copy per node
 
         def filt(batch: pa.Table) -> pa.Table:
-            s = ray.get(ref)
-            mask = [u in s for u in batch.column("url").to_pylist()]
-            return batch.filter(pa.array(mask))
+            # vectorized hash-set membership (C++), no Python per row
+            return batch.filter(pc.is_in(batch.column("url"),
+                                         value_set=ray.get(ref)))
 
         return pages_ds.map_batches(filt, batch_format="pyarrow")
 

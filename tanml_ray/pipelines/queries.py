@@ -13962,3 +13962,97 @@ SELECT bucket, CAST(count(*) AS BIGINT) AS n_gaps,
        round(CAST(sum(gap) AS DOUBLE) / count(*), 6) AS avg_gap_days
 FROM b GROUP BY bucket ORDER BY bucket
 """
+
+
+# ---------------------------------------------------------------------------
+# Crawl churn by host: the delta grouped by site — which hosts change
+# most between two crawl snapshots (re-crawl scheduling signal: a host
+# with high changed-fraction wants a shorter revisit interval). Reuses
+# the url-level snapshot delta (pipelines/delta.py: keep-first
+# canonical page, md5 content identity, one coarse hash(url) exchange)
+# and rolls it up per host = authority part of the url; output is one
+# row per (host, status) for hosts with ≥ 3 urls in the union (noise
+# floor, restated in SQL; the fixture spreads urls over ~997 hosts so
+# a higher floor would be empty at gate scale). Snapshot membership
+# uses the same deterministic spec as crawl_delta_pages (A drops
+# page_id % 31 == 7, B drops % 29 == 11) so all four statuses can
+# appear per host. The per-host rollup is combiner-first: each coarse
+# partition emits (host, status, partial n); the groupby moves
+# ≤ 4·hosts·P rows — urls never leave their partition.
+# ---------------------------------------------------------------------------
+
+def crawl_churn_by_host(sf_dir: str) -> pa.Table:
+    from ray.data.aggregate import Sum
+
+    from tanml_ray.pipelines.delta import snapshot_delta
+
+    def drop(mod: int, val: int):
+        def fn(t: pa.Table) -> pa.Table:
+            ids = t.column("page_id").to_numpy(zero_copy_only=False)
+            return t.filter(pa.array((ids % mod) != val))
+        return fn
+
+    base = read_parquet_clean(_pages_dir_for(sf_dir, "baseline"),
+                              columns=["page_id", "url", "text"]) \
+        .map_batches(drop(31, 7), batch_format="pyarrow")
+    cur = read_parquet_clean(_pages_dir_for(sf_dir, "current"),
+                             columns=["page_id", "url", "text"]) \
+        .map_batches(drop(29, 11), batch_format="pyarrow")
+    delta = snapshot_delta(base, cur)
+
+    def host_partial(batch: pa.Table) -> pd.DataFrame:
+        urls = batch.column("url").to_pylist()
+        hosts = [u.split("://", 1)[-1].split("/", 1)[0] for u in urls]
+        df = pd.DataFrame({"host": pd.Series(hosts, dtype=str),
+                           "status": batch.column("status").to_pylist()})
+        return df.groupby(["host", "status"], as_index=False).agg(
+            n_urls=("status", "size"))
+
+    agg = (delta.map_batches(lambda t: from_pandas_clean(host_partial(t)),
+                             batch_format="pyarrow")
+           .groupby(["host", "status"])
+           .aggregate(Sum("n_urls", alias_name="n_urls")))
+    rows = collect_pylist(agg)
+    totals: dict[str, int] = {}
+    for r in rows:
+        totals[r["host"]] = totals.get(r["host"], 0) + int(r["n_urls"])
+    out = [{"host": r["host"], "status": r["status"],
+            "n_urls": int(r["n_urls"])}
+           for r in rows if totals[r["host"]] >= 3]
+    out.sort(key=lambda r: (r["host"], r["status"]))
+    return pa.Table.from_pylist(
+        out, schema=pa.schema([("host", pa.string()),
+                               ("status", pa.string()),
+                               ("n_urls", pa.int64())]))
+
+
+CRAWL_CHURN_SQL = """
+WITH a AS (
+  SELECT url, arg_min(md5(coalesce(text, '')), page_id) AS dg
+  FROM read_parquet('{base_dir}/*.parquet')
+  WHERE page_id % 31 <> 7 GROUP BY url),
+b AS (
+  SELECT url, arg_min(md5(coalesce(text, '')), page_id) AS dg
+  FROM read_parquet('{cur_dir}/*.parquet')
+  WHERE page_id % 29 <> 11 GROUP BY url),
+j AS (SELECT coalesce(a.url, b.url) AS url, a.dg AS adg, b.dg AS bdg
+      FROM a FULL OUTER JOIN b ON a.url = b.url),
+s AS (SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+             CASE WHEN adg IS NULL THEN 'added'
+                  WHEN bdg IS NULL THEN 'removed'
+                  WHEN adg = bdg THEN 'unchanged'
+                  ELSE 'changed' END AS status
+      FROM j),
+g AS (SELECT host, status, CAST(count(*) AS BIGINT) AS n_urls
+      FROM s GROUP BY host, status),
+t AS (SELECT host, sum(n_urls) AS total FROM g GROUP BY host)
+SELECT g.host, g.status, g.n_urls
+FROM g JOIN t ON g.host = t.host
+WHERE t.total >= 3 ORDER BY g.host, g.status
+"""
+
+
+def crawl_churn_sql(sf_dir: str | None = None) -> str:
+    sf = _oracle_sf(sf_dir)
+    return CRAWL_CHURN_SQL.format(base_dir=_pages_dir_for(sf, "baseline"),
+                                  cur_dir=_pages_dir_for(sf, "current"))

@@ -195,6 +195,28 @@ def test_crawl_delta_matches_oracle_and_plants(sf_dir):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_crawl_churn_by_host_matches_oracle(sf_dir):
+    """Per-host churn rollup vs its DuckDB twin at sf0.001; the fixture
+    hosts are hash-spread over site{0..996}.example.com so the >= 5
+    noise floor must filter some hosts but not all."""
+    import __ray_entry__ as entry
+    from tanml_ray.pipelines import queries as q
+
+    os.environ["TANML_ORACLE_SF_DIR"] = sf_dir
+    try:
+        mine = canon(entry.queries()["crawl_churn_by_host"](sf_dir)
+                     .to_pandas())
+        con = duckdb.connect()
+        ref = canon(con.sql(q.crawl_churn_sql(sf_dir)).df())
+    finally:
+        os.environ.pop("TANML_ORACLE_SF_DIR", None)
+    pd.testing.assert_frame_equal(mine, ref, check_dtype=False)
+    assert mine["host"].nunique() >= 1
+    assert set(mine["status"]) <= {"added", "removed", "changed",
+                                   "unchanged"}
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_reorder_intervals_gap_semantics(sf_dir):
     """Bucket boundaries and totals: every consecutive-order gap is
     counted exactly once, buckets partition [0, inf), and the total gap
