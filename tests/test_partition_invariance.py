@@ -103,6 +103,12 @@ QUERIES = [
     "out_degree_profile_pages",
     "pagerank_link_graph_pages",
     "noindex_filter_pages",
+    # session-9: crawl delta family (keep-first election + digest
+    # compare must be exact under resharding — the fixture itself is
+    # partition-derived) and the per-customer LAG walk
+    "crawl_delta_pages",
+    "crawl_churn_by_host",
+    "reorder_intervals_customer",
 ]
 
 
