@@ -237,6 +237,11 @@ def revalidate_delta_resumable(base_dir: str, cur_dir: str, out_dir: str,
                 .select(["url"]), batch_format="pyarrow")
             subset = _semi_join_pages(read_parquet_clean(cur_dir), todo, n,
                                       broadcast_budget)
+            # coalesce before staging: a sparse delta over many input
+            # blocks would otherwise stage one near-empty file per
+            # block (10k tiny files = 10k wave partitions); target
+            # ~200k pages per staged file, floor 8 for wave parallelism
+            subset = subset.repartition(max(8, n // 200_000))
             subset.write_parquet(staged)
         tmp = marker + ".tmp"
         with open(tmp, "w") as f:
