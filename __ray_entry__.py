@@ -328,6 +328,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Crawl churn grouped by host (re-crawl scheduling signal):
         # the url-level snapshot delta rolled up per site.
         "crawl_churn_by_host": q.crawl_churn_by_host,
+        # Two-proportion z-test over a deterministic user-hash split:
+        # the canonical A/B conversion primitive.
+        "ab_conversion_events": q.ab_conversion_events,
         # LAG-per-entity at scale: per-customer repurchase intervals
         # bucketed into standard bands (one coarse exchange, no
         # per-customer tasks).
@@ -574,6 +577,7 @@ def oracle_sql() -> dict[str, str]:
         "host_triangles_pages": q.host_triangles_sql(),
         "crawl_delta_pages": q.crawl_delta_sql(),
         "crawl_churn_by_host": q.crawl_churn_sql(),
+        "ab_conversion_events": q.AB_CONVERSION_SQL,
         "reorder_intervals_customer": q.REORDER_INTERVALS_SQL,
         # converged-IRLS logistic CV / boosted stumps (iterative fits)
         # remain rows-only driver checks; verified in pytest instead.

@@ -14058,3 +14058,86 @@ def crawl_churn_sql(sf_dir: str | None = None) -> str:
     sf = _oracle_sf(sf_dir)
     return CRAWL_CHURN_SQL.format(base_dir=_pages_dir_for(sf, "baseline"),
                                   cur_dir=_pages_dir_for(sf, "current"))
+
+
+# ---------------------------------------------------------------------------
+# Two-proportion z-test (pooled SE) — the canonical A/B conversion
+# primitive (reference testing family A20 extension; Fleiss §2.3 /
+# every experimentation platform's north-star metric). Variant
+# assignment is the deterministic hash split user_id % 2; the tested
+# proportion is purchase events per event (impression-level, so the
+# test is nondegenerate at every fixture scale — the per-USER
+# conversion version saturates at 100% on the tiny sf0.001 user
+# population). Scale shape: pure combiner — per-batch (variant,
+# n_events, n_purchases) partials, one Sum over ≤ 2·blocks rows, z is
+# driver math on 4 integers with the IEEE op order mirrored exactly in
+# the SQL twin. Degenerate pooled rates (0 or 1 → zero SE) yield
+# z = NULL on both sides.
+# ---------------------------------------------------------------------------
+
+def ab_conversion_events(sf_dir: str) -> pa.Table:
+    import math
+
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "variant": (batch.column("user_id")
+                        .to_numpy(zero_copy_only=False) % 2).astype(np.int64),
+            "conv": pc.equal(batch.column("event_type"), "purchase")
+            .to_numpy(zero_copy_only=False).astype(np.int64)})
+        return df.groupby("variant", as_index=False).agg(
+            n_events=("conv", "size"), n_conv=("conv", "sum"))
+
+    agg = (ds.map_batches(lambda t: from_pandas_clean(partial(t)),
+                          batch_format="pyarrow")
+           .groupby("variant")
+           .aggregate(Sum("n_events", alias_name="n_events"),
+                      Sum("n_conv", alias_name="n_conv")))
+    by = {int(r["variant"]): (int(r["n_events"]), int(r["n_conv"]))
+          for r in collect_pylist(agg)}
+    (n_a, c_a), (n_b, c_b) = by[0], by[1]
+    p_a, p_b = c_a / n_a, c_b / n_b
+    pooled = (c_a + c_b) / (n_a + n_b)
+    se = math.sqrt(pooled * (1.0 - pooled) * (1.0 / n_a + 1.0 / n_b))
+    z = _round6((p_a - p_b) / se) if se > 0.0 else None
+    return pa.Table.from_pylist([{
+        "n_a": n_a, "conv_a": c_a, "n_b": n_b, "conv_b": c_b,
+        "p_a": _round6(p_a), "p_b": _round6(p_b),
+        "lift": _round6(p_b - p_a), "z": z}],
+        schema=pa.schema([("n_a", pa.int64()), ("conv_a", pa.int64()),
+                          ("n_b", pa.int64()), ("conv_b", pa.int64()),
+                          ("p_a", pa.float64()), ("p_b", pa.float64()),
+                          ("lift", pa.float64()), ("z", pa.float64())]))
+
+
+AB_CONVERSION_SQL = """
+WITH u AS (
+  SELECT user_id % 2 AS variant,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv
+  FROM events),
+v AS (SELECT variant, CAST(count(*) AS BIGINT) AS n_events,
+             CAST(sum(conv) AS BIGINT) AS n_conv
+      FROM u GROUP BY variant),
+w AS (SELECT
+        max(CASE WHEN variant = 0 THEN n_events END) AS n_a,
+        max(CASE WHEN variant = 0 THEN n_conv END) AS conv_a,
+        max(CASE WHEN variant = 1 THEN n_events END) AS n_b,
+        max(CASE WHEN variant = 1 THEN n_conv END) AS conv_b
+      FROM v),
+x AS (SELECT n_a, conv_a, n_b, conv_b,
+        CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS pa,
+        CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS pb,
+        CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE) AS pp
+      FROM w)
+SELECT n_a, conv_a, n_b, conv_b,
+       round(pa, 6) AS p_a, round(pb, 6) AS p_b,
+       round(pb - pa, 6) AS lift,
+       CASE WHEN pp > 0 AND pp < 1 THEN
+         round((pa - pb) / sqrt(pp * (1.0 - pp)
+               * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))), 6)
+       ELSE NULL END AS z
+FROM x
+"""
