@@ -331,6 +331,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Two-proportion z-test over a deterministic user-hash split:
         # the canonical A/B conversion primitive.
         "ab_conversion_events": q.ab_conversion_events,
+        # CUPED variance-reduced A/B (pre-period covariate, pooled
+        # theta from exact bigint sufficient statistics).
+        "cuped_ab_events": q.cuped_ab_events,
         # LAG-per-entity at scale: per-customer repurchase intervals
         # bucketed into standard bands (one coarse exchange, no
         # per-customer tasks).
@@ -578,6 +581,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_delta_pages": q.crawl_delta_sql(),
         "crawl_churn_by_host": q.crawl_churn_sql(),
         "ab_conversion_events": q.AB_CONVERSION_SQL,
+        "cuped_ab_events": q.CUPED_AB_SQL,
         "reorder_intervals_customer": q.REORDER_INTERVALS_SQL,
         # converged-IRLS logistic CV / boosted stumps (iterative fits)
         # remain rows-only driver checks; verified in pytest instead.

@@ -14141,3 +14141,162 @@ SELECT n_a, conv_a, n_b, conv_b,
        ELSE NULL END AS z
 FROM x
 """
+
+
+# ---------------------------------------------------------------------------
+# CUPED variance-reduced A/B (Deng, Xu, Kohavi & Walker, WSDM 2013):
+# the experimentation-platform staple. Pre-period covariate = each
+# user's value sum before the corpus time midpoint, post-period metric
+# = the sum after; θ = cov(pre, post) / var(pre) pooled over all
+# users; adjusted metric y − θ·(x − x̄) shrinks between-user variance
+# without biasing the A/B difference. Scale shape: two passes — a tiny
+# global (min, max) ts reduce fixes the midpoint, then ONE coarse
+# hash(user) exchange finishes the per-user (pre, post) integer-micro
+# sums vectorized per partition and emits per-partition sufficient
+# statistics (n, Σx, Σy per variant + pooled Σx², Σxy, Σy² as
+# overflow-free Python-int strings, the profile_lineitem pattern);
+# θ and the variance reduction are driver math on ~a dozen numbers,
+# IEEE-op-mirrored in the HUGEINT SQL twin.
+# ---------------------------------------------------------------------------
+
+def cuped_ab_events(sf_dir: str) -> pa.Table:
+    from tanml_ray.stages.shuffle import with_coarse_partition
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def ts_range_partial(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({"lo": pa.array([int(ts.min())], type=pa.int64()),
+                         "hi": pa.array([int(ts.max())], type=pa.int64())})
+
+    rng = collect_pylist(
+        ds.map_batches(ts_range_partial, batch_format="pyarrow"))
+    lo = min(r["lo"] for r in rng)
+    hi = max(r["hi"] for r in rng)
+    mid = (lo + hi) // 2
+
+    def per_user(batch: pa.Table) -> pd.DataFrame:
+        ts = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        val_u = np.rint(batch.column("value").to_numpy(zero_copy_only=False)
+                        * 1e6).astype(np.int64)
+        pre = np.where(ts < mid, val_u, 0)
+        post = np.where(ts >= mid, val_u, 0)
+        df = pd.DataFrame({"user_id": batch.column("user_id")
+                           .to_numpy(zero_copy_only=False),
+                           "x": pre, "y": post})
+        return df.groupby("user_id", as_index=False).agg(
+            x=("x", "sum"), y=("y", "sum"))
+
+    def suffstats(g: pd.DataFrame) -> pd.DataFrame:
+        u = g.groupby("user_id", as_index=False).agg(x=("x", "sum"),
+                                                     y=("y", "sum"))
+        v = (u["user_id"].to_numpy() % 2).astype(np.int64)
+        x = u["x"].to_numpy()
+        y = u["y"].to_numpy()
+        rows = []
+        for variant in (0, 1):
+            m = v == variant
+            xs, ys = x[m], y[m]
+            rows.append({
+                "variant": variant, "n": int(m.sum()),
+                "sx": int(xs.sum()), "sy": int(ys.sum()),
+                # Python-int products: per-user sums reach ~1e10 micro
+                # units, squares ~1e20 > int64 — overflow-free bigints
+                "sxx": str(sum(int(a) * int(a) for a in xs)),
+                "sxy": str(sum(int(a) * int(b) for a, b in zip(xs, ys))),
+                "syy": str(sum(int(b) * int(b) for b in ys))})
+        return pd.DataFrame(rows)
+
+    parts = collect_pylist(
+        with_coarse_partition(
+            ds.map_batches(lambda t: from_pandas_clean(per_user(t)),
+                           batch_format="pyarrow"), "user_id")
+        .groupby("__upart")
+        .map_groups(lambda g: from_pandas_clean(suffstats(g)),
+                    batch_format="pandas"))
+    agg = {0: [0, 0, 0, 0, 0, 0], 1: [0, 0, 0, 0, 0, 0]}
+    for r in parts:
+        a = agg[int(r["variant"])]
+        a[0] += int(r["n"]); a[1] += int(r["sx"]); a[2] += int(r["sy"])
+        a[3] += int(r["sxx"]); a[4] += int(r["sxy"]); a[5] += int(r["syy"])
+    n = float(agg[0][0] + agg[1][0])
+    sx = float(agg[0][1] + agg[1][1]); sy = float(agg[0][2] + agg[1][2])
+    sxx = float(agg[0][3] + agg[1][3]); sxy = float(agg[0][4] + agg[1][4])
+    syy = float(agg[0][5] + agg[1][5])
+    mean_x = sx / n; mean_y = sy / n
+    var_x = sxx / n - mean_x * mean_x
+    cov = sxy / n - mean_x * mean_y
+    var_y = syy / n - mean_y * mean_y
+    theta = cov / var_x
+    var_cuped = var_y - cov * cov / var_x
+    n_a, n_b = agg[0][0], agg[1][0]
+    mean_post_a = float(agg[0][2]) / n_a; mean_post_b = float(agg[1][2]) / n_b
+    mean_pre_a = float(agg[0][1]) / n_a; mean_pre_b = float(agg[1][1]) / n_b
+    cuped_a = mean_post_a - theta * (mean_pre_a - mean_x)
+    cuped_b = mean_post_b - theta * (mean_pre_b - mean_x)
+    s = 1e6  # micro-units → value units on output
+    return pa.Table.from_pylist([{
+        "n_a": n_a, "n_b": n_b,
+        "mean_post_a": _round6(mean_post_a / s),
+        "mean_post_b": _round6(mean_post_b / s),
+        "cuped_a": _round6(cuped_a / s), "cuped_b": _round6(cuped_b / s),
+        "diff_raw": _round6((mean_post_b - mean_post_a) / s),
+        "diff_cuped": _round6((cuped_b - cuped_a) / s),
+        "theta": _round6(theta),
+        "var_reduction": _round6(1.0 - var_cuped / var_y)}])
+
+
+CUPED_AB_SQL = """
+WITH r AS (SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS mid
+           FROM events),
+u AS (
+  SELECT user_id, user_id % 2 AS v,
+         sum(CASE WHEN epoch_us(ts) < mid
+             THEN CAST(round(value * 1000000) AS BIGINT) ELSE 0 END) AS x,
+         sum(CASE WHEN epoch_us(ts) >= mid
+             THEN CAST(round(value * 1000000) AS BIGINT) ELSE 0 END) AS y
+  FROM events, r GROUP BY user_id),
+g AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+        CAST(sum(CAST(x AS HUGEINT)) AS DOUBLE) AS sx,
+        CAST(sum(CAST(y AS HUGEINT)) AS DOUBLE) AS sy,
+        CAST(sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS DOUBLE) AS sxx,
+        CAST(sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS DOUBLE) AS sxy,
+        CAST(sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS DOUBLE) AS syy
+      FROM u),
+vv AS (SELECT v, CAST(count(*) AS BIGINT) AS nv,
+         CAST(sum(CAST(x AS HUGEINT)) AS DOUBLE) AS sxv,
+         CAST(sum(CAST(y AS HUGEINT)) AS DOUBLE) AS syv
+       FROM u GROUP BY v),
+w AS (SELECT
+        max(CASE WHEN v = 0 THEN nv END) AS n_a,
+        max(CASE WHEN v = 1 THEN nv END) AS n_b,
+        max(CASE WHEN v = 0 THEN sxv END) AS sx_a,
+        max(CASE WHEN v = 1 THEN sxv END) AS sx_b,
+        max(CASE WHEN v = 0 THEN syv END) AS sy_a,
+        max(CASE WHEN v = 1 THEN syv END) AS sy_b
+      FROM vv),
+d AS (SELECT n_a, n_b,
+        sx / n AS mean_x, sy / n AS mean_y,
+        sxx / n - (sx / n) * (sx / n) AS var_x,
+        sxy / n - (sx / n) * (sy / n) AS cov,
+        syy / n - (sy / n) * (sy / n) AS var_y,
+        sy_a / CAST(n_a AS DOUBLE) AS mean_post_a,
+        sy_b / CAST(n_b AS DOUBLE) AS mean_post_b,
+        sx_a / CAST(n_a AS DOUBLE) AS mean_pre_a,
+        sx_b / CAST(n_b AS DOUBLE) AS mean_pre_b
+      FROM g, w)
+SELECT n_a, n_b,
+  round(mean_post_a / 1000000.0, 6) AS mean_post_a,
+  round(mean_post_b / 1000000.0, 6) AS mean_post_b,
+  round((mean_post_a - (cov / var_x) * (mean_pre_a - mean_x)) / 1000000.0, 6)
+    AS cuped_a,
+  round((mean_post_b - (cov / var_x) * (mean_pre_b - mean_x)) / 1000000.0, 6)
+    AS cuped_b,
+  round((mean_post_b - mean_post_a) / 1000000.0, 6) AS diff_raw,
+  round(((mean_post_b - (cov / var_x) * (mean_pre_b - mean_x))
+       - (mean_post_a - (cov / var_x) * (mean_pre_a - mean_x)))
+       / 1000000.0, 6) AS diff_cuped,
+  round(cov / var_x, 6) AS theta,
+  round(1.0 - (var_y - cov * cov / var_x) / var_y, 6) AS var_reduction
+FROM d
+"""

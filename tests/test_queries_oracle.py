@@ -76,9 +76,10 @@ FAST_QUERIES = [
     # round-5 session-7 declared-contract audits
     "range_conformance_lineitem", "whitelist_audit_lineitem",
     "measure_sanity_events",
-    # round-5 session-9 sequence analytics + A/B primitive
+    # round-5 session-9 sequence analytics + experimentation primitives
     "reorder_intervals_customer",
     "ab_conversion_events",
+    "cuped_ab_events",
 ]
 
 
