@@ -334,6 +334,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # CUPED variance-reduced A/B (pre-period covariate, pooled
         # theta from exact bigint sufficient statistics).
         "cuped_ab_events": q.cuped_ab_events,
+        # Wald SPRT on the purchase rate: streaming sequential decision
+        # via the two-pass distributed ordered prefix.
+        "sprt_purchase_events": q.sprt_purchase_events,
         # LAG-per-entity at scale: per-customer repurchase intervals
         # bucketed into standard bands (one coarse exchange, no
         # per-customer tasks).
@@ -582,6 +585,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_churn_by_host": q.crawl_churn_sql(),
         "ab_conversion_events": q.AB_CONVERSION_SQL,
         "cuped_ab_events": q.CUPED_AB_SQL,
+        "sprt_purchase_events": q.SPRT_SQL,
         "reorder_intervals_customer": q.REORDER_INTERVALS_SQL,
         # converged-IRLS logistic CV / boosted stumps (iterative fits)
         # remain rows-only driver checks; verified in pytest instead.

@@ -14300,3 +14300,126 @@ SELECT n_a, n_b,
   round(1.0 - (var_y - cov * cov / var_x) / var_y, 6) AS var_reduction
 FROM d
 """
+
+
+# ---------------------------------------------------------------------------
+# Wald SPRT on the purchase rate — sequential testing as a streaming
+# decision operator (Wald 1945; the always-on complement of the fixed-
+# horizon A/B z-test). Events are consumed in global (ts, event_id)
+# order; LLR_t = s_t·ln(p1/p0) + (t−s_t)·ln((1−p1)/(1−p0)) with
+# H0: p=0.18, H1: p=0.22, α=β=0.05 → stop at the FIRST t where
+# LLR ≥ ln(19) (accept H1) or ≤ ln(1/19) (accept H0); 'continue' with
+# the final LLR if no boundary is hit. Scale shape (the pack_windows
+# two-pass prefix): per-hour (n, successes) combiner totals → driver
+# prefix over the calendar-bounded hour list (≤ a few thousand rows at
+# ANY corpus size) finds each hour's incoming (T, S) offsets → one
+# vectorized per-hour group pass evaluates the linear-in-(t, s_t)
+# boundary crossing locally and emits its first hit; the global answer
+# is the min-t hit. LLR is linear in two integers, so engine and the
+# SQL window-cumsum twin agree bit-exactly.
+# ---------------------------------------------------------------------------
+
+_SPRT_P0, _SPRT_P1 = 0.18, 0.22
+
+
+def sprt_purchase_events(sf_dir: str) -> pa.Table:
+    import math
+
+    from ray.data.aggregate import Sum
+
+    c1 = math.log(_SPRT_P1 / _SPRT_P0)
+    c2 = math.log((1.0 - _SPRT_P1) / (1.0 - _SPRT_P0))
+    log_a = math.log(19.0)          # (1-β)/α
+    log_b = math.log(1.0 / 19.0)    # β/(1-α)
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "event_type"])
+
+    def hour_partial(batch: pa.Table) -> pd.DataFrame:
+        hour = (batch.column("ts").cast(pa.int64())
+                .to_numpy(zero_copy_only=False) // 3_600_000_000)
+        s = pc.equal(batch.column("event_type"), "purchase") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame({"hour": hour, "s": s})
+        return df.groupby("hour", as_index=False).agg(n=("s", "size"),
+                                                      s=("s", "sum"))
+
+    totals = collect_pylist(
+        ds.map_batches(lambda t: from_pandas_clean(hour_partial(t)),
+                       batch_format="pyarrow")
+        .groupby("hour").aggregate(Sum("n", alias_name="n"),
+                                   Sum("s", alias_name="s")))
+    totals.sort(key=lambda r: r["hour"])
+    offsets: dict[int, tuple[int, int]] = {}
+    T = S = 0
+    for r in totals:
+        offsets[int(r["hour"])] = (T, S)
+        T += int(r["n"])
+        S += int(r["s"])
+    total_n, total_s = T, S
+
+    def add_hour(batch: pa.Table) -> pa.Table:
+        hour = (batch.column("ts").cast(pa.int64())
+                .to_numpy(zero_copy_only=False) // 3_600_000_000)
+        return batch.append_column("hour",
+                                   pa.array(hour, type=pa.int64()))
+
+    def first_hit(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        hour = int(g["hour"].iloc[0])
+        t0, s0 = offsets[hour]
+        s_loc = (g["event_type"].to_numpy() == "purchase").astype(np.int64)
+        st = s0 + np.cumsum(s_loc)
+        t = t0 + np.arange(1, len(g) + 1, dtype=np.int64)
+        llr = st * c1 + (t - st) * c2
+        hit = (llr >= log_a) | (llr <= log_b)
+        if not hit.any():
+            return pd.DataFrame({"t": pd.Series([], dtype="int64"),
+                                 "s": pd.Series([], dtype="int64")})
+        i = int(np.argmax(hit))
+        return pd.DataFrame({"t": [int(t[i])], "s": [int(st[i])]})
+
+    hits = collect_pylist(
+        ds.map_batches(add_hour, batch_format="pyarrow")
+        .groupby("hour")
+        .map_groups(lambda g: from_pandas_clean(first_hit(g)),
+                    batch_format="pandas"))
+    if hits:
+        best = min(hits, key=lambda r: r["t"])
+        t, s = int(best["t"]), int(best["s"])
+        llr = s * c1 + (t - s) * c2
+        decision = "accept_h1" if llr >= log_a else "accept_h0"
+    else:
+        t, s = total_n, total_s
+        llr = s * c1 + (t - s) * c2
+        decision = "continue"
+    return pa.Table.from_pylist([{
+        "decision": decision, "n": t, "successes": s,
+        "llr": _round6(llr)}])
+
+
+SPRT_SQL = """
+WITH e AS (
+  SELECT ts, event_id,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS sv
+  FROM events),
+c AS (
+  SELECT CAST(row_number() OVER w AS BIGINT) AS t,
+         CAST(sum(sv) OVER w AS BIGINT) AS st
+  FROM e WINDOW w AS (ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+l AS (SELECT t, st,
+        st * ln(0.22 / 0.18) + (t - st) * ln((1.0 - 0.22) / (1.0 - 0.18))
+          AS llr
+      FROM c),
+hit AS (SELECT t, st, llr FROM l
+        WHERE llr >= ln(19.0) OR llr <= ln(1.0 / 19.0)
+        ORDER BY t LIMIT 1),
+fin AS (SELECT t, st, llr FROM l ORDER BY t DESC LIMIT 1)
+SELECT
+  CASE WHEN (SELECT count(*) FROM hit) = 0 THEN 'continue'
+       WHEN (SELECT llr FROM hit) >= ln(19.0) THEN 'accept_h1'
+       ELSE 'accept_h0' END AS decision,
+  coalesce((SELECT t FROM hit), (SELECT t FROM fin)) AS n,
+  coalesce((SELECT st FROM hit), (SELECT st FROM fin)) AS successes,
+  round(coalesce((SELECT llr FROM hit), (SELECT llr FROM fin)), 6) AS llr
+"""

@@ -80,6 +80,7 @@ FAST_QUERIES = [
     "reorder_intervals_customer",
     "ab_conversion_events",
     "cuped_ab_events",
+    "sprt_purchase_events",
 ]
 
 
