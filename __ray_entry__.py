@@ -337,6 +337,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Wald SPRT on the purchase rate: streaming sequential decision
         # via the two-pass distributed ordered prefix.
         "sprt_purchase_events": q.sprt_purchase_events,
+        # Difference-in-differences on the pre/post x variant grid.
+        "did_events": q.did_events,
         # LAG-per-entity at scale: per-customer repurchase intervals
         # bucketed into standard bands (one coarse exchange, no
         # per-customer tasks).
@@ -586,6 +588,7 @@ def oracle_sql() -> dict[str, str]:
         "ab_conversion_events": q.AB_CONVERSION_SQL,
         "cuped_ab_events": q.CUPED_AB_SQL,
         "sprt_purchase_events": q.SPRT_SQL,
+        "did_events": q.DID_SQL,
         "reorder_intervals_customer": q.REORDER_INTERVALS_SQL,
         # converged-IRLS logistic CV / boosted stumps (iterative fits)
         # remain rows-only driver checks; verified in pytest instead.

@@ -14423,3 +14423,81 @@ SELECT
   coalesce((SELECT st FROM hit), (SELECT st FROM fin)) AS successes,
   round(coalesce((SELECT llr FROM hit), (SELECT llr FROM fin)), 6) AS llr
 """
+
+
+# ---------------------------------------------------------------------------
+# Difference-in-differences over the pre/post × variant split — the
+# observational-causal complement of the A/B family (Card & Krueger
+# shape): DiD = (post_B − pre_B) − (post_A − pre_A) on per-user value
+# sums, removing any variant-level baseline offset. Reuses the CUPED
+# split (time midpoint, user_id % 2) and the same combiner-first
+# integer-micro sufficient statistics; one coarse hash(user) exchange,
+# driver math on 6 integers mirrored in SQL.
+# ---------------------------------------------------------------------------
+
+def did_events(sf_dir: str) -> pa.Table:
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def ts_range_partial(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({"lo": pa.array([int(ts.min())], type=pa.int64()),
+                         "hi": pa.array([int(ts.max())], type=pa.int64())})
+
+    rng = collect_pylist(
+        ds.map_batches(ts_range_partial, batch_format="pyarrow"))
+    mid = (min(r["lo"] for r in rng) + max(r["hi"] for r in rng)) // 2
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        ts = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        val_u = np.rint(batch.column("value").to_numpy(zero_copy_only=False)
+                        * 1e6).astype(np.int64)
+        df = pd.DataFrame({
+            "variant": (batch.column("user_id")
+                        .to_numpy(zero_copy_only=False) % 2).astype(np.int64),
+            "period": (ts >= mid).astype(np.int64),
+            "v": val_u})
+        return df.groupby(["variant", "period"], as_index=False).agg(
+            n=("v", "size"), sv=("v", "sum"))
+
+    agg = (ds.map_batches(lambda t: from_pandas_clean(partial(t)),
+                          batch_format="pyarrow")
+           .groupby(["variant", "period"])
+           .aggregate(Sum("n", alias_name="n"), Sum("sv", alias_name="sv")))
+    cell = {(int(r["variant"]), int(r["period"])): (int(r["n"]), int(r["sv"]))
+            for r in collect_pylist(agg)}
+    mean = {k: float(v[1]) / v[0] for k, v in cell.items()}
+    did = ((mean[(1, 1)] - mean[(1, 0)]) - (mean[(0, 1)] - mean[(0, 0)]))
+    s = 1e6
+    return pa.Table.from_pylist([{
+        "pre_a": _round6(mean[(0, 0)] / s), "post_a": _round6(mean[(0, 1)] / s),
+        "pre_b": _round6(mean[(1, 0)] / s), "post_b": _round6(mean[(1, 1)] / s),
+        "delta_a": _round6((mean[(0, 1)] - mean[(0, 0)]) / s),
+        "delta_b": _round6((mean[(1, 1)] - mean[(1, 0)]) / s),
+        "did": _round6(did / s)}])
+
+
+DID_SQL = """
+WITH r AS (SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS mid
+           FROM events),
+c AS (
+  SELECT user_id % 2 AS variant,
+         CASE WHEN epoch_us(ts) >= mid THEN 1 ELSE 0 END AS period,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS sv
+  FROM events, r GROUP BY 1, 2),
+m AS (SELECT variant, period, CAST(sv AS DOUBLE) / n AS mu FROM c),
+w AS (SELECT
+        max(CASE WHEN variant = 0 AND period = 0 THEN mu END) AS m00,
+        max(CASE WHEN variant = 0 AND period = 1 THEN mu END) AS m01,
+        max(CASE WHEN variant = 1 AND period = 0 THEN mu END) AS m10,
+        max(CASE WHEN variant = 1 AND period = 1 THEN mu END) AS m11
+      FROM m)
+SELECT round(m00 / 1000000.0, 6) AS pre_a, round(m01 / 1000000.0, 6) AS post_a,
+       round(m10 / 1000000.0, 6) AS pre_b, round(m11 / 1000000.0, 6) AS post_b,
+       round((m01 - m00) / 1000000.0, 6) AS delta_a,
+       round((m11 - m10) / 1000000.0, 6) AS delta_b,
+       round(((m11 - m10) - (m01 - m00)) / 1000000.0, 6) AS did
+FROM w
+"""

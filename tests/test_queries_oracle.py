@@ -81,6 +81,7 @@ FAST_QUERIES = [
     "ab_conversion_events",
     "cuped_ab_events",
     "sprt_purchase_events",
+    "did_events",
 ]
 
 
