@@ -13808,7 +13808,6 @@ def host_triangles_sql(sf_dir: str | None = None) -> str:
 def crawl_delta_pages(sf_dir: str) -> pa.Table:
     import hashlib
 
-    import ray.data as rd
     from ray.data.aggregate import Sum
 
     from tanml_ray.stages.shuffle import with_coarse_partition

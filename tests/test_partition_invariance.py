@@ -109,6 +109,13 @@ QUERIES = [
     "crawl_delta_pages",
     "crawl_churn_by_host",
     "reorder_intervals_customer",
+    # session-9 experimentation family: combiner counts, bigint
+    # suffstats merge, and the SPRT two-pass prefix must all be exact
+    # under resharding
+    "ab_conversion_events",
+    "cuped_ab_events",
+    "sprt_purchase_events",
+    "did_events",
 ]
 
 
